@@ -1,0 +1,59 @@
+"""Oracle-checked query registry.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+query: a callable ``(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) the equivalent DuckDB oracle SQL. ``__spark_entry__``
+exposes the registry to the driver.
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every computed column is aliased identically in Spark and SQL;
+- floating-point aggregates are rounded (ROUND(x, n)) in BOTH engines
+  so summation-order noise cannot flip the hash;
+- distance folds run left-to-right in float64 in both engines
+  (bit-identical), and rankings always tie-break on a unique id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → driver does rows-only check
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, sql: str | None = None):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(name, fn, sql)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (side effect: registration) and return
+    the registry."""
+    from big_ann_spark.queries import (  # noqa: F401
+        dedup_queries,
+        interval_queries,
+        relational_queries,
+        stats_queries,
+        streaming_queries,
+        text_queries,
+        vector_queries,
+    )
+
+    return REGISTRY
