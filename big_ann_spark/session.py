@@ -39,6 +39,9 @@ def get_spark(app_name: str = "big-ann-spark", *, shuffle_partitions: int | None
         # broadcast anything under 64 MiB — centroid/dim tables are tiny
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # the driver's events.parquet stores ts as timestamp[ns]; Spark
+        # has no nanosecond type — read as long, catalog converts to µs
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(f"local[{cpus}]")

@@ -1,0 +1,63 @@
+"""Interval-algebra semantics edge cases (half-open [begin,end),
+reference interval.py:36-54 / intervaltree.py:645-709)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_ann_spark.operators import intervals as iv
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "begin long, end long")
+
+
+def test_merge_overlaps_strict_keeps_touching(spark):
+    # [0,5) and [5,10) touch but do not overlap → strict keeps them apart
+    d = _df(spark, [(0, 5), (5, 10), (8, 12)])
+    out = sorted(map(tuple, iv.merge_overlaps(d, strict=True).collect()))
+    assert out == [(0, 5), (5, 12)]
+
+
+def test_merge_overlaps_nonstrict_merges_touching(spark):
+    d = _df(spark, [(0, 5), (5, 10)])
+    out = sorted(map(tuple, iv.merge_overlaps(d, strict=False).collect()))
+    assert out == [(0, 10)]
+
+
+def test_merge_neighbors_distance(spark):
+    # gap of 3 merges at distance>=3, stays separate at distance<3
+    d = _df(spark, [(0, 5), (8, 10)])
+    assert sorted(map(tuple, iv.merge_neighbors(d, 3).collect())) == [(0, 10)]
+    assert sorted(map(tuple, iv.merge_neighbors(d, 2).collect())) == [(0, 5), (8, 10)]
+
+
+def test_chop_splits_straddling_interval(spark):
+    d = _df(spark, [(0, 20)])
+    out = sorted(map(tuple, iv.chop(d, 5, 15).collect()))
+    assert out == [(0, 5), (15, 20)]
+
+
+def test_slice_at_boundary_is_noop(spark):
+    # point == begin → no split (reference slice semantics)
+    d = _df(spark, [(5, 10)])
+    out = sorted(map(tuple, iv.slice_at(d, 5).collect()))
+    assert out == [(5, 10)]
+
+
+def test_binned_join_equals_plain_join(spark):
+    ivs = _df(spark, [(0, 10), (5, 64), (63, 65), (128, 200)])
+    pts = spark.createDataFrame([(0,), (9,), (63,), (64,), (130,), (300,)], "p long")
+    plain = sorted(
+        map(tuple, iv.point_query(ivs, pts).select("p", "begin", "end").collect())
+    )
+    binned = sorted(
+        map(tuple, iv.binned_point_join(ivs, pts, bin_width=64).select("p", "begin", "end").collect())
+    )
+    assert plain == binned and len(plain) > 0
+
+
+def test_ids_to_intervals_runs(spark):
+    ids = spark.createDataFrame([(1,), (2,), (3,), (7,), (8,), (12,)], "id long")
+    out = sorted(map(tuple, iv.ids_to_intervals(ids).collect()))
+    assert out == [(1, 3), (7, 8), (12, 12)]
