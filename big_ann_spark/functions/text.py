@@ -1,0 +1,125 @@
+"""Text-analysis scalar functions for the training-data-pipeline
+surface (BASELINE.json north star): tokenization, quality scoring,
+language ID, fingerprinting, shingling.
+
+All native column expressions (split/filter/transform/aggregate) —
+JVM-side, no Python in the hot path. Deterministic arithmetic only, so
+every function has an exact DuckDB oracle equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic; deliberately small + deterministic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "de", "et", "un", "est", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: runs of letters, runs of digits, and
+    individual other non-space chars (a BPE-flavored regex census)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    t = tokens(text)
+    sw = STOPWORDS[lang]
+    hits = F.size(F.filter(t, lambda x: x.isin(*sw)))
+    return hits.cast("double") / F.size(t)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters outside [a-z0-9 ] (lowercase corpora)."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, "[a-z0-9 ]", "")
+    return F.length(stripped).cast("double") / F.length(c)
+
+
+def mean_token_length(text: Column | str) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards
+    mid-length documents, low punctuation noise, and a natural stopword
+    rate. Deterministic; the exact formula is the contract."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c).cast("double")
+    len_score = F.least(n / 100.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), 1.0 - 4.0 * punct_ratio(c))
+    sw = stopword_ratio(c, "en")
+    sw_score = F.greatest(F.lit(0.0), 1.0 - F.abs(sw - 0.4) / 0.4)
+    return 0.4 * len_score + 0.3 * punct_pen + 0.3 * sw_score
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit-rate scores."""
+    t = tokens(text)
+    out = {}
+    for lang, sw in STOPWORDS.items():
+        out[lang] = F.size(F.filter(t, lambda x: x.isin(*sw))).cast("double") / F.size(t)
+    return out
+
+
+def language_id(text: Column | str) -> Column:
+    """Argmax language over stopword hit rates; 'und' when no stopword
+    from any list occurs. Ties break in STOPWORDS declaration order."""
+    scores = language_scores(text)
+    langs = list(scores)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    expr = F.lit("und")
+    # build reversed CASE so earlier languages win ties
+    for lg in reversed(langs):
+        expr = F.when(scores[lg] == best, F.lit(lg)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def char_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over characters, mod 1e9+7 — the
+    document-fingerprinting primitive. Left fold, init 0:
+    ``h = (h*31 + codepoint) % p`` — bit-identical to DuckDB's
+    ``list_reduce`` with a prepended 0."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FINGERPRINT_BASE + x) % FINGERPRINT_MOD,
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """All n-word shingles (space-joined) of the document — the MinHash
+    / Jaccard dedup unit. Documents shorter than n words yield an empty
+    array."""
+    t = tokens(text)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,288 @@
+"""Deduplication operators for the training-data-pipeline surface:
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+
+- ``exact_dedup``: groupBy on the text hash — one shuffle keyed by a
+  64-bit hash, not the full text; keeps the winner by min id.
+- ``jaccard_similarity_pairs``: exact n-gram Jaccard via a shingle
+  inverted index (explode → self equi-join on shingle → per-pair
+  intersection counts). Cost is Σ_shingle df(shingle)² — fine when no
+  shingle is hot; hot shingles are exactly what MinHash bands avoid.
+- ``minhash_signatures`` + ``lsh_candidate_pairs``: the 100 TB path.
+  k permutation-style hashes ``(a_j·x + b_j) mod p`` over shingle
+  hashes; signatures banded so only same-bucket docs ever meet in the
+  join. Candidate pairs then verified with exact Jaccard.
+- ``simhash64``: 64-bit sign-sum fingerprint over token hashes;
+  near-dups = small Hamming distance.
+- ``embedding_near_dup_pairs``: cosine-threshold self-join over the
+  embeddings table (brute force; IVF/LSH variants in operators.ann).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_ann_spark.functions.text import word_shingles
+from big_ann_spark.functions.vector import cosine_similarity
+
+# deterministic MinHash parameters (public LSH construction: k universal
+# hashes (a*x+b) mod p over shingle hashes, banded for candidate gen).
+# p = 2^31-1 (Mersenne prime); coefficients reduced below 2^30 so that
+# a·x stays under 2^62 for 32-bit shingle hashes (ANSI-safe, no overflow)
+MINHASH_P = (1 << 31) - 1
+_RAW_A = [
+    2971215073, 1540483477, 2654435761, 2246822519, 3266489917,
+    668265263, 374761393, 3123456791, 2850387313, 1979339339,
+    1203793171, 2428391977, 3443216233, 1853730341, 2764369111,
+    987654323, 1122334455, 2233445567, 3344556679, 1456789123,
+    2567891239, 3678912349, 1789123457, 2891234561, 3912345677,
+    1023456789, 2134567891, 3245678903, 1356789011, 2467890121,
+    3578901233, 1689012341,
+]
+_RAW_B = [
+    1737352183, 2971215073, 1540483477, 668265263, 374761393,
+    2654435761, 2246822519, 3266489917, 1979339339, 2850387313,
+    2428391977, 1203793171, 1853730341, 3443216233, 987654323,
+    2764369111, 2233445567, 1122334455, 1456789123, 3344556679,
+    3678912349, 2567891239, 2891234561, 1789123457, 1023456789,
+    3912345677, 3245678903, 2134567891, 2467890121, 1356789011,
+    1689012341, 3578901233,
+]
+_A = [(v % (1 << 30)) | 1 for v in _RAW_A]
+_B = [v % MINHASH_P for v in _RAW_B]
+
+
+def exact_dedup(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: keep the lowest-id copy of each distinct text.
+    Returns (kept doc id, n_copies). Groups on ``xxhash64(text)`` so the
+    shuffle key is 8 bytes; the min-id winner rule makes output
+    deterministic."""
+    return (
+        docs.groupBy(F.xxhash64(F.col(text_col)).alias("_h"))
+        .agg(
+            F.min(id_col).alias("kept_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("_h")
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) distinct exploded shingle table."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_similarity_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every doc pair sharing ≥1 shingle.
+    Inverted-index self-join: |A∩B| from the shingle join, |A|,|B| from
+    per-doc counts, J = inter / (|A|+|B|-inter)."""
+    sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>[k]) MinHash signatures. Shingles are
+    hashed to 32-bit-ish ids with xxhash64 (masked), then each of the k
+    universal hashes takes an elementwise min — a single groupBy with k
+    min aggregates (map-side partial min ⇒ tiny shuffle)."""
+    if k > len(_A):
+        raise ValueError(f"k <= {len(_A)} supported")
+    sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    x = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("x")
+    hashed = sh.select("doc_id", x)
+    mins = [
+        F.min((F.col("x") * _A[j] + _B[j]) % MINHASH_P).alias(f"h{j}")
+        for j in range(k)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[f"h{j}" for j in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit all same-bucket doc pairs. Bucket
+    key = (band index, hash of the band's signature slice); join is a
+    pure equi-join on the bucket key — no all-pairs blowup."""
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded
+    candidates → exact-Jaccard verification ≥ threshold."""
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col, n=n)
+    cands = lsh_candidate_pairs(sigs)
+    exact = jaccard_similarity_pairs(docs, id_col=id_col, text_col=text_col, n=n)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit position, sum
+    ±1 weighted by token-hash bit, sign → fingerprint bit. Two staged
+    aggregations, both with map-side partials."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    bits = th.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos"),
+        "h",
+    ).select(
+        "doc_id",
+        "pos",
+        (F.expr("shiftright(h, CAST(pos AS INT)) & 1") * 2 - 1).alias("w"),
+    )
+    sums = bits.groupBy("doc_id", "pos").agg(F.sum("w").alias("s"))
+    return (
+        sums.select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Exact by pigeonhole: the 64 bits are split into ``max_hamming + 1``
+    chunks, so any pair within the distance budget must agree on at
+    least one whole chunk → candidate generation is an equi-join per
+    chunk (no all-pairs), then an exact popcount filter. Small
+    max_hamming keeps chunks wide and buckets selective — at corpus
+    scale use ≤ 4; larger budgets shrink chunks toward hot buckets."""
+    sh = simhash64(docs, **kw)
+    n_chunks = max_hamming + 1
+    width = -(-64 // n_chunks)  # ceil
+    specs = []
+    for c in range(n_chunks):
+        lo = c * width
+        bits = min(width, 64 - lo)
+        if bits <= 0:
+            break
+        mask = (1 << bits) - 1
+        specs.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", lo).bitwiseAND(F.lit(mask)).alias("v"),
+            )
+        )
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*specs)).alias("cv"),
+    ).select("doc_id", "simhash", "cv.chunk", "cv.v")
+    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "v")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "v")
+    pairs = (
+        a.join(b, ["chunk", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: all pairs with cosine ≥
+    threshold. Brute-force self-join baseline; the LSH/IVF bucketed
+    variant for scale lives in operators.ann."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("_va", "_vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,1 +1,125 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis queries over the documents table (training-data
+pipeline surface, BASELINE.json north star): token counting, quality
+scoring, language ID, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_ann_spark.catalog import load_table
+from big_ann_spark.functions import text as T
+from big_ann_spark.queries import register
+
+_SW = {lg: ", ".join(f"'{w}'" for w in ws) for lg, ws in T.STOPWORDS.items()}
+
+
+@register(
+    "token_counts",
+    sql="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+def token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token census per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_ish"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    sql=f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(toks)::DOUBLE AS n,
+         punct_ratio,
+         len(list_filter(toks, x -> list_contains([{_SW['en']}], x)))::DOUBLE / len(toks) AS sw
+  FROM t
+)
+SELECT doc_id,
+       ROUND(0.4 * least(n / 100.0, 1.0)
+           + 0.3 * greatest(0.0, 1.0 - 4.0 * punct_ratio)
+           + 0.3 * greatest(0.0, 1.0 - abs(sw - 0.4) / 0.4), 6) AS quality
+FROM s
+""",
+)
+def text_quality(spark, sf_dir):
+    """Composite quality score: length, punctuation noise, stopword
+    naturalness (see functions.text.quality_score for the contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
+
+
+@register(
+    "language_id",
+    sql=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> list_contains([{_SW['en']}], x)))::DOUBLE / len(toks) AS s_en,
+         len(list_filter(toks, x -> list_contains([{_SW['es']}], x)))::DOUBLE / len(toks) AS s_es,
+         len(list_filter(toks, x -> list_contains([{_SW['de']}], x)))::DOUBLE / len(toks) AS s_de,
+         len(list_filter(toks, x -> list_contains([{_SW['fr']}], x)))::DOUBLE / len(toks) AS s_fr,
+         len(list_filter(toks, x -> list_contains([{_SW['zh']}], x)))::DOUBLE / len(toks) AS s_zh
+  FROM t
+),
+p AS (
+  SELECT doc_id, lang,
+         greatest(s_en, s_es, s_de, s_fr, s_zh) AS best,
+         CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+              WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+              WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS predicted_lang
+  FROM s
+)
+SELECT predicted_lang, lang AS labeled_lang, COUNT(*) AS n_docs
+FROM p GROUP BY predicted_lang, labeled_lang
+""",
+)
+def language_id_q(spark, sf_dir):
+    """Stopword-hit-rate language ID vs the labeled lang column —
+    confusion-matrix counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            T.language_id("text").alias("predicted_lang"),
+            F.col("lang").alias("labeled_lang"),
+        )
+        .groupBy("predicted_lang", "labeled_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    sql="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents WHERE doc_id < 100
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint (char-level,
+    mod 1e9+7) — identical left fold in both engines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", T.char_fingerprint("text").alias("fingerprint"))

@@ -1,0 +1,85 @@
+"""Dedup operator semantics: MinHash-LSH recall vs exact Jaccard,
+SimHash properties, exact dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_ann_spark.operators import dedup as D
+
+
+def _corpus(spark):
+    """12 docs: 4 near-dup pairs (small edits), 4 unrelated."""
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "a stitch in time saves nine and a penny saved is a penny earned now",
+        "to be or not to be that is the question whether tis nobler in mind",
+        "all that glitters is not gold and all who wander are not lost here",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+        # near-dup: change the final word
+        rows.append((100 + i, " ".join(t.split()[:-1] + ["zzz"])))
+    rows += [
+        (200, "completely different content about spark query engines and shuffles"),
+        (201, "vector search with hnsw graphs and product quantization methods"),
+        (202, "interval trees support point stabbing and envelopment queries fast"),
+        (203, "kolmogorov smirnov tests compare empirical distribution functions"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc dd")], "doc_id long, text string"
+    )
+    out = {r["kept_doc_id"]: r["n_copies"] for r in D.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_jaccard_pairs_find_near_dups(spark):
+    pairs = D.jaccard_similarity_pairs(_corpus(spark)).collect()
+    strong = {(r["doc_a"], r["doc_b"]) for r in pairs if r["jaccard"] >= 0.5}
+    assert {(0, 100), (1, 101), (2, 102), (3, 103)} <= strong
+
+
+def test_minhash_lsh_recall(spark):
+    corpus = _corpus(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_similarity_pairs(corpus).collect()
+        if r["jaccard"] >= 0.5
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_dedup_pairs(corpus, threshold=0.5).collect()
+    }
+    # LSH with 8x4 bands at J>=0.5: candidate prob ≈ 1-(1-0.5^4)^8 ≈ 0.4
+    # per band config — but our true pairs have J≈0.8 (prob ≈ 0.97);
+    # require full recall on these strong pairs and no false positives
+    assert exact and found >= exact
+    assert all(p in {r for r in found} or True for p in exact)
+    # verification step guarantees precision: every found pair is a true pair
+    assert found <= {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_similarity_pairs(corpus).collect()
+        if r["jaccard"] >= 0.5
+    }
+
+
+def test_simhash_near_dups_closer_than_random(spark):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(_corpus(spark)).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    near = [ham(sh[i], sh[100 + i]) for i in range(4)]
+    far = [ham(sh[200], sh[201]), ham(sh[202], sh[203]), ham(sh[0], sh[202])]
+    assert max(near) < min(far), (near, far)
+
+
+def test_simhash_near_pairs_blocking(spark):
+    out = D.simhash_near_pairs(_corpus(spark), max_hamming=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert {(0, 100), (1, 101), (2, 102), (3, 103)} <= got
