@@ -25,6 +25,15 @@ HEADLINE = [
     "ks_statistic_dims",
     "window_top_orders_per_cust",
     "distinct_counts",
+    "centroid_assignment_histogram",
+    "ivf_search_top5",
+    "ann_recall_at_10",
+    "ngram_jaccard_top_pairs",
+    "dedup_exact",
+    "minhash_lsh_near_dup",
+    "interval_merge_overlaps",
+    "interval_point_query_binned",
+    "text_quality",
 ]
 
 

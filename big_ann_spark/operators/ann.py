@@ -1,0 +1,152 @@
+"""Batch ANN search — the Spark-shaped replacement for per-shard HNSW
+(BASELINE.json ``spark_approach``: "DataFrame batch index build +
+broadcast join for search").
+
+Reference search lifecycle (SURVEY §3.3, ``kanndi_search.py:28-66``):
+centroid index → top-MAX_CENTROIDS=3 routing → search top-1 shard's
+HNSW → top-10 by distance. Its cliffs: sequential queries, and the
+shard index re-loaded from disk per query (``utils.py:308-310``).
+
+Spark-first replacement (§7.4): IVF-style —
+1. routing join J3: queries × broadcast centroids → top-``nprobe``
+   shard ids per query (WindowGroupLimit, no shuffle of the big side);
+2. candidate join: probe list joined to the sharded vector table on
+   ``shard_id`` — with a ``partitionBy(shard_id)`` layout this is
+   partition-pruned IO (only probed shards are read);
+3. W1/W2: per-query top-k over candidates, globally re-ranked by true
+   distance.
+
+Recall loss vs exact is a *property of the routing* (the reference
+searches only the top-1 shard); ``nprobe`` trades IO for recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_ann_spark.functions.vector import l2_distance
+from big_ann_spark.operators.topk import top_k_per_group
+
+
+def route_queries(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    *,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """J3: top-``nprobe`` nearest centroids per query →
+    (qid, qvec, shard_id, probe_rank)."""
+    scored = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+    ).crossJoin(F.broadcast(centroids)).select(
+        "qid", "qvec", "shard_id", l2_distance("qvec", "centroid").alias("cdist")
+    )
+    routed = top_k_per_group(
+        scored, ["qid"], [F.col("cdist").asc(), F.col("shard_id").asc()], nprobe,
+        rank_col="probe_rank",
+    )
+    return routed.select("qid", "qvec", "shard_id", "probe_rank")
+
+
+def ivf_search(
+    queries: DataFrame,
+    sharded_vectors: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    *,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k: route → candidate join on shard_id → per-query top-k
+    globally re-ranked by true distance (W2: union of per-shard
+    candidates re-sorted, ``kanndi/README.md:46-47``).
+
+    ``sharded_vectors`` must have (id_col, vec_col, shard_id). When it
+    is a ``partitionBy("shard_id")`` parquet table, the equi-join key
+    doubles as the partition-pruning key (DPP turns the probe list into
+    a scan filter).
+    """
+    routed = route_queries(queries, centroids, nprobe, query_id=query_id, query_vec=query_vec)
+    cands = routed.join(
+        sharded_vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_bvec"), "shard_id"
+        ),
+        "shard_id",
+    )
+    scored = cands.select(
+        "qid", "neighbor_id", l2_distance("qvec", "_bvec").alias("dist")
+    )
+    return top_k_per_group(
+        scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def lsh_bucket_search(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    *,
+    n_planes: int = 8,
+    seed_planes: list[list[float]] | None = None,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH bucketed cosine search: sign-bit signature
+    over ``n_planes`` fixed hyperplanes → equi-join on bucket →
+    exact re-rank inside the bucket. The equi-join makes candidate
+    generation a hash join (no cross product); recall depends on bucket
+    granularity. Deterministic planes (seeded LCG) so results are
+    reproducible."""
+    if seed_planes is None:
+        # deterministic pseudo-random planes from a fixed LCG — public
+        # standard constants (Numerical Recipes LCG)
+        state = 88172645463325252
+        planes = []
+        for _ in range(n_planes):
+            row = []
+            for _ in range(dim):
+                state = (state * 1664525 + 1013904223) % (1 << 63)
+                row.append((state / float(1 << 63)) * 2.0 - 1.0)
+            planes.append(row)
+    else:
+        planes = seed_planes
+
+    def bucket_expr(vec):
+        bits = []
+        for i, plane in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec).cast("array<double>"),
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    qb = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+    ).withColumn("bucket", bucket_expr("qvec"))
+    bb = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_bvec")
+    ).withColumn("bucket", bucket_expr("_bvec"))
+    cands = qb.join(bb, "bucket").select(
+        "qid", "neighbor_id", l2_distance("qvec", "_bvec").alias("dist")
+    )
+    return top_k_per_group(
+        cands, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+    )

@@ -1,0 +1,248 @@
+"""Vector sharding pipelines: K-Means (reference `clustering/`) and
+KANNDI distance-based (reference `kanndi/`), re-expressed as DataFrame
+pipelines.
+
+Reference lifecycle being reproduced (SURVEY §3.2, §7.3):
+``centroids.py`` (MiniBatchKMeans fit, seed 505) → ``shard.py``
+(predict + per-point L2 to its centroid → bucket JSON + distribution
+CSV) → ``recall.py`` (routing recall vs exact). Here the fit is MLlib
+KMeans, assignment is a broadcast argmin join (J2), stats are
+aggregates (A2/A4), and the sharded layout is ``partitionBy(shard_id)``
+parquet (S7/S9) with a small centroid sidecar table — the "index" a
+1000-executor cluster can build in one pass and prune at query time.
+
+KANNDI (§7.5): the reference's greedy sequential admission
+(``shard_by_distance.py:82-372``) is order-dependent and cannot be
+parallelized faithfully. The reformulation keeps its *declared
+invariants* — capacity N/M (``:99``), admission within median-distance
+threshold d (``:39-78``), saturation ≥75% else overflow to a special
+shard (``:32,293-358``) — as an iterative driver loop of bounded
+DataFrame jobs: seed batch → distance join → capacity cap (W5 pattern)
+→ anti-join remainder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_ann_spark.functions.vector import l2_distance
+from big_ann_spark.operators.knn import median_pairwise_distance
+
+RANDOM_SEED = 505  # reference config_bigann_small.py:11
+
+
+def label_centroids(
+    emb: DataFrame, *, label_col: str = "label", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-label mean vector — the deterministic centroid table used by
+    the oracle-checked assignment/search queries (k-means's update step
+    as one aggregate). (label, centroid: array<double>)."""
+    dims = emb.select(
+        F.col(label_col).alias("shard_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    per_dim = dims.groupBy("shard_id", "pos").agg(F.avg("val").alias("avg_val"))
+    return (
+        per_dim.groupBy("shard_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "avg_val"))
+            ).alias("pa")
+        )
+        .select("shard_id", F.col("pa.avg_val").alias("centroid"))
+    )
+
+
+def assign_to_centroids(
+    points: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "shard_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """J2: nearest-centroid assignment — broadcast the (tiny) centroid
+    table, argmin L2 per point via a rank-1 window on (distance, id).
+    Returns (id, shard_id, dist). This is ``kmeans.predict`` + the
+    per-point distance loop of ``shard.py:117-131`` in one shuffle-free
+    pass (the window groups by point id, which is already unique per
+    input partition after the broadcast join — Catalyst keeps it local
+    via WindowGroupLimit partial evaluation)."""
+    scored = points.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    scored = scored.select(
+        F.col(id_col),
+        F.col(centroid_id),
+        l2_distance(vec_col, centroid_vec).alias("dist"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col(centroid_id).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shard_histogram(assignments: DataFrame) -> DataFrame:
+    """A4: per-shard size + A2 median centroid-distance drift
+    (``shard.py:121-147``: groups dict sizes → distribution CSV, median
+    distance per batch)."""
+    return assignments.groupBy("shard_id").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.percentile("dist", F.lit(0.5)), 6).alias("median_dist"),
+    )
+
+
+def kmeans_shard(
+    emb: DataFrame,
+    m: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = RANDOM_SEED,
+    max_iter: int = 20,
+):
+    """MLlib K-Means sharding (reference ``centroids.py:69-111`` with
+    MiniBatchKMeans, RANDOM_SEED=505, MAX_ITER from config). Returns
+    (assignments DF, centroids DF, model). Centroid *values* differ
+    from sklearn (different init/minibatching — SURVEY §7.7); the
+    checkable contract is assignment consistency + routing recall."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=m, seed=seed, maxIter=max_iter).fit(feat)
+    pred = model.transform(feat).select(
+        F.col(id_col), F.col(vec_col), F.col("prediction").alias("shard_id")
+    )
+    import pandas as pd
+
+    centroids_pdf = pd.DataFrame(
+        {
+            "shard_id": range(m),
+            "centroid": [c.tolist() for c in model.clusterCenters()],
+        }
+    )
+    centroids = emb.sparkSession.createDataFrame(centroids_pdf)
+    with_dist = pred.alias("p").join(F.broadcast(centroids), "shard_id").select(
+        F.col(id_col),
+        "shard_id",
+        l2_distance(vec_col, "centroid").alias("dist"),
+    )
+    return with_dist, centroids, model
+
+
+def write_sharded(
+    assignments: DataFrame,
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """S7/S9 analog: persist the sharded layout —
+    ``partitionBy(shard_id)`` parquet of (id, vec, dist) plus the
+    assignment histogram. Partition pruning then makes a probe of T
+    shards read only T directories, the Spark-native replacement for
+    per-shard HNSW files."""
+    (
+        assignments.join(emb.select(id_col, vec_col), id_col)
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(f"{path}/shards")
+    )
+    shard_histogram(assignments).write.mode("overwrite").csv(
+        f"{path}/distribution", header=True
+    )
+
+
+# --------------------------------------------------------------- KANNDI
+
+@dataclass
+class KanndiResult:
+    assignments: DataFrame  # (id, shard_id, dist)  shard_id -2 = special
+    threshold: float
+    capacity: int
+
+
+def kanndi_shard(
+    emb: DataFrame,
+    m: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 200,
+    saturation_min: float = 0.75,
+    dist_multiplier: float = 2.0,
+) -> KanndiResult:
+    """KANNDI distance-based sharding, Spark-native reformulation.
+
+    Invariants preserved from ``shard_by_distance.py``:
+    - threshold d = median pairwise distance of a sample (``:39-78``),
+      doubled (DIST_MULTIPLIER=2, ``:30,178-182``) when a round starves;
+    - capacity = N // M (``:99``); a shard closes when full (``:244``);
+    - an under-capacity shard is kept only at ≥75% saturation
+      (``:32,293-312``), otherwise its points go to the special
+      overflow shard (id -2, mirroring ``:313-358``; the reference
+      stores centroids as shard -1, ``:365-370``);
+    - seeds are the first unassigned point in id order (``:103-111``).
+
+    Each round is one distance join + capacity-capped admission (W5:
+    row_number over distance ≤ capacity) + anti-join — M bounded
+    DataFrame jobs, no per-point Python loop. Exact output equality
+    with the reference is impossible (its admission depends on scan
+    order); invariants + routing recall are the contract (SURVEY §7.5).
+    """
+    spark = emb.sparkSession
+    pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).cache()
+    n = pts.count()
+    capacity = max(n // m, 1)
+
+    sample = pts.filter(F.col("id") < sample_n)
+    d = median_pairwise_distance(sample, id_col="id", vec_col="vec").collect()[0][0]
+
+    remaining = pts
+    assigned_parts = []
+    for shard_id in range(m):
+        seed_row = remaining.orderBy("id").limit(1).collect()
+        if not seed_row:
+            break
+        seed_id, seed_vec = seed_row[0]["id"], seed_row[0]["vec"]
+        seed_df = spark.createDataFrame([(seed_vec,)], "seed_vec array<float>")
+        scored = remaining.crossJoin(F.broadcast(seed_df)).select(
+            "id", "vec", l2_distance("vec", "seed_vec").alias("dist")
+        )
+        admitted = (
+            scored.filter((F.col("dist") <= d) | (F.col("id") == seed_id))
+            .orderBy("dist", "id")
+            .limit(capacity)
+            .select("id", "dist")
+            .withColumn("shard_id", F.lit(shard_id))
+        ).cache()
+        n_admitted = admitted.count()
+        if n_admitted < capacity * saturation_min and shard_id > 0:
+            # starving shard: relax threshold like the reference and
+            # re-route these points to the special shard
+            d = d * dist_multiplier
+            admitted = admitted.withColumn("shard_id", F.lit(-2))
+        assigned_parts.append(admitted)
+        remaining = remaining.join(admitted.select("id"), "id", "leftanti").cache()
+
+    leftover = remaining.select(
+        "id", F.lit(float("nan")).alias("dist"), F.lit(-2).alias("shard_id")
+    )
+    assignments = leftover
+    for part in assigned_parts:
+        assignments = assignments.unionByName(part)
+    return KanndiResult(
+        assignments=assignments.select("id", "shard_id", "dist"),
+        threshold=d,
+        capacity=capacity,
+    )

@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
         dedup_queries,
         interval_queries,
         relational_queries,
+        sharding_queries,
         stats_queries,
         streaming_queries,
         text_queries,
