@@ -32,12 +32,24 @@ REGISTRY: dict[str, Query] = {}
 
 
 def register(name: str, sql: str | None = None):
-    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under
+    ``name``. The stored callable first prepares the session (worker
+    PYTHONPATH + parquet-nanos conf) so queries run identically under a
+    foreign SparkSession such as the grading driver's."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name, fn, sql)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from big_ann_spark.session import prepare_foreign_session
+
+            prepare_foreign_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name, wrapped, sql)
         return fn
 
     return deco
@@ -49,6 +61,7 @@ def load_all() -> dict[str, Query]:
     from big_ann_spark.queries import (  # noqa: F401
         dedup_queries,
         interval_queries,
+        multimodal_queries,
         relational_queries,
         sharding_queries,
         stats_queries,

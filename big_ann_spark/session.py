@@ -48,3 +48,39 @@ def get_spark(app_name: str = "big-ann-spark", *, shuffle_partitions: int | None
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def prepare_foreign_session(spark: SparkSession) -> None:
+    """Make an externally-created SparkSession (e.g. the grading
+    driver's) able to run this engine's queries:
+
+    - ship the package to python workers via addPyFile (mapInPandas
+      closures reference module functions, which workers must import —
+      a foreign session's PYTHONPATH doesn't include this repo);
+    - enable nanosAsLong so the events table's timestamp[ns] parquet
+      column is readable (runtime-settable session conf).
+
+    Idempotent and cheap; every registered query calls it first.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf may be locked; catalog handles the fallback error
+
+    sc = spark.sparkContext
+    if getattr(sc, "_big_ann_pyfile_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "big_ann_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._big_ann_pyfile_added = True

@@ -1,0 +1,119 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming (SURVEY §2.8 — its BATCH_SIZE loops are
+paging); this is the north-star extension surface (§7.6). Every
+transformation here is written against an *unbounded* DataFrame and
+works identically in batch — the registry queries run the batch form
+for the DuckDB oracle, tests run the real streaming form
+(``readStream`` + ``availableNow`` trigger) and assert both agree.
+
+Scale posture: tumbling/sliding windows and stream dedup are keyed
+state; watermarks bound that state. Session windows use Spark's native
+``session_window`` (state merges on gap overlap). The parquet file
+source is used for tests; a production deployment swaps in Kafka with
+the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded read of the events table (parquet file source).
+    ``ts`` arrives as nanos (see session.nanosAsLong) → truncated to
+    microsecond timestamps exactly like the batch catalog.
+
+    The file source requires a *directory*; the driver ships a single
+    file, so it is staged (symlinked) into a scratch directory once —
+    in production this is simply the Kafka/landing directory."""
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "big_ann_spark_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window per-type counts + value sum. Batch and streaming
+    share this plan; streaming adds a watermark for state expiry."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", "2 hours")
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window event counts (each event lands in width/slide
+    overlapping windows)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", "2 hours")
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows: events within ``gap`` of each other
+    merge into one session (native ``session_window`` state merging;
+    the batch equivalent is the gaps-and-islands pattern)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", "2 hours")
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Stream dedup on event_id: streaming uses
+    ``dropDuplicatesWithinWatermark`` (bounded state); batch falls back
+    to plain dropDuplicates (same result on finite input)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan to completion over the currently
+    available input (``availableNow`` trigger) into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

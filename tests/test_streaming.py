@@ -1,0 +1,36 @@
+"""Real Structured Streaming runs (availableNow) must agree with the
+batch forms of the same plans."""
+
+from __future__ import annotations
+
+from big_ann_spark.catalog import load_table
+from big_ann_spark.streaming import events as EV
+
+
+def _rows(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    batch = EV.tumbling_counts(load_table(spark, sf_dir, "events"))
+    stream = EV.run_to_memory(
+        EV.tumbling_counts(EV.read_event_stream(spark, sf_dir)), "t_tumbling"
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_streaming_sessions_equal_batch(spark, sf_dir):
+    batch = EV.session_windows(load_table(spark, sf_dir, "events"))
+    stream = EV.run_to_memory(
+        EV.session_windows(EV.read_event_stream(spark, sf_dir)), "t_sessions"
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_streaming_dedup(spark, sf_dir):
+    stream = EV.dedup_events(EV.read_event_stream(spark, sf_dir))
+    out = EV.run_to_memory(stream, "t_dedup", output_mode="append")
+    n = load_table(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
+    assert out.count() == n
