@@ -173,6 +173,45 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs —
+    the verification step after LSH candidate generation. Intersection
+    counts come from joining each side's shingles through the pair
+    list, so cost is Σ_pair (|A|+|B|), not the full inverted-index
+    blowup."""
+    sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a").select(
+        "doc_a", "doc_b", "shingle"
+    )
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     *,
@@ -182,14 +221,15 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
-    candidates → exact-Jaccard verification ≥ threshold."""
+    candidates → exact-Jaccard verification ≥ threshold. Verification
+    runs only on candidate pairs (that selectivity is LSH's whole
+    point — verifying all shingle-sharing pairs would re-create the
+    blowup the bands avoid)."""
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col, n=n)
     cands = lsh_candidate_pairs(sigs)
-    exact = jaccard_similarity_pairs(docs, id_col=id_col, text_col=text_col, n=n)
-    return (
-        cands.join(exact, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    verified = jaccard_for_pairs(docs, cands, id_col=id_col, text_col=text_col, n=n)
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
     )
 
 

@@ -1,0 +1,158 @@
+"""Dataset-statistics operators beyond plain aggregates: correlation
+matrix + VIF (A8/A9), Anderson-Darling normality (A11), all-pairs
+Kolmogorov-Smirnov (A10), and the greedy "buddy" dimension ordering
+(W4) used for PQ reordering.
+
+Reference: ``multicollinearity.py:92-131`` (df.corr → np.linalg.inv),
+``variance.py:109`` (scipy.stats.anderson per dim),
+``komolgorovsmirnov.py:90-113`` (sequential all-pairs kstest with an
+``assert sample_size <= 100000`` cost guard),
+``network_blended.py:83-106`` / ``network_mutlicollinearity.py:108-119``
+(edges sorted by weight → greedy node/neighbor emission).
+
+Scale split (SURVEY §2.4 notes): the N-dimension of every statistic is
+distributed (one scan, map-side partial aggs); the d×d matrices are
+tiny (d ≤ a few hundred) and are finished driver-side — inverting a
+64×64 matrix is not a distributed op. The KS all-pairs matrix runs as
+d²/2 independent Arrow-batched group tasks where the reference is a
+sequential Python double loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dim_table(emb: DataFrame, *, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, pos, val) exploded dimension view, val as double."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+
+
+def correlation_matrix(emb: DataFrame, dims: int, *, vec_col: str = "embedding") -> np.ndarray:
+    """A8: d×d Pearson correlation matrix. Distributed sufficient
+    statistics (one pass over (pos_i, pos_j) pairs via MLlib's
+    Correlation on assembled vectors), tiny result to the driver."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Correlation
+
+    feat = emb.select(
+        array_to_vector(
+            F.slice(F.col(vec_col).cast("array<double>"), 1, dims)
+        ).alias("features")
+    )
+    mat = Correlation.corr(feat, "features", "pearson").collect()[0][0]
+    return mat.toArray()
+
+
+def vif_matrix(emb: DataFrame, dims: int, *, vec_col: str = "embedding") -> np.ndarray:
+    """A9: multicollinearity (VIF) matrix = inverse of the correlation
+    matrix (reference ``multicollinearity.py:96-97``). The inverse runs
+    on the driver — d×d only."""
+    cor = correlation_matrix(emb, dims, vec_col=vec_col)
+    return np.linalg.inv(cor)
+
+
+def anderson_darling_per_dim(dim_df: DataFrame) -> DataFrame:
+    """A11: Anderson-Darling normality statistic per dimension
+    (reference ``variance.py:109`` via scipy.stats.anderson; scipy is
+    absent here so the statistic is computed directly:
+    A² = -n - (1/n) Σ (2i-1)[ln Φ(z_i) + ln(1-Φ(z_{n+1-i}))], with Φ
+    the normal CDF via math.erf — numerically identical formula).
+    One Arrow group task per dimension — d independent tasks."""
+    import math
+
+    def ad_stat(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(pdf["val"].to_numpy(dtype=np.float64))
+        n = len(x)
+        mu, sigma = x.mean(), x.std(ddof=1)
+        z = (x - mu) / sigma
+        # normal CDF via erf; clip to avoid log(0)
+        cdf = np.array([0.5 * (1.0 + math.erf(v / math.sqrt(2.0))) for v in z])
+        cdf = np.clip(cdf, 1e-15, 1 - 1e-15)
+        i = np.arange(1, n + 1)
+        a2 = -n - np.sum((2 * i - 1) * (np.log(cdf) + np.log(1 - cdf[::-1]))) / n
+        # small-sample correction for estimated params (Stephens 1974)
+        a2_corr = a2 * (1 + 0.75 / n + 2.25 / n**2)
+        return pd.DataFrame({"pos": [pdf["pos"].iloc[0]], "a2": [a2], "a2_corrected": [a2_corr]})
+
+    return (
+        dim_df.groupBy("pos")
+        .applyInPandas(ad_stat, schema="pos int, a2 double, a2_corrected double")
+    )
+
+
+def ks_matrix(emb: DataFrame, dims: int, *, vec_col: str = "embedding") -> DataFrame:
+    """A10 at scale: two-sample KS statistic for every dimension pair
+    (i < j). The reference runs d²/2 sequential scipy calls under a
+    100k-row assert (``komolgorovsmirnov.py:84,90-113``); here each
+    pair is an independent Arrow group task: explode once, self-join
+    the tiny per-dim arrays? No — each task receives both dims' values
+    via a pair-tagged union, so the shuffle is 2·N·d_pairs rows of
+    (pair, val, side) and no task holds more than 2N values."""
+    pairs = [(i, j) for i in range(dims) for j in range(dims) if i < j]
+    spark = emb.sparkSession
+    pair_df = spark.createDataFrame(pairs, "pos_i int, pos_j int")
+    d = dim_table(emb, vec_col=vec_col).filter(F.col("pos") < dims)
+    left = d.join(pair_df, d.pos == pair_df.pos_i).select(
+        "pos_i", "pos_j", F.col("val"), F.lit(0).alias("side")
+    )
+    right = d.join(pair_df, d.pos == pair_df.pos_j).select(
+        "pos_i", "pos_j", F.col("val"), F.lit(1).alias("side")
+    )
+    tagged = left.unionByName(right)
+
+    def ks(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = np.sort(pdf.loc[pdf["side"] == 0, "val"].to_numpy())
+        b = np.sort(pdf.loc[pdf["side"] == 1, "val"].to_numpy())
+        allv = np.concatenate([a, b])
+        ca = np.searchsorted(a, allv, side="right") / len(a)
+        cb = np.searchsorted(b, allv, side="right") / len(b)
+        d_stat = float(np.max(np.abs(ca - cb)))
+        return pd.DataFrame(
+            {
+                "pos_i": [pdf["pos_i"].iloc[0]],
+                "pos_j": [pdf["pos_j"].iloc[0]],
+                "ks_stat": [d_stat],
+            }
+        )
+
+    return tagged.groupBy("pos_i", "pos_j").applyInPandas(
+        ks, schema="pos_i int, pos_j int, ks_stat double"
+    )
+
+
+def buddy_order(weights: np.ndarray) -> list[int]:
+    """W4: greedy weighted-edge "buddy" ordering (reference
+    ``network_blended.py:93-104``): edges sorted by |weight| descending;
+    emit a node then its unvisited neighbors by descending weight;
+    append missing dims at the end. Driver-side — ≤ d² edges."""
+    d = weights.shape[0]
+    edges = sorted(
+        ((abs(weights[i, j]), i, j) for i in range(d) for j in range(d) if i < j),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    order: list[int] = []
+    seen: set[int] = set()
+    for _w, i, j in edges:
+        for node in (i, j):
+            if node not in seen:
+                seen.add(node)
+                order.append(node)
+                nbrs = sorted(
+                    (k for k in range(d) if k != node and k not in seen),
+                    key=lambda k: (-abs(weights[node, k]), k),
+                )
+                for k in nbrs[:2]:
+                    if k not in seen:
+                        seen.add(k)
+                        order.append(k)
+    for k in range(d):
+        if k not in seen:
+            order.append(k)
+    return order

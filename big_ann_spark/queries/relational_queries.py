@@ -286,6 +286,80 @@ def set_ops_part_types(spark, sf_dir):
 
 
 @register(
+    "q6_forecast_revenue",
+    sql="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + multi-predicate filter + agg — the
+    predicate-pushdown showcase (all four filters reach the parquet
+    scan as PushedFilters)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "asof_join_click_before_purchase",
+    sql="""
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+w AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(click_ts IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+  FROM e
+)
+SELECT event_id, user_id, ts, prev_click_ts
+FROM w WHERE event_type = 'purchase'
+""",
+)
+def asof_join_click_before_purchase(spark, sf_dir):
+    """As-of join (SURVEY §2.3 'absent but required' list): for every
+    purchase event, the most recent prior click of the same user —
+    the union+ordered-window formulation, which at scale is one shuffle
+    on user_id instead of a per-row backward scan."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    e = e.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = e.withColumn("prev_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return out.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "prev_click_ts"
+    )
+
+
+@register(
     "distinct_counts",
     sql="""
 SELECT COUNT(DISTINCT l_partkey) AS n_parts,

@@ -231,6 +231,83 @@ def log_histogram_shard_sizes(spark, sf_dir):
     )
 
 
+@register("vif_matrix", sql=None)
+def vif_matrix_q(spark, sf_dir):
+    """A8+A9: correlation matrix of the first 8 dims (distributed
+    sufficient stats) → driver-side inverse = VIF/multicollinearity
+    matrix (reference ``multicollinearity.py:92-131``). Rows-only check
+    (matrix inverse isn't SQL); tests assert VIF·corr ≈ I."""
+    from big_ann_spark.operators.stats import vif_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = vif_matrix(emb, dims=8)
+    rows = [
+        (i, j, round(float(m[i, j]), 6))
+        for i in range(m.shape[0])
+        for j in range(m.shape[1])
+    ]
+    return spark.createDataFrame(rows, "pos_i int, pos_j int, vif double")
+
+
+@register("anderson_darling_per_dim", sql=None)
+def anderson_darling_q(spark, sf_dir):
+    """A11: Anderson-Darling normality per dimension (first 8 dims) —
+    scipy-free direct formula in an Arrow group task per dim (reference
+    ``variance.py:109``). Rows-only; tests compare against a direct
+    numpy evaluation."""
+    from big_ann_spark.operators.stats import anderson_darling_per_dim, dim_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = dim_table(emb).filter(F.col("pos") < 8)
+    out = anderson_darling_per_dim(d)
+    return out.select(
+        "pos", F.round("a2", 6).alias("a2"), F.round("a2_corrected", 6).alias("a2_corrected")
+    )
+
+
+@register("ks_matrix_pairs", sql=None)
+def ks_matrix_q(spark, sf_dir):
+    """A10 all-pairs: KS statistic for every pair of the first 8 dims —
+    28 independent Arrow group tasks (the reference is a sequential
+    double loop with a 100k-row assert guard,
+    ``komolgorovsmirnov.py:84-113``). Rows-only; tests check pair (0,1)
+    equals the oracle-checked single-pair query."""
+    from big_ann_spark.operators.stats import ks_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ks_matrix(emb, dims=8).select(
+        "pos_i", "pos_j", F.round("ks_stat", 6).alias("ks_stat")
+    )
+
+
+@register("buddy_dimension_ordering", sql=None)
+def buddy_ordering_q(spark, sf_dir):
+    """W4+P2: greedy "buddy" dimension reordering from the |corr|
+    weight matrix (reference ``network_blended.py:83-106``), applied
+    back to the vectors as a permutation — the BuddyPQ preprocessing
+    step as one pipeline. Emits (rank, dim)."""
+    from big_ann_spark.operators.stats import buddy_order, correlation_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cor = correlation_matrix(emb, dims=8)
+    order = buddy_order(cor)
+    return spark.createDataFrame(
+        [(r, d) for r, d in enumerate(order)], "rank int, dim int"
+    )
+
+
+@register("approx_distinct_sketch", sql=None)
+def approx_distinct_sketch(spark, sf_dir):
+    """HyperLogLog++ approximate distinct counts (the sketch layer the
+    relational surface gets for free; rows-only — approx values have no
+    exact oracle, tests bound the error vs exact)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
 @register(
     "dimension_permutation",
     sql="""

@@ -31,6 +31,12 @@ def _normalize(df):
 
 
 def _values_equal(a, b) -> bool:
+    import pandas as pd
+
+    if not isinstance(a, (tuple, list)) and not isinstance(b, (tuple, list)):
+        a_na, b_na = pd.isna(a), pd.isna(b)
+        if a_na or b_na:
+            return bool(a_na) and bool(b_na)
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True

@@ -1,0 +1,75 @@
+"""Physical-plan shape assertions — the 100 TB posture, kept honest by
+tests: filters must reach the parquet scan, dimension joins must
+broadcast, top-k windows must use the group-limit pushdown, and
+aggregates must have map-side partials. A regression here is a scale
+bug even when results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_ann_spark.catalog import load_table
+from big_ann_spark.queries import load_all
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    q = load_all()["q6_forecast_revenue"]
+    plan = _formatted(q.fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # the discount/quantity predicates must be pushed, not just IsNotNull
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    plan = _formatted(df)
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ["q3_shipping_priority", "q5_local_supplier_volume"]:
+        plan = _plan(load_all()[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        # fact-side join may be SMJ/shuffled-hash; dims must not shuffle
+        assert plan.count("BroadcastHashJoin") >= 1, name
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(load_all()["window_top_orders_per_cust"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    plan = _plan(load_all()["knn_exact_top10"].fn(spark, sf_dir))
+    assert "Broadcast" in plan  # queries side broadcast, base side streams
+    assert "WindowGroupLimit" in plan  # partial top-k before final
+
+
+def test_agg_has_partial_phase(spark, sf_dir):
+    plan = _plan(load_all()["per_dim_variance"].fn(spark, sf_dir))
+    # two-phase hash aggregation: partial (map-side) + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_routing_broadcasts_centroids(spark, sf_dir):
+    plan = _plan(load_all()["ivf_search_top5"].fn(spark, sf_dir))
+    assert "Broadcast" in plan
+
+
+def test_whole_stage_codegen_on_relational(spark, sf_dir):
+    df = load_all()["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = _plan(df)
+    # codegen'd operators print as "*(stage_id) Op" in the final plan
+    assert "*(" in plan and "isFinalPlan=true" in plan
