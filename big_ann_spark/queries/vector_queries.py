@@ -69,6 +69,49 @@ def knn_exact_top10(spark, sf_dir):
     return out.select("qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
 
 
+@register(
+    "elasticsearch_vector_encoding",
+    sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
+SELECT vec_id,
+       list_transform(v, x -> round(x / nrm, 10)) AS es_vec
+FROM n
+""",
+)
+def elasticsearch_vector_encoding(spark, sf_dir):
+    """S13b: L2-normalized, 10-decimal-rounded vector — the reference's
+    Elasticsearch dense-vector encoder ``get_elasticsearch_vector``
+    (``src/util/utils.py:56-69``)."""
+    from big_ann_spark.functions.vector import to_elasticsearch_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return emb.select("vec_id", to_elasticsearch_vector("embedding").alias("es_vec"))
+
+
+@register(
+    "prefix_sample_stats",
+    sql="""
+WITH s AS (SELECT * FROM embeddings WHERE vec_id < 100)
+SELECT COUNT(*) AS n_rows,
+       ROUND(AVG(embedding[1]::DOUBLE), 6) AS mean_d0,
+       ROUND(var_pop(embedding[1]::DOUBLE), 6) AS var_d0
+FROM s
+""",
+)
+def prefix_sample_stats(spark, sf_dir):
+    """P6: the reference's "sampling" is a deterministic first-N prefix
+    (``centroids.py:58``, ``shard_by_distance.py:496-499`` — SURVEY
+    appendix); stats over the first 100 rows by id. At scale an honest
+    ``df.sample`` replaces this; the prefix form is kept for parity."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return emb.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg(F.col("embedding")[0].cast("double")), 6).alias("mean_d0"),
+        F.round(F.var_pop(F.col("embedding")[0].cast("double")), 6).alias("var_d0"),
+    )
+
+
 @register("knn_exact_arrow", sql=None)
 def knn_exact_arrow(spark, sf_dir):
     """J1+W1 scale path: mapInPandas partial top-k — each partition
