@@ -123,14 +123,17 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     k: int = 32,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>[k]) MinHash signatures. Shingles are
     hashed to 32-bit-ish ids with xxhash64 (masked), then each of the k
     universal hashes takes an elementwise min — a single groupBy with k
-    min aggregates (map-side partial min ⇒ tiny shuffle)."""
+    min aggregates (map-side partial min ⇒ tiny shuffle). Pass a
+    precomputed (persisted) ``shingles`` table to share the explode
+    with the verification stage."""
     if k > len(_A):
         raise ValueError(f"k <= {len(_A)} supported")
-    sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sh = shingles if shingles is not None else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
     x = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("x")
     hashed = sh.select("doc_id", x)
     mins = [
@@ -180,13 +183,14 @@ def jaccard_for_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs —
     the verification step after LSH candidate generation. Intersection
     counts come from joining each side's shingles through the pair
     list, so cost is Σ_pair (|A|+|B|), not the full inverted-index
     blowup."""
-    sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sh = shingles if shingles is not None else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a").select(
         "doc_a", "doc_b", "shingle"
@@ -225,9 +229,15 @@ def minhash_dedup_pairs(
     runs only on candidate pairs (that selectivity is LSH's whole
     point — verifying all shingle-sharing pairs would re-create the
     blowup the bands avoid)."""
-    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col, n=n)
+    # shared lineage, deliberately NOT persisted: measured cold-run cost
+    # of materializing the cache exceeds recomputing the explode (the
+    # branches pipeline fully without the serialization barrier)
+    sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col, n=n, shingles=sh)
     cands = lsh_candidate_pairs(sigs)
-    verified = jaccard_for_pairs(docs, cands, id_col=id_col, text_col=text_col, n=n)
+    verified = jaccard_for_pairs(
+        docs, cands, id_col=id_col, text_col=text_col, n=n, shingles=sh
+    )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
     )

@@ -231,6 +231,36 @@ def log_histogram_shard_sizes(spark, sf_dir):
     )
 
 
+@register(
+    "high_variance_dims",
+    sql=f"""
+WITH v AS (
+  SELECT i::INTEGER AS pos, var_pop(embedding[i+1]::DOUBLE) AS variance
+  FROM embeddings, range(0, {DIM}) t(i) GROUP BY pos
+),
+thr AS (SELECT quantile_cont(variance, 0.75)::DOUBLE AS p75 FROM v)
+SELECT pos, ROUND(variance, 6) AS variance
+FROM v, thr WHERE variance > p75
+""",
+)
+def high_variance_dims(spark, sf_dir):
+    """P5: threshold predicate on computed statistics — dims whose
+    variance exceeds the 75th percentile (the reference's
+    ``A[i,j] > p75`` edge filter, ``network_blended.py:86-92``, and
+    ``val > 1.3`` print filter, ``komolgorovsmirnov.py:127``)."""
+    v = (
+        _dims(spark, sf_dir)
+        .groupBy("pos")
+        .agg(F.var_pop("val").alias("variance"))
+    )
+    thr = v.agg(F.percentile("variance", F.lit(0.75)).alias("p75"))
+    return (
+        v.crossJoin(thr)
+        .filter(F.col("variance") > F.col("p75"))
+        .select("pos", F.round("variance", 6).alias("variance"))
+    )
+
+
 @register("vif_matrix", sql=None)
 def vif_matrix_q(spark, sf_dir):
     """A8+A9: correlation matrix of the first 8 dims (distributed
