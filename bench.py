@@ -61,6 +61,14 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # A14: the reference's QPS metric (MAXIMUM_QUERIES / elapsed,
+    # kanndi_search.py:64-66) — ours over the arrow kNN batch
+    n_queries = 20
+    knn_qps = (
+        round(n_queries / timings["knn_exact_arrow"], 2)
+        if timings.get("knn_exact_arrow")
+        else None
+    )
     print(
         json.dumps(
             {
@@ -69,6 +77,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "knn_qps": knn_qps,
             }
         )
     )

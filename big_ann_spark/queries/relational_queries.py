@@ -386,6 +386,86 @@ def asof_join_click_before_purchase(spark, sf_dir):
 
 
 @register(
+    "q17_small_quantity_revenue",
+    sql="""
+WITH pa AS (
+  SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < pa.half_avg_qty
+""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average (decorrelated to a
+    self-aggregation join — exactly what Catalyst does to the scalar
+    subquery form)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pa = l.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        l.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    sql="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING filter + IN-subquery (semi-join) +
+    multi-way join + top-N."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "leftsemi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
     "distinct_counts",
     sql="""
 SELECT COUNT(DISTINCT l_partkey) AS n_parts,
