@@ -36,13 +36,14 @@ def route_queries(
     *,
     query_id: str = "qid",
     query_vec: str = "qvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """J3: top-``nprobe`` nearest centroids per query →
     (qid, qvec, shard_id, probe_rank)."""
     scored = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
     ).crossJoin(F.broadcast(centroids)).select(
-        "qid", "qvec", "shard_id", l2_distance("qvec", "centroid").alias("cdist")
+        "qid", "qvec", "shard_id", l2_distance("qvec", "centroid", dim).alias("cdist")
     )
     routed = top_k_per_group(
         scored, ["qid"], [F.col("cdist").asc(), F.col("shard_id").asc()], nprobe,
@@ -62,6 +63,7 @@ def ivf_search(
     query_vec: str = "qvec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF top-k: route → candidate join on shard_id → per-query top-k
     globally re-ranked by true distance (W2: union of per-shard
@@ -72,7 +74,7 @@ def ivf_search(
     doubles as the partition-pruning key (DPP turns the probe list into
     a scan filter).
     """
-    routed = route_queries(queries, centroids, nprobe, query_id=query_id, query_vec=query_vec)
+    routed = route_queries(queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim)
     cands = routed.join(
         sharded_vectors.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_bvec"), "shard_id"
@@ -80,7 +82,7 @@ def ivf_search(
         "shard_id",
     )
     scored = cands.select(
-        "qid", "neighbor_id", l2_distance("qvec", "_bvec").alias("dist")
+        "qid", "neighbor_id", l2_distance("qvec", "_bvec", dim).alias("dist")
     )
     return top_k_per_group(
         scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k

@@ -45,14 +45,14 @@ from big_ann_spark.functions.vector import cosine_similarity, l2_distance, sq_l2
 from big_ann_spark.operators.topk import top_k_per_group
 
 
-def _dist_expr(metric: str, a: str | Column, b: str | Column) -> Column:
+def _dist_expr(metric: str, a: str | Column, b: str | Column, dim: int | None = None) -> Column:
     if metric == "l2":
-        return l2_distance(a, b)
+        return l2_distance(a, b, dim)
     if metric == "sq_l2":
-        return sq_l2_distance(a, b)
+        return sq_l2_distance(a, b, dim)
     if metric == "cosine":
         # distance = 1 - similarity so that orderBy asc == most similar first
-        return 1.0 - cosine_similarity(a, b)
+        return 1.0 - cosine_similarity(a, b, dim)
     raise ValueError(f"unknown metric {metric!r}")
 
 
@@ -67,6 +67,7 @@ def exact_knn(
     base_id: str = "id",
     base_vec: str = "vec",
     impl: str = "arrow",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact k-NN of every query against the base table.
 
@@ -84,7 +85,7 @@ def exact_knn(
     scored = joined.select(
         "qid",
         "neighbor_id",
-        _dist_expr(metric, "_qvec", "_bvec").alias("dist"),
+        _dist_expr(metric, "_qvec", "_bvec", dim).alias("dist"),
     )
     return top_k_per_group(scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k)
 
@@ -158,6 +159,7 @@ def distance_threshold_join(
     left_vec: str = "lvec",
     right_id: str = "rid",
     right_vec: str = "rvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """All (left, right) pairs with distance <= threshold — the KANNDI
     admission predicate P4 (``shard_by_distance.py:228-241``) as a
@@ -167,7 +169,7 @@ def distance_threshold_join(
     r = right.select(F.col(right_id).alias("rid"), F.col(right_vec).alias("_rvec"))
     return (
         l.crossJoin(F.broadcast(r))
-        .select("lid", "rid", _dist_expr(metric, "_lvec", "_rvec").alias("dist"))
+        .select("lid", "rid", _dist_expr(metric, "_lvec", "_rvec", dim).alias("dist"))
         .filter(F.col("dist") <= threshold)
     )
 
@@ -178,6 +180,7 @@ def pairwise_distances(
     id_col: str = "id",
     vec_col: str = "vec",
     metric: str = "l2",
+    dim: int | None = None,
 ) -> DataFrame:
     """Condensed all-pairs distances (i < j) — reference J4
     ``pdist(points)`` (``shard_by_distance.py:68``). O(n²/2) rows; use
@@ -186,7 +189,7 @@ def pairwise_distances(
     b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_bvec"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", _dist_expr(metric, "_avec", "_bvec").alias("dist"))
+        .select("a_id", "b_id", _dist_expr(metric, "_avec", "_bvec", dim).alias("dist"))
     )
 
 
@@ -195,12 +198,13 @@ def median_pairwise_distance(
     *,
     id_col: str = "id",
     vec_col: str = "vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """KANNDI threshold ``d`` = median of sample pairwise L2 distances —
     reference A1 ``compute_median_dist`` (``shard_by_distance.py:39-78``:
     ``median(pdist(sample))``). Exact interpolated percentile to match
     ``np.median``."""
-    return pairwise_distances(df, id_col=id_col, vec_col=vec_col).agg(
+    return pairwise_distances(df, id_col=id_col, vec_col=vec_col, dim=dim).agg(
         F.percentile(F.col("dist"), F.lit(0.5)).alias("median_dist")
     )
 

@@ -64,6 +64,7 @@ def assign_to_centroids(
     vec_col: str = "embedding",
     centroid_id: str = "shard_id",
     centroid_vec: str = "centroid",
+    dim: int | None = None,
 ) -> DataFrame:
     """J2: nearest-centroid assignment — broadcast the (tiny) centroid
     table, argmin L2 per point via a rank-1 window on (distance, id).
@@ -76,7 +77,7 @@ def assign_to_centroids(
     scored = scored.select(
         F.col(id_col),
         F.col(centroid_id),
-        l2_distance(vec_col, centroid_vec).alias("dist"),
+        l2_distance(vec_col, centroid_vec, dim).alias("dist"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col(centroid_id).asc())
     return (
