@@ -122,6 +122,46 @@ def streaming_stateful_user_totals(spark, sf_dir):
 
 
 @register(
+    "json_props_stats",
+    sql="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+       MAX(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def json_props_stats(spark, sf_dir):
+    """Semi-structured surface: JSON property extraction from the
+    events props column (get_json_object → typed aggregation)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "monthly_revenue",
+    sql="""
+SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY month
+""",
+)
+def monthly_revenue(spark, sf_dir):
+    """Date-function surface: month truncation + revenue rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
     "event_type_funnel",
     sql="""
 WITH seq AS (
