@@ -12,14 +12,8 @@ from big_ann_spark.catalog import load_table
 from big_ann_spark.queries import load_all
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from big_ann_spark.plans import executed_plan as _plan
+from big_ann_spark.plans import formatted_plan as _formatted
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
