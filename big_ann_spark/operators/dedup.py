@@ -74,11 +74,14 @@ def exact_dedup(
 def doc_shingles(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_id, shingle) distinct exploded shingle table."""
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("sh"))
-        .select("doc_id", F.explode("sh").alias("shingle"))
-        .distinct()
+    """(doc_id, shingle) distinct exploded shingle table. The dedup is
+    ``array_distinct`` BEFORE the explode — per-row, inside the scan
+    stage, instead of a global ``.distinct()`` shuffle; (doc_id,
+    shingle) uniqueness is a per-document property, so the results are
+    identical and the operator costs zero shuffles."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
     )
 
 
