@@ -155,6 +155,14 @@ def write_sharded(
     per-shard HNSW files."""
     (
         assignments.join(emb.select(id_col, vec_col), id_col)
+        # sorted-by-distance within each shard file: scans that re-rank
+        # candidates read them best-first, and parquet row-group stats
+        # on dist enable range pruning — the "pre-partitioned + sorted
+        # parquet" index artifact (SURVEY §1.1 ANN-index row).
+        # shard_id must lead the sort: the dynamic-partition writer
+        # requires ordering by the partition column and would otherwise
+        # insert its own non-stable sort, destroying the dist order
+        .sortWithinPartitions("shard_id", "dist")
         .write.partitionBy("shard_id")
         .mode("overwrite")
         .parquet(f"{path}/shards")
