@@ -188,6 +188,54 @@ def ann_recall_at_10(spark, sf_dir):
     )
 
 
+@register(
+    "kanndi_search_top1",
+    sql=f"""
+WITH {_CENTROID_CTE},
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+routed AS (
+  SELECT qid, qv, shard_id FROM (
+    SELECT q.qid, q.qv, cent.shard_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY sqrt(list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i] - centroid[i]) * (q.qv[i] - centroid[i])))), cent.shard_id) AS pr
+    FROM q CROSS JOIN cent
+  ) WHERE pr <= 1
+),
+cands AS (
+  SELECT r.qid, a.vec_id AS neighbor_id,
+         sqrt(list_sum(list_transform(range(1, 65),
+           i -> (r.qv[i] - e.embedding[i]::DOUBLE) * (r.qv[i] - e.embedding[i]::DOUBLE)))) AS dist
+  FROM routed r
+  JOIN assign a ON a.shard_id = r.shard_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
+FROM (SELECT qid, neighbor_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+      FROM cands)
+WHERE rk <= 10
+""",
+)
+def kanndi_search_top1(spark, sf_dir):
+    """The reference's EXACT search semantics (``kanndi_search.py:
+    46-52``): route via top-MAX_CENTROIDS centroids but search only the
+    top-1 shard, k=10 — i.e. IVF with nprobe=1. The recall loss vs
+    exact kNN is a property of the reference's design, reproduced and
+    measurable against ann_recall_at_10's nprobe=2 variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SH.label_centroids(emb)
+    assign = SH.assign_to_centroids(emb, cents)
+    sharded = assign.select("vec_id", "shard_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ANN.ivf_search(queries, sharded, cents, k=10, nprobe=1)
+    return out.select("qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
+
+
 @register("kmeans_shard_histogram", sql=None)
 def kmeans_shard_histogram(spark, sf_dir):
     """§7.3: MLlib KMeans (k=10, seed=505 — reference RANDOM_SEED,

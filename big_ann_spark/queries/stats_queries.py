@@ -261,6 +261,27 @@ def high_variance_dims(spark, sf_dir):
     )
 
 
+@register(
+    "per_dim_value_histogram",
+    sql="""
+SELECT i::INTEGER AS pos,
+       LEAST(GREATEST(FLOOR((embedding[i+1]::DOUBLE + 0.4) / 0.1), 0), 7)::INTEGER AS bucket,
+       COUNT(*) AS n
+FROM embeddings, range(0, 8) t(i)
+GROUP BY pos, bucket
+""",
+)
+def per_dim_value_histogram(spark, sf_dir):
+    """Per-dimension value histogram (the reference's dataset-statistics
+    histogram surface): 8 fixed-width buckets over [-0.4, 0.4) per dim,
+    clamped at the edges; first 8 dims. One two-key hash aggregate."""
+    d = _dims(spark, sf_dir).filter(F.col("pos") < 8)
+    bucket = F.least(
+        F.greatest(F.floor((F.col("val") + 0.4) / 0.1), F.lit(0)), F.lit(7)
+    ).cast("int")
+    return d.groupBy("pos", bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
 @register("vif_matrix", sql=None)
 def vif_matrix_q(spark, sf_dir):
     """A8+A9: correlation matrix of the first 8 dims (distributed
