@@ -22,7 +22,7 @@ searches only the top-1 shard); ``nprobe`` trades IO for recall.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from big_ann_spark.functions.vector import l2_distance

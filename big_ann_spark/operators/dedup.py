@@ -21,7 +21,7 @@ Scale design (the point of each variant):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from big_ann_spark.functions.text import word_shingles

@@ -38,7 +38,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from big_ann_spark.functions.vector import cosine_similarity, l2_distance, sq_l2_distance

@@ -112,7 +112,7 @@ def kmeans_shard(
     from sklearn (different init/minibatching — SURVEY §7.7); the
     checkable contract is assignment consistency + routing recall."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = emb.select(
         F.col(id_col),

@@ -12,11 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from big_ann_spark.catalog import load_table
-from big_ann_spark.functions.vector import (
-    cosine_similarity,
-    l2_distance,
-    to_solr_vector,
-)
+from big_ann_spark.functions.vector import cosine_similarity
 from big_ann_spark.operators.knn import (
     exact_knn,
     median_pairwise_distance,

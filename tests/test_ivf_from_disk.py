@@ -1,0 +1,37 @@
+"""S8 end-to-end: IVF search over the PERSISTED sharded layout (read
+back from partitioned parquet) must equal the in-memory IVF search —
+the full index-build → index-scan lifecycle of the reference
+(build: shard_by_distance/save_shard; search: kanndi_search) as one
+write + one partition-pruned read."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from big_ann_spark.catalog import load_table
+from big_ann_spark.operators import ann as ANN
+from big_ann_spark.operators import sharding as SH
+
+
+def test_ivf_from_disk_equals_in_memory(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SH.label_centroids(emb)
+    assign = SH.assign_to_centroids(emb, cents)
+    path = tempfile.mkdtemp(prefix="big_ann_ivf_disk_")
+    SH.write_sharded(assign, emb, path)
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    sharded_mem = assign.select("vec_id", "shard_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    mem = ANN.ivf_search(queries, sharded_mem, cents, k=10, nprobe=3)
+    disk_tbl = spark.read.parquet(f"{path}/shards")
+    disk = ANN.ivf_search(queries, disk_tbl, cents, k=10, nprobe=3)
+
+    a = sorted(map(tuple, mem.select("qid", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, disk.select("qid", "neighbor_id", "rank").collect()))
+    assert a == b and len(a) == 100
