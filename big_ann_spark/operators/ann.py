@@ -101,6 +101,7 @@ def lsh_bucket_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH bucketed cosine search: sign-bit signature
     over ``n_planes`` fixed hyperplanes → equi-join on bucket →
@@ -143,12 +144,24 @@ def lsh_bucket_search(
     qb = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
     ).withColumn("bucket", bucket_expr("qvec"))
+    if multiprobe:
+        # probe the query's bucket plus every bucket at Hamming
+        # distance 1 (one flipped hyperplane sign): n_planes+1 probes
+        # per query — the standard multi-probe LSH recall lift without
+        # touching the base side's layout
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
     bb = base.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_bvec")
     ).withColumn("bucket", bucket_expr("_bvec"))
     cands = qb.join(bb, "bucket").select(
         "qid", "neighbor_id", l2_distance("qvec", "_bvec").alias("dist")
     )
+    if multiprobe:
+        cands = cands.distinct()
     return top_k_per_group(
         cands, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
     )

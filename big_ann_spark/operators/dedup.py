@@ -91,14 +91,31 @@ def jaccard_similarity_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every doc pair sharing ≥1 shingle.
     Inverted-index self-join: |A∩B| from the shingle join, |A|,|B| from
-    per-doc counts, J = inter / (|A|+|B|-inter)."""
+    per-doc counts, J = inter / (|A|+|B|-inter).
+
+    ``max_doc_freq``: drop shingles appearing in more than this many
+    documents from the JOIN side only (boilerplate/hot-key mitigation —
+    the Σ df² blowup is driven entirely by hot shingles). Capped
+    shingles then count toward the union but not the intersection, so
+    reported J is a LOWER BOUND of the true Jaccard, and pairs
+    connected only through capped shingles are missed — the standard
+    dedup-at-scale trade (conservative: never over-reports
+    similarity)."""
     sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    join_sh = sh
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        join_sh = sh.join(
+            df_counts.filter(F.col("_df") <= max_doc_freq).select("shingle"),
+            "shingle",
+        )
+    a = join_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = join_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
