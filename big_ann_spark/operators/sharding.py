@@ -190,6 +190,7 @@ def kanndi_shard(
     sample_n: int = 200,
     saturation_min: float = 0.75,
     dist_multiplier: float = 2.0,
+    seeds_per_round: int = 4,
 ) -> KanndiResult:
     """KANNDI distance-based sharding, Spark-native reformulation.
 
@@ -203,11 +204,15 @@ def kanndi_shard(
       stores centroids as shard -1, ``:365-370``);
     - seeds are the first unassigned point in id order (``:103-111``).
 
-    Each round is one distance join + capacity-capped admission (W5:
-    row_number over distance ≤ capacity) + anti-join — M bounded
-    DataFrame jobs, no per-point Python loop. Exact output equality
-    with the reference is impossible (its admission depends on scan
-    order); invariants + routing recall are the contract (SURVEY §7.5).
+    Each round opens ``seeds_per_round`` shards at once (the reference
+    also fills many shards per batch pass): S seeds = first S unassigned
+    ids → one broadcast distance join against all S → each point goes
+    to its NEAREST admitting seed (argmin, seeds pinned to their own
+    shard) → per-shard capacity cap (W5: row_number over distance ≤
+    capacity) → anti-join. ⌈M/S⌉ rounds of bounded DataFrame jobs, no
+    per-point Python loop. Exact output equality with the reference is
+    impossible (its admission depends on scan order); invariants +
+    routing recall are the contract (SURVEY §7.5).
     """
     spark = emb.sparkSession
     pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).cache()
@@ -219,30 +224,64 @@ def kanndi_shard(
 
     remaining = pts
     assigned_parts = []
-    for shard_id in range(m):
-        seed_row = remaining.orderBy("id").limit(1).collect()
-        if not seed_row:
+    next_shard = 0
+    while next_shard < m:
+        s = min(seeds_per_round, m - next_shard)
+        seed_rows = remaining.orderBy("id").limit(s).collect()
+        if not seed_rows:
             break
-        seed_id, seed_vec = seed_row[0]["id"], seed_row[0]["vec"]
-        seed_df = spark.createDataFrame([(seed_vec,)], "seed_vec array<float>")
-        scored = remaining.crossJoin(F.broadcast(seed_df)).select(
-            "id", "vec", l2_distance("vec", "seed_vec").alias("dist")
+        seeds = spark.createDataFrame(
+            [(next_shard + i, r["id"], r["vec"]) for i, r in enumerate(seed_rows)],
+            "shard_id int, seed_id long, seed_vec array<float>",
         )
-        admitted = (
-            scored.filter((F.col("dist") <= d) | (F.col("id") == seed_id))
-            .orderBy("dist", "id")
-            .limit(capacity)
-            .select("id", "dist")
-            .withColumn("shard_id", F.lit(shard_id))
+        scored = remaining.crossJoin(F.broadcast(seeds)).select(
+            "id",
+            "shard_id",
+            "seed_id",
+            l2_distance("vec", "seed_vec").alias("dist"),
+        )
+        eligible = scored.filter(
+            (F.col("dist") <= d) | (F.col("id") == F.col("seed_id"))
+        )
+        # nearest admitting seed per point; a seed is pinned to its own
+        # shard (rank seeds' self-rows first regardless of other seeds)
+        w_pt = Window.partitionBy("id").orderBy(
+            (F.col("id") != F.col("seed_id")).cast("int"), "dist", "shard_id"
+        )
+        best = (
+            eligible.withColumn("_pr", F.row_number().over(w_pt))
+            .filter(F.col("_pr") == 1)
+            .drop("_pr", "seed_id")
+        )
+        w_cap = Window.partitionBy("shard_id").orderBy("dist", "id")
+        admitted_all = (
+            best.withColumn("_rn", F.row_number().over(w_cap))
+            .filter(F.col("_rn") <= capacity)
+            .drop("_rn")
+            .select("id", "dist", "shard_id")
         ).cache()
-        n_admitted = admitted.count()
-        if n_admitted < capacity * saturation_min and shard_id > 0:
-            # starving shard: relax threshold like the reference and
-            # re-route these points to the special shard
+        sizes = {
+            r["shard_id"]: r["n"]
+            for r in admitted_all.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+        }
+        starving = [
+            sid
+            for sid, cnt in sizes.items()
+            if cnt < capacity * saturation_min and sid > 0
+        ]
+        if starving:
+            # starving shards: relax threshold like the reference and
+            # re-route their points to the special shard
             d = d * dist_multiplier
-            admitted = admitted.withColumn("shard_id", F.lit(-2))
-        assigned_parts.append(admitted)
-        remaining = remaining.join(admitted.select("id"), "id", "leftanti").cache()
+            admitted_all = admitted_all.withColumn(
+                "shard_id",
+                F.when(F.col("shard_id").isin(starving), F.lit(-2)).otherwise(
+                    F.col("shard_id")
+                ),
+            )
+        assigned_parts.append(admitted_all)
+        remaining = remaining.join(admitted_all.select("id"), "id", "leftanti").cache()
+        next_shard += s
 
     leftover = remaining.select(
         "id", F.lit(float("nan")).alias("dist"), F.lit(-2).alias("shard_id")

