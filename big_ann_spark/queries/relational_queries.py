@@ -466,6 +466,91 @@ def q18_large_volume_customers(spark, sf_dir):
 
 
 @register(
+    "q4_order_priority",
+    sql="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS (→ left-semi join) + agg."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "leftsemi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q16_supplier_part_counts",
+    sql="""
+SELECT p.p_brand, p.p_type,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (5, 10, 15, 20) AND p.p_brand <> 'Brand#1'
+GROUP BY p.p_brand, p.p_type
+""",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: filtered dim join + COUNT(DISTINCT) per group."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 10, 15, 20) & (F.col("p_brand") != "Brand#1")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "window_rank_functions",
+    sql="""
+SELECT c_mktsegment, c_custkey,
+       ROUND(c_acctbal, 2) AS c_acctbal,
+       ntile(4) OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS dense_rnk
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def window_rank_functions(spark, sf_dir):
+    """Ranking-function window surface: ntile / percent_rank / rank /
+    dense_rank per market segment."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+    )
+
+
+@register(
     "distinct_counts",
     sql="""
 SELECT COUNT(DISTINCT l_partkey) AS n_parts,
