@@ -108,6 +108,56 @@ def prefix_sample_stats(spark, sf_dir):
     )
 
 
+@register(
+    "doc_retrieval_top3",
+    sql=f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {_L2_SQL.format(a="q.qv", b="e.v")} AS dist
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+r AS (SELECT qid, neighbor_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+      FROM d)
+SELECT r.qid, r.neighbor_id, ROUND(r.dist, 6) AS dist, rk::INTEGER AS rank,
+       doc.lang, doc.source, doc.n_chars
+FROM r JOIN documents doc ON doc.doc_id = r.neighbor_id
+WHERE rk <= 3
+""",
+)
+def doc_retrieval_top3(spark, sf_dir):
+    """Cross-modal retrieval shape: vector top-k over embeddings joined
+    back to the documents table (vec_id ≡ doc_id in the fixture) — the
+    query a RAG-style pipeline runs: ANN ids → hydrate metadata. The
+    hydration join is id-equi (broadcast of the tiny top-k side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("_qv")
+    )
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_bv"))
+    from big_ann_spark.functions.vector import l2_distance
+    from big_ann_spark.operators.topk import top_k_per_group
+
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "neighbor_id", l2_distance("_qv", "_bv").alias("dist"))
+    )
+    topk = top_k_per_group(
+        scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 3
+    )
+    return (
+        topk.join(docs, topk.neighbor_id == docs.doc_id)
+        .select(
+            "qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank",
+            "lang", "source", "n_chars",
+        )
+    )
+
+
 @register("knn_exact_arrow", sql=None)
 def knn_exact_arrow(spark, sf_dir):
     """J1+W1 scale path: mapInPandas partial top-k — each partition
