@@ -134,11 +134,27 @@ def _exact_knn_arrow(
             else:
                 raise ValueError(metric)
             kk = min(k, d.shape[1])
-            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-            out_q = np.repeat(qids, kk)
-            out_n = ids[idx].ravel()
-            out_d = np.take_along_axis(d, idx, axis=1).ravel()
-            yield pd.DataFrame({"qid": out_q, "neighbor_id": out_n, "dist": out_d})
+            # local top-k with ties at the k-th distance broken by
+            # neighbor id (argpartition alone keeps an arbitrary member
+            # of a tie group, which can disagree with impl="sql")
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            out_q_list, out_n_list, out_d_list = [], [], []
+            for qi in range(d.shape[0]):
+                row = d[qi]
+                thresh = row[part[qi]].max()
+                cand = np.flatnonzero(row <= thresh)
+                order = np.lexsort((ids[cand], row[cand]))[:kk]
+                sel = cand[order]
+                out_q_list.append(np.full(kk, qids[qi], dtype=np.int64))
+                out_n_list.append(ids[sel])
+                out_d_list.append(row[sel])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q_list),
+                    "neighbor_id": np.concatenate(out_n_list),
+                    "dist": np.concatenate(out_d_list),
+                }
+            )
 
     partial = base.select(base_id, base_vec).mapInPandas(part_topk, schema=schema)
     # final merge: at most partitions × Q × k rows reach this window

@@ -67,23 +67,36 @@ def assign_to_centroids(
     dim: int | None = None,
 ) -> DataFrame:
     """J2: nearest-centroid assignment — broadcast the (tiny) centroid
-    table, argmin L2 per point via a rank-1 window on (distance, id).
-    Returns (id, shard_id, dist). This is ``kmeans.predict`` + the
-    per-point distance loop of ``shard.py:117-131`` in one shuffle-free
-    pass (the window groups by point id, which is already unique per
-    input partition after the broadcast join — Catalyst keeps it local
-    via WindowGroupLimit partial evaluation)."""
-    scored = points.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
-    scored = scored.select(
-        F.col(id_col),
-        F.col(centroid_id),
-        l2_distance(vec_col, centroid_vec, dim).alias("dist"),
+    table collapsed to ONE array row, then the per-point argmin is a
+    pure projection: ``array_min`` over ``struct(dist, shard_id)``
+    (struct comparison is field-ordered, so ties break on the lower
+    shard id — identical semantics to a (dist, id)-ordered rank-1
+    window). Returns (id, shard_id, dist). This is ``kmeans.predict`` +
+    the per-point distance loop of ``shard.py:117-131`` with ZERO
+    exchanges: the previous window formulation hash-partitioned the
+    N×M scored rows by point id before WindowGroupLimit could trim
+    them; at 100 TB that exchange is the whole cost."""
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col(centroid_id).alias("_sid"), F.col(centroid_vec).alias("_cv")
+            )
+        ).alias("_cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col(centroid_id).asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    joined = points.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                l2_distance(F.col(vec_col), c["_cv"], dim).alias("dist"),
+                c["_sid"].alias("_sid"),
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        best["_sid"].alias(centroid_id),
+        best["dist"].alias("dist"),
     )
 
 
@@ -225,6 +238,7 @@ def kanndi_shard(
     remaining = pts
     assigned_parts = []
     next_shard = 0
+    round_i = 0
     while next_shard < m:
         s = min(seeds_per_round, m - next_shard)
         seed_rows = remaining.orderBy("id").limit(s).collect()
@@ -267,7 +281,7 @@ def kanndi_shard(
         starving = [
             sid
             for sid, cnt in sizes.items()
-            if cnt < capacity * saturation_min and sid > 0
+            if cnt < capacity * saturation_min and sid >= 0
         ]
         if starving:
             # starving shards: relax threshold like the reference and
@@ -280,7 +294,15 @@ def kanndi_shard(
                 ),
             )
         assigned_parts.append(admitted_all)
-        remaining = remaining.join(admitted_all.select("id"), "id", "leftanti").cache()
+        remaining = remaining.join(admitted_all.select("id"), "id", "leftanti")
+        round_i += 1
+        if round_i % 3 == 0:
+            # truncate the anti-join lineage chain: at M=100 shards the
+            # plan otherwise compounds ~25 nested anti-joins and the
+            # cache tower keeps every intermediate alive
+            remaining = remaining.localCheckpoint(eager=True)
+        else:
+            remaining = remaining.cache()
         next_shard += s
 
     leftover = remaining.select(

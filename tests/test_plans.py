@@ -67,3 +67,21 @@ def test_whole_stage_codegen_on_relational(spark, sf_dir):
     plan = _plan(df)
     # codegen'd operators print as "*(stage_id) Op" in the final plan
     assert "*(" in plan and "isFinalPlan=true" in plan
+
+
+def test_centroid_assignment_zero_exchange(spark, sf_dir):
+    """assign_to_centroids must be broadcast + projection only: no
+    Exchange, no Window (VERDICT r1 §4 — the rank-1 window formulation
+    hash-partitioned N×M scored rows by point id)."""
+    from big_ann_spark.catalog import load_table
+    from big_ann_spark.operators import sharding as SH
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = SH.assign_to_centroids(emb, SH.label_centroids(emb))
+    plan = _plan(assign)
+    # the centroid build aggregates (its own tiny exchange); the
+    # assignment side after BroadcastExchange must project straight off
+    # the scan — no hash exchange of the scored rows, no window
+    after_bcast = plan.split("BroadcastExchange")[0]
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in after_bcast
