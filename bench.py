@@ -16,24 +16,22 @@ HEADLINE = [
     "knn_exact_top10",
     "knn_exact_arrow",
     "knn_cosine_top5",
-    "median_pairwise_distance",
+    "pairwise_distance_stats",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "per_dim_variance",
-    "per_dim_entropy",
+    "grouped_joins",
+    "per_dim_profile",
     "ks_statistic_dims",
-    "window_top_orders_per_cust",
-    "distinct_counts",
-    "centroid_assignment_histogram",
+    "window_rankings",
+    "centroid_assignment_stats",
     "ivf_search_top5",
     "ann_recall_at_10",
     "ngram_jaccard_top_pairs",
     "dedup_exact",
     "minhash_lsh_near_dup",
-    "interval_merge_overlaps",
-    "interval_point_query_binned",
-    "text_quality",
+    "interval_merges",
+    "interval_stabs",
+    "text_metrics",
 ]
 
 

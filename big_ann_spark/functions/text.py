@@ -98,17 +98,27 @@ def language_id(text: Column | str) -> Column:
     return F.when(best > 0, expr).otherwise(F.lit("und"))
 
 
-def char_fingerprint(text: Column | str) -> Column:
-    """Polynomial rolling hash over characters, mod 1e9+7 — the
-    document-fingerprinting primitive. Left fold, init 0:
-    ``h = (h*31 + codepoint) % p`` — bit-identical to DuckDB's
-    ``list_reduce`` with a prepended 0."""
+def poly_hash(
+    text: Column | str, base: int = FINGERPRINT_BASE, mod: int = FINGERPRINT_MOD
+) -> Column:
+    """Parameterized polynomial rolling hash over characters: left
+    fold, init 0, ``h = (h*base + codepoint) % mod`` — bit-identical to
+    DuckDB's ``list_reduce`` with a prepended 0, which is what makes
+    hash-dependent pipelines (fingerprints, MinHash, SimHash) exactly
+    reproducible by the SQL oracle. ``mod`` must keep ``h*base + c``
+    under 2^63."""
     c = F.col(text) if isinstance(text, str) else text
     return F.aggregate(
         F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long")),
         F.lit(0).cast("long"),
-        lambda acc, x: (acc * FINGERPRINT_BASE + x) % FINGERPRINT_MOD,
+        lambda acc, x: (acc * base + x) % mod,
     )
+
+
+def char_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over characters, mod 1e9+7 — the
+    document-fingerprinting primitive."""
+    return poly_hash(text)
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:

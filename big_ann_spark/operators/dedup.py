@@ -144,17 +144,27 @@ def minhash_signatures(
     n: int = 3,
     k: int = 32,
     shingles: DataFrame | None = None,
+    shingle_hash: Column | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>[k]) MinHash signatures. Shingles are
     hashed to 32-bit-ish ids with xxhash64 (masked), then each of the k
     universal hashes takes an elementwise min — a single groupBy with k
     min aggregates (map-side partial min ⇒ tiny shuffle). Pass a
     precomputed (persisted) ``shingles`` table to share the explode
-    with the verification stage."""
+    with the verification stage.
+
+    ``shingle_hash``: override the shingle→int hash with a Column
+    expression over the ``shingle`` column (must stay < 2^32). The
+    oracle-checked query passes the SQL-reproducible polynomial char
+    hash; the default xxhash64 is the scale path (one JVM hash per
+    shingle instead of a per-char fold)."""
     if k > len(_A):
         raise ValueError(f"k <= {len(_A)} supported")
     sh = shingles if shingles is not None else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
-    x = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("x")
+    x = (
+        shingle_hash if shingle_hash is not None
+        else F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
+    ).alias("x")
     hashed = sh.select("doc_id", x)
     mins = [
         F.min((F.col("x") * _A[j] + _B[j]) % MINHASH_P).alias(f"h{j}")
@@ -165,22 +175,33 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    *,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_mode: str = "hash",
 ) -> DataFrame:
     """Band the signatures and emit all same-bucket doc pairs. Bucket
     key = (band index, hash of the band's signature slice); join is a
-    pure equi-join on the bucket key — no all-pairs blowup."""
+    pure equi-join on the bucket key — no all-pairs blowup.
+
+    ``bucket_mode="slice"`` joins on the raw signature slice instead of
+    its xxhash64 (semantically identical up to hash collisions, which
+    only ever ADD candidates; the raw-slice form is exactly
+    reproducible in the SQL oracle). The default "hash" keeps the join
+    key at a fixed 8 bytes — the at-scale choice."""
+    if bucket_mode == "slice":
+        bucket = lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)  # noqa: E731
+    else:
+        bucket = lambda b: F.xxhash64(  # noqa: E731
+            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        )
     banded = signatures.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -243,6 +264,8 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    shingle_hash: Column | None = None,
+    bucket_mode: str = "hash",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact-Jaccard verification ≥ threshold. Verification
@@ -253,8 +276,11 @@ def minhash_dedup_pairs(
     # of materializing the cache exceeds recomputing the explode (the
     # branches pipeline fully without the serialization barrier)
     sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
-    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col, n=n, shingles=sh)
-    cands = lsh_candidate_pairs(sigs)
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n=n, shingles=sh,
+        shingle_hash=shingle_hash,
+    )
+    cands = lsh_candidate_pairs(sigs, bucket_mode=bucket_mode)
     verified = jaccard_for_pairs(
         docs, cands, id_col=id_col, text_col=text_col, n=n, shingles=sh
     )
@@ -264,18 +290,30 @@ def minhash_dedup_pairs(
 
 
 def simhash64(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: Column | None = None,
+    n_bits: int = 64,
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit position, sum
     ±1 weighted by token-hash bit, sign → fingerprint bit. Two staged
-    aggregations, both with map-side partials."""
+    aggregations, both with map-side partials.
+
+    ``token_hash``: Column over the ``tok`` column overriding the
+    default xxhash64 (the oracle-checked query passes a 62-bit
+    two-fold polynomial char hash DuckDB reproduces exactly, with
+    ``n_bits=62`` so no fingerprint bit depends on the missing top
+    bits)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
-    th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = token_hash if token_hash is not None else F.xxhash64("tok")
+    th = toks.select("doc_id", h.alias("h"))
     bits = th.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("pos"),
         "h",
     ).select(
         "doc_id",

@@ -42,18 +42,28 @@ def attach_media(
     )
 
 
-def fake_decode_features(media: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+def fake_decode_features(
+    media: bytes, dim: int = FEATURE_DIM, *, normalize: bool = True
+) -> np.ndarray:
     """Deterministic fake decoder: bytes → ``dim`` float features
-    (byte-bucket histogram, L1-normalized). Stands in for a real
-    decode→embed stage; same signature, same batch shape."""
+    (byte-bucket histogram, L1-normalized; ``normalize=False`` keeps
+    raw integer counts — exact in float32 below 2^24, which is what
+    lets the SQL oracle hash-match the whole Arrow pipeline). Stands in
+    for a real decode→embed stage; same signature, same batch shape."""
     arr = np.frombuffer(media, dtype=np.uint8)
     hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    if not normalize:
+        return hist.astype(np.float32)
     total = hist.sum()
     return (hist / total if total else hist).astype(np.float32)
 
 
 def extract_features(
-    media_df: DataFrame, *, media_col: str = "media", dim: int = FEATURE_DIM
+    media_df: DataFrame,
+    *,
+    media_col: str = "media",
+    dim: int = FEATURE_DIM,
+    normalize: bool = True,
 ) -> DataFrame:
     """mapInPandas feature extraction: (doc_id, media, ...) →
     (doc_id, features array<float>, media_len long). The real pipeline
@@ -63,7 +73,10 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_decode_features(m, dim) for m in pdf[media_col]]
+            feats = [
+                fake_decode_features(m, dim, normalize=normalize)
+                for m in pdf[media_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),

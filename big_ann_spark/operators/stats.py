@@ -58,13 +58,18 @@ def vif_matrix(emb: DataFrame, dims: int, *, vec_col: str = "embedding") -> np.n
     return np.linalg.inv(cor)
 
 
-def anderson_darling_per_dim(dim_df: DataFrame) -> DataFrame:
-    """A11: Anderson-Darling normality statistic per dimension
-    (reference ``variance.py:109`` via scipy.stats.anderson; scipy is
-    absent here so the statistic is computed directly:
-    A² = -n - (1/n) Σ (2i-1)[ln Φ(z_i) + ln(1-Φ(z_{n+1-i}))], with Φ
-    the normal CDF via math.erf — numerically identical formula).
-    One Arrow group task per dimension — d independent tasks."""
+def anderson_darling_per_dim(dim_df: DataFrame, *, dist: str = "normal") -> DataFrame:
+    """A11: Anderson-Darling statistic per dimension (reference
+    ``variance.py:109`` via scipy.stats.anderson; scipy is absent here
+    so the statistic is computed directly:
+    A² = -n - (1/n) Σ (2i-1)[ln F(z_i) + ln(1-F(z_{n+1-i}))]).
+    One Arrow group task per dimension — d independent tasks.
+
+    ``dist="normal"``: F = Φ via math.erf — the reference's normality
+    test, verified against a direct numpy evaluation in tests.
+    ``dist="logistic"``: F = 1/(1+e^(-z)) — same machinery, but every
+    term is elementary (exp/ln), so the DuckDB oracle reproduces the
+    whole statistic; this is the driver-checked variant."""
     import math
 
     def ad_stat(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -72,11 +77,21 @@ def anderson_darling_per_dim(dim_df: DataFrame) -> DataFrame:
         n = len(x)
         mu, sigma = x.mean(), x.std(ddof=1)
         z = (x - mu) / sigma
-        # normal CDF via erf; clip to avoid log(0)
-        cdf = np.array([0.5 * (1.0 + math.erf(v / math.sqrt(2.0))) for v in z])
-        cdf = np.clip(cdf, 1e-15, 1 - 1e-15)
+        if dist == "logistic":
+            # mirror the oracle term-for-term: ln F = -ln(1+e^-z),
+            # ln(1-F) = -z - ln(1+e^-z); math.log/exp = libm, same as
+            # DuckDB's ln/exp (numpy's SIMD log can differ by 1 ulp)
+            lse = np.array([math.log(1.0 + math.exp(-v)) for v in z])
+            ln_cdf = -lse
+            ln_sf = -z - lse
+        else:
+            # normal CDF via erf; clip to avoid log(0)
+            cdf = np.array([0.5 * (1.0 + math.erf(v / math.sqrt(2.0))) for v in z])
+            cdf = np.clip(cdf, 1e-15, 1 - 1e-15)
+            ln_cdf = np.log(cdf)
+            ln_sf = np.log(1 - cdf)
         i = np.arange(1, n + 1)
-        a2 = -n - np.sum((2 * i - 1) * (np.log(cdf) + np.log(1 - cdf[::-1]))) / n
+        a2 = -n - np.sum((2 * i - 1) * (ln_cdf + ln_sf[::-1])) / n
         # small-sample correction for estimated params (Stephens 1974)
         a2_corr = a2 * (1 + 0.75 / n + 2.25 / n**2)
         return pd.DataFrame({"pos": [pdf["pos"].iloc[0]], "a2": [a2], "a2_corrected": [a2_corr]})

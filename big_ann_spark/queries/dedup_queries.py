@@ -89,13 +89,71 @@ def embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@register("minhash_lsh_near_dup", sql=None)
+# ---- MinHash-LSH oracle: the FULL pipeline (polynomial shingle hash →
+# 32 universal hashes → 8×4 banding on raw slices → candidate equi-join
+# → exact-Jaccard verify) replicated in DuckDB, so hash equality does
+# not depend on LSH recall. Constants embedded from operators.dedup.
+_POLY = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(string_split({col}, ''), c -> ascii(c)::BIGINT)), "
+    "(a, b) -> (a * {base} + b) % {mod})"
+)
+_MIN_TERMS = ",\n        ".join(
+    f"min((x * {a} + {b}) % {D.MINHASH_P}) AS h{j}"
+    for j, (a, b) in enumerate(zip(D._A, D._B))
+)
+_SLICE_CASES = " ".join(
+    f"WHEN {b} THEN [{', '.join(f'h{b * 4 + r}' for r in range(4))}]"
+    for b in range(8)
+)
+
+_MINHASH_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ')
+  FROM documents
+),
+docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+       FROM docs, range(1, 4000) t(i) WHERE i <= len(toks) - 2),
+hx AS (SELECT doc_id, {_POLY.format(col="shingle", base=31, mod=1_000_000_007)} AS x FROM sh),
+sig AS (SELECT doc_id,
+        {_MIN_TERMS}
+        FROM hx GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, CASE b {_SLICE_CASES} END AS slice
+  FROM sig, range(0, 8) t(b)
+),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT c.doc_a, c.doc_b,
+             COALESCE(i.n_inter, 0)::DOUBLE
+               / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.3
+"""
+
+
+@register("minhash_lsh_near_dup", sql=_MINHASH_SQL)
 def minhash_lsh_near_dup(spark, sf_dir):
     """MinHash(32) + LSH(8 bands × 4 rows) near-dup candidates verified
     by exact Jaccard ≥ 0.3, on a corpus doubled with truncated copies
-    (guaranteed true near-dups). Rows-only driver check — the xxhash64
-    shingle hashing has no DuckDB equivalent; tests/test_dedup.py
-    asserts candidate recall vs exact Jaccard instead."""
+    (guaranteed true near-dups). The oracle replicates the whole
+    pipeline — the query variant uses the SQL-reproducible polynomial
+    shingle hash and raw-slice band buckets (operators.dedup docstrings
+    for the at-scale defaults: xxhash64 + hashed buckets)."""
+    from big_ann_spark.functions.text import poly_hash
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # truncated copies: drop the last 3 words → high-but-<1 Jaccard twins
     mutated = d.select(
@@ -103,13 +161,42 @@ def minhash_lsh_near_dup(spark, sf_dir):
         F.array_join(F.slice(F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 3, F.lit(1))), " ").alias("text"),
     )
     corpus = d.union(mutated)
-    return D.minhash_dedup_pairs(corpus, threshold=0.3)
+    out = D.minhash_dedup_pairs(
+        corpus,
+        threshold=0.3,
+        shingle_hash=poly_hash(F.col("shingle")),
+        bucket_mode="slice",
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register("simhash_fingerprints", sql=None)
+_SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (SELECT doc_id,
+         {_POLY.format(col="tok", base=131, mod=D.MINHASH_P)} * {1 << 31}
+       + {_POLY.format(col="tok", base=31, mod=D.MINHASH_P)} AS h
+       FROM toks),
+bits AS (SELECT doc_id, i::INTEGER AS pos, ((h >> i::INTEGER) & 1) * 2 - 1 AS w
+         FROM th, range(0, 62) t(i)),
+sums AS (SELECT doc_id, pos, SUM(w) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (1::BIGINT << pos) ELSE 0::BIGINT END)::BIGINT AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
+@register("simhash_fingerprints", sql=_SIMHASH_SQL)
 def simhash_fingerprints(spark, sf_dir):
-    """64-bit SimHash fingerprints per document (rows-only check:
-    xxhash64 token hashing is Spark-specific; semantics tested in
-    tests/test_dedup.py via Hamming-distance properties)."""
+    """62-bit SimHash fingerprints per document, oracle-checked: token
+    hash = two polynomial char folds (base 131 / base 31, mod 2^31-1)
+    packed into 62 bits — bit-identical in DuckDB. The at-scale default
+    (xxhash64, 64 bits) is the same operator with default args; its
+    Hamming-distance properties are tested in tests/test_dedup.py."""
+    from big_ann_spark.functions.text import poly_hash
+
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash64(d)
+    token_hash = (
+        poly_hash(F.col("tok"), 131, D.MINHASH_P) * F.lit(1 << 31).cast("long")
+        + poly_hash(F.col("tok"), 31, D.MINHASH_P)
+    )
+    return D.simhash64(d, token_hash=token_hash, n_bits=62)

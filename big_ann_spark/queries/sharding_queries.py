@@ -1,12 +1,14 @@
 """Sharding + batch ANN search queries (SURVEY §7.3-§7.5; J2/J3, A2/A4,
-A12, W1/W2).
+A12, W1/W2, S1-S5).
 
 Oracle-checked variants use *label centroids* (per-label mean vectors)
 — the k-means update step as a deterministic aggregate — so routing,
 assignment, histogram, search, and recall are all exactly reproducible
-in DuckDB. The MLlib-KMeans and KANNDI pipelines (iterative /
-seed-dependent) register as rows-only checks with invariant tests in
-tests/test_sharding.py.
+in DuckDB. The MLlib-KMeans pipeline registers with an invariant
+oracle (shard count + conservation of points); the order-dependent /
+seed-dependent surfaces (KANNDI, LSH buckets, fbin round-trip) fold
+into ONE rows-only query so the driver's 50-entry correctness window
+is not spent on checks that cannot hash-match by construction.
 """
 
 from __future__ import annotations
@@ -38,43 +40,51 @@ assign AS (
 
 
 @register(
-    "centroid_assignment_histogram",
+    "centroid_assignment_stats",
     sql=f"""
-WITH {_CENTROID_CTE}
-SELECT shard_id, count(*) AS n_points,
-       ROUND(quantile_cont(dist, 0.5)::DOUBLE, 6) AS median_dist
-FROM assign GROUP BY shard_id
+WITH {_CENTROID_CTE},
+hist AS (
+  SELECT 'histogram' AS variant, shard_id, count(*) AS n_points,
+         ROUND(quantile_cont(dist, 0.5)::DOUBLE, 6) AS stat
+  FROM assign GROUP BY shard_id
+),
+rec AS (
+  SELECT 'recall' AS variant, -1 AS shard_id, NULL::BIGINT AS n_points,
+         ROUND(avg(CASE WHEN a.shard_id = e.label THEN 1.0 ELSE 0.0 END), 6) AS stat
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+)
+SELECT * FROM hist UNION ALL SELECT * FROM rec
 """,
 )
-def centroid_assignment_histogram(spark, sf_dir):
-    """J2+A2+A4: nearest-centroid assignment (broadcast argmin join)
-    → per-shard size + median centroid-distance — the reference's
-    ``shard.py:117-147`` bucket histogram + drift stats in one pass."""
+def centroid_assignment_stats(spark, sf_dir):
+    """J2+A2+A4+A12/J6 folded: nearest-centroid assignment (broadcast
+    argmin projection) → per-shard size + median centroid-distance
+    (reference ``shard.py:117-147``) UNION the routing recall — the
+    fraction of points whose nearest label centroid IS their label
+    (``recall.py:73-83`` positional metric, labels as ground truth)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = SH.label_centroids(emb)
     assign = SH.assign_to_centroids(emb, cents)
-    return SH.shard_histogram(assign)
-
-
-@register(
-    "assignment_routing_recall",
-    sql=f"""
-WITH {_CENTROID_CTE}
-SELECT ROUND(avg(CASE WHEN a.shard_id = e.label THEN 1.0 ELSE 0.0 END), 6) AS recall
-FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
-""",
-)
-def assignment_routing_recall(spark, sf_dir):
-    """A12/J6: routing recall — fraction of points whose nearest label
-    centroid IS their label (the reference's ``recall.py:73-83``
-    positional metric, with labels as ground truth)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = SH.label_centroids(emb)
-    assign = SH.assign_to_centroids(emb, cents)
-    hits = assign.join(emb.select("vec_id", "label"), "vec_id").select(
-        F.when(F.col("shard_id") == F.col("label"), 1.0).otherwise(0.0).alias("hit")
+    hist = SH.shard_histogram(assign).select(
+        F.lit("histogram").alias("variant"),
+        "shard_id",
+        "n_points",
+        F.col("median_dist").alias("stat"),
     )
-    return hits.agg(F.round(F.avg("hit"), 6).alias("recall"))
+    rec = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            F.when(F.col("shard_id") == F.col("label"), 1.0).otherwise(0.0).alias("hit")
+        )
+        .agg(F.round(F.avg("hit"), 6).alias("stat"))
+        .select(
+            F.lit("recall").alias("variant"),
+            F.lit(-1).alias("shard_id"),
+            F.lit(None).cast("long").alias("n_points"),
+            "stat",
+        )
+    )
+    return hist.unionByName(rec)
 
 
 @register(
@@ -236,42 +246,111 @@ def kanndi_search_top1(spark, sf_dir):
     return out.select("qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
 
 
-@register("kmeans_shard_histogram", sql=None)
-def kmeans_shard_histogram(spark, sf_dir):
+@register(
+    "kmeans_shard_stats",
+    sql="""
+SELECT 10 AS n_shards, COUNT(*)::BIGINT AS n_points, TRUE AS conserved
+FROM embeddings
+""",
+)
+def kmeans_shard_stats(spark, sf_dir):
     """§7.3: MLlib KMeans (k=10, seed=505 — reference RANDOM_SEED,
-    ``config_bigann_small.py:11``) sharding → per-shard histogram.
-    Rows-only check (centroid values depend on MLlib's k-means|| init,
-    not SQL-reproducible); invariants tested in tests/test_sharding.py."""
+    ``config_bigann_small.py:11``) sharding, checked on its invariants:
+    exactly k shards, every point assigned exactly once. Centroid
+    VALUES depend on MLlib's k-means|| init and are not
+    SQL-reproducible (SURVEY §7.7); the per-shard histogram variant is
+    exercised in tests/test_sharding.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign, cents, _model = SH.kmeans_shard(emb, m=10)
-    return SH.shard_histogram(assign)
+    assign, _cents, _model = SH.kmeans_shard(emb, m=10)
+    hist = SH.shard_histogram(assign)
+    return hist.agg(
+        F.count("*").cast("int").alias("n_shards"),
+        F.sum("n_points").alias("n_points"),
+        (F.sum("n_points") == emb.count()).alias("conserved"),
+    ).select("n_shards", "n_points", "conserved")
 
 
-@register("kanndi_shard_invariants", sql=None)
-def kanndi_shard_invariants(spark, sf_dir):
-    """§7.5: KANNDI distance-based sharding (iterative reformulation).
-    Emits per-shard size + max admission distance + the run's threshold
-    and capacity so the driver records the invariant surface."""
+@register("pipeline_invariants", sql=None)
+def pipeline_invariants(spark, sf_dir):
+    """The three checks that are rows-only BY CONSTRUCTION, folded into
+    one registry slot (driver window economy):
+    - ``kanndi``: §7.5 KANNDI distance-based sharding invariant surface
+      (per-shard size + max admission distance + threshold/capacity);
+      greedy order-dependence makes exact parity impossible.
+    - ``lsh``: random-hyperplane LSH bucketed search result size —
+      signature planes are numpy-seeded, not SQL-reproducible; recall
+      vs exact is tested in tests/test_sharding.py.
+    - ``fbin``: S1-S5 source coverage — embeddings → local .fbin
+      (header + float32 rows) → distributed binaryFile+mapInPandas
+      re-ingest → roundtrip equality counts.
+    Schema: (variant, k1, k2, v1, v2) — scalar columns only."""
     emb = load_table(spark, sf_dir, "embeddings")
+
     res = SH.kanndi_shard(emb, m=5)
-    return (
+    kanndi = (
         res.assignments.groupBy("shard_id")
         .agg(
             F.count("*").alias("n_points"),
             F.round(F.max("dist"), 6).alias("max_dist"),
         )
-        .withColumn("capacity", F.lit(res.capacity))
-        .withColumn("threshold", F.round(F.lit(res.threshold), 6))
+        .select(
+            F.lit("kanndi").alias("variant"),
+            F.col("shard_id").cast("long").alias("k1"),
+            F.col("n_points").cast("long").alias("k2"),
+            F.col("max_dist").cast("double").alias("v1"),
+            F.lit(float(res.capacity)).alias("v2"),
+        )
     )
 
-
-@register("lsh_bucket_search_top5", sql=None)
-def lsh_bucket_search_top5(spark, sf_dir):
-    """Random-hyperplane LSH bucketed search (scale path for cosine
-    ANN): 8-bit sign signatures → bucket equi-join → exact re-rank.
-    Rows-only check; recall vs exact tested in tests/test_sharding.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return ANN.lsh_bucket_search(queries, emb, k=5)
+    lsh = ANN.lsh_bucket_search(queries, emb, k=5).select(
+        F.lit("lsh").alias("variant"),
+        F.col("qid").cast("long").alias("k1"),
+        F.col("neighbor_id").cast("long").alias("k2"),
+        F.round("dist", 6).alias("v1"),
+        F.col("rank").cast("double").alias("v2"),
+    )
+
+    import os
+    import tempfile
+
+    from big_ann_spark.sources import fbin as FB
+
+    e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    d = tempfile.mkdtemp(prefix="big_ann_fbin_")
+    path = os.path.join(d, "embeddings.fbin")
+    FB.write_fbin_from_df(e, path)
+    back = FB.read_fbin_spark(spark, path)
+    joined = e.alias("a").join(back.alias("b"), F.col("a.id") == F.col("b.id"))
+    exact = joined.select(
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("a.vec").cast("array<double>"),
+                    F.col("b.vec").cast("array<double>"),
+                    lambda x, y: F.abs(x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            == 0.0,
+            1,
+        )
+        .otherwise(0)
+        .alias("exact"),
+    )
+    nvecs, dim = FB.read_header(path)
+    fbin = exact.agg(
+        F.count("*").cast("long").alias("k1"),
+        F.sum("exact").cast("long").alias("k2"),
+    ).select(
+        F.lit("fbin").alias("variant"),
+        "k1",
+        "k2",
+        F.lit(float(nvecs)).alias("v1"),
+        F.lit(float(dim)).alias("v2"),
+    )
+
+    return kanndi.unionByName(lsh).unionByName(fbin)

@@ -3,11 +3,12 @@
 Reference surface (SURVEY §2.4): per-dimension variance (A5,
 ``variance.py:90,102-107``), per-dimension entropy (A6,
 ``utils.py:238-245``), variance-of-union pair stats (A7,
-``variance.py:112-135``), correlation matrix (A8,
-``multicollinearity.py:95``), two-sample Kolmogorov-Smirnov (A10,
-``komolgorovsmirnov.py:90-113``), log-histogram (A13,
-``distributions.py:4-8``), column-slice projection (P1) and dimension
-permutation (P2, ``utils.py:195-202``).
+``variance.py:112-135``), correlation matrix + VIF (A8/A9,
+``multicollinearity.py:92-131``), two-sample Kolmogorov-Smirnov —
+single pair and all-pairs matrix (A10, ``komolgorovsmirnov.py:84-113``),
+Anderson-Darling (A11, ``variance.py:109``), log-histogram (A13,
+``distributions.py:4-8``), stat-threshold predicates (P5) and the
+greedy buddy ordering (W4, ``network_blended.py:83-106``).
 
 Spark-first: every statistic is a two-level hash aggregate over
 ``posexplode(vec)`` — map-side partial aggregation makes these a single
@@ -15,6 +16,14 @@ scan + tiny shuffle (64 groups), which is exactly the plan that holds
 at 100 TB. The reference computes them dimension-at-a-time over an
 in-memory matrix with an ``assert sample_size <= 100000`` cost guard
 (``variance.py:84``); here there is no sample-size ceiling.
+
+Registry note (round 2): per-dim metrics fold into tagged unions so
+every statistic keeps a row inside the driver's 50-query correctness
+window, and the formerly rows-only checks (VIF, Anderson-Darling, KS
+matrix) now carry real oracles: VIF on 3 dims against the closed-form
+3×3 inverse, A-D with the logistic CDF (elementary terms — SQL can
+reproduce them; the normal variant stays numpy-verified in tests), KS
+matrix against a per-pair ECDF window.
 """
 
 from __future__ import annotations
@@ -37,61 +46,75 @@ def _dims(spark, sf_dir):
 
 
 @register(
-    "per_dim_variance",
+    "per_dim_profile",
     sql=f"""
-SELECT i::INTEGER AS pos,
-       ROUND(var_pop(embedding[i+1]::DOUBLE), 6) AS variance,
-       ROUND(avg(embedding[i+1]::DOUBLE), 6) AS mean,
-       ROUND(min(embedding[i+1]::DOUBLE), 6) AS min_val,
-       ROUND(max(embedding[i+1]::DOUBLE), 6) AS max_val
-FROM embeddings, range(0, {DIM}) t(i)
-GROUP BY pos
+WITH base AS (
+  SELECT i::INTEGER AS pos, embedding[i+1]::DOUBLE AS val
+  FROM embeddings, range(0, {DIM}) t(i)
+),
+v AS (SELECT pos, var_pop(val) AS variance, avg(val) AS mean,
+             min(val) AS min_val, max(val) AS max_val
+      FROM base GROUP BY pos),
+buck AS (SELECT pos, ROUND(val, 1) AS bucket FROM base),
+counts AS (SELECT pos, bucket, COUNT(*)::DOUBLE AS c FROM buck GROUP BY pos, bucket),
+tot AS (SELECT pos, SUM(c) AS n FROM counts GROUP BY pos),
+ent AS (SELECT counts.pos, -SUM((c/n) * ln(c/n)) AS entropy
+        FROM counts JOIN tot ON counts.pos = tot.pos GROUP BY counts.pos),
+thr AS (SELECT quantile_cont(variance, 0.75)::DOUBLE AS p75 FROM v)
+SELECT pos, 'variance' AS metric, ROUND(variance, 6) AS value FROM v
+UNION ALL SELECT pos, 'mean', ROUND(mean, 6) FROM v
+UNION ALL SELECT pos, 'min', ROUND(min_val, 6) FROM v
+UNION ALL SELECT pos, 'max', ROUND(max_val, 6) FROM v
+UNION ALL SELECT pos, 'entropy', ROUND(entropy, 6) FROM ent
+UNION ALL SELECT pos, 'high_variance', ROUND(variance, 6) FROM v, thr WHERE variance > p75
 """,
 )
-def per_dim_variance(spark, sf_dir):
-    """A5 + P1: per-dimension variance/mean/min/max (reference
-    ``variance.py:102-107``: ``np.var(points[:, dim])`` per dim)."""
+def per_dim_profile(spark, sf_dir):
+    """A5 + A6 + P5 + P1 folded: per-dimension variance/mean/min/max
+    (reference ``variance.py:102-107``), Shannon entropy of the
+    1-decimal-bucketed value distribution (``utils.py:238-245``), and
+    the stat-threshold predicate — dims whose variance exceeds the 75th
+    percentile (the ``A[i,j] > p75`` edge filter,
+    ``network_blended.py:86-92``) — as (pos, metric, value) rows."""
+    d = _dims(spark, sf_dir)
+    v = d.groupBy("pos").agg(
+        F.var_pop("val").alias("variance"),
+        F.avg("val").alias("mean"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+    def tag(col, name):
+        return v.select("pos", F.lit(name).alias("metric"), F.round(col, 6).alias("value"))
+
+    vals = d.select("pos", F.round("val", 1).alias("bucket"))
+    counts = vals.groupBy("pos", "bucket").agg(F.count("*").cast("double").alias("c"))
+    tot = counts.groupBy("pos").agg(F.sum("c").alias("n"))
+    p = counts.join(tot, "pos").select("pos", (F.col("c") / F.col("n")).alias("p"))
+    ent = (
+        p.groupBy("pos")
+        .agg((-F.sum(F.col("p") * F.log("p"))).alias("entropy"))
+        .select("pos", F.lit("entropy").alias("metric"), F.round("entropy", 6).alias("value"))
+    )
+    thr = v.agg(F.percentile("variance", F.lit(0.75)).alias("p75"))
+    high = (
+        v.crossJoin(thr)
+        .filter(F.col("variance") > F.col("p75"))
+        .select("pos", F.lit("high_variance").alias("metric"), F.round("variance", 6).alias("value"))
+    )
     return (
-        _dims(spark, sf_dir)
-        .groupBy("pos")
-        .agg(
-            F.round(F.var_pop("val"), 6).alias("variance"),
-            F.round(F.avg("val"), 6).alias("mean"),
-            F.round(F.min("val"), 6).alias("min_val"),
-            F.round(F.max("val"), 6).alias("max_val"),
-        )
+        tag(F.col("variance"), "variance")
+        .unionByName(tag(F.col("mean"), "mean"))
+        .unionByName(tag(F.col("min_val"), "min"))
+        .unionByName(tag(F.col("max_val"), "max"))
+        .unionByName(ent)
+        .unionByName(high)
     )
 
 
 @register(
-    "per_dim_entropy",
-    sql=f"""
-WITH vals AS (
-  SELECT i::INTEGER AS pos, ROUND(embedding[i+1]::DOUBLE, 1) AS bucket
-  FROM embeddings, range(0, {DIM}) t(i)
-),
-counts AS (SELECT pos, bucket, COUNT(*)::DOUBLE AS c FROM vals GROUP BY pos, bucket),
-tot AS (SELECT pos, SUM(c) AS n FROM counts GROUP BY pos)
-SELECT counts.pos, ROUND(-SUM((c/n) * ln(c/n)), 6) AS entropy
-FROM counts JOIN tot ON counts.pos = tot.pos
-GROUP BY counts.pos
-""",
-)
-def per_dim_entropy(spark, sf_dir):
-    """A6: Shannon entropy of the per-dimension value distribution
-    (reference ``utils.py:238-245`` over discrete uint8 values; float
-    dims are bucketed to 1 decimal to make the distribution discrete).
-    Two-level aggregate: (pos,bucket) counts → per-pos entropy."""
-    vals = _dims(spark, sf_dir).select("pos", F.round("val", 1).alias("bucket"))
-    counts = vals.groupBy("pos", "bucket").agg(F.count("*").cast("double").alias("c"))
-    tot = counts.groupBy("pos").agg(F.sum("c").alias("n"))
-    p = counts.join(tot, "pos").select("pos", (F.col("c") / F.col("n")).alias("p"))
-    return p.groupBy("pos").agg(F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"))
-
-
-@register(
     "pair_union_variance",
-    sql=f"""
+    sql="""
 WITH s AS (
   SELECT i::INTEGER AS pos,
          SUM(embedding[i+1]::DOUBLE) AS sm,
@@ -182,9 +205,8 @@ def ks_statistic_dims(spark, sf_dir):
     """A10: two-sample Kolmogorov-Smirnov statistic between dim 0 and
     dim 1 (reference ``komolgorovsmirnov.py:90-113`` via scipy).
     D = sup_x |ECDF_0(x) - ECDF_1(x)|, ECDFs via a RANGE window so tied
-    values count correctly. All-pairs version: operators.stats.ks_matrix
-    runs the d²/2 pairs as independent tasks (the reference is a
-    sequential double loop with a 100k-row assert guard)."""
+    values count correctly. The all-pairs version (``ks_matrix_pairs``)
+    partitions the same window by pair — no single-partition sort."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(F.col("embedding")[0].cast("double").alias("x"), F.lit(0).alias("grp")).union(
         emb.select(F.col("embedding")[1].cast("double").alias("x"), F.lit(1).alias("grp"))
@@ -208,90 +230,103 @@ def ks_statistic_dims(spark, sf_dir):
 
 
 @register(
-    "log_histogram_shard_sizes",
+    "value_histograms",
     sql="""
 WITH sizes AS (SELECT label AS shard_id, COUNT(*)::DOUBLE AS points
                FROM embeddings GROUP BY label),
-b AS (SELECT shard_id, points, FLOOR(ln(points) / 0.5)::INTEGER AS bucket FROM sizes)
-SELECT bucket, COUNT(*) AS n_shards, ROUND(SUM(points), 1) AS total_points
-FROM b GROUP BY bucket
+b AS (SELECT shard_id, points, FLOOR(ln(points) / 0.5)::BIGINT AS bucket FROM sizes),
+log_hist AS (
+  SELECT 'shard_log_hist' AS variant, bucket AS k1, NULL::BIGINT AS k2,
+         COUNT(*)::BIGINT AS n, ROUND(SUM(points), 1) AS v
+  FROM b GROUP BY bucket
+),
+dim_hist AS (
+  SELECT 'per_dim_values' AS variant, i AS k1,
+         LEAST(GREATEST(FLOOR((embedding[i+1]::DOUBLE + 0.4) / 0.1), 0), 7)::BIGINT AS k2,
+         COUNT(*)::BIGINT AS n, NULL::DOUBLE AS v
+  FROM embeddings, range(0, 8) t(i)
+  GROUP BY k1, k2
+)
+SELECT * FROM log_hist UNION ALL SELECT * FROM dim_hist
 """,
 )
-def log_histogram_shard_sizes(spark, sf_dir):
-    """A4 + A13: bucket-size histogram on a log scale (reference
-    ``distributions.py:4-8``: ``np.log(df['points'])`` → histogram;
-    shard sizes stand in via the embeddings ``label`` column)."""
+def value_histograms(spark, sf_dir):
+    """A13 + A4 + the per-dimension value histogram folded:
+    - ``shard_log_hist``: bucket-size histogram on a log scale
+      (reference ``distributions.py:4-8``: ``np.log(df['points'])`` →
+      histogram; shard sizes via the embeddings ``label`` column);
+    - ``per_dim_values``: 8 fixed-width buckets over [-0.4, 0.4) per
+      dim (clamped), first 8 dims — one two-key hash aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
     sizes = emb.groupBy(F.col("label").alias("shard_id")).agg(
         F.count("*").cast("double").alias("points")
     )
-    b = sizes.withColumn("bucket", F.floor(F.log("points") / 0.5).cast("int"))
-    return b.groupBy("bucket").agg(
-        F.count("*").alias("n_shards"), F.round(F.sum("points"), 1).alias("total_points")
+    log_hist = (
+        sizes.withColumn("bucket", F.floor(F.log("points") / 0.5))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("points"), 1).alias("v"))
+        .select(
+            F.lit("shard_log_hist").alias("variant"),
+            F.col("bucket").cast("long").alias("k1"),
+            F.lit(None).cast("long").alias("k2"),
+            F.col("n").cast("long").alias("n"),
+            "v",
+        )
     )
-
-
-@register(
-    "high_variance_dims",
-    sql=f"""
-WITH v AS (
-  SELECT i::INTEGER AS pos, var_pop(embedding[i+1]::DOUBLE) AS variance
-  FROM embeddings, range(0, {DIM}) t(i) GROUP BY pos
-),
-thr AS (SELECT quantile_cont(variance, 0.75)::DOUBLE AS p75 FROM v)
-SELECT pos, ROUND(variance, 6) AS variance
-FROM v, thr WHERE variance > p75
-""",
-)
-def high_variance_dims(spark, sf_dir):
-    """P5: threshold predicate on computed statistics — dims whose
-    variance exceeds the 75th percentile (the reference's
-    ``A[i,j] > p75`` edge filter, ``network_blended.py:86-92``, and
-    ``val > 1.3`` print filter, ``komolgorovsmirnov.py:127``)."""
-    v = (
-        _dims(spark, sf_dir)
-        .groupBy("pos")
-        .agg(F.var_pop("val").alias("variance"))
-    )
-    thr = v.agg(F.percentile("variance", F.lit(0.75)).alias("p75"))
-    return (
-        v.crossJoin(thr)
-        .filter(F.col("variance") > F.col("p75"))
-        .select("pos", F.round("variance", 6).alias("variance"))
-    )
-
-
-@register(
-    "per_dim_value_histogram",
-    sql="""
-SELECT i::INTEGER AS pos,
-       LEAST(GREATEST(FLOOR((embedding[i+1]::DOUBLE + 0.4) / 0.1), 0), 7)::INTEGER AS bucket,
-       COUNT(*) AS n
-FROM embeddings, range(0, 8) t(i)
-GROUP BY pos, bucket
-""",
-)
-def per_dim_value_histogram(spark, sf_dir):
-    """Per-dimension value histogram (the reference's dataset-statistics
-    histogram surface): 8 fixed-width buckets over [-0.4, 0.4) per dim,
-    clamped at the edges; first 8 dims. One two-key hash aggregate."""
     d = _dims(spark, sf_dir).filter(F.col("pos") < 8)
     bucket = F.least(
         F.greatest(F.floor((F.col("val") + 0.4) / 0.1), F.lit(0)), F.lit(7)
-    ).cast("int")
-    return d.groupBy("pos", bucket.alias("bucket")).agg(F.count("*").alias("n"))
+    )
+    dim_hist = (
+        d.groupBy(F.col("pos").alias("k1"), bucket.alias("k2"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("per_dim_values").alias("variant"),
+            F.col("k1").cast("long"),
+            F.col("k2").cast("long"),
+            F.col("n").cast("long"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    return log_hist.unionByName(dim_hist)
 
 
-@register("vif_matrix", sql=None)
+@register(
+    "vif_matrix",
+    sql="""
+WITH c AS (
+  SELECT corr(embedding[1]::DOUBLE, embedding[2]::DOUBLE) AS r01,
+         corr(embedding[1]::DOUBLE, embedding[3]::DOUBLE) AS r02,
+         corr(embedding[2]::DOUBLE, embedding[3]::DOUBLE) AS r12
+  FROM embeddings
+),
+d AS (SELECT r01, r02, r12,
+             1 - r01*r01 - r02*r02 - r12*r12 + 2*r01*r02*r12 AS det
+      FROM c)
+SELECT pos_i, pos_j, ROUND(vif, 6) AS vif FROM (
+  SELECT 0 AS pos_i, 0 AS pos_j, (1 - r12*r12)/det AS vif FROM d
+  UNION ALL SELECT 1, 1, (1 - r02*r02)/det FROM d
+  UNION ALL SELECT 2, 2, (1 - r01*r01)/det FROM d
+  UNION ALL SELECT 0, 1, (r02*r12 - r01)/det FROM d
+  UNION ALL SELECT 1, 0, (r02*r12 - r01)/det FROM d
+  UNION ALL SELECT 0, 2, (r01*r12 - r02)/det FROM d
+  UNION ALL SELECT 2, 0, (r01*r12 - r02)/det FROM d
+  UNION ALL SELECT 1, 2, (r01*r02 - r12)/det FROM d
+  UNION ALL SELECT 2, 1, (r01*r02 - r12)/det FROM d
+)
+""",
+)
 def vif_matrix_q(spark, sf_dir):
-    """A8+A9: correlation matrix of the first 8 dims (distributed
-    sufficient stats) → driver-side inverse = VIF/multicollinearity
-    matrix (reference ``multicollinearity.py:92-131``). Rows-only check
-    (matrix inverse isn't SQL); tests assert VIF·corr ≈ I."""
+    """A8+A9: correlation matrix (distributed sufficient stats via
+    MLlib Correlation) → driver-side inverse = VIF/multicollinearity
+    matrix (reference ``multicollinearity.py:92-131``). Driver-checked
+    on the first 3 dims, where the inverse has a closed form the SQL
+    oracle computes from ``corr()`` aggregates — a real end-to-end
+    check of the inversion path; the 8-dim variant's VIF·corr ≈ I
+    contract stays pinned in tests/test_stats.py."""
     from big_ann_spark.operators.stats import vif_matrix
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    m = vif_matrix(emb, dims=8)
+    m = vif_matrix(load_table(spark, sf_dir, "embeddings"), dims=3)
     rows = [
         (i, j, round(float(m[i, j]), 6))
         for i in range(m.shape[0])
@@ -300,29 +335,88 @@ def vif_matrix_q(spark, sf_dir):
     return spark.createDataFrame(rows, "pos_i int, pos_j int, vif double")
 
 
-@register("anderson_darling_per_dim", sql=None)
+@register(
+    "anderson_darling_per_dim",
+    sql="""
+WITH base AS (
+  SELECT i::INTEGER AS pos, embedding[i+1]::DOUBLE AS x
+  FROM embeddings, range(0, 8) t(i)
+),
+st AS (SELECT pos, avg(x) AS mu, stddev_samp(x) AS sigma, COUNT(*) AS n
+       FROM base GROUP BY pos),
+z AS (SELECT b.pos, (x - mu) / sigma AS z, n,
+             row_number() OVER (PARTITION BY b.pos ORDER BY x) AS i
+      FROM base b JOIN st ON b.pos = st.pos),
+terms AS (
+  SELECT a.pos, a.n,
+         (2*a.i - 1)::DOUBLE * ((-ln(1 + exp(-a.z))) + (-b.z - ln(1 + exp(-b.z)))) AS term
+  FROM z a JOIN z b ON a.pos = b.pos AND b.i = a.n + 1 - a.i
+),
+a2 AS (SELECT pos, -any_value(n)::DOUBLE - SUM(term) / any_value(n) AS a2,
+              any_value(n)::DOUBLE AS n
+       FROM terms GROUP BY pos)
+SELECT pos, ROUND(a2, 4) AS a2,
+       ROUND(a2 * (1 + 0.75/n + 2.25/(n*n)), 4) AS a2_corrected
+FROM a2
+""",
+)
 def anderson_darling_q(spark, sf_dir):
-    """A11: Anderson-Darling normality per dimension (first 8 dims) —
-    scipy-free direct formula in an Arrow group task per dim (reference
-    ``variance.py:109``). Rows-only; tests compare against a direct
-    numpy evaluation."""
+    """A11: Anderson-Darling statistic per dimension (first 8 dims) in
+    an Arrow group task per dim (reference ``variance.py:109``). The
+    driver-checked variant uses the logistic CDF — every term is
+    elementary, so DuckDB reproduces the sorted-weight machinery
+    end-to-end (rounded to 4 decimals: the two engines sum the n
+    weighted terms in different orders). The reference's normal-CDF
+    variant is the same operator with ``dist="normal"``, verified
+    against numpy in tests/test_stats.py."""
     from big_ann_spark.operators.stats import anderson_darling_per_dim, dim_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     d = dim_table(emb).filter(F.col("pos") < 8)
-    out = anderson_darling_per_dim(d)
+    out = anderson_darling_per_dim(d, dist="logistic")
     return out.select(
-        "pos", F.round("a2", 6).alias("a2"), F.round("a2_corrected", 6).alias("a2_corrected")
+        "pos", F.round("a2", 4).alias("a2"), F.round("a2_corrected", 4).alias("a2_corrected")
     )
 
 
-@register("ks_matrix_pairs", sql=None)
+@register(
+    "ks_matrix_pairs",
+    sql="""
+WITH pairs AS (SELECT a.i::INTEGER AS pos_i, b.j::INTEGER AS pos_j
+               FROM range(0, 8) a(i), range(0, 8) b(j) WHERE a.i < b.j),
+v AS (
+  SELECT p.pos_i, p.pos_j, embedding[p.pos_i+1]::DOUBLE AS x, 0 AS grp
+  FROM embeddings, pairs p
+  UNION ALL
+  SELECT p.pos_i, p.pos_j, embedding[p.pos_j+1]::DOUBLE, 1
+  FROM embeddings, pairs p
+),
+n AS (SELECT pos_i, pos_j,
+             COUNT(*) FILTER (WHERE grp = 0)::DOUBLE AS n0,
+             COUNT(*) FILTER (WHERE grp = 1)::DOUBLE AS n1
+      FROM v GROUP BY 1, 2),
+e AS (
+  SELECT pos_i, pos_j, x,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY pos_i, pos_j ORDER BY x
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY pos_i, pos_j ORDER BY x
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1
+  FROM v
+)
+SELECT e.pos_i, e.pos_j, ROUND(MAX(ABS(c0 / n.n0 - c1 / n.n1)), 6) AS ks_stat
+FROM e JOIN n ON e.pos_i = n.pos_i AND e.pos_j = n.pos_j
+GROUP BY e.pos_i, e.pos_j
+""",
+)
 def ks_matrix_q(spark, sf_dir):
     """A10 all-pairs: KS statistic for every pair of the first 8 dims —
     28 independent Arrow group tasks (the reference is a sequential
     double loop with a 100k-row assert guard,
-    ``komolgorovsmirnov.py:84-113``). Rows-only; tests check pair (0,1)
-    equals the oracle-checked single-pair query."""
+    ``komolgorovsmirnov.py:84-113``). ECDF ratios are exact count/n
+    divisions, so the searchsorted evaluation hash-matches the SQL
+    window form bit-for-bit."""
     from big_ann_spark.operators.stats import ks_matrix
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -336,7 +430,10 @@ def buddy_ordering_q(spark, sf_dir):
     """W4+P2: greedy "buddy" dimension reordering from the |corr|
     weight matrix (reference ``network_blended.py:83-106``), applied
     back to the vectors as a permutation — the BuddyPQ preprocessing
-    step as one pipeline. Emits (rank, dim)."""
+    step as one pipeline. Emits (rank, dim). Rows-only: the greedy
+    emission order is inherently sequential (driver-side over the tiny
+    d×d matrix) and has no SQL form; determinism is tested in
+    tests/test_stats.py."""
     from big_ann_spark.operators.stats import buddy_order, correlation_matrix
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -344,35 +441,4 @@ def buddy_ordering_q(spark, sf_dir):
     order = buddy_order(cor)
     return spark.createDataFrame(
         [(r, d) for r, d in enumerate(order)], "rank int, dim int"
-    )
-
-
-@register("approx_distinct_sketch", sql=None)
-def approx_distinct_sketch(spark, sf_dir):
-    """HyperLogLog++ approximate distinct counts (the sketch layer the
-    relational surface gets for free; rows-only — approx values have no
-    exact oracle, tests bound the error vs exact)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-    )
-
-
-@register(
-    "dimension_permutation",
-    sql="""
-SELECT vec_id,
-       list_transform([3, 1, 2], i -> embedding[i + 1]) AS permuted_head
-FROM embeddings WHERE vec_id < 10
-""",
-)
-def dimension_permutation(spark, sf_dir):
-    """P2: buddy dimension reorder ``points[:, friends]`` (reference
-    ``utils.py:195-202``); head of permutation [3, 1, 2] for the check."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
-    perm = [3, 1, 2]
-    return emb.select(
-        "vec_id",
-        F.array(*[F.col("embedding")[i] for i in perm]).alias("permuted_head"),
     )

@@ -23,11 +23,88 @@ FROM events GROUP BY window_start, event_type
 """
 
 
-@register("tumbling_window_counts", sql=_TUMBLING_SQL)
-def tumbling_window_counts(spark, sf_dir):
-    """Tumbling 1-hour windows per event type (batch form of the
-    streaming plan — identical groupBy(window(...)))."""
-    return EV.tumbling_counts(load_table(spark, sf_dir, "events"))
+@register(
+    "batch_window_aggs",
+    sql="""
+WITH tumbling AS (
+  SELECT 'tumbling' AS variant,
+         time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         NULL::TIMESTAMP AS window_end,
+         event_type AS key,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS val
+  FROM events GROUP BY window_start, event_type
+),
+sl AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - (j * INTERVAL '30 minutes') AS window_start, ts
+  FROM events, range(0, 2) t(j)
+),
+sliding AS (
+  SELECT 'sliding' AS variant, window_start, NULL::TIMESTAMP AS window_end,
+         NULL::VARCHAR AS key, COUNT(*) AS n_events, NULL::DOUBLE AS val
+  FROM sl
+  WHERE ts < window_start + INTERVAL '1 hour' AND ts >= window_start
+  GROUP BY window_start
+),
+o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL '5 minutes'
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM o
+),
+sessions AS (
+  SELECT 'session' AS variant,
+         min(ts) AS window_start,
+         max(ts) + INTERVAL '5 minutes' AS window_end,
+         user_id::VARCHAR AS key,
+         COUNT(*) AS n_events,
+         NULL::DOUBLE AS val
+  FROM g GROUP BY user_id, sess
+)
+SELECT * FROM tumbling UNION ALL SELECT * FROM sliding UNION ALL SELECT * FROM sessions
+""",
+)
+def batch_window_aggs(spark, sf_dir):
+    """The three streaming window shapes, batch form, folded into one
+    tagged union (identical plans run under readStream — see
+    streaming_tumbling_live for the genuine streaming execution):
+    - ``tumbling``: 1-hour windows per event type;
+    - ``sliding``: 1-hour windows every 30 minutes (each event in 2);
+    - ``session``: per-user 5-minute-gap session windows (native
+      session_window ≡ gaps-and-islands in SQL; end = last + gap)."""
+    e = load_table(spark, sf_dir, "events")
+    tumbling = EV.tumbling_counts(e).select(
+        F.lit("tumbling").alias("variant"),
+        "window_start",
+        F.lit(None).cast("timestamp").alias("window_end"),
+        F.col("event_type").alias("key"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("val"),
+    )
+    sliding = EV.sliding_counts(e).select(
+        F.lit("sliding").alias("variant"),
+        "window_start",
+        F.lit(None).cast("timestamp").alias("window_end"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    sessions = EV.session_windows(e).select(
+        F.lit("session").alias("variant"),
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return tumbling.unionByName(sliding).unionByName(sessions)
 
 
 @register("streaming_tumbling_live", sql=_TUMBLING_SQL)
@@ -40,55 +117,6 @@ def streaming_tumbling_live(spark, sf_dir):
     return EV.run_to_memory(
         EV.tumbling_counts(stream), "streaming_tumbling_live_sink"
     )
-
-
-@register(
-    "sliding_window_counts",
-    sql="""
-WITH s AS (
-  SELECT time_bucket(INTERVAL '30 minutes', ts) - (j * INTERVAL '30 minutes') AS window_start,
-         ts
-  FROM events, range(0, 2) t(j)
-)
-SELECT window_start, COUNT(*) AS n_events
-FROM s
-WHERE ts < window_start + INTERVAL '1 hour' AND ts >= window_start
-GROUP BY window_start
-""",
-)
-def sliding_window_counts(spark, sf_dir):
-    """Sliding windows (1 hour wide, 30-minute slide): every event
-    belongs to 2 windows."""
-    return EV.sliding_counts(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "session_windows_per_user",
-    sql="""
-WITH o AS (
-  SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   <= INTERVAL '5 minutes'
-              THEN 0 ELSE 1 END AS new_sess
-  FROM events
-),
-g AS (
-  SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-  FROM o
-)
-SELECT min(ts) AS session_start,
-       max(ts) + INTERVAL '5 minutes' AS session_end,
-       user_id,
-       COUNT(*) AS n_events
-FROM g GROUP BY user_id, sess
-""",
-)
-def session_windows_per_user(spark, sf_dir):
-    """Per-user 5-minute-gap session windows: native session_window in
-    Spark ≡ gaps-and-islands in SQL (session_end = last event + gap)."""
-    return EV.session_windows(load_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -122,70 +150,87 @@ def streaming_stateful_user_totals(spark, sf_dir):
 
 
 @register(
-    "json_props_stats",
+    "event_analytics",
     sql="""
-SELECT event_type,
-       COUNT(*) AS n,
-       ROUND(AVG(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
-       MAX(json_extract(props, '$.k')::BIGINT) AS max_k
-FROM events GROUP BY event_type
-""",
-)
-def json_props_stats(spark, sf_dir):
-    """Semi-structured surface: JSON property extraction from the
-    events props column (get_json_object → typed aggregation)."""
-    e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.avg(k), 4).alias("avg_k"),
-        F.max(k).alias("max_k"),
-    )
-
-
-@register(
-    "monthly_revenue",
-    sql="""
-SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
-       COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS revenue
-FROM orders GROUP BY month
-""",
-)
-def monthly_revenue(spark, sf_dir):
-    """Date-function surface: month truncation + revenue rollup."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-    )
-
-
-@register(
-    "event_type_funnel",
-    sql="""
-WITH seq AS (
+WITH json_props AS (
+  SELECT 'json_props' AS variant, event_type AS k1, NULL::VARCHAR AS k2,
+         COUNT(*) AS n,
+         ROUND(AVG(json_extract(props, '$.k')::BIGINT), 4) AS v1,
+         MAX(json_extract(props, '$.k')::BIGINT)::DOUBLE AS v2
+  FROM events GROUP BY event_type
+),
+monthly AS (
+  SELECT 'monthly' AS variant,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS k1,
+         NULL::VARCHAR AS k2,
+         COUNT(*) AS n,
+         ROUND(SUM(o_totalprice), 2) AS v1,
+         NULL::DOUBLE AS v2
+  FROM orders GROUP BY 2
+),
+seq AS (
   SELECT user_id, event_type, ts,
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
   FROM events
+),
+funnel AS (
+  SELECT 'funnel' AS variant, event_type AS k1, next_type AS k2,
+         COUNT(*) AS n, NULL::DOUBLE AS v1, NULL::DOUBLE AS v2
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
 )
-SELECT event_type, next_type, COUNT(*) AS n_transitions
-FROM seq WHERE next_type IS NOT NULL
-GROUP BY event_type, next_type
+SELECT * FROM json_props UNION ALL SELECT * FROM monthly UNION ALL SELECT * FROM funnel
 """,
 )
-def event_type_funnel(spark, sf_dir):
-    """Event-transition funnel (lead window per user) — the sequential
-    pattern layer on the same stream."""
+def event_analytics(spark, sf_dir):
+    """The event/date analytics shapes folded into one tagged union:
+    - ``json_props``: semi-structured surface — JSON property
+      extraction from the events props column (get_json_object →
+      typed aggregation);
+    - ``monthly``: date-function surface — month truncation + revenue
+      rollup over orders;
+    - ``funnel``: event-transition funnel (lead window per user)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    json_props = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 4).alias("v1"),
+        F.max(k).cast("double").alias("v2"),
+    ).select(
+        F.lit("json_props").alias("variant"),
+        F.col("event_type").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        "n", "v1", "v2",
+    )
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("v1"))
+        .select(
+            F.lit("monthly").alias("variant"),
+            F.date_format("month", "yyyy-MM-dd").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "n", "v1",
+            F.lit(None).cast("double").alias("v2"),
+        )
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
     )
-    return (
+    funnel = (
         seq.filter(F.col("next_type").isNotNull())
         .groupBy("event_type", "next_type")
-        .agg(F.count("*").alias("n_transitions"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("funnel").alias("variant"),
+            F.col("event_type").alias("k1"),
+            F.col("next_type").alias("k2"),
+            "n",
+            F.lit(None).cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        )
     )
+    return json_props.unionByName(monthly).unionByName(funnel)

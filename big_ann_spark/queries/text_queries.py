@@ -15,54 +15,44 @@ _SW = {lg: ", ".join(f"'{w}'" for w in ws) for lg, ws in T.STOPWORDS.items()}
 
 
 @register(
-    "token_counts",
-    sql="""
+    "text_metrics",
+    sql=f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS toks,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text, toks,
+         punct_ratio,
+         len(list_filter(toks, x -> list_contains([{_SW['en']}], x)))::DOUBLE / len(toks) AS sw
+  FROM t
+)
 SELECT doc_id,
-       len(string_split(text, ' ')) AS n_tokens,
+       len(toks) AS n_tokens,
        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
-       length(text) AS n_chars
-FROM documents
+       length(text) AS n_chars,
+       ROUND(0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+           + 0.3 * greatest(0.0, 1.0 - 4.0 * punct_ratio)
+           + 0.3 * greatest(0.0, 1.0 - abs(sw - 0.4) / 0.4), 6) AS quality
+FROM s
 """,
 )
-def token_counts(spark, sf_dir):
-    """Whitespace + BPE-ish regex token census per document."""
+def text_metrics(spark, sf_dir):
+    """Token census + quality score per document, folded into one
+    per-doc row: whitespace tokens, BPE-ish regex tokens, char count,
+    and the composite quality score (length, punctuation noise,
+    stopword naturalness — functions.text.quality_score for the
+    contract). One scan, pure column expressions."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
         T.bpe_ish_token_count("text").alias("n_bpe_ish"),
         F.length("text").alias("n_chars"),
+        F.round(T.quality_score("text"), 6).alias("quality"),
     )
-
-
-@register(
-    "text_quality",
-    sql=f"""
-WITH t AS (
-  SELECT doc_id,
-         string_split(text, ' ') AS toks,
-         length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
-  FROM documents
-),
-s AS (
-  SELECT doc_id,
-         len(toks)::DOUBLE AS n,
-         punct_ratio,
-         len(list_filter(toks, x -> list_contains([{_SW['en']}], x)))::DOUBLE / len(toks) AS sw
-  FROM t
-)
-SELECT doc_id,
-       ROUND(0.4 * least(n / 100.0, 1.0)
-           + 0.3 * greatest(0.0, 1.0 - 4.0 * punct_ratio)
-           + 0.3 * greatest(0.0, 1.0 - abs(sw - 0.4) / 0.4), 6) AS quality
-FROM s
-""",
-)
-def text_quality(spark, sf_dir):
-    """Composite quality score: length, punctuation noise, stopword
-    naturalness (see functions.text.quality_score for the contract)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
 
 
 @register(

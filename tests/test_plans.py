@@ -17,8 +17,9 @@ from big_ann_spark.plans import formatted_plan as _formatted
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
-    q = load_all()["q6_forecast_revenue"]
-    plan = _formatted(q.fn(spark, sf_dir))
+    from big_ann_spark.queries.relational_queries import _q6_forecast_revenue
+
+    plan = _formatted(_q6_forecast_revenue(spark, sf_dir))
     assert "PushedFilters: [" in plan
     # the discount/quantity predicates must be pushed, not just IsNotNull
     assert "GreaterThanOrEqual(l_discount" in plan
@@ -32,7 +33,7 @@ def test_column_pruning(spark, sf_dir):
 
 
 def test_dim_joins_broadcast(spark, sf_dir):
-    for name in ["q3_shipping_priority", "q5_local_supplier_volume"]:
+    for name in ["q3_shipping_priority", "grouped_joins"]:
         plan = _plan(load_all()[name].fn(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, name
         # fact-side join may be SMJ/shuffled-hash; dims must not shuffle
@@ -40,7 +41,9 @@ def test_dim_joins_broadcast(spark, sf_dir):
 
 
 def test_topk_uses_window_group_limit(spark, sf_dir):
-    plan = _plan(load_all()["window_top_orders_per_cust"].fn(spark, sf_dir))
+    from big_ann_spark.queries.relational_queries import _top_orders_per_cust
+
+    plan = _plan(_top_orders_per_cust(spark, sf_dir))
     assert "WindowGroupLimit" in plan
 
 
@@ -51,7 +54,7 @@ def test_knn_broadcasts_queries(spark, sf_dir):
 
 
 def test_agg_has_partial_phase(spark, sf_dir):
-    plan = _plan(load_all()["per_dim_variance"].fn(spark, sf_dir))
+    plan = _plan(load_all()["per_dim_profile"].fn(spark, sf_dir))
     # two-phase hash aggregation: partial (map-side) + final
     assert plan.count("HashAggregate") >= 2
 
