@@ -102,6 +102,60 @@ def anderson_darling_per_dim(dim_df: DataFrame, *, dist: str = "normal") -> Data
     )
 
 
+def ks_two_sample(
+    v: DataFrame,
+    *,
+    x_col: str = "x",
+    grp_col: str = "grp",
+    ranged: bool = True,
+    n_bins: int = 64,
+) -> DataFrame:
+    """A10: two-sample KS statistic over a tagged value table
+    (x, grp∈{0,1}) → one row (ks_stat). D = sup_x |ECDF_0 - ECDF_1|,
+    ECDFs via RANGE windows so tied values count correctly.
+
+    ``ranged=True`` (default): the running counts decompose into
+    per-value-bin RANGE windows plus driver-prefix carries
+    (operators.ranged) — the ECDF never sorts on a single task. The
+    counts are integers either way, so the statistic is bit-identical
+    to the global-window form."""
+    from pyspark.sql import Window
+
+    counts = v.agg(
+        F.count(F.when(F.col(grp_col) == 0, 1)).cast("double").alias("n0"),
+        F.count(F.when(F.col(grp_col) == 1, 1)).cast("double").alias("n1"),
+    ).collect()[0]
+    is0 = F.when(F.col(grp_col) == 0, 1).otherwise(0)
+    is1 = F.when(F.col(grp_col) == 1, 1).otherwise(0)
+    if ranged:
+        from big_ann_spark.operators.ranged import add_value_bins, bin_prefix_table
+
+        b = add_value_bins(v, x_col, n_bins)
+        carry = bin_prefix_table(
+            b, {"c0": (F.sum(is0), "sum"), "c1": (F.sum(is1), "sum")}
+        )
+        w_loc = (
+            Window.partitionBy("_bin")
+            .orderBy(x_col)
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        e = b.join(F.broadcast(carry), "_bin", "left").select(
+            (F.sum(is0).over(w_loc) + F.coalesce(F.col("_pfx_c0"), F.lit(0.0))).alias("c0"),
+            (F.sum(is1).over(w_loc) + F.coalesce(F.col("_pfx_c1"), F.lit(0.0))).alias("c1"),
+        )
+    else:
+        w = Window.orderBy(x_col).rangeBetween(Window.unboundedPreceding, 0)
+        e = v.select(
+            F.sum(is0).over(w).alias("c0"),
+            F.sum(is1).over(w).alias("c1"),
+        )
+    return e.agg(
+        F.max(
+            F.abs(F.col("c0") / F.lit(counts["n0"]) - F.col("c1") / F.lit(counts["n1"]))
+        ).alias("ks_stat")
+    )
+
+
 def ks_matrix(emb: DataFrame, dims: int, *, vec_col: str = "embedding") -> DataFrame:
     """A10 at scale: two-sample KS statistic for every dimension pair
     (i < j). The reference runs d²/2 sequential scipy calls under a

@@ -86,10 +86,10 @@ def interval_merges(spark, sf_dir):
     via the gaps-and-islands window, tagged (variant, begin, end, n)."""
     ivs = _intervals(spark, sf_dir).select("begin", "end")
     ov = iv.merge_overlaps(
-        ivs, strict=True, data_agg=F.count("*").alias("n")
+        ivs, strict=True, data_agg=F.count("*").alias("n"), ranged=True
     ).select(F.lit("merge_overlaps").alias("variant"), "begin", "end", "n")
     nb = iv.merge_neighbors(
-        ivs, distance=3, data_agg=F.count("*").alias("n")
+        ivs, distance=3, data_agg=F.count("*").alias("n"), ranged=True
     ).select(F.lit("merge_neighbors").alias("variant"), "begin", "end", "n")
     eq = (
         _intervals(spark, sf_dir)
@@ -245,7 +245,7 @@ def interval_reshape(spark, sf_dir):
     nulls = [
         F.lit(None).cast("long").alias(c) for c in ("c_begin", "c_end", "c_data")
     ]
-    split = iv.split_overlaps(ivs).select(
+    split = iv.split_overlaps(ivs, ranged=True).select(
         F.lit("split").alias("variant"), "begin", "end", "data", *nulls
     )
     chop = iv.chop(ivs, 100, 300).select(
@@ -283,4 +283,4 @@ def ids_to_intervals_q(spark, sf_dir):
         .select(F.col("event_id").alias("id"))
         .distinct()
     )
-    return iv.ids_to_intervals(ids)
+    return iv.ids_to_intervals(ids, ranged=True)

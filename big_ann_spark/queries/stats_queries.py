@@ -204,29 +204,19 @@ FROM e, n
 def ks_statistic_dims(spark, sf_dir):
     """A10: two-sample Kolmogorov-Smirnov statistic between dim 0 and
     dim 1 (reference ``komolgorovsmirnov.py:90-113`` via scipy).
-    D = sup_x |ECDF_0(x) - ECDF_1(x)|, ECDFs via a RANGE window so tied
-    values count correctly. The all-pairs version (``ks_matrix_pairs``)
-    partitions the same window by pair — no single-partition sort."""
+    D = sup_x |ECDF_0(x) - ECDF_1(x)| via the range-binned two-pass
+    ECDF (operators.stats.ks_two_sample, ranged) — the running counts
+    never collapse onto one task, and the integer counts make the
+    result bit-identical to the oracle's global-window form. All-pairs
+    version: ``ks_matrix_pairs`` (windows partitioned by pair)."""
+    from big_ann_spark.operators.stats import ks_two_sample
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(F.col("embedding")[0].cast("double").alias("x"), F.lit(0).alias("grp")).union(
         emb.select(F.col("embedding")[1].cast("double").alias("x"), F.lit(1).alias("grp"))
     )
-    from pyspark.sql import Window
-
-    counts = v.agg(
-        F.count(F.when(F.col("grp") == 0, 1)).cast("double").alias("n0"),
-        F.count(F.when(F.col("grp") == 1, 1)).cast("double").alias("n1"),
-    ).collect()[0]
-    w = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, 0)
-    e = v.select(
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).over(w).alias("c0"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).over(w).alias("c1"),
-    )
-    return e.agg(
-        F.round(
-            F.max(F.abs(F.col("c0") / F.lit(counts["n0"]) - F.col("c1") / F.lit(counts["n1"]))), 6
-        ).alias("ks_stat")
-    )
+    out = ks_two_sample(v, ranged=True)
+    return out.select(F.round("ks_stat", 6).alias("ks_stat"))
 
 
 @register(

@@ -57,3 +57,101 @@ def test_point_query_matches_model(spark, rows, p):
     )
     want = sorted((b, e) for b, e in rows if b <= p < e)
     assert got == want
+
+
+# ---- range-binned two-pass equivalence (VERDICT r1 §3: global windows)
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ranged_merge_overlaps_equivalence(spark, sf_dir):
+    from big_ann_spark.operators import intervals as iv
+    from big_ann_spark.queries.interval_queries import _intervals
+
+    ivs = _intervals(spark, sf_dir).select("begin", "end")
+    from pyspark.sql import functions as F
+
+    for strict in (True, False):
+        g = iv.merge_overlaps(ivs, strict=strict, data_agg=F.count("*").alias("n"))
+        r = iv.merge_overlaps(
+            ivs, strict=strict, data_agg=F.count("*").alias("n"), ranged=True, n_bins=7
+        )
+        assert _sorted_rows(g) == _sorted_rows(r), f"strict={strict}"
+
+
+def test_ranged_merge_neighbors_equivalence(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_ann_spark.operators import intervals as iv
+    from big_ann_spark.queries.interval_queries import _intervals
+
+    ivs = _intervals(spark, sf_dir).select("begin", "end")
+    g = iv.merge_neighbors(ivs, distance=3, data_agg=F.count("*").alias("n"))
+    r = iv.merge_neighbors(
+        ivs, distance=3, data_agg=F.count("*").alias("n"), ranged=True, n_bins=5
+    )
+    assert _sorted_rows(g) == _sorted_rows(r)
+
+
+def test_ranged_split_overlaps_equivalence(spark, sf_dir):
+    from big_ann_spark.operators import intervals as iv
+    from big_ann_spark.queries.interval_queries import _intervals
+
+    ivs = _intervals(spark, sf_dir)
+    g = iv.split_overlaps(ivs)
+    r = iv.split_overlaps(ivs, ranged=True, n_bins=9)
+    assert _sorted_rows(g) == _sorted_rows(r)
+
+
+def test_ranged_ids_to_intervals_equivalence(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_ann_spark.catalog import load_table
+    from big_ann_spark.operators import intervals as iv
+
+    ids = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 25)
+        .select(F.col("event_id").alias("id"))
+        .distinct()
+    )
+    g = iv.ids_to_intervals(ids)
+    r = iv.ids_to_intervals(ids, ranged=True, n_bins=11)
+    assert _sorted_rows(g) == _sorted_rows(r)
+
+
+def test_partitioned_merge_overlaps(spark, sf_dir):
+    """Per-key interval sets: merging within each key must equal
+    merging each key's subset with the global form."""
+    from pyspark.sql import functions as F
+
+    from big_ann_spark.operators import intervals as iv
+    from big_ann_spark.queries.interval_queries import _intervals
+
+    ivs = _intervals(spark, sf_dir).withColumn("grp", F.col("data") % 3).select(
+        "grp", "begin", "end"
+    )
+    per_key = iv.merge_overlaps(
+        ivs, data_agg=F.count("*").alias("n"), partition_cols=["grp"]
+    )
+    for g in (0, 1, 2):
+        subset = ivs.filter(F.col("grp") == g).select("begin", "end")
+        expect = _sorted_rows(iv.merge_overlaps(subset, data_agg=F.count("*").alias("n")))
+        got = _sorted_rows(per_key.filter(F.col("grp") == g).select("begin", "end", "n"))
+        assert got == expect, f"grp={g}"
+
+
+def test_ranged_ks_equivalence(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_ann_spark.catalog import load_table
+    from big_ann_spark.operators.stats import ks_two_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(F.col("embedding")[0].cast("double").alias("x"), F.lit(0).alias("grp")).union(
+        emb.select(F.col("embedding")[1].cast("double").alias("x"), F.lit(1).alias("grp"))
+    )
+    g = ks_two_sample(v, ranged=False).collect()[0]["ks_stat"]
+    r = ks_two_sample(v, ranged=True, n_bins=13).collect()[0]["ks_stat"]
+    assert g == r
