@@ -49,11 +49,12 @@ def sq_l2_distance(a: Column | str, b: Column | str, dim: int | None = None) -> 
     per-row, measured) and keeps the identical left-to-right double
     summation, so values stay bit-equal to the fold and the oracle.
 
-    Trade-off (measured at sf0.1): the big expression tree inflates
-    planning + codegen-compile time, which dominates one-shot queries
-    on small data — so callers default to the fold and should pass
-    ``dim`` only for repeated executions or genuinely large scans,
-    where per-row cost amortizes the compile.
+    Trade-off (re-measured round 2 at sf0.1): the big expression tree
+    inflates planning + codegen-compile time, and at d=64 the 128-term
+    tree exceeds the whole-stage-codegen budget — the unrolled exact-kNN
+    scan then measures SLOWER even warm (1.59 s vs 0.95 s). Callers
+    default to the fold; pass ``dim`` only for small fixed dims (≲16)
+    on repeated scans, where the flat expression still codegens.
     """
     ac, bc = (F.col(a) if isinstance(a, str) else a), (F.col(b) if isinstance(b, str) else b)
     if dim is not None:

@@ -56,9 +56,10 @@ FROM r WHERE rk <= 10
 def knn_exact_top10(spark, sf_dir):
     """J1+W1: exact top-10 L2 neighbors per query (reference
     ``recall.py:34-46`` + k=10 of ``utils.py:311``), declarative impl.
-    ``dim=DIM`` unrolls the distance fold into a codegen-friendly
-    expression (~30% faster per row at bench scale, bit-identical
-    left-to-right double summation — functions.vector docstring)."""
+    Uses the zip_with fold distance: at d=64 the unrolled ``dim=``
+    form's 256-term expression exceeds the whole-stage-codegen method
+    budget and measures SLOWER warm (1.59s vs 0.95s at sf0.1) — the
+    knob stays for small fixed dims (functions.vector docstring)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     out = exact_knn(
@@ -71,7 +72,6 @@ def knn_exact_top10(spark, sf_dir):
         base_id="vec_id",
         base_vec="embedding",
         impl="sql",
-        dim=DIM,
     )
     return out.select("qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
 
@@ -122,7 +122,7 @@ def knn_cosine_top5(spark, sf_dir):
     scored = (
         b.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("qid"))
-        .select("qid", "neighbor_id", (1.0 - cosine_similarity("_qv", "_bv", DIM)).alias("dist"))
+        .select("qid", "neighbor_id", (1.0 - cosine_similarity("_qv", "_bv")).alias("dist"))
     )
     from big_ann_spark.operators.topk import top_k_per_group
 
@@ -166,7 +166,7 @@ def doc_retrieval_top3(spark, sf_dir):
     scored = (
         b.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("qid"))
-        .select("qid", "neighbor_id", l2_distance("_qv", "_bv", DIM).alias("dist"))
+        .select("qid", "neighbor_id", l2_distance("_qv", "_bv").alias("dist"))
     )
     topk = top_k_per_group(
         scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 3

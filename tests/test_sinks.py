@@ -42,3 +42,26 @@ def test_kmeans_model_save_load(spark, sf_dir):
 
     for a, b in zip(model.clusterCenters(), loaded.clusterCenters()):
         np.testing.assert_array_equal(a, b)
+
+
+def test_heatmap_png_sink(spark, sf_dir, tmp_path):
+    """S12: KS/VIF heatmap PNGs — valid signature, IHDR dims, parseable
+    zlib stream (reference komolgorovsmirnov.py:131-149)."""
+    import struct
+    import zlib
+
+    from big_ann_spark.catalog import load_table
+    from big_ann_spark.sources.heatmap import save_ks_heatmap, save_vif_heatmap
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for fn, name in ((save_ks_heatmap, "ks.png"), (save_vif_heatmap, "vif.png")):
+        p = str(tmp_path / name)
+        fn(emb, 4, p)
+        data = open(p, "rb").read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h = struct.unpack(">II", data[16:24])
+        assert (w, h) == (64, 64)  # 4x4 cells at 16px
+        idat_start = data.index(b"IDAT") + 4
+        idat_len = struct.unpack(">I", data[idat_start - 8:idat_start - 4])[0]
+        raw = zlib.decompress(data[idat_start:idat_start + idat_len])
+        assert len(raw) == h * (1 + 3 * w)
