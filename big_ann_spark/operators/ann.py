@@ -39,17 +39,46 @@ def route_queries(
     dim: int | None = None,
 ) -> DataFrame:
     """J3: top-``nprobe`` nearest centroids per query →
-    (qid, qvec, shard_id, probe_rank)."""
+    (qid, qvec, shard_id, probe_rank).
+
+    Zero-exchange form (mirrors assign_to_centroids): the centroid
+    table collapses to ONE broadcast array row; per query, the probe
+    list is ``array_sort(struct(cdist, shard_id))[:nprobe]`` exploded —
+    a pure projection fused into the query scan. The r1 window form
+    hash-exchanged all Q×M scored rows by qid before WindowGroupLimit
+    could trim them; with batch-ANN query sets in the millions that
+    exchange is the routing cost. Sort cost is M·log M per row — fine
+    for M ≤ 10^5 broadcastable centroids; ties break on shard_id
+    (struct field order), identical to the window form."""
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("shard_id").alias("_sid"), F.col("centroid").alias("_cv"))
+        ).alias("_cents")
+    )
     scored = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
-    ).crossJoin(F.broadcast(centroids)).select(
-        "qid", "qvec", "shard_id", l2_distance("qvec", "centroid", dim).alias("cdist")
+    ).crossJoin(F.broadcast(cents))
+    probes = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    l2_distance(F.col("qvec"), c["_cv"], dim).alias("cdist"),
+                    c["_sid"].alias("shard_id"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
     )
-    routed = top_k_per_group(
-        scored, ["qid"], [F.col("cdist").asc(), F.col("shard_id").asc()], nprobe,
-        rank_col="probe_rank",
+    return scored.select(
+        "qid", "qvec", F.posexplode(probes).alias("_p", "_probe")
+    ).select(
+        "qid",
+        "qvec",
+        F.col("_probe")["shard_id"].alias("shard_id"),
+        (F.col("_p") + 1).alias("probe_rank"),
     )
-    return routed.select("qid", "qvec", "shard_id", "probe_rank")
 
 
 def ivf_search(

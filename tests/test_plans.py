@@ -88,3 +88,21 @@ def test_centroid_assignment_zero_exchange(spark, sf_dir):
     after_bcast = plan.split("BroadcastExchange")[0]
     assert "Window" not in plan
     assert "Exchange hashpartitioning" not in after_bcast
+
+
+def test_routing_zero_exchange(spark, sf_dir):
+    """route_queries must be broadcast + projection only (VERDICT r1 §4
+    second half): no Exchange of the Q x M scored rows, no Window."""
+    from big_ann_spark.catalog import load_table
+    from big_ann_spark.operators import ann as ANN
+    from big_ann_spark.operators import sharding as SH
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    routed = ANN.route_queries(q, SH.label_centroids(emb), nprobe=2)
+    plan = _plan(routed)
+    after_bcast = plan.split("BroadcastExchange")[0]
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in after_bcast
