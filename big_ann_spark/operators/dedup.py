@@ -85,6 +85,56 @@ def doc_shingles(
     )
 
 
+def doc_shingle_keys(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    word_base: int = 31,
+    combine_base: int = 1_000_003,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """(doc_id, shingle: long) — HASHED n-gram shingle keys, built by
+    hashing each word once (polynomial char fold mod ``mod``) and
+    combining the n word hashes per shingle: ``k = fold (k*combine_base
+    + H[i+j]) % mod``. Compared to hashing the shingle *string*
+    (``doc_shingles`` + a char fold), this does ~n× less interpreted
+    lambda work and every downstream join keys on 8 bytes instead of a
+    string — while staying exactly reproducible in DuckDB (same two
+    folds). Hash collisions merge distinct shingles identically in
+    both engines (≈ m²/2/mod expected for m distinct shingles —
+    deterministic, tested parity holds).
+
+    The word hashes are materialized behind a projection (``_H``) so
+    the per-word fold runs once per word, not once per shingle
+    position."""
+    toks = F.split(F.col(text_col), " ")
+    word_hash = lambda w: F.aggregate(  # noqa: E731
+        F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * word_base + x) % mod,
+    )
+    with_h = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, word_hash).alias("_H"),
+    )
+
+    def key_at(i):
+        k = F.lit(0).cast("long")
+        for j in range(n):
+            k = (k * combine_base + F.element_at("_H", i + j)) % mod
+        return k
+
+    keys = F.when(
+        F.size("_H") >= n,
+        F.transform(F.sequence(F.lit(1), F.size("_H") - (n - 1)), key_at),
+    ).otherwise(F.array().cast("array<long>"))
+    return with_h.select(
+        "doc_id", F.explode(F.array_distinct(keys)).alias("shingle")
+    )
+
+
 def jaccard_similarity_pairs(
     docs: DataFrame,
     *,
@@ -266,16 +316,24 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     shingle_hash: Column | None = None,
     bucket_mode: str = "hash",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact-Jaccard verification ≥ threshold. Verification
     runs only on candidate pairs (that selectivity is LSH's whole
     point — verifying all shingle-sharing pairs would re-create the
-    blowup the bands avoid)."""
+    blowup the bands avoid). Pass a precomputed ``shingles`` table
+    (e.g. ``doc_shingle_keys`` for 8-byte hashed keys) to replace the
+    string-shingle explode in both the signature and verification
+    stages."""
     # shared lineage, deliberately NOT persisted: measured cold-run cost
     # of materializing the cache exceeds recomputing the explode (the
     # branches pipeline fully without the serialization barrier)
-    sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    )
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, n=n, shingles=sh,
         shingle_hash=shingle_hash,

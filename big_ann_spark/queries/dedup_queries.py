@@ -107,6 +107,13 @@ _SLICE_CASES = " ".join(
     for b in range(8)
 )
 
+# fold of the 3 word hashes: k = ((0*B + H[i])*B + H[i+1])*B + H[i+2],
+# reduced mod p at each step — mirrors dedup.doc_shingle_keys exactly
+_SHINGLE_KEY = (
+    "((H[i] % 1000000007 * 1000003 + H[i+1]) % 1000000007"
+    " * 1000003 + H[i+2]) % 1000000007"
+)
+
 _MINHASH_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -115,10 +122,15 @@ WITH corpus AS (
          array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ')
   FROM documents
 ),
-docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-       FROM docs, range(1, 4000) t(i) WHERE i <= len(toks) - 2),
-hx AS (SELECT doc_id, {_POLY.format(col="shingle", base=31, mod=1_000_000_007)} AS x FROM sh),
+docs AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> {_POLY.format(col="w", base=31, mod=1_000_000_007)}) AS H
+  FROM corpus
+),
+sh AS (SELECT DISTINCT doc_id, {_SHINGLE_KEY} AS shingle
+       FROM docs, range(1, 4000) t(i) WHERE i <= len(H) - 2),
+hx AS (SELECT doc_id, shingle AS x FROM sh),
 sig AS (SELECT doc_id,
         {_MIN_TERMS}
         FROM hx GROUP BY doc_id),
@@ -149,11 +161,10 @@ def minhash_lsh_near_dup(spark, sf_dir):
     """MinHash(32) + LSH(8 bands × 4 rows) near-dup candidates verified
     by exact Jaccard ≥ 0.3, on a corpus doubled with truncated copies
     (guaranteed true near-dups). The oracle replicates the whole
-    pipeline — the query variant uses the SQL-reproducible polynomial
-    shingle hash and raw-slice band buckets (operators.dedup docstrings
-    for the at-scale defaults: xxhash64 + hashed buckets)."""
-    from big_ann_spark.functions.text import poly_hash
-
+    pipeline — the query variant uses SQL-reproducible hashed shingle
+    KEYS (word-hash combine, doc_shingle_keys: ~n× less hashing work
+    and 8-byte join keys) and raw-slice band buckets (operators.dedup
+    docstrings for the at-scale defaults: xxhash64 + hashed buckets)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # truncated copies: drop the last 3 words → high-but-<1 Jaccard twins
     mutated = d.select(
@@ -161,11 +172,13 @@ def minhash_lsh_near_dup(spark, sf_dir):
         F.array_join(F.slice(F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 3, F.lit(1))), " ").alias("text"),
     )
     corpus = d.union(mutated)
+    keys = D.doc_shingle_keys(corpus)
     out = D.minhash_dedup_pairs(
         corpus,
         threshold=0.3,
-        shingle_hash=poly_hash(F.col("shingle")),
+        shingle_hash=F.col("shingle"),  # keys are already 30-bit ints
         bucket_mode="slice",
+        shingles=keys,
     )
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
