@@ -142,10 +142,13 @@ def jaccard_similarity_pairs(
     text_col: str = "text",
     n: int = 3,
     max_doc_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every doc pair sharing ≥1 shingle.
     Inverted-index self-join: |A∩B| from the shingle join, |A|,|B| from
-    per-doc counts, J = inter / (|A|+|B|-inter).
+    per-doc counts, J = inter / (|A|+|B|-inter). Pass
+    ``shingles=doc_shingle_keys(...)`` to run the whole index on 8-byte
+    hashed keys instead of shingle strings.
 
     ``max_doc_freq``: drop shingles appearing in more than this many
     documents from the JOIN side only (boilerplate/hot-key mitigation —
@@ -155,7 +158,11 @@ def jaccard_similarity_pairs(
     connected only through capped shingles are missed — the standard
     dedup-at-scale trade (conservative: never over-reports
     similarity)."""
-    sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     join_sh = sh
     if max_doc_freq is not None:

@@ -37,9 +37,18 @@ def dedup_exact(spark, sf_dir):
 @register(
     "ngram_jaccard_top_pairs",
     sql="""
-WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-       FROM docs, range(1, 2000) t(i) WHERE i <= len(toks) - 2),
+WITH docs AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> list_reduce(list_prepend(0::BIGINT,
+                               list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                               (a, b) -> (a * 31 + b) % 1000000007)) AS H
+  FROM documents
+),
+sh AS (SELECT DISTINCT doc_id,
+              ((H[i] % 1000000007 * 1000003 + H[i+1]) % 1000000007
+               * 1000003 + H[i+2]) % 1000000007 AS shingle
+       FROM docs, range(1, 2000) t(i) WHERE i <= len(H) - 2),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -55,9 +64,12 @@ FROM j ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
 )
 def ngram_jaccard_top_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard via shingle inverted index; top-20 most
-    similar pairs (deterministic tie-break on ids)."""
+    similar pairs (deterministic tie-break on ids). Runs on hashed
+    shingle keys (doc_shingle_keys) — the Σdf² inverted-index join
+    shuffles 8-byte longs instead of shingle strings; the oracle
+    mirrors the same word-hash combine."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_similarity_pairs(d)
+    pairs = D.jaccard_similarity_pairs(d, shingles=D.doc_shingle_keys(d))
     return (
         pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
