@@ -212,6 +212,48 @@ def user_totals_transform_with_state(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_stream_join(
+    events: DataFrame, *, window: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joined to
+    the same user's clicks in the preceding ``window`` — the streaming
+    form of the attribution as-of shape (relational asof query is the
+    batch analog). Both sides carry watermarks and the join has an
+    explicit event-time range condition, so Spark can bound the
+    buffered state on both sides (the canonical stream-stream join
+    requirement); state for a click expires once the watermark passes
+    click_ts + window. Works identically on a batch DataFrame (same
+    plan minus state), which is what the equality test pins."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "2 hours")
+        purchases = purchases.withWatermark("purchase_ts", "2 hours")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}")),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 def stream_to_partitioned_parquet(stream_df: DataFrame, path: str) -> None:
     """foreachBatch sink: land each micro-batch into date-partitioned
     parquet. foreachBatch + the checkpointed batch id give exactly-once

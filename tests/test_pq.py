@@ -1,0 +1,64 @@
+"""Product quantization: encode/search invariants + recall vs exact.
+
+PQ is an extension beyond the reference inventory (public construction,
+Jegou et al. 2011); tests pin the Spark-shaped contracts: projection-only
+encoding, ADC scoring over codes, and a usable recall floor on the
+fixture embeddings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_ann_spark.catalog import load_table
+from big_ann_spark.operators import pq as PQ
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq(emb, m=8, k=16)
+    codes = PQ.pq_encode(emb, books).cache()
+    return emb, books, codes
+
+
+def test_pq_codes_shape(trained):
+    emb, books, codes = trained
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert codes.count() == emb.count()
+    bad = codes.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+
+
+def test_pq_encode_is_projection(spark, trained):
+    """Encoding must be a pure projection: no Exchange, no Window."""
+    from big_ann_spark.plans import executed_plan
+
+    emb, books, _ = trained
+    plan = executed_plan(PQ.pq_encode(emb, books))
+    assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_pq_adc_recall_vs_exact(spark, trained):
+    """ADC top-10 must overlap exact top-10 well above chance; the
+    encoded vector's own id should almost always appear in its top-10
+    (quantization keeps self-distance near-minimal)."""
+    from big_ann_spark.operators.knn import exact_knn, recall_at_k
+
+    emb, books, codes = trained
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = exact_knn(
+        q, emb, k=10, query_id="vec_id", query_vec="embedding",
+        base_id="vec_id", base_vec="embedding", impl="sql",
+    ).select("qid", "neighbor_id")
+    approx = PQ.pq_adc_search(
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        codes, books, k=10,
+    ).select("qid", "neighbor_id")
+    r = recall_at_k(approx, exact, 10).collect()[0]["recall_at_k"]
+    assert r >= 0.3, r  # 10/N by chance (~1%); PQ must do far better
+    self_hits = approx.filter(F.col("qid") == F.col("neighbor_id")).count()
+    assert self_hits >= 15  # of 20 queries

@@ -34,3 +34,17 @@ def test_streaming_dedup(spark, sf_dir):
     out = EV.run_to_memory(stream, "t_dedup", output_mode="append")
     n = load_table(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
     assert out.count() == n
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Watermarked stream-stream click->purchase join converges to the
+    batch join on finite input (append mode)."""
+    batch = EV.click_purchase_stream_join(load_table(spark, sf_dir, "events"))
+    stream = EV.run_to_memory(
+        EV.click_purchase_stream_join(EV.read_event_stream(spark, sf_dir)),
+        "t_ss_join",
+        output_mode="append",
+    )
+    cols = ["user_id", "purchase_id", "click_id", "purchase_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert batch.count() > 0  # fixture actually exercises the join
