@@ -58,14 +58,30 @@ def prepare_foreign_session(spark: SparkSession) -> None:
       closures reference module functions, which workers must import —
       a foreign session's PYTHONPATH doesn't include this repo);
     - enable nanosAsLong so the events table's timestamp[ns] parquet
-      column is readable (runtime-settable session conf).
+      column is readable (runtime-settable session conf);
+    - apply the same runtime-settable tuning get_spark uses: AQE (plus
+      coalescing), Arrow batching, UTC session timezone (timestamp
+      collect must not depend on the host machine's zone), and a
+      CPU-sized spark.sql.shuffle.partitions — streaming stateful ops
+      ignore AQE and otherwise inherit a foreign session's default 200
+      state partitions.
 
     Idempotent and cheap; every registered query calls it first.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # conf may be locked; catalog handles the fallback error
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    for key, val in {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(int(cpus)),
+    }.items():
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # conf may be locked; proceed with the session's value
 
     sc = spark.sparkContext
     if getattr(sc, "_big_ann_pyfile_added", False):
