@@ -156,3 +156,60 @@ def pq_adc_search(
     return top_k_per_group(
         scored, ["qid"], [F.col("adc_dist").asc(), F.col("neighbor_id").asc()], k
     )
+
+
+def ivf_pq_search(
+    queries: DataFrame,
+    sharded_codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    *,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """IVF + PQ composed — the standard billion-scale ANN recipe:
+    zero-exchange centroid routing (operators.ann.route_queries) picks
+    ``nprobe`` shards per query, then ADC scores only those shards'
+    8-byte code rows against the broadcast per-query lookup tables.
+    ``sharded_codes`` = pq_encode output joined with shard assignment:
+    (id, codes, shard_id); under a partitionBy(shard_id) layout the
+    probe equi-join is partition-pruned IO on a table that is already
+    ~32× smaller than the raw vectors."""
+    import numpy as np
+
+    from big_ann_spark.operators.ann import route_queries
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qrows = queries.select(query_id, query_vec).collect()
+    spark = queries.sparkSession
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        lut = [
+            [
+                float(((qv[j * sub:(j + 1) * sub] - np.asarray(c)) ** 2).sum())
+                for c in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        lut_rows.append((int(r[0]), lut))
+    luts = spark.createDataFrame(lut_rows, "qid long, lut array<array<double>>")
+    routed = route_queries(queries, centroids, nprobe, query_id=query_id, query_vec=query_vec)
+    probes = routed.select("qid", "shard_id").join(F.broadcast(luts), "qid")
+    cands = probes.join(sharded_codes, "shard_id").select(
+        "qid",
+        F.col("id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"), F.col("codes"), lambda l, c: F.element_at(l, c + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist"),
+    )
+    return top_k_per_group(
+        cands, ["qid"], [F.col("adc_dist").asc(), F.col("neighbor_id").asc()], k
+    )

@@ -62,3 +62,40 @@ def test_pq_adc_recall_vs_exact(spark, trained):
     assert r >= 0.3, r  # 10/N by chance (~1%); PQ must do far better
     self_hits = approx.filter(F.col("qid") == F.col("neighbor_id")).count()
     assert self_hits >= 15  # of 20 queries
+
+
+def test_ivf_pq_recall(spark, trained):
+    """IVF(nprobe=2) + PQ ADC: recall vs exact must stay above the
+    pure-ADC floor discounted by routing loss, and every probe must
+    come from routed shards only."""
+    from big_ann_spark.operators import sharding as SH
+    from big_ann_spark.operators.knn import exact_knn, recall_at_k
+    from big_ann_spark.operators.pq import ivf_pq_search
+
+    emb, books, codes = trained
+    cents = SH.label_centroids(emb)
+    assign = SH.assign_to_centroids(emb, cents)
+    sharded_codes = codes.join(
+        assign.select(F.col("vec_id").alias("id"), "shard_id"), "id"
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    qq = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    approx = ivf_pq_search(qq, sharded_codes, cents, books, k=10, nprobe=2)
+    exact = exact_knn(
+        q, emb, k=10, query_id="vec_id", query_vec="embedding",
+        base_id="vec_id", base_vec="embedding", impl="sql",
+    ).select("qid", "neighbor_id")
+    r = recall_at_k(approx.select("qid", "neighbor_id"), exact, 10).collect()[0][
+        "recall_at_k"
+    ]
+    assert r >= 0.2, r
+    # candidates only from probed shards: every neighbor's shard must
+    # be in its query's probe list
+    from big_ann_spark.operators.ann import route_queries
+
+    probed = route_queries(qq, cents, 2).select("qid", "shard_id")
+    joined = (
+        approx.join(assign.select(F.col("vec_id").alias("neighbor_id"), "shard_id"), "neighbor_id")
+        .join(probed, ["qid", "shard_id"], "leftsemi")
+    )
+    assert joined.count() == approx.count()
