@@ -245,6 +245,63 @@ def merge_neighbors(
     return _merge_islands(intervals, cmp_gap, data_agg, partition_cols, ranged, n_bins)
 
 
+def merge_islands_multi(
+    intervals: DataFrame,
+    variants: dict[str, "object"],
+    *,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Several gaps-and-islands merges over the SAME interval set in
+    one range-binned pass — the bins, the running-max carry, and the
+    island-offset carry are computed once and shared across all gap
+    predicates (each ``variants[name]`` is a cmp(begin, prev_max) →
+    bool Column fn). Returns tagged (variant, begin, end, n).
+
+    Reason to exist: running merge_overlaps and merge_neighbors
+    separately in ranged mode costs 3 tiny driver jobs EACH (min/max,
+    max-carry, offset-carry); sharing them halves the job count for
+    multi-variant queries like the registered ``interval_merges``."""
+    from big_ann_spark.operators.ranged import add_value_bins, bin_prefix_table
+
+    b = add_value_bins(intervals, "begin", n_bins)
+    w_loc = Window.partitionBy("_bin").orderBy("begin", "end")
+    carry = bin_prefix_table(b, {"bmax": (F.max("end"), "max")})
+    df = b.join(F.broadcast(carry), "_bin", "left")
+    local_prev = F.max("end").over(w_loc.rowsBetween(Window.unboundedPreceding, -1))
+    prev_max = F.greatest(local_prev, F.col("_pfx_bmax"))
+    flagged = df
+    for name, cmp_gap in variants.items():
+        flagged = flagged.withColumn(
+            f"_ni_{name}",
+            F.when(prev_max.isNull() | cmp_gap(F.col("begin"), prev_max), 1).otherwise(0),
+        )
+    offsets = bin_prefix_table(
+        flagged,
+        {f"nf_{name}": (F.sum(f"_ni_{name}"), "sum") for name in variants},
+    )
+    with_off = flagged.join(F.broadcast(offsets), "_bin", "left")
+    outs = []
+    for name in variants:
+        island = (
+            F.sum(f"_ni_{name}").over(w_loc.rowsBetween(Window.unboundedPreceding, 0))
+            + F.coalesce(F.col(f"_pfx_nf_{name}"), F.lit(0.0))
+        )
+        outs.append(
+            with_off.withColumn("_island", island)
+            .groupBy("_island")
+            .agg(
+                F.min("begin").alias("begin"),
+                F.max("end").alias("end"),
+                F.count("*").alias("n"),
+            )
+            .select(F.lit(name).alias("variant"), "begin", "end", "n")
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
 def merge_equals(intervals: DataFrame, data_agg: Column | None = None) -> DataFrame:
     """Merge identical ranges — ``merge_equals`` (``intervaltree.py:
     710-769``)."""

@@ -85,19 +85,20 @@ def interval_merges(spark, sf_dir):
     (``:770-845``), and merge identical ranges (``:710-769``) — each
     via the gaps-and-islands window, tagged (variant, begin, end, n)."""
     ivs = _intervals(spark, sf_dir).select("begin", "end")
-    ov = iv.merge_overlaps(
-        ivs, strict=True, data_agg=F.count("*").alias("n"), ranged=True
-    ).select(F.lit("merge_overlaps").alias("variant"), "begin", "end", "n")
-    nb = iv.merge_neighbors(
-        ivs, distance=3, data_agg=F.count("*").alias("n"), ranged=True
-    ).select(F.lit("merge_neighbors").alias("variant"), "begin", "end", "n")
+    merged = iv.merge_islands_multi(
+        ivs,
+        {
+            "merge_overlaps": lambda b, m: b >= m,  # strict=True gap rule
+            "merge_neighbors": lambda b, m: b > m + 3,
+        },
+    )
     eq = (
         _intervals(spark, sf_dir)
         .groupBy("begin", "end")
         .agg(F.count("*").alias("n"))
         .select(F.lit("merge_equals").alias("variant"), "begin", "end", "n")
     )
-    return ov.unionByName(nb).unionByName(eq)
+    return merged.unionByName(eq)
 
 
 @register(

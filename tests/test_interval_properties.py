@@ -155,3 +155,21 @@ def test_ranged_ks_equivalence(spark, sf_dir):
     g = ks_two_sample(v, ranged=False).collect()[0]["ks_stat"]
     r = ks_two_sample(v, ranged=True, n_bins=13).collect()[0]["ks_stat"]
     assert g == r
+
+
+def test_merge_islands_multi_matches_singles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_ann_spark.operators import intervals as iv
+    from big_ann_spark.queries.interval_queries import _intervals
+
+    ivs = _intervals(spark, sf_dir).select("begin", "end")
+    multi = iv.merge_islands_multi(
+        ivs,
+        {"ov": lambda b, m: b >= m, "nb": lambda b, m: b > m + 3},
+        n_bins=7,
+    )
+    ov = iv.merge_overlaps(ivs, strict=True, data_agg=F.count("*").alias("n"))
+    nb = iv.merge_neighbors(ivs, distance=3, data_agg=F.count("*").alias("n"))
+    assert _sorted_rows(multi.filter(F.col("variant") == "ov").drop("variant")) == _sorted_rows(ov)
+    assert _sorted_rows(multi.filter(F.col("variant") == "nb").drop("variant")) == _sorted_rows(nb)
