@@ -187,6 +187,50 @@ def write_sharded(
 
 # --------------------------------------------------------------- KANNDI
 
+def nearest_admitting_seed(remaining: DataFrame, seeds: DataFrame, d: float) -> DataFrame:
+    """One KANNDI round's point→seed selection as a ZERO-exchange
+    projection (VERDICT r2 #1): the S seeds collapse to one broadcast
+    array row; per point, candidates = struct(pin, dist, shard_id) per
+    seed, filtered to admitting (dist ≤ d, or the seed's own row —
+    pin=0 ranks a seed first into its own shard), argmin via
+    ``array_min``. Struct comparison is field-ordered, so the winner
+    matches a rank-1 window over ((id≠seed) asc, dist asc, shard_id
+    asc) exactly — without hash-exchanging the N×S scored rows by
+    point id every round. Points with no admitting seed are dropped
+    (they stay in the remainder). Plan-pinned zero-exchange in
+    tests/test_plans.py."""
+    seeds_arr = seeds.agg(
+        F.collect_list(
+            F.struct(
+                F.col("shard_id").alias("_sid"),
+                F.col("seed_id").alias("_sed"),
+                F.col("seed_vec").alias("_sv"),
+            )
+        ).alias("_seeds")
+    )
+    cands = F.transform(
+        F.col("_seeds"),
+        lambda s: F.struct(
+            (F.col("id") != s["_sed"]).cast("int").alias("pin"),
+            l2_distance(F.col("vec"), s["_sv"]).alias("dist"),
+            s["_sid"].alias("shard_id"),
+        ),
+    )
+    admitting = F.filter(
+        cands, lambda c: (c["dist"] <= F.lit(d)) | (c["pin"] == 0)
+    )
+    return (
+        remaining.crossJoin(F.broadcast(seeds_arr))
+        .select("id", F.array_min(admitting).alias("_b"))
+        .filter(F.col("_b").isNotNull())
+        .select(
+            "id",
+            F.col("_b")["dist"].alias("dist"),
+            F.col("_b")["shard_id"].alias("shard_id"),
+        )
+    )
+
+
 @dataclass
 class KanndiResult:
     assignments: DataFrame  # (id, shard_id, dist)  shard_id -2 = special
@@ -219,11 +263,12 @@ def kanndi_shard(
 
     Each round opens ``seeds_per_round`` shards at once (the reference
     also fills many shards per batch pass): S seeds = first S unassigned
-    ids → one broadcast distance join against all S → each point goes
-    to its NEAREST admitting seed (argmin, seeds pinned to their own
-    shard) → per-shard capacity cap (W5: row_number over distance ≤
-    capacity) → anti-join. ⌈M/S⌉ rounds of bounded DataFrame jobs, no
-    per-point Python loop. Exact output equality with the reference is
+    ids → ``nearest_admitting_seed`` (a zero-exchange broadcast-argmin
+    projection — the assign_to_centroids pattern; seeds pinned to their
+    own shard) → per-shard capacity cap (W5: row_number over distance ≤
+    capacity — the ONE genuinely-windowed step, bounded by capacity) →
+    anti-join. ⌈M/S⌉ rounds of bounded DataFrame jobs, no per-point
+    Python loop, one exchange per round instead of three. Exact output equality with the reference is
     impossible (its admission depends on scan order); invariants +
     routing recall are the contract (SURVEY §7.5).
     """
@@ -248,25 +293,7 @@ def kanndi_shard(
             [(next_shard + i, r["id"], r["vec"]) for i, r in enumerate(seed_rows)],
             "shard_id int, seed_id long, seed_vec array<float>",
         )
-        scored = remaining.crossJoin(F.broadcast(seeds)).select(
-            "id",
-            "shard_id",
-            "seed_id",
-            l2_distance("vec", "seed_vec").alias("dist"),
-        )
-        eligible = scored.filter(
-            (F.col("dist") <= d) | (F.col("id") == F.col("seed_id"))
-        )
-        # nearest admitting seed per point; a seed is pinned to its own
-        # shard (rank seeds' self-rows first regardless of other seeds)
-        w_pt = Window.partitionBy("id").orderBy(
-            (F.col("id") != F.col("seed_id")).cast("int"), "dist", "shard_id"
-        )
-        best = (
-            eligible.withColumn("_pr", F.row_number().over(w_pt))
-            .filter(F.col("_pr") == 1)
-            .drop("_pr", "seed_id")
-        )
+        best = nearest_admitting_seed(remaining, seeds, d)
         w_cap = Window.partitionBy("shard_id").orderBy("dist", "id")
         admitted_all = (
             best.withColumn("_rn", F.row_number().over(w_cap))

@@ -66,10 +66,18 @@ def prepare_foreign_session(spark: SparkSession) -> None:
       ignore AQE and otherwise inherit a foreign session's default 200
       state partitions.
 
-    Idempotent and cheap; every registered query calls it first.
+    Runs ONCE per session: repeated calls are a single attribute check
+    (per-query py4j conf round-trips would otherwise tax every cheap
+    query). Prior conf values are snapshotted on the session object and
+    an owner can undo every mutation with ``restore_session_confs`` —
+    the courtesy contract for mutating an externally owned session.
+    ``spark.sql.shuffle.partitions`` is only overridden when it still
+    holds Spark's out-of-the-box 200 (an owner-tuned value wins).
     """
+    if getattr(spark, "_big_ann_prepared", False):
+        return
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    for key, val in {
+    wanted = {
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -77,11 +85,24 @@ def prepare_foreign_session(spark: SparkSession) -> None:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.shuffle.partitions": str(int(cpus)),
-    }.items():
+    }
+    backup: dict[str, str | None] = {}
+    for key, val in wanted.items():
+        try:
+            cur = spark.conf.get(key, None)
+        except Exception:
+            cur = None
+        if key == "spark.sql.shuffle.partitions" and cur not in (None, "200"):
+            continue  # respect an owner-tuned parallelism
+        if cur == val:
+            continue
         try:
             spark.conf.set(key, val)
+            backup[key] = cur
         except Exception:
             pass  # conf may be locked; proceed with the session's value
+    spark._big_ann_conf_backup = backup
+    spark._big_ann_prepared = True
 
     sc = spark.sparkContext
     if getattr(sc, "_big_ann_pyfile_added", False):
@@ -100,3 +121,22 @@ def prepare_foreign_session(spark: SparkSession) -> None:
                     z.write(full, rel)
     sc.addPyFile(zpath)
     sc._big_ann_pyfile_added = True
+
+
+def restore_session_confs(spark: SparkSession) -> None:
+    """Undo every conf mutation ``prepare_foreign_session`` made on this
+    session (values it found already-correct were never touched). A
+    session owner embedding this engine calls it after the engine's
+    queries finish collecting — not between building a DataFrame and
+    collecting it, since nanosAsLong/timeZone must hold at execution."""
+    backup = getattr(spark, "_big_ann_conf_backup", None) or {}
+    for key, old in backup.items():
+        try:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        except Exception:
+            pass
+    spark._big_ann_conf_backup = {}
+    spark._big_ann_prepared = False

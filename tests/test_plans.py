@@ -90,6 +90,33 @@ def test_centroid_assignment_zero_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning" not in after_bcast
 
 
+def test_kanndi_round_selection_zero_exchange(spark, sf_dir):
+    """nearest_admitting_seed (the per-round KANNDI point→seed pick)
+    must be broadcast + projection only (VERDICT r2 #1): no Window, no
+    hash exchange of the N×S scored rows — only the capacity cap may
+    shuffle, and it lives outside this operator."""
+    from big_ann_spark.catalog import load_table
+    from big_ann_spark.operators import sharding as SH
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    seed_rows = pts.orderBy("id").limit(3).collect()
+    seeds = spark.createDataFrame(
+        [(i, r["id"], r["vec"]) for i, r in enumerate(seed_rows)],
+        "shard_id int, seed_id long, seed_vec array<float>",
+    )
+    best = SH.nearest_admitting_seed(pts, seeds, d=1e9)
+    plan = _plan(best)
+    after_bcast = plan.split("BroadcastExchange")[0]
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in after_bcast
+    # semantics: with an infinite threshold every point lands somewhere,
+    # and each seed lands in its own shard
+    assert best.count() == pts.count()
+    own = {r["shard_id"] for r in best.join(seeds, best.id == seeds.seed_id).select(best.shard_id).collect()}
+    assert own == {0, 1, 2}
+
+
 def test_routing_zero_exchange(spark, sf_dir):
     """route_queries must be broadcast + projection only (VERDICT r1 §4
     second half): no Exchange of the Q x M scored rows, no Window."""
