@@ -64,6 +64,32 @@ def test_impls_agree(spark, sf_dir):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_arrow_knn_broadcasts_query_matrix(spark, sf_dir, monkeypatch):
+    """The arrow impl must ship the query matrix as ONE sc.broadcast
+    variable (torrent-distributed per executor), not a per-task closure
+    pickle (VERDICT r2 #4). Pins: exactly one broadcast() call carrying
+    the (qids, qmat) tuple, and unchanged results."""
+    import pyspark
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    calls = []
+    orig = pyspark.SparkContext.broadcast
+
+    def counting(self, value):
+        calls.append(value)
+        return orig(self, value)
+
+    monkeypatch.setattr(pyspark.SparkContext, "broadcast", counting)
+    out = exact_knn(
+        queries, emb, k=5, query_id="vec_id", query_vec="embedding",
+        base_id="vec_id", base_vec="embedding", impl="arrow",
+    ).collect()
+    assert len(out) == 15
+    mats = [v for v in calls if isinstance(v, tuple) and isinstance(v[1], np.ndarray)]
+    assert len(mats) == 1 and mats[0][1].shape == (3, 64)
+
+
 def test_median_pairwise_matches_numpy(spark, sf_dir, emb_np):
     ids, mat = emb_np
     sub = mat[:60]
