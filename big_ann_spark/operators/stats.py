@@ -125,6 +125,12 @@ def ks_two_sample(
         F.count(F.when(F.col(grp_col) == 0, 1)).cast("double").alias("n0"),
         F.count(F.when(F.col(grp_col) == 1, 1)).cast("double").alias("n1"),
     ).collect()[0]
+    if not counts["n0"] or not counts["n1"]:
+        # an empty side would silently divide to null downstream
+        raise ValueError(
+            f"ks_two_sample: both groups must be non-empty "
+            f"(n0={int(counts['n0'])}, n1={int(counts['n1'])})"
+        )
     is0 = F.when(F.col(grp_col) == 0, 1).otherwise(0)
     is1 = F.when(F.col(grp_col) == 1, 1).otherwise(0)
     if ranged:
@@ -156,14 +162,36 @@ def ks_two_sample(
     )
 
 
-def ks_matrix(emb: DataFrame, dims: int, *, vec_col: str = "embedding") -> DataFrame:
+def ks_matrix(
+    emb: DataFrame,
+    dims: int,
+    *,
+    vec_col: str = "embedding",
+    ranged: bool = True,
+    n_bins: int = 64,
+) -> DataFrame:
     """A10 at scale: two-sample KS statistic for every dimension pair
     (i < j). The reference runs d²/2 sequential scipy calls under a
-    100k-row assert (``komolgorovsmirnov.py:84,90-113``); here each
-    pair is an independent Arrow group task: explode once, self-join
-    the tiny per-dim arrays? No — each task receives both dims' values
-    via a pair-tagged union, so the shuffle is 2·N·d_pairs rows of
-    (pair, val, side) and no task holds more than 2N values."""
+    100k-row assert (``komolgorovsmirnov.py:84,90-113``).
+
+    ``ranged=True`` (default, VERDICT r2 #2): fully declarative
+    (pair, bin)-partitioned ECDF — NO task ever materializes a whole
+    dimension pair (the cliff the reference's 100k assert guards):
+
+    1. tagged union (pair, val, side) — 2·N·d_pairs rows, one scan;
+    2. value bins per pair from broadcast per-dim min/max (bin ids are
+       monotone in the value, so all rows in earlier bins precede all
+       rows in later bins in the value order);
+    3. per-(pair, bin) running counts via a RANGE window (ties count
+       correctly), partition size N/n_bins — bounded;
+    4. carry-in per (pair, bin): exclusive prefix over the per-bin
+       totals table (pairs × n_bins rows — a window over ≤ n_bins rows
+       per pair), broadcast-joined back;
+    5. D = max |c0/n0 − c1/n1| per pair.
+
+    Counts are integers, so the statistic is bit-identical to the
+    ``ranged=False`` Arrow form (kept as the small-d fast path: one
+    task per pair, each holding both dims' full arrays)."""
     pairs = [(i, j) for i in range(dims) for j in range(dims) if i < j]
     spark = emb.sparkSession
     pair_df = spark.createDataFrame(pairs, "pos_i int, pos_j int")
@@ -176,24 +204,87 @@ def ks_matrix(emb: DataFrame, dims: int, *, vec_col: str = "embedding") -> DataF
     )
     tagged = left.unionByName(right)
 
-    def ks(pdf: pd.DataFrame) -> pd.DataFrame:
-        a = np.sort(pdf.loc[pdf["side"] == 0, "val"].to_numpy())
-        b = np.sort(pdf.loc[pdf["side"] == 1, "val"].to_numpy())
-        allv = np.concatenate([a, b])
-        ca = np.searchsorted(a, allv, side="right") / len(a)
-        cb = np.searchsorted(b, allv, side="right") / len(b)
-        d_stat = float(np.max(np.abs(ca - cb)))
-        return pd.DataFrame(
-            {
-                "pos_i": [pdf["pos_i"].iloc[0]],
-                "pos_j": [pdf["pos_j"].iloc[0]],
-                "ks_stat": [d_stat],
-            }
+    if not ranged:
+        def ks(pdf: pd.DataFrame) -> pd.DataFrame:
+            a = np.sort(pdf.loc[pdf["side"] == 0, "val"].to_numpy())
+            b = np.sort(pdf.loc[pdf["side"] == 1, "val"].to_numpy())
+            allv = np.concatenate([a, b])
+            ca = np.searchsorted(a, allv, side="right") / len(a)
+            cb = np.searchsorted(b, allv, side="right") / len(b)
+            d_stat = float(np.max(np.abs(ca - cb)))
+            return pd.DataFrame(
+                {
+                    "pos_i": [pdf["pos_i"].iloc[0]],
+                    "pos_j": [pdf["pos_j"].iloc[0]],
+                    "ks_stat": [d_stat],
+                }
+            )
+
+        return tagged.groupBy("pos_i", "pos_j").applyInPandas(
+            ks, schema="pos_i int, pos_j int, ks_stat double"
         )
 
-    return tagged.groupBy("pos_i", "pos_j").applyInPandas(
-        ks, schema="pos_i int, pos_j int, ks_stat double"
+    from pyspark.sql import Window
+
+    # per-dim min/max (d rows, driver-side) → per-pair value range
+    mm = {
+        r["pos"]: (r["mn"], r["mx"])
+        for r in d.groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()
+    }
+    bounds = spark.createDataFrame(
+        [
+            (i, j, min(mm[i][0], mm[j][0]), max(mm[i][1], mm[j][1]))
+            for i, j in pairs
+        ],
+        "pos_i int, pos_j int, _mn double, _mx double",
     )
+    b = tagged.join(F.broadcast(bounds), ["pos_i", "pos_j"])
+    width = (F.col("_mx") - F.col("_mn")) / n_bins
+    raw_bin = F.floor((F.col("val") - F.col("_mn")) / width).cast("int")
+    binned = b.withColumn(
+        "_bin",
+        F.when(
+            F.col("_mx") == F.col("_mn"), F.lit(0)
+        ).otherwise(F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1))),
+    ).drop("_mn", "_mx")
+
+    is0 = F.when(F.col("side") == 0, 1).otherwise(0)
+    is1 = F.when(F.col("side") == 1, 1).otherwise(0)
+    # per-(pair, bin) totals: tiny table, windows over ≤ n_bins rows
+    totals = binned.groupBy("pos_i", "pos_j", "_bin").agg(
+        F.sum(is0).alias("_t0"), F.sum(is1).alias("_t1")
+    )
+    w_pfx = (
+        Window.partitionBy("pos_i", "pos_j")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("pos_i", "pos_j")
+    carry = totals.select(
+        "pos_i",
+        "pos_j",
+        "_bin",
+        F.coalesce(F.sum("_t0").over(w_pfx), F.lit(0)).alias("_pfx0"),
+        F.coalesce(F.sum("_t1").over(w_pfx), F.lit(0)).alias("_pfx1"),
+        F.sum("_t0").over(w_tot).alias("_n0"),
+        F.sum("_t1").over(w_tot).alias("_n1"),
+    )
+    w_loc = (
+        Window.partitionBy("pos_i", "pos_j", "_bin")
+        .orderBy("val")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    e = binned.join(F.broadcast(carry), ["pos_i", "pos_j", "_bin"]).select(
+        "pos_i",
+        "pos_j",
+        F.abs(
+            (F.sum(is0).over(w_loc) + F.col("_pfx0")) / F.col("_n0")
+            - (F.sum(is1).over(w_loc) + F.col("_pfx1")) / F.col("_n1")
+        ).alias("_d"),
+    )
+    return e.groupBy("pos_i", "pos_j").agg(F.max("_d").alias("ks_stat"))
 
 
 def buddy_order(weights: np.ndarray) -> list[int]:

@@ -58,6 +58,47 @@ def test_ks_matrix_agrees_with_single_pair_query(spark, sf_dir):
     assert abs(mat[(0, 1)] - single) < 1e-9
 
 
+def test_ks_matrix_ranged_bitwise_matches_arrow(spark, sf_dir):
+    """The (pair, bin)-partitioned form (no task holds a full pair —
+    VERDICT r2 #2) must be bit-identical to the per-pair Arrow form:
+    counts are integers, divisions share operands."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {
+        (r["pos_i"], r["pos_j"]): r["ks_stat"]
+        for r in ks_matrix(emb, dims=4, ranged=True, n_bins=16).collect()
+    }
+    b = {
+        (r["pos_i"], r["pos_j"]): r["ks_stat"]
+        for r in ks_matrix(emb, dims=4, ranged=False).collect()
+    }
+    assert a == b and len(a) == 6
+
+
+def test_ks_matrix_ranged_plan_has_no_per_pair_window(spark, sf_dir):
+    """Scale pin: every Window in the ranged plan is partitioned by
+    (pair, bin) or runs over the tiny per-bin totals table — never a
+    sort of a full pair's 2N values in one partition. The giveaway of
+    the old shape was an applyInPandas (FlatMapGroupsInPandas) over
+    (pos_i, pos_j) groups; the ranged plan must contain no Python
+    evaluation at all."""
+    from big_ann_spark.plans import executed_plan as _plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(ks_matrix(emb, dims=3, ranged=True))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_ks_two_sample_raises_on_empty_group(spark):
+    import pytest as _pytest
+
+    from big_ann_spark.operators.stats import ks_two_sample
+
+    v = spark.createDataFrame([(1.0, 0), (2.0, 0)], "x double, grp int")
+    with _pytest.raises(ValueError, match="non-empty"):
+        ks_two_sample(v)
+
+
 def test_buddy_order_is_permutation_and_greedy():
     w = np.array(
         [
