@@ -128,3 +128,19 @@ def to_solr_vector(a: Column | str) -> Column:
     c = F.col(a) if isinstance(a, str) else a
     indexed = F.transform(c, lambda x, i: F.concat_ws("|", (i + 1).cast("string"), x.cast("string")))
     return F.array_join(indexed, " ")
+
+
+def lcg_planes(n_planes: int, dim: int, *, state: int = 88172645463325252) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): a fixed LCG
+    (public Numerical Recipes constants) so every engine — Spark plans,
+    tests, and the DuckDB oracle (which embeds the values as literals) —
+    sees the exact same planes. Shared by operators.ann.lsh_bucket_search
+    and operators.dedup.embedding_lsh_near_dup_pairs."""
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 1664525 + 1013904223) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes

@@ -139,16 +139,9 @@ def lsh_bucket_search(
     granularity. Deterministic planes (seeded LCG) so results are
     reproducible."""
     if seed_planes is None:
-        # deterministic pseudo-random planes from a fixed LCG — public
-        # standard constants (Numerical Recipes LCG)
-        state = 88172645463325252
-        planes = []
-        for _ in range(n_planes):
-            row = []
-            for _ in range(dim):
-                state = (state * 1664525 + 1013904223) % (1 << 63)
-                row.append((state / float(1 << 63)) * 2.0 - 1.0)
-            planes.append(row)
+        from big_ann_spark.functions.vector import lcg_planes
+
+        planes = lcg_planes(n_planes, dim)
     else:
         planes = seed_planes
 

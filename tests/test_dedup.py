@@ -83,3 +83,32 @@ def test_simhash_near_pairs_blocking(spark):
     out = D.simhash_near_pairs(_corpus(spark), max_hamming=10)
     got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
     assert {(0, 100), (1, 101), (2, 102), (3, 103)} <= got
+
+
+def test_embedding_lsh_near_dup_matches_brute_force(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup (the bucketed 100 TB path,
+    VERDICT r2 #3): at 16 bands x 3 rows the candidate pass recovers
+    every brute-force pair on the fixture, verification is exact, and
+    the plan joins by hash — no nested-loop cross product."""
+    from big_ann_spark.catalog import load_table
+    from big_ann_spark.plans import executed_plan as _plan
+
+    e = load_table(spark, sf_dir, "embeddings")
+    brute = {(r[0], r[1]) for r in D.embedding_near_dup_pairs(e, threshold=0.45).collect()}
+    lsh_df = D.embedding_lsh_near_dup_pairs(e, threshold=0.45)
+    lsh = {(r[0], r[1]) for r in lsh_df.collect()}
+    assert lsh == brute and len(brute) > 0
+    plan = _plan(lsh_df)
+    assert "NestedLoop" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_embedding_lsh_band_signatures_shape(spark, sf_dir):
+    from big_ann_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    sigs = D.embedding_lsh_band_signatures(e, n_bands=4, rows_per_band=2)
+    assert sigs.count() == 4 * n
+    rng = sigs.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    assert 0 <= rng[0] and rng[1] <= 3  # 2 rows/band -> buckets in [0, 3]
