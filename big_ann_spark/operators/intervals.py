@@ -183,7 +183,7 @@ def _merge_islands(
         with_off = flagged.join(F.broadcast(offsets), "_bin", "left")
         island = (
             F.sum("_new_island").over(w_loc.rowsBetween(Window.unboundedPreceding, 0))
-            + F.coalesce(F.col("_pfx_nf"), F.lit(0.0))
+            + F.coalesce(F.col("_pfx_nf"), F.lit(0))
         )
         return (
             with_off.withColumn("_island", island)
@@ -284,7 +284,7 @@ def merge_islands_multi(
     for name in variants:
         island = (
             F.sum(f"_ni_{name}").over(w_loc.rowsBetween(Window.unboundedPreceding, 0))
-            + F.coalesce(F.col(f"_pfx_nf_{name}"), F.lit(0.0))
+            + F.coalesce(F.col(f"_pfx_nf_{name}"), F.lit(0))
         )
         outs.append(
             with_off.withColumn("_island", island)
@@ -337,9 +337,9 @@ def split_overlaps(
             bb.join(F.broadcast(carry), "_bin", "left")
             .select(
                 F.col("b").alias("s_begin"),
-                F.coalesce(
-                    F.lead("b").over(w_loc).cast("double"), F.col("_next_min")
-                ).cast(bounds.schema["b"].dataType).alias("s_end"),
+                # _next_min carries b's own type (ADVICE r2) — no double
+                # round-trip that could shift segment edges above 2^53
+                F.coalesce(F.lead("b").over(w_loc), F.col("_next_min")).alias("s_end"),
             )
             .filter(F.col("s_end").isNotNull())
         )
@@ -435,7 +435,7 @@ def ids_to_intervals(
         b = add_value_bins(ids, id_col, n_bins)
         carry = bin_prefix_table(b, {"cnt": (F.count("*"), "sum")})
         w_loc = Window.partitionBy("_bin").orderBy(id_col)
-        rn = F.row_number().over(w_loc) + F.coalesce(F.col("_pfx_cnt"), F.lit(0.0))
+        rn = F.row_number().over(w_loc) + F.coalesce(F.col("_pfx_cnt"), F.lit(0))
         grp = (F.col(id_col) - rn).alias("_grp")
         return (
             b.join(F.broadcast(carry), "_bin", "left")

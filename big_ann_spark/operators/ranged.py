@@ -19,8 +19,10 @@ way:
 
 The per-bin summary is O(n_bins) — driver-side prefix math over ≤ a
 few hundred values, no global WindowExec anywhere in the plan. Results
-are value-identical to the global-window form (integer counts / exact
-max carries), pinned by equivalence tests.
+are value-identical to the global-window form: carries keep the source
+column's Spark type (exact Python-int arithmetic for integral columns
+across the full int64 domain — ADVICE r2), pinned by equivalence tests
+including > 2^53 nanosecond-epoch values.
 """
 
 from __future__ import annotations
@@ -40,13 +42,24 @@ def add_value_bins(
     ordering that leads with ``col``.
 
     The min/max pre-pass is a tiny 2-aggregate job; at scale it reads
-    little more than parquet column stats."""
+    little more than parquet column stats.
+
+    Integral columns bin on the EXACT long offset ``col - mn`` (cast to
+    double only after the subtraction): values clustered above 2^53 —
+    e.g. nanosecond epochs — have float(mx) == float(mn) even when they
+    span many distinct longs, which the naive double form turns into a
+    zero bin width."""
     row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
     mn, mx = row["mn"], row["mx"]
     if mn is None or mx is None or mx == mn:
         return df.withColumn("_bin", F.lit(0))
-    width = (float(mx) - float(mn)) / n_bins
-    b = F.floor((F.col(col).cast("double") - float(mn)) / width).cast("int")
+    if isinstance(mn, int):
+        width = (mx - mn) / n_bins  # exact int span -> double
+        delta = (F.col(col) - F.lit(mn)).cast("double")
+    else:
+        width = (float(mx) - float(mn)) / n_bins
+        delta = F.col(col).cast("double") - float(mn)
+    b = F.floor(delta / width).cast("int")
     b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
     return df.withColumn("_bin", b)
 
@@ -66,37 +79,50 @@ def bin_prefix_table(
     bin" carry that a boundary ``lead`` needs).
 
     The summary is ≤ n_bins rows; the scan runs on the driver and the
-    result is broadcast — no global window in any plan."""
+    result is broadcast — no global window in any plan.
+
+    Carry columns keep the summary's OWN Spark types (ADVICE r2): an
+    int64 carry (counts, epoch-nanos maxima) is accumulated with exact
+    Python int arithmetic and lands in a bigint column — never
+    round-tripped through double, which silently loses precision above
+    2^53 and would break the "value-identical to the global-window
+    form" contract for nanosecond timestamps."""
     spark = binned.sparkSession
-    rows = sorted(
-        binned.groupBy("_bin")
-        .agg(*[col.alias(name) for name, (col, _k) in aggs.items()])
-        .collect(),
-        key=lambda r: r["_bin"],
+    summary = binned.groupBy("_bin").agg(
+        *[col.alias(name) for name, (col, _k) in aggs.items()]
     )
+    types = {f.name: f.dataType.simpleString() for f in summary.schema.fields}
+    integral = {
+        n for n, t in types.items() if t in ("tinyint", "smallint", "int", "bigint")
+    }
+    conv = {n: (int if n in integral else float) for n in types if n != "_bin"}
+    rows = sorted(summary.collect(), key=lambda r: r["_bin"])
     names = list(aggs)
     out_rows: list[tuple] = []
-    carry: dict[str, float | None] = {
-        name: (0.0 if kind == "sum" else None) for name, (_c, kind) in aggs.items()
+    carry: dict[str, int | float | None] = {
+        name: (conv[name](0) if kind == "sum" else None)
+        for name, (_c, kind) in aggs.items()
     }
     for r in rows:
         out_rows.append((r["_bin"], *[carry[n] for n in names]))
         for name, (_c, kind) in aggs.items():
             v = r[name]
             if kind == "sum":
-                carry[name] = carry[name] + float(v or 0)
+                carry[name] = carry[name] + conv[name](v or 0)
             elif v is not None:
                 cur = carry[name]
-                carry[name] = float(v) if cur is None else max(cur, float(v))
-    schema = ["_bin int"] + [f"_pfx_{n} double" for n in names]
+                v = conv[name](v)
+                carry[name] = v if cur is None else max(cur, v)
+    schema = ["_bin int"] + [f"_pfx_{n} {types[n]}" for n in names]
     if next_min_of is not None:
-        nxt: dict[int, float | None] = {}
-        running: float | None = None
+        nxt: dict[int, int | float | None] = {}
+        running: int | float | None = None
         for r in reversed(rows):
             nxt[r["_bin"]] = running
             v = r[next_min_of]
             if v is not None:
-                running = float(v) if running is None else min(running, float(v))
+                v = conv[next_min_of](v)
+                running = v if running is None else min(running, v)
         out_rows = [(*row, nxt[row[0]]) for row in out_rows]
-        schema.append("_next_min double")
+        schema.append(f"_next_min {types[next_min_of]}")
     return spark.createDataFrame(out_rows, ", ".join(schema))

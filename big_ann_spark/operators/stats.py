@@ -146,8 +146,8 @@ def ks_two_sample(
             .rangeBetween(Window.unboundedPreceding, 0)
         )
         e = b.join(F.broadcast(carry), "_bin", "left").select(
-            (F.sum(is0).over(w_loc) + F.coalesce(F.col("_pfx_c0"), F.lit(0.0))).alias("c0"),
-            (F.sum(is1).over(w_loc) + F.coalesce(F.col("_pfx_c1"), F.lit(0.0))).alias("c1"),
+            (F.sum(is0).over(w_loc) + F.coalesce(F.col("_pfx_c0"), F.lit(0))).alias("c0"),
+            (F.sum(is1).over(w_loc) + F.coalesce(F.col("_pfx_c1"), F.lit(0))).alias("c1"),
         )
     else:
         w = Window.orderBy(x_col).rangeBetween(Window.unboundedPreceding, 0)

@@ -173,3 +173,40 @@ def test_merge_islands_multi_matches_singles(spark, sf_dir):
     nb = iv.merge_neighbors(ivs, distance=3, data_agg=F.count("*").alias("n"))
     assert _sorted_rows(multi.filter(F.col("variant") == "ov").drop("variant")) == _sorted_rows(ov)
     assert _sorted_rows(multi.filter(F.col("variant") == "nb").drop("variant")) == _sorted_rows(nb)
+
+
+def test_ranged_carries_exact_above_2_53(spark):
+    """ADVICE r2: carries must keep int64 exactness above 2^53 —
+    nanosecond-epoch intervals. The old double carries collapsed
+    adjacent odd/even boundaries and silently merged distinct islands;
+    typed carries must agree with the global-window form exactly."""
+    from big_ann_spark.operators.intervals import merge_overlaps, split_overlaps
+
+    base = (1 << 60) + 1  # far beyond 2^53; +1 not representable in double
+    rows = []
+    for i in range(40):
+        b = base + i * 7
+        rows.append((b, b + 3))          # islands of width 3, gap 4
+        rows.append((b + 1, b + 2))      # nested — merges into the island
+    df = spark.createDataFrame(rows, "begin long, end long")
+
+    for fn in (
+        lambda d, r: merge_overlaps(d, ranged=r, n_bins=8),
+        lambda d, r: split_overlaps(d, ranged=r, n_bins=8),
+    ):
+        want = sorted(map(tuple, fn(df, False).collect()))
+        got = sorted(map(tuple, fn(df, True).collect()))
+        assert got == want
+        # every boundary must still be exactly representable
+        assert all(isinstance(v, int) for t in got for v in t[:2])
+
+
+def test_ranged_ids_to_intervals_exact_above_2_53(spark):
+    from big_ann_spark.operators.intervals import ids_to_intervals
+
+    base = (1 << 60) + 1
+    ids = [base + i for i in range(10)] + [base + 100 + i for i in range(5)]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    want = sorted(map(tuple, ids_to_intervals(df, id_col="id", ranged=False).collect()))
+    got = sorted(map(tuple, ids_to_intervals(df, id_col="id", ranged=True, n_bins=4).collect()))
+    assert got == want == [(base, base + 9), (base + 100, base + 104)]
