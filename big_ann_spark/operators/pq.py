@@ -213,3 +213,109 @@ def ivf_pq_search(
     return top_k_per_group(
         cands, ["qid"], [F.col("adc_dist").asc(), F.col("neighbor_id").asc()], k
     )
+
+
+# ------------------------------------------------------------- BuddyPQ
+
+def permute_dims(df: DataFrame, order: list[int], *, vec_col: str = "embedding") -> DataFrame:
+    """P2: reorder a vector column's dimensions by ``order`` (a pure
+    projection — ``array(element_at(v, order[0]+1), ...)``)."""
+    v = F.col(vec_col)
+    permuted = F.array(*[F.element_at(v, i + 1) for i in order])
+    return df.withColumn(vec_col, permuted)
+
+
+def blended_buddy_order(emb: DataFrame, dims: int, *, vec_col: str = "embedding") -> list[int]:
+    """The reference's blended buddy-dimension ordering
+    (``network_blended.py:79-106``): weight matrix A = multicollinearity
+    (VIF = inverse correlation, ``multicollinearity.py:96-97``) +
+    (1 − two-sample KS per dim pair), then the greedy highest-edge
+    buddy walk (stats.buddy_order). Dimensions that are mutually
+    predictive end up adjacent, so a contiguous PQ subspace split puts
+    correlated dims in the same codebook — the reorder that feeds
+    BuddyPQ below."""
+    import numpy as np
+
+    from big_ann_spark.operators.stats import buddy_order, ks_matrix, vif_matrix
+
+    vif = vif_matrix(emb, dims, vec_col=vec_col)
+    K = np.zeros((dims, dims))
+    for r in ks_matrix(emb, dims, vec_col=vec_col).collect():
+        K[r["pos_i"], r["pos_j"]] = K[r["pos_j"], r["pos_i"]] = r["ks_stat"]
+    A = vif + (1.0 - K)
+    return buddy_order(A)
+
+
+def buddy_pq_recall_ab(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    dims: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    order: list[int] | None = None,
+) -> dict:
+    """BuddyPQ end-to-end A/B (the reference's headline composition,
+    ``README.md:5-7``: buddy reorder feeding PQ "improves Recall@10 by
+    12%"): train/encode/ADC-search PQ twice — once on raw dimension
+    order, once on the blended buddy order — and score both against
+    exact kNN ground truth. Returns ``{"order", "plain_recall",
+    "buddy_recall"}``. The permutation is a pure projection on both
+    sides (distances are permutation-invariant, so ground truth is
+    computed once on raw vectors)."""
+    from big_ann_spark.operators.knn import exact_knn, recall_at_k
+
+    if order is None:
+        order = blended_buddy_order(emb, dims, vec_col=vec_col)
+    exact = exact_knn(
+        queries, emb, k=k, query_id=query_id, query_vec=query_vec,
+        base_id=id_col, base_vec=vec_col, impl="sql",
+    ).select("qid", "neighbor_id")
+
+    def adc_recall(base: DataFrame, qs: DataFrame) -> float:
+        books = train_pq(base, m=m, k=k_codes, vec_col=vec_col, dim=dims)
+        codes = pq_encode(base, books, id_col=id_col, vec_col=vec_col)
+        found = pq_adc_search(qs, codes, books, k=k, query_id=query_id, query_vec=query_vec)
+        r = recall_at_k(
+            found.select(F.col(query_id).alias("qid"), "neighbor_id"),
+            exact,
+            k,
+        ).collect()[0][0]
+        return float(r)
+
+    plain = adc_recall(emb, queries)
+    emb_p = permute_dims(emb, order, vec_col=vec_col)
+    q_p = permute_dims(queries, order, vec_col=query_vec)
+    buddy = adc_recall(emb_p, q_p)
+    return {"order": order, "plain_recall": plain, "buddy_recall": buddy}
+
+
+def correlation_injected_view(
+    emb: DataFrame, *, vec_col: str = "embedding", n_pairs: int = 8, mix: float = 0.9
+) -> DataFrame:
+    """Deterministic 2·n_pairs-dim correlation-injected view of an
+    embedding table: dims 0..n_pairs−1 pass through; dim n_pairs+j =
+    mix·dim(j) + (1−mix)·dim(n_pairs+j). This synthesizes the
+    inter-dimension correlation structure BuddyPQ exploits — the
+    driver's synthetic blobs have none (mean |off-diag r| ≈ 0.04, so
+    no ordering can beat raw there) — while keeping each correlated
+    pair (j, n_pairs+j) maximally separated in raw order, so a
+    contiguous PQ subspace split always cuts it and the buddy reorder
+    always heals it. Pure projection; same id column."""
+    v = F.col(vec_col)
+    mixed = F.array(
+        *(
+            [F.element_at(v, j + 1) for j in range(n_pairs)]
+            + [
+                F.element_at(v, j - n_pairs + 1) * mix
+                + F.element_at(v, j + 1) * (1.0 - mix)
+                for j in range(n_pairs, 2 * n_pairs)
+            ]
+        )
+    )
+    return emb.withColumn(vec_col, mixed.cast("array<double>"))

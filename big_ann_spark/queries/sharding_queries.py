@@ -283,6 +283,17 @@ def pipeline_invariants(spark, sf_dir):
     - ``fbin``: S1-S5 source coverage — embeddings → local .fbin
       (header + float32 rows) → distributed binaryFile+mapInPandas
       re-ingest → roundtrip equality counts.
+    - ``buddy_pq``: the reference's headline BuddyPQ composition
+      (``README.md:5-7``: buddy dimension reorder feeding PQ "improves
+      Recall@10 by 12%") run end-to-end — blended VIF+(1−KS) buddy
+      order → dimension permutation → per-subspace PQ train/encode →
+      ADC search — A/B against unpermuted PQ on the
+      correlation-injected view (the raw blobs have no inter-dim
+      correlation, mean |r| ≈ 0.04, so no ordering can beat raw on
+      them; the injected view separates each correlated pair so a
+      contiguous split always cuts it). Row: k1=dims, k2=n_queries,
+      v1=buddy recall, v2=plain recall — v1 ≥ v2 is the reference
+      claim, asserted in tests/test_pq.py (+11% here).
     Schema: (variant, k1, k2, v1, v2) — scalar columns only."""
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -353,4 +364,24 @@ def pipeline_invariants(spark, sf_dir):
         F.lit(float(dim)).alias("v2"),
     )
 
-    return kanndi.unionByName(lsh).unionByName(fbin)
+    from big_ann_spark.operators import pq as PQ
+
+    ec = PQ.correlation_injected_view(emb)
+    qs = ec.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ab = PQ.buddy_pq_recall_ab(ec, qs, dims=16, m=4, k_codes=16, k=10)
+    buddy = spark.createDataFrame(
+        [
+            (
+                "buddy_pq",
+                16,
+                qs.count(),
+                round(ab["buddy_recall"], 6),
+                round(ab["plain_recall"], 6),
+            )
+        ],
+        "variant string, k1 long, k2 long, v1 double, v2 double",
+    )
+
+    return kanndi.unionByName(lsh).unionByName(fbin).unionByName(buddy)

@@ -99,3 +99,34 @@ def test_ivf_pq_recall(spark, trained):
         .join(probed, ["qid", "shard_id"], "leftsemi")
     )
     assert joined.count() == approx.count()
+
+
+def test_buddy_pq_beats_plain_pq_on_correlated_dims(spark):
+    """The reference's headline composition (README.md:5-7 — buddy
+    reorder feeding PQ lifts Recall@10 ~12%): on the correlation-
+    injected view (each correlated pair split across subspaces in raw
+    order), blended buddy ordering must (a) place every injected pair
+    (j, j+8) adjacent and (b) raise ADC recall vs unpermuted PQ."""
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    ec = PQ.correlation_injected_view(e)
+    order = PQ.blended_buddy_order(ec, 16)
+    assert sorted(order) == list(range(16))
+    pos = {d: i for i, d in enumerate(order)}
+    # the greedy walk emits up to 2 neighbors per node, so a noisy
+    # second-best edge can displace one pair — require most adjacent
+    adjacent = sum(1 for j in range(8) if abs(pos[j] - pos[j + 8]) == 1)
+    assert adjacent >= 6, (adjacent, order)
+    q = ec.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ab = PQ.buddy_pq_recall_ab(ec, q, dims=16, m=4, k_codes=16, k=10, order=order)
+    assert ab["buddy_recall"] > ab["plain_recall"], ab
+
+
+def test_permute_dims_roundtrip(spark):
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(5)
+    order = list(range(63, -1, -1))
+    back = PQ.permute_dims(PQ.permute_dims(e, order), order)
+    a = [r["embedding"] for r in e.orderBy("vec_id").collect()]
+    b = [r["embedding"] for r in back.orderBy("vec_id").collect()]
+    assert a == b
