@@ -30,10 +30,24 @@ def test_streaming_sessions_equal_batch(spark, sf_dir):
 
 
 def test_streaming_dedup(spark, sf_dir):
+    """dropDuplicatesWithinWatermark under availableNow must converge
+    to the batch dropDuplicates VALUES, not just the count (each
+    event_id is unique in the fixture, so the kept row is
+    deterministic)."""
     stream = EV.dedup_events(EV.read_event_stream(spark, sf_dir))
     out = EV.run_to_memory(stream, "t_dedup", output_mode="append")
-    n = load_table(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
-    assert out.count() == n
+    batch = EV.dedup_events(load_table(spark, sf_dir, "events"))
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    batch = EV.sliding_counts(load_table(spark, sf_dir, "events"))
+    stream = EV.run_to_memory(
+        EV.sliding_counts(EV.read_event_stream(spark, sf_dir)), "t_sliding"
+    )
+    cols = ["window_start", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
 
 
 def test_stream_stream_join_equals_batch(spark, sf_dir):
