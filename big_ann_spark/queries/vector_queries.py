@@ -81,15 +81,34 @@ def knn_exact_arrow(spark, sf_dir):
     """J1+W1 scale path: mapInPandas partial top-k — each partition
     emits only Q×k rows after a numpy BLAS distance block against the
     broadcast query matrix (fixes the reference's O(Q×S) Python loop,
-    ``recall.py:36-46``). Shares the exact-kNN oracle: BLAS float64
-    distances differ from the fold only at ~1e-12, far below the
-    ROUND(·, 6) contract, and local ties now break on neighbor id."""
+    ``recall.py:36-46``).
+
+    Oracle bit-parity without float luck (ADVICE r2): the BLAS pass
+    only nominates a candidate superset (k+5 per query — BLAS vs fold
+    distances differ at ~1e-12, so the true top-10 is inside it);
+    the PROJECTED distances and final ranks are then recomputed with
+    the exact same left-to-right fold the DuckDB oracle runs. Nothing
+    hashed depends on BLAS summation order, so ROUND(·, 6) can never
+    straddle a boundary differently across engines. This is also the
+    standard candidates→exact-re-rank serving shape (cf. pq_adc_search
+    re-ranking note)."""
+    from big_ann_spark.functions.vector import l2_distance
+    from big_ann_spark.operators.topk import top_k_per_group
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    out = exact_knn(
-        queries, emb, k=10, metric="l2",
+    cand = exact_knn(
+        queries, emb, k=15, metric="l2",
         query_id="vec_id", query_vec="embedding",
         base_id="vec_id", base_vec="embedding", impl="arrow",
+    ).select("qid", "neighbor_id")
+    qv = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("_qv"))
+    bv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_bv"))
+    rescored = bv.join(F.broadcast(cand.join(F.broadcast(qv), "qid")), "neighbor_id").select(
+        "qid", "neighbor_id", l2_distance("_qv", "_bv").alias("dist")
+    )
+    out = top_k_per_group(
+        rescored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 10
     )
     return out.select("qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
 
