@@ -577,22 +577,51 @@ def scalar_summaries(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    def row(variant, metric, value):
-        return (variant, metric, float(value))
+    def melt(agg_df, triples):
+        """1-row aggregate → (variant, metric, value) rows, lazily."""
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(v).alias("variant"),
+                    F.lit(m).alias("metric"),
+                    F.col(col).cast("double").alias("value"),
+                )
+                for v, m, col in triples
+            ]
+        )
+        return agg_df.select(F.explode(arr).alias("r")).select(
+            "r.variant", "r.metric", "r.value"
+        )
 
-    rows = [
-        row("semi_anti", "n_with_orders", c.join(o, c.c_custkey == o.o_custkey, "leftsemi").count()),
-        row("semi_anti", "n_without_orders", c.join(o, c.c_custkey == o.o_custkey, "leftanti").count()),
+    # every scalar is an aggregate BRANCH of one unioned plan — no
+    # .collect() stitching (VERDICT r2 #5): the branches execute
+    # concurrently inside a single job instead of serial driver jobs
+    branches = [
+        melt(
+            c.join(o, c.c_custkey == o.o_custkey, "leftsemi").agg(F.count("*").alias("v")),
+            [("semi_anti", "n_with_orders", "v")],
+        ),
+        melt(
+            c.join(o, c.c_custkey == o.o_custkey, "leftanti").agg(F.count("*").alias("v")),
+            [("semi_anti", "n_without_orders", "v")],
+        ),
     ]
     a = p.filter(F.col("p_size") > 25).select("p_type")
     b = p.filter(F.col("p_retailprice") > 1500).select("p_type")
-    rows += [
-        row("set_ops", "n_intersect", a.intersect(b).count()),
-        row("set_ops", "n_except", a.subtract(b).count()),
-        row("set_ops", "n_union", a.union(b).distinct().count()),
+    branches += [
+        melt(a.intersect(b).agg(F.count("*").alias("v")), [("set_ops", "n_intersect", "v")]),
+        melt(a.subtract(b).agg(F.count("*").alias("v")), [("set_ops", "n_except", "v")]),
+        melt(
+            a.union(b).distinct().agg(F.count("*").alias("v")),
+            [("set_ops", "n_union", "v")],
+        ),
     ]
-    q6 = _q6_forecast_revenue(spark, sf_dir).collect()[0]
-    rows += [row("q6", "revenue", q6["revenue"]), row("q6", "n_lines", q6["n_lines"])]
+    branches.append(
+        melt(
+            _q6_forecast_revenue(spark, sf_dir),
+            [("q6", "revenue", "revenue"), ("q6", "n_lines", "n_lines")],
+        )
+    )
     pa = l.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
     q17 = (
         l.join(pa, "l_partkey")
@@ -601,40 +630,55 @@ def scalar_summaries(spark, sf_dir):
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
             F.count("*").alias("n_lines"),
         )
-        .collect()[0]
     )
-    rows += [
-        row("q17", "avg_yearly", q17["avg_yearly"]),
-        row("q17", "n_lines", q17["n_lines"]),
-    ]
+    branches.append(
+        melt(q17, [("q17", "avg_yearly", "avg_yearly"), ("q17", "n_lines", "n_lines")])
+    )
     d = l.agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_orders"),
-    ).collect()[0]
-    rows += [
-        row("distinct", "n_parts", d["n_parts"]),
-        row("distinct", "n_supps", d["n_supps"]),
-        row("distinct", "n_orders", d["n_orders"]),
-        row("approx_distinct", "parts_within_10pct",
-            1.0 if abs(d["a_parts"] - d["n_parts"]) <= 0.1 * d["n_parts"] else 0.0),
-        row("approx_distinct", "orders_within_10pct",
-            1.0 if abs(d["a_orders"] - d["n_orders"]) <= 0.1 * d["n_orders"] else 0.0),
-    ]
-    pre = (
-        emb.filter(F.col("vec_id") < 100)
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.round(F.avg(F.col("embedding")[0].cast("double")), 6).alias("mean_d0"),
-            F.round(F.var_pop(F.col("embedding")[0].cast("double")), 6).alias("var_d0"),
-        )
-        .collect()[0]
+    ).select(
+        "n_parts",
+        "n_supps",
+        "n_orders",
+        F.when(
+            F.abs(F.col("a_parts") - F.col("n_parts")) <= 0.1 * F.col("n_parts"), 1.0
+        ).otherwise(0.0).alias("parts_ok"),
+        F.when(
+            F.abs(F.col("a_orders") - F.col("n_orders")) <= 0.1 * F.col("n_orders"), 1.0
+        ).otherwise(0.0).alias("orders_ok"),
     )
-    rows += [
-        row("prefix_sample", "n_rows", pre["n_rows"]),
-        row("prefix_sample", "mean_d0", pre["mean_d0"]),
-        row("prefix_sample", "var_d0", pre["var_d0"]),
-    ]
-    return spark.createDataFrame(rows, "variant string, metric string, value double")
+    branches.append(
+        melt(
+            d,
+            [
+                ("distinct", "n_parts", "n_parts"),
+                ("distinct", "n_supps", "n_supps"),
+                ("distinct", "n_orders", "n_orders"),
+                ("approx_distinct", "parts_within_10pct", "parts_ok"),
+                ("approx_distinct", "orders_within_10pct", "orders_ok"),
+            ],
+        )
+    )
+    pre = emb.filter(F.col("vec_id") < 100).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg(F.col("embedding")[0].cast("double")), 6).alias("mean_d0"),
+        F.round(F.var_pop(F.col("embedding")[0].cast("double")), 6).alias("var_d0"),
+    )
+    branches.append(
+        melt(
+            pre,
+            [
+                ("prefix_sample", "n_rows", "n_rows"),
+                ("prefix_sample", "mean_d0", "mean_d0"),
+                ("prefix_sample", "var_d0", "var_d0"),
+            ],
+        )
+    )
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
+    return out
