@@ -271,10 +271,15 @@ def grouped_joins(spark, sf_dir):
     n_ = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
+    # broadcast hints ONLY on true dims (nation/region — fixed-size).
+    # customer/supplier/part scale with SF: a hard F.broadcast(c) is a
+    # 100 TB OOM (measured: at 10× the 150k-row customer broadcast
+    # overflowed a default driver heap); the autoBroadcast threshold
+    # keeps broadcasting them while they fit and shuffles beyond.
     q5 = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n_), c.c_nationkey == n_.n_nationkey)
         .join(F.broadcast(r), n_.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -294,7 +299,7 @@ def grouped_joins(spark, sf_dir):
         F.col("p_size").isin(5, 10, 15, 20) & (F.col("p_brand") != "Brand#1")
     )
     q16 = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("n"))
         .select(

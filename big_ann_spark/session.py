@@ -45,6 +45,13 @@ def get_spark(app_name: str = "big-ann-spark", *, shuffle_partitions: int | None
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
+        # local mode = ONE JVM doing driver + all 32 executor threads;
+        # Java's default heap (1 GiB) OOMs the first ≥64 MiB broadcast
+        # build at 10× data (measured: grouped_joins at /tmp/sf1x).
+        # Cluster deployments size this via spark-submit instead.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

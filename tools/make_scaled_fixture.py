@@ -53,6 +53,14 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/sf1x")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--dedup-free",
+        action="store_true",
+        help="document copies get a per-copy deterministic word shuffle "
+        "(shared shingles ≈ 0) instead of a trailing token — separates "
+        "size-driven scaling from dup-cluster-driven scaling for the "
+        "Σdf² inverted-index queries",
+    )
     args = ap.parse_args()
 
     spark = get_spark("make-scaled-fixture")
@@ -93,14 +101,34 @@ def main() -> None:
         .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} SECONDS")),
     ).write.mode("overwrite").parquet(f"{dst}/events.parquet")
 
-    _union_copies(
-        t["documents"], n,
-        lambda df, i: df.withColumn("doc_id", F.col("doc_id") + i * dk)
-        .withColumn(
-            "text",
-            F.col("text") if i == 0 else F.concat(F.col("text"), F.lit(f" copytok{i}")),
-        ),
-    ).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    def doc_copy(df, i):
+        df = df.withColumn("doc_id", F.col("doc_id") + i * dk)
+        if i == 0:
+            return df
+        if args.dedup_free:
+            # deterministic per-copy word shuffle: order words by
+            # xxhash64(word, copy) — trigram shingle overlap with the
+            # original collapses to ~0, so copies are NOT near-dups
+            shuffled = F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda w: F.struct(
+                                F.xxhash64(w, F.lit(i)).alias("h"), w.alias("w")
+                            ),
+                        )
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+            return df.withColumn("text", shuffled)
+        return df.withColumn("text", F.concat(F.col("text"), F.lit(f" copytok{i}")))
+
+    _union_copies(t["documents"], n, doc_copy).write.mode("overwrite").parquet(
+        f"{dst}/documents.parquet"
+    )
 
     _union_copies(
         t["embeddings"], n,
