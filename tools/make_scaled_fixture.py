@@ -56,10 +56,11 @@ def main() -> None:
     ap.add_argument(
         "--dedup-free",
         action="store_true",
-        help="document copies get a per-copy deterministic word shuffle "
-        "(shared shingles ≈ 0) instead of a trailing token — separates "
-        "size-driven scaling from dup-cluster-driven scaling for the "
-        "Σdf² inverted-index queries",
+        help="document copies get a per-copy suffix on EVERY word "
+        "(shared shingles across copies = 0, per-copy df distribution "
+        "unchanged) instead of a trailing token — separates size-driven "
+        "scaling from dup-cluster-driven scaling for the Σdf² "
+        "inverted-index queries",
     )
     args = ap.parse_args()
 
@@ -106,24 +107,22 @@ def main() -> None:
         if i == 0:
             return df
         if args.dedup_free:
-            # deterministic per-copy word shuffle: order words by
-            # xxhash64(word, copy) — trigram shingle overlap with the
-            # original collapses to ~0, so copies are NOT near-dups
-            shuffled = F.array_join(
+            # tag every word with the copy index: copy i's shingles can
+            # only collide with other copy-i docs, so the per-shingle df
+            # distribution matches the original corpus exactly and total
+            # Σdf² grows linearly with the factor. (A word SHUFFLE does
+            # NOT work here: random word orders over the small synthetic
+            # vocabulary produce trigrams that collide pathologically
+            # ACROSS unrelated docs, inflating df instead of keeping it
+            # constant.)
+            tagged = F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.transform(
-                            F.split("text", " "),
-                            lambda w: F.struct(
-                                F.xxhash64(w, F.lit(i)).alias("h"), w.alias("w")
-                            ),
-                        )
-                    ),
-                    lambda s: s["w"],
+                    F.split("text", " "),
+                    lambda w: F.concat(w, F.lit(f"_{i}")),
                 ),
                 " ",
             )
-            return df.withColumn("text", shuffled)
+            return df.withColumn("text", tagged)
         return df.withColumn("text", F.concat(F.col("text"), F.lit(f" copytok{i}")))
 
     _union_copies(t["documents"], n, doc_copy).write.mode("overwrite").parquet(
