@@ -294,6 +294,15 @@ def pipeline_invariants(spark, sf_dir):
       contiguous split always cuts it). Row: k1=dims, k2=n_queries,
       v1=buddy recall, v2=plain recall — v1 ≥ v2 is the reference
       claim, asserted in tests/test_pq.py (+11% here).
+    - ``opq``: OPQ (Ge et al. CVPR 2013) — a LEARNED orthogonal
+      rotation feeding PQ, strictly generalizing BuddyPQ's permutation
+      (permutation matrices ⊂ orthogonal matrices); trained by
+      driver-side alternating minimization on a bounded sample,
+      applied at scale as one Arrow-batched matmul
+      (pq.rotate_vectors). Row: k1=dims, k2=n_queries, v1=opq recall,
+      v2=plain recall — v1 ≥ v2 on the same injected view, and OPQ's
+      same-trainer distortion is monotone-better by construction
+      (tests/test_pq.py).
     Schema: (variant, k1, k2, v1, v2) — scalar columns only."""
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -384,4 +393,25 @@ def pipeline_invariants(spark, sf_dir):
         "variant string, k1 long, k2 long, v1 double, v2 double",
     )
 
-    return kanndi.unionByName(lsh).unionByName(fbin).unionByName(buddy)
+    ab_opq = PQ.opq_recall_ab(
+        ec, qs, dims=16, m=4, k_codes=16, k=10, sample_size=500
+    )
+    opq = spark.createDataFrame(
+        [
+            (
+                "opq",
+                16,
+                qs.count(),
+                round(ab_opq["opq_recall"], 6),
+                round(ab_opq["plain_recall"], 6),
+            )
+        ],
+        "variant string, k1 long, k2 long, v1 double, v2 double",
+    )
+
+    return (
+        kanndi.unionByName(lsh)
+        .unionByName(fbin)
+        .unionByName(buddy)
+        .unionByName(opq)
+    )

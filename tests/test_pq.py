@@ -123,6 +123,59 @@ def test_buddy_pq_beats_plain_pq_on_correlated_dims(spark):
     assert ab["buddy_recall"] > ab["plain_recall"], ab
 
 
+def test_opq_rotation_orthogonal_and_monotone(spark):
+    """train_opq must return an orthogonal R, and its distortion must
+    not exceed the same-trainer R=I (plain PQ) distortion — guaranteed
+    by construction (warm-started Lloyd + Procrustes, both
+    non-increasing)."""
+    import numpy as np
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    R, books, plain_mse, opq_mse = PQ.train_opq(
+        e, m=4, k=16, dim=64, sample_size=500, n_iter=4, kmeans_iter=4
+    )
+    Rm = np.asarray(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(64), atol=1e-8)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    assert opq_mse <= plain_mse + 1e-9, (plain_mse, opq_mse)
+
+
+def test_rotate_vectors_preserves_distances(spark):
+    """Rotation is an isometry: pairwise L2 distances must be unchanged
+    after rotate_vectors (the reason OPQ ground truth is computed once
+    on raw vectors)."""
+    import numpy as np
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(6)
+    R, *_ = PQ.train_opq(
+        e, m=4, k=4, dim=64, sample_size=6, n_iter=2, kmeans_iter=2,
+    )
+    a = np.asarray(
+        [r[0] for r in e.orderBy("vec_id").select(F.col("embedding").cast("array<double>")).collect()]
+    )
+    b = np.asarray(
+        [r[0] for r in PQ.rotate_vectors(e, R).orderBy("vec_id").select("embedding").collect()]
+    )
+    da = np.linalg.norm(a[:, None, :] - a[None, :, :], axis=2)
+    db = np.linalg.norm(b[:, None, :] - b[None, :, :], axis=2)
+    assert np.allclose(da, db, atol=1e-9)
+
+
+def test_opq_beats_plain_pq_on_correlated_dims(spark):
+    """OPQ extension (Ge et al. CVPR 2013 — learned rotation feeding
+    PQ, strictly generalizing BuddyPQ's permutation): on the
+    correlation-injected view the learned rotation must raise ADC
+    recall vs unpermuted PQ and cut quantization MSE."""
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    ec = PQ.correlation_injected_view(e)
+    q = ec.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ab = PQ.opq_recall_ab(ec, q, dims=16, m=4, k_codes=16, k=10, sample_size=500)
+    assert ab["opq_recall"] > ab["plain_recall"], ab
+    assert ab["opq_mse"] < ab["plain_mse"], ab
+
+
 def test_permute_dims_roundtrip(spark):
     e = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(5)
     order = list(range(63, -1, -1))
