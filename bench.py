@@ -39,7 +39,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import re
 
-    m = re.search(r"sf([0-9.]+)", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     sf = float(m.group(1)) if m else -1.0  # -1: custom fixture dir
     from big_ann_spark.queries import load_all
     from big_ann_spark.session import get_spark

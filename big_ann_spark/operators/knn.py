@@ -68,6 +68,7 @@ def exact_knn(
     base_vec: str = "vec",
     impl: str = "arrow",
     dim: int | None = None,
+    exact_fold_rerank: bool = False,
 ) -> DataFrame:
     """Exact k-NN of every query against the base table.
 
@@ -75,10 +76,16 @@ def exact_knn(
     (distance, neighbor_id). The query side is broadcast — at target
     scale the base is the 100 TB side and must stream through executors
     exactly once.
+
+    ``exact_fold_rerank`` (arrow impl only): re-score the BLAS-nominated
+    candidates with the exact left-to-right float64 fold the sql impl /
+    DuckDB oracle use, INSIDE the same mapInPandas pass — output is then
+    bit-identical to ``impl="sql"`` with no extra join or shuffle.
     """
     if impl == "arrow":
         return _exact_knn_arrow(queries, base, k, metric=metric, query_id=query_id,
-                                query_vec=query_vec, base_id=base_id, base_vec=base_vec)
+                                query_vec=query_vec, base_id=base_id, base_vec=base_vec,
+                                exact_fold_rerank=exact_fold_rerank)
     q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("_qvec"))
     b = base.select(F.col(base_id).alias("neighbor_id"), F.col(base_vec).alias("_bvec"))
     joined = b.crossJoin(F.broadcast(q))
@@ -88,6 +95,63 @@ def exact_knn(
         _dist_expr(metric, "_qvec", "_bvec", dim).alias("dist"),
     )
     return top_k_per_group(scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k)
+
+
+def _broadcast_query_matrix(sc, qids, qmat):
+    """Session-cached ``sc.broadcast`` of the (qids, qmat) pair: repeated
+    arrow-kNN calls with the same query batch (bench loops, recall A/Bs,
+    long-lived sessions) reuse one broadcast instead of accumulating
+    blocks on executors (ADVICE r3). A tiny LRU evicts with
+    ``unpersist()`` — safe even if a stale plan re-reads an evicted
+    broadcast, Spark re-ships it on demand."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(str(qmat.shape).encode())
+    h.update(qids.tobytes())
+    h.update(qmat.tobytes())
+    key = h.digest()
+    cache = getattr(sc, "_big_ann_query_bc", None)
+    if cache is None:
+        cache = {}
+        sc._big_ann_query_bc = cache
+    bc = cache.pop(key, None)
+    if bc is None:
+        bc = sc.broadcast((qids, qmat))
+    cache[key] = bc  # re-insert refreshes LRU position
+    while len(cache) > 4:
+        cache.pop(next(iter(cache))).unpersist()
+    return bc
+
+
+def _exact_fold_l2(qv, bmat, *, sqrt):
+    """Vectorized left-to-right fold: acc += (q_i − b_i)² in dimension
+    order — every candidate's accumulator sees the identical addition
+    sequence as the scalar ``F.aggregate`` fold / DuckDB list_sum, so
+    results are bit-equal to ``impl="sql"`` (numpy's pairwise-summing
+    ``.sum()`` would not be)."""
+    import numpy as np
+
+    acc = np.zeros(bmat.shape[0])
+    for i in range(bmat.shape[1]):
+        dv = qv[i] - bmat[:, i]
+        acc += dv * dv
+    return np.sqrt(acc) if sqrt else acc
+
+
+def _exact_fold_cosine_dist(qv, bmat):
+    """1 − dot/(|q||b|) with every sum a left-to-right fold (matches
+    functions.vector.cosine_similarity bit-for-bit)."""
+    import numpy as np
+
+    dot = np.zeros(bmat.shape[0])
+    bnorm2 = np.zeros(bmat.shape[0])
+    qnorm2 = 0.0
+    for i in range(bmat.shape[1]):
+        dot += qv[i] * bmat[:, i]
+        bnorm2 += bmat[:, i] * bmat[:, i]
+        qnorm2 += qv[i] * qv[i]
+    return 1.0 - dot / (np.sqrt(qnorm2) * np.sqrt(bnorm2))
 
 
 def _exact_knn_arrow(
@@ -100,19 +164,29 @@ def _exact_knn_arrow(
     query_vec: str,
     base_id: str,
     base_vec: str,
+    exact_fold_rerank: bool = False,
+    rerank_margin: int = 5,
 ) -> DataFrame:
     """mapInPandas partial top-k (see module docstring). Queries are
     collected to the driver (they are the small side by contract) and
     shipped to executors as an explicit ``sc.broadcast`` variable —
     torrent-distributed once per executor, NOT re-pickled into every
     task closure (VERDICT r2 #4: at a realistic 10k–1M query batch the
-    closure copy per task dominates)."""
+    closure copy per task dominates).
+
+    With ``exact_fold_rerank`` the BLAS pass only NOMINATES a candidate
+    superset (local top k+margin — BLAS vs fold differ at ~1e-12, far
+    inside the margin) and the projected distances are recomputed with
+    the exact sequential fold before emission. The re-rank is fused into
+    the same task (VERDICT r3 #8): no candidate⋈vectors join, no extra
+    broadcast of Q×k vector payloads (ADVICE r3 medium)."""
     import numpy as np
 
     qrows = queries.select(query_id, query_vec).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    bc = queries.sparkSession.sparkContext.broadcast((qids, qmat))
+    bc = _broadcast_query_matrix(queries.sparkSession.sparkContext, qids, qmat)
+    n_cand = k + rerank_margin if exact_fold_rerank else k
 
     schema = "qid long, neighbor_id long, dist double"
 
@@ -138,7 +212,7 @@ def _exact_knn_arrow(
                 d = 1.0 - qn @ bn.T
             else:
                 raise ValueError(metric)
-            kk = min(k, d.shape[1])
+            kk = min(n_cand, d.shape[1])
             # local top-k with ties at the k-th distance broken by
             # neighbor id (argpartition alone keeps an arbitrary member
             # of a tie group, which can disagree with impl="sql")
@@ -150,9 +224,18 @@ def _exact_knn_arrow(
                 cand = np.flatnonzero(row <= thresh)
                 order = np.lexsort((ids[cand], row[cand]))[:kk]
                 sel = cand[order]
-                out_q_list.append(np.full(kk, qids[qi], dtype=np.int64))
+                if exact_fold_rerank:
+                    if metric in ("l2", "sq_l2"):
+                        dists = _exact_fold_l2(
+                            qmat[qi], mat[sel], sqrt=(metric == "l2")
+                        )
+                    else:
+                        dists = _exact_fold_cosine_dist(qmat[qi], mat[sel])
+                else:
+                    dists = row[sel]
+                out_q_list.append(np.full(len(sel), qids[qi], dtype=np.int64))
                 out_n_list.append(ids[sel])
-                out_d_list.append(row[sel])
+                out_d_list.append(dists)
             yield pd.DataFrame(
                 {
                     "qid": np.concatenate(out_q_list),
@@ -162,12 +245,10 @@ def _exact_knn_arrow(
             )
 
     partial = base.select(base_id, base_vec).mapInPandas(part_topk, schema=schema)
-    # final merge: at most partitions × Q × k rows reach this window
-    final = top_k_per_group(partial, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k)
-    # recompute distance exactly as the sql impl does (fold-left double sum)
-    # is unnecessary: BLAS float64 differs only at ~1e-12; callers that
-    # need bit-parity with the oracle use impl="sql".
-    return final
+    # final merge: at most partitions × Q × (k+margin) rows reach this
+    # window; with exact_fold_rerank the dists are already fold-exact so
+    # the global top-k is bit-identical to impl="sql"
+    return top_k_per_group(partial, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k)
 
 
 def distance_threshold_join(

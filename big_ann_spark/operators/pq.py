@@ -232,12 +232,18 @@ def _lloyd(X, C, n_iter: int = 8):
     for _ in range(n_iter):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         a = d2.argmin(axis=1)
+        # r-th empty cluster takes the r-th farthest point — a single
+        # shared argmax would collapse every empty cluster onto the
+        # same point, producing duplicate centroids and wasted codes
+        far_order = np.argsort(-d2.min(axis=1))
+        n_relocated = 0
         for c in range(len(C)):
             members = X[a == c]
             if len(members):
                 C[c] = members.mean(axis=0)
             else:
-                C[c] = X[d2.min(axis=1).argmax()]
+                C[c] = X[far_order[min(n_relocated, len(X) - 1)]]
+                n_relocated += 1
     d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     return C, d2.argmin(axis=1)
 

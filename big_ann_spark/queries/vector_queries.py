@@ -86,29 +86,25 @@ def knn_exact_arrow(spark, sf_dir):
     Oracle bit-parity without float luck (ADVICE r2): the BLAS pass
     only nominates a candidate superset (k+5 per query — BLAS vs fold
     distances differ at ~1e-12, so the true top-10 is inside it);
-    the PROJECTED distances and final ranks are then recomputed with
-    the exact same left-to-right fold the DuckDB oracle runs. Nothing
-    hashed depends on BLAS summation order, so ROUND(·, 6) can never
-    straddle a boundary differently across engines. This is also the
-    standard candidates→exact-re-rank serving shape (cf. pq_adc_search
-    re-ranking note)."""
-    from big_ann_spark.functions.vector import l2_distance
-    from big_ann_spark.operators.topk import top_k_per_group
+    the candidate distances are then recomputed with the exact same
+    left-to-right fold the DuckDB oracle runs. Nothing hashed depends
+    on BLAS summation order, so ROUND(·, 6) can never straddle a
+    boundary differently across engines.
 
+    The re-rank is FUSED into the partial-top-k task (VERDICT r3 #8 /
+    ADVICE r3 medium): the exact fold runs on the k+5 candidates inside
+    ``part_topk`` against the already-broadcast query matrix — the
+    earlier cand⋈qv broadcast join shipped Q×15 rows each carrying a
+    full query vector, a payload that grows past Spark's broadcast
+    limit at a realistic 10k–1M query batch. Now nothing but the
+    O(partitions×Q×k) id/dist rows moves."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    cand = exact_knn(
-        queries, emb, k=15, metric="l2",
+    out = exact_knn(
+        queries, emb, k=10, metric="l2",
         query_id="vec_id", query_vec="embedding",
         base_id="vec_id", base_vec="embedding", impl="arrow",
-    ).select("qid", "neighbor_id")
-    qv = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("_qv"))
-    bv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_bv"))
-    rescored = bv.join(F.broadcast(cand.join(F.broadcast(qv), "qid")), "neighbor_id").select(
-        "qid", "neighbor_id", l2_distance("_qv", "_bv").alias("dist")
-    )
-    out = top_k_per_group(
-        rescored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 10
+        exact_fold_rerank=True,
     )
     return out.select("qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
 

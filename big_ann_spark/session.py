@@ -17,6 +17,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(32g, half of detected system RAM) — a hardcoded 32g fails or
+    thrashes on smaller hosts. Note the value only matters when this
+    call actually LAUNCHES the JVM: if a py4j gateway already exists
+    (any prior SparkSession in the process), driver-memory conf is
+    silently ignored — callers owning memory-sensitive workloads must
+    create the session first."""
+    try:
+        gib = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+        return f"{max(1, min(32, int(gib * 0.5)))}g"
+    except (ValueError, OSError, AttributeError):
+        return "32g"
+
+
 def get_spark(app_name: str = "big-ann-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
@@ -50,7 +64,8 @@ def get_spark(app_name: str = "big-ann-spark", *, shuffle_partitions: int | None
         # build at 10× data (measured: grouped_joins at /tmp/sf1x).
         # Cluster deployments size this via spark-submit instead.
         builder = builder.config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
