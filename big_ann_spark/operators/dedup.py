@@ -363,8 +363,13 @@ def simhash64(
     n_bits: int = 64,
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit position, sum
-    ±1 weighted by token-hash bit, sign → fingerprint bit. Two staged
-    aggregations, both with map-side partials.
+    ±1 weighted by token-hash bit, sign → fingerprint bit. ONE groupBy
+    with ``n_bits`` sum aggregates (the minhash_signatures pattern):
+    map-side partials reduce each task to one n_bits-wide row per doc,
+    and the fingerprint packs sign bits in a pure projection. The
+    previous form exploded ``n_bits`` rows per token before its first
+    aggregate — ×62 pre-shuffle row inflation (VERDICT r3 #5) for the
+    same result.
 
     ``token_hash``: Column over the ``tok`` column overriding the
     default xxhash64 (the oracle-checked query passes a 62-bit
@@ -376,26 +381,22 @@ def simhash64(
     )
     h = token_hash if token_hash is not None else F.xxhash64("tok")
     th = toks.select("doc_id", h.alias("h"))
-    bits = th.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("pos"),
-        "h",
-    ).select(
-        "doc_id",
-        "pos",
-        (F.expr("shiftright(h, CAST(pos AS INT)) & 1") * 2 - 1).alias("w"),
+    sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            ).alias(f"s{i}")
+            for i in range(n_bits)
+        ]
     )
-    sums = bits.groupBy("doc_id", "pos").agg(F.sum("w").alias("s"))
-    return (
-        sums.select(
-            "doc_id",
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bit"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bit").alias("simhash"))
-    )
+    # shiftleft(1L, i) (not a 1<<i literal) so i=63 keeps Java long
+    # semantics — bit 63 lands on the sign bit exactly as before
+    fp = F.lit(0).cast("long")
+    for i in range(n_bits):
+        fp = fp + F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3, **kw) -> DataFrame:

@@ -79,6 +79,18 @@ def test_simhash_near_dups_closer_than_random(spark):
     assert max(near) < min(far), (near, far)
 
 
+def test_simhash_plan_has_single_explode(spark):
+    """VERDICT r3 #5: the per-(token, bit) explode multiplied pre-agg
+    rows ×62. The fingerprint must now reach its one aggregation
+    straight from the token explode — exactly one Generate in the
+    physical plan, and one hash aggregation pair (partial+final), not
+    two."""
+    plan = D.simhash64(_corpus(spark))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1, plan
+    # one logical aggregation = 2 HashAggregate nodes (partial + final)
+    assert plan.count("HashAggregate") == 2, plan
+
+
 def test_simhash_near_pairs_blocking(spark):
     out = D.simhash_near_pairs(_corpus(spark), max_hamming=10)
     got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
