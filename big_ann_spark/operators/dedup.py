@@ -193,6 +193,157 @@ def jaccard_similarity_pairs(
     )
 
 
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """ALL pairs with n-gram Jaccard ≥ ``threshold`` — exact, via
+    df-ordered prefix filtering (Chaudhuri et al. SSJoin / Bayardo et
+    al. All-Pairs): order each doc's shingles by ascending global
+    document frequency (shingle id as tie-break → total order), and
+    index only the first ``|A| − ⌈t·|A|⌉ + 1`` of them. Any pair with
+    J ≥ t must share at least one shingle in BOTH prefixes, so joining
+    prefix-against-prefix loses nothing; exact Jaccard then verifies
+    the candidates. Unlike ``max_doc_freq`` capping there is no
+    lower-bound caveat — output is identical to filtering
+    ``jaccard_similarity_pairs`` at the same threshold.
+
+    Scale: the inverted-index Σdf² blowup is driven by hot (high-df)
+    shingles, which the df-ascending prefix is precisely built to
+    exclude — each doc contributes its (1−t)-fraction of RAREST
+    shingles to the index. Costs over the naive index: one extra
+    df aggregation (8-byte keys) and one per-doc rank window (bounded
+    partitions — a document has bounded shingles). Verification is
+    Σ_pair(|A|+|B|), output-bound like LSH verification."""
+    from pyspark.sql.window import Window
+
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    by_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn("_rk", F.row_number().over(by_doc.orderBy("_df", "shingle")))
+        .withColumn("_n_sh", F.count("*").over(by_doc))
+    )
+    prefix = ranked.filter(
+        F.col("_rk")
+        <= F.col("_n_sh") - F.ceil(F.lit(threshold) * F.col("_n_sh")) + 1
+    ).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = jaccard_for_pairs(
+        docs, cands, id_col=id_col, text_col=text_col, n=n, shingles=sh
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def min_label_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster_rep) connected-component labels over an undirected
+    edge list (doc_a, doc_b) by iterative min-label propagation: every
+    node starts as its own label; each round takes the min of its own
+    and its neighbors' labels; fixpoint = min node id per component —
+    deterministic, so a DuckDB recursive CTE reproduces it exactly.
+
+    This is the cluster-representative dedup output (VERDICT r4 #3):
+    O(n) rows instead of the O(cluster²) verified-pair contract. Each
+    round is one join + one groupBy (8-byte keys); rounds needed =
+    graph diameter, and LSH near-dup clusters are near-cliques
+    (diameter ≈ 2), so convergence is typically 2–3 rounds — the
+    driver-side convergence check stops early, ``max_iter`` bounds the
+    pathological chain case. Lineage is truncated with localCheckpoint
+    each round so plan depth stays constant (the KANNDI pattern).
+
+    ``nodes``: optional one-column DataFrame of ALL ids; ids with no
+    edge become singleton clusters (own id). Default: ids appearing in
+    edges only."""
+    e = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if nodes is not None:
+        ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+    else:
+        ids = sym.select(F.col("src").alias("id")).distinct()
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_min_nl"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_min_nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "_old"), "id"
+            )
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "cluster_rep").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def minhash_dedup_clusters(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+    **minhash_kw,
+) -> DataFrame:
+    """(doc_id, cluster_rep) for EVERY input doc: MinHash-LSH verified
+    pairs → min-label connected components; docs in no near-dup pair
+    keep themselves as representative. The downstream dedup action is
+    then ``filter(doc_id == cluster_rep)`` — linear output however
+    large the duplicate clusters are."""
+    pairs = minhash_dedup_pairs(
+        docs, id_col=id_col, text_col=text_col, n=n, threshold=threshold,
+        **minhash_kw,
+    )
+    all_ids = docs.select(F.col(id_col).alias("doc_id"))
+    return min_label_components(pairs, all_ids, max_iter=max_iter)
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,

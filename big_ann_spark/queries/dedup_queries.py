@@ -158,8 +158,7 @@ _SHINGLE_KEY = (
     " * 1000003 + H[i+2]) % 1000000007"
 )
 
-_MINHASH_SQL = f"""
-WITH corpus AS (
+_MINHASH_CTES = f"""corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000,
@@ -195,7 +194,10 @@ j AS (SELECT c.doc_a, c.doc_b,
       FROM cand c
       LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
       JOIN sizes sa ON sa.doc_id = c.doc_a
-      JOIN sizes sb ON sb.doc_id = c.doc_b)
+      JOIN sizes sb ON sb.doc_id = c.doc_b)"""
+
+_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
 SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.3
 """
 
@@ -257,3 +259,86 @@ def simhash_fingerprints(spark, sf_dir):
         + poly_hash(F.col("tok"), 31, D.MINHASH_P)
     )
     return D.simhash64(d, token_hash=token_hash, n_bits=62)
+
+
+# ---- prefix-filtered exact near-dup: the Spark side runs the df-ordered
+# prefix-filter index (only each doc's rarest (1-t)-fraction of shingles
+# is joined); the oracle is the NAIVE full inverted index + threshold —
+# prefix filtering is exact (no lower-bound caveat), so the optimized
+# plan must reproduce the naive answer bit-for-bit.
+_PREFIX_SQL = f"""
+WITH {_MINHASH_CTES},
+jn AS (SELECT doc_a, doc_b,
+              n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM jn WHERE jaccard >= 0.5
+"""
+
+
+@register("ngram_prefix_filtered_pairs", sql=_PREFIX_SQL)
+def ngram_prefix_filtered_pairs(spark, sf_dir):
+    """Threshold-bounded exact n-gram near-dup via df-ordered prefix
+    filtering (VERDICT r4 #2): every pair with Jaccard ≥ 0.5 on the
+    corpus doubled with truncated near-copies. Only each document's
+    |A| − ⌈t·|A|⌉ + 1 globally-RAREST shingles enter the inverted-index
+    join (operators.dedup.prefix_filtered_jaccard_pairs), which removes
+    the hot-shingle Σdf² blowup while — unlike max_doc_freq capping —
+    provably missing nothing at the threshold. Oracle = naive full
+    index, so the hash check certifies exactness, not just
+    plausibility."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 3, F.lit(1))), " ").alias("text"),
+    )
+    corpus = d.union(mutated)
+    out = D.prefix_filtered_jaccard_pairs(
+        corpus, threshold=0.5, shingles=D.doc_shingle_keys(corpus)
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---- cluster-representative dedup: min-label propagation is
+# deterministic, so DuckDB reproduces it with a recursive CTE (comp
+# labels flood along edges; min over reachable = min id per component).
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+good AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+          UNION ALL
+          SELECT doc_b, doc_a FROM good),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(comp) AS cluster_rep FROM reach GROUP BY id
+"""
+
+
+@register("minhash_dedup_clusters", sql=_CLUSTERS_SQL)
+def minhash_dedup_clusters(spark, sf_dir):
+    """(doc_id, cluster_rep) for every doc in the doubled corpus
+    (VERDICT r4 #3): MinHash-LSH verified pairs ≥ 0.3 become edges,
+    min-label propagation assigns each doc the min id of its near-dup
+    component, singletons keep themselves. The dedup ACTION is then
+    ``doc_id == cluster_rep`` — O(n) output rows regardless of how
+    large the duplicate clusters grow, replacing the O(cluster²)
+    all-pairs contract at dup-heavy scale."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 3, F.lit(1))), " ").alias("text"),
+    )
+    corpus = d.union(mutated)
+    keys = D.doc_shingle_keys(corpus)
+    pairs = D.minhash_dedup_pairs(
+        corpus,
+        threshold=0.3,
+        shingle_hash=F.col("shingle"),
+        bucket_mode="slice",
+        shingles=keys,
+    )
+    return D.min_label_components(pairs, corpus.select("doc_id"))

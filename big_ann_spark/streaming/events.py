@@ -19,30 +19,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
+_EVENTS_SCHEMA_TS = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+# fixtures have shipped ts as timestamp[ns] (delivered as long nanos
+# under session.nanosAsLong) and later as timestamp[us]; keep both
+# stream schemas and pick per-file, exactly like catalog.load_table
+# branches on the delivered batch dtype.
+_EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
+EVENTS_SCHEMA = _EVENTS_SCHEMA_TS
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded read of the events table (parquet file source).
-    ``ts`` arrives as nanos (see session.nanosAsLong) → truncated to
-    microsecond timestamps exactly like the batch catalog.
+
+    The stream schema must be declared up front, so the ``ts`` physical
+    type is sniffed from the parquet footer (one driver-side metadata
+    read): s/ms/us timestamps map straight onto Spark's TimestampType;
+    timestamp[ns] (which nanosAsLong delivers as long) and plain int64
+    are read as long nanos and truncated to microseconds — the same
+    contract as the batch catalog's dtype branch (catalog.py:32).
 
     The file source requires a *directory*; the driver ships a single
-    file, so it is staged (symlinked) into a scratch directory once —
-    in production this is simply the Kafka/landing directory."""
+    file, so it is staged (symlinked) into a scratch directory — the
+    link is refreshed on every call so a regenerated fixture (possibly
+    with a different dtype) is never shadowed by a stale link. In
+    production this is simply the Kafka/landing directory."""
     import os
     import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    ts_type = pq.read_schema(src).field("ts").type
+    native_ts = pa.types.is_timestamp(ts_type) and ts_type.unit != "ns"
 
     stage = os.path.join(
         tempfile.gettempdir(), "big_ann_spark_stream", sf_dir.strip("/").replace("/", "_")
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(src, link)
+
+    if native_ts:
+        return spark.readStream.schema(_EVENTS_SCHEMA_TS).format("parquet").load(stage)
+    raw = spark.readStream.schema(_EVENTS_SCHEMA_NANOS).format("parquet").load(stage)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -124,3 +124,94 @@ def test_embedding_lsh_band_signatures_shape(spark, sf_dir):
     assert sigs.count() == 4 * n
     rng = sigs.agg(F.min("bucket"), F.max("bucket")).collect()[0]
     assert 0 <= rng[0] and rng[1] <= 3  # 2 rows/band -> buckets in [0, 3]
+
+
+def test_prefix_filtered_equals_naive_threshold(spark, sf_dir):
+    """Prefix filtering is EXACT: df-ordered prefix indexing must
+    reproduce the naive full-inverted-index answer at the threshold —
+    no missed pairs (the theorem), no extras (verification)."""
+    from big_ann_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split("text", " "),
+                1,
+                F.greatest(F.size(F.split("text", " ")) - 3, F.lit(1)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = d.union(mutated)
+    naive = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.jaccard_similarity_pairs(corpus)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.prefix_filtered_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    assert pf == naive and len(naive) > 0
+
+
+def test_min_label_components_hand_graph(spark):
+    """Chain 1-2-3, pair 10-11, singleton 99: labels converge to the
+    component min; the chain needs >1 propagation round."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "id long")
+    got = {
+        (r.doc_id, r.cluster_rep)
+        for r in D.min_label_components(edges, nodes).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (99, 99)}
+
+
+def test_minhash_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Cluster labels must be exactly the connected components of the
+    verified near-dup pairs: both endpoints of every pair share a
+    label, every label is its component's min id, and docs in no pair
+    are their own representative (recall of the pair stage itself is
+    covered by test_minhash_lsh_recall)."""
+    from big_ann_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split("text", " "),
+                1,
+                F.greatest(F.size(F.split("text", " ")) - 3, F.lit(1)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = d.union(mutated)
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_dedup_pairs(corpus, threshold=0.3).collect()
+    ]
+    labels = {
+        r.doc_id: r.cluster_rep
+        for r in D.minhash_dedup_clusters(corpus, threshold=0.3).collect()
+    }
+    assert len(labels) == corpus.count() and len(pairs) > 0
+    assert all(labels[a] == labels[b] for a, b in pairs)
+    # reference components via union-find over the same edges
+    parent = {i: i for i in labels}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert all(labels[i] == find(i) for i in labels)
