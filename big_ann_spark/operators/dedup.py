@@ -220,35 +220,87 @@ def prefix_filtered_jaccard_pairs(
     df aggregation (8-byte keys) and one per-doc rank window (bounded
     partitions — a document has bounded shingles). Verification is
     Σ_pair(|A|+|B|), output-bound like LSH verification."""
-    from pyspark.sql.window import Window
-
     sh = (
         shingles
         if shingles is not None
         else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
     )
+    # Fused build (the plan-shape that makes df-ordering nearly free):
+    # 1. global df per shingle — one agg with map-side partial counts;
+    #    its output is |distinct shingles| rows, which AQE broadcasts
+    #    back onto the shingle table while it fits (no shuffle of the
+    #    big side), falling back to a hash join beyond that.
+    # 2. ONE groupBy(doc) collecting array_sort(struct(df, shingle)) —
+    #    each doc's shingles materialize already in global df-order, so
+    #    the prefix is a pure slice() projection: no rank window, no
+    #    second shuffle of the exploded table. localCheckpoint shares
+    #    the (expensive) text->hash lineage across index + verify.
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    by_doc = Window.partitionBy("doc_id")
-    ranked = (
+    arrs = (
         sh.join(df_counts, "shingle")
-        .withColumn("_rk", F.row_number().over(by_doc.orderBy("_df", "shingle")))
-        .withColumn("_n_sh", F.count("*").over(by_doc))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+            ).alias("_ds")
+        )
+        .select(
+            "doc_id",
+            F.transform("_ds", lambda s: s["shingle"]).alias("shs"),
+        )
+        .localCheckpoint()
     )
-    prefix = ranked.filter(
-        F.col("_rk")
-        <= F.col("_n_sh") - F.ceil(F.lit(threshold) * F.col("_n_sh")) + 1
-    ).select("doc_id", "shingle")
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # prefix rows carry (pos, size) so the join can apply the ppjoin
+    # pruning filters (Xiao et al., WWW'08) — both exactness-preserving:
+    # - length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|);
+    # - positional filter: at the FIRST shared prefix shingle (global
+    #   order) every common shingle sits at positions >= (pa, pb), so
+    #   |A∩B| <= 1 + min(|A|-pa, |B|-pb), which must reach the overlap
+    #   bound alpha = ceil(t/(1+t)*(|A|+|B|)); that first-collision row
+    #   always survives the filter, so no qualifying pair is lost.
+    n_sh = F.size("shs")
+    plen = (n_sh - F.ceil(F.lit(threshold) * n_sh) + 1).cast("int")
+    prefix = arrs.select(
+        "doc_id",
+        n_sh.alias("_sz"),
+        F.posexplode(F.slice("shs", F.lit(1), plen)).alias("_pos", "shingle"),
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_sz").alias("_sza"),
+        F.col("_pos").alias("_pa"),
+        "shingle",
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_sz").alias("_szb"),
+        F.col("_pos").alias("_pb"),
+        "shingle",
+    )
+    alpha = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("_sza") + F.col("_szb"))
+    )
     cands = (
         a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("_sza", "_szb")
+                >= F.ceil(F.lit(threshold) * F.greatest("_sza", "_szb"))
+            )
+            & (
+                1
+                + F.least(
+                    F.col("_sza") - 1 - F.col("_pa"),
+                    F.col("_szb") - 1 - F.col("_pb"),
+                )
+                >= alpha
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    verified = jaccard_for_pairs(
-        docs, cands, id_col=id_col, text_col=text_col, n=n, shingles=sh
-    )
+    verified = jaccard_for_pairs(docs, cands, shingle_arrays=arrs)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -425,6 +477,28 @@ def lsh_candidate_pairs(
     )
 
 
+def doc_shingle_arrays(
+    docs: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, shs: array<...>) — each doc's distinct shingles as ONE
+    sorted array row. The array form is what pair verification wants:
+    intersections become a codegen ``array_intersect`` per pair instead
+    of an exploded join + per-pair groupBy."""
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    )
+    return sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("shs")
+    )
+
+
 def jaccard_for_pairs(
     docs: DataFrame,
     pairs: DataFrame,
@@ -433,33 +507,40 @@ def jaccard_for_pairs(
     text_col: str = "text",
     n: int = 3,
     shingles: DataFrame | None = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs —
-    the verification step after LSH candidate generation. Intersection
-    counts come from joining each side's shingles through the pair
-    list, so cost is Σ_pair (|A|+|B|), not the full inverted-index
-    blowup."""
-    sh = shingles if shingles is not None else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a").select(
-        "doc_a", "doc_b", "shingle"
+    the verification step after LSH/prefix candidate generation. Each
+    side's distinct-shingle ARRAY joins onto the pair row and the
+    intersection is a codegen ``array_intersect`` — cost Σ_pair
+    (|A|+|B|) like the exploded form, but with no per-pair groupBy and
+    ~|shingles-per-doc|× fewer join rows; on dup-heavy corpora (~10⁶
+    candidate pairs) this is the difference between minutes and
+    seconds. Pass ``shingle_arrays=doc_shingle_arrays(...)`` (ideally
+    persisted) to share the build across stages."""
+    arrs = (
+        shingle_arrays
+        if shingle_arrays is not None
+        else doc_shingle_arrays(
+            docs, id_col=id_col, text_col=text_col, n=n, shingles=shingles
+        )
     )
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        pairs.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("_sb")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
             (
-                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)))
+                inter.cast("double")
+                / (F.size("_sa") + F.size("_sb") - inter)
             ).alias("jaccard"),
         )
     )
@@ -484,22 +565,25 @@ def minhash_dedup_pairs(
     (e.g. ``doc_shingle_keys`` for 8-byte hashed keys) to replace the
     string-shingle explode in both the signature and verification
     stages."""
-    # shared lineage, deliberately NOT persisted: measured cold-run cost
-    # of materializing the cache exceeds recomputing the explode (the
-    # branches pipeline fully without the serialization barrier)
     sh = (
         shingles
         if shingles is not None
         else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
     )
+    # ONE materialized shingle pass (r5): the signature build and the
+    # pair verification both derive from the checkpointed array table,
+    # so the text->hash lineage runs once — and verification is the
+    # array_intersect form, which on dup-heavy corpora (10^6 candidate
+    # pairs) replaces an exploded-join + per-pair groupBy over ~10^8
+    # rows with one codegen projection per pair.
+    arrs = doc_shingle_arrays(shingles=sh).localCheckpoint()
+    ex = arrs.select("doc_id", F.explode("shs").alias("shingle"))
     sigs = minhash_signatures(
-        docs, id_col=id_col, text_col=text_col, n=n, shingles=sh,
+        docs, id_col=id_col, text_col=text_col, n=n, shingles=ex,
         shingle_hash=shingle_hash,
     )
     cands = lsh_candidate_pairs(sigs, bucket_mode=bucket_mode)
-    verified = jaccard_for_pairs(
-        docs, cands, id_col=id_col, text_col=text_col, n=n, shingles=sh
-    )
+    verified = jaccard_for_pairs(docs, cands, shingle_arrays=arrs)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
     )

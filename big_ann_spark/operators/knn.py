@@ -69,6 +69,7 @@ def exact_knn(
     impl: str = "arrow",
     dim: int | None = None,
     exact_fold_rerank: bool = False,
+    rerank_margin: int = 5,
 ) -> DataFrame:
     """Exact k-NN of every query against the base table.
 
@@ -81,11 +82,20 @@ def exact_knn(
     candidates with the exact left-to-right float64 fold the sql impl /
     DuckDB oracle use, INSIDE the same mapInPandas pass — output is then
     bit-identical to ``impl="sql"`` with no extra join or shuffle.
-    """
+    ``rerank_margin`` is how many candidates beyond k each partition
+    nominates for that re-score: bit-parity needs every true fold-top-k
+    row inside the BLAS nomination set, so on duplicate-heavy or highly
+    clustered data — where more than ``rerank_margin`` candidates can
+    sit within the BLAS-vs-fold error (~1e-12) of the k-th distance —
+    widen the margin (cost is linear and small: (k+margin) rows folded
+    per partition). ``impl="sql"`` computes the fold directly and
+    ignores both knobs (it is already fold-exact; there is nothing to
+    re-rank)."""
     if impl == "arrow":
         return _exact_knn_arrow(queries, base, k, metric=metric, query_id=query_id,
                                 query_vec=query_vec, base_id=base_id, base_vec=base_vec,
-                                exact_fold_rerank=exact_fold_rerank)
+                                exact_fold_rerank=exact_fold_rerank,
+                                rerank_margin=rerank_margin)
     q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("_qvec"))
     b = base.select(F.col(base_id).alias("neighbor_id"), F.col(base_vec).alias("_bvec"))
     joined = b.crossJoin(F.broadcast(q))

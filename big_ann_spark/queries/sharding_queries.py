@@ -174,23 +174,46 @@ FROM exact JOIN approx USING (qid, neighbor_id)
 )
 def ann_recall_at_10(spark, sf_dir):
     """A12 for the full ANN pipeline: recall@10 of IVF(nprobe=2) vs the
-    exact kNN operator — the engine checks its own approximation the
-    way ``recall.py`` does, entirely in-engine."""
-    from big_ann_spark.operators.knn import exact_knn
+    exact kNN result — the engine checks its own approximation the way
+    ``recall.py`` does, entirely in-engine.
+
+    Fused form (VERDICT r4 #5): the base is scored against the query
+    batch ONCE, with each point's shard id attached; the exact top-10
+    and the IVF top-10 (candidates filtered to the routed shards) are
+    two cheap windows over that single materialized scan, instead of
+    two independent scans re-deriving centroids and distances. The
+    Q×N scored table is materialized because the query batch is tiny
+    by contract (20 here); a production-scale recall audit swaps the
+    exact side for the arrow partial top-k (operators/knn.py), which
+    never materializes Q×N."""
+    from big_ann_spark.functions.vector import l2_distance
+    from big_ann_spark.operators.topk import top_k_per_group
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
-    exact = exact_knn(
-        queries, emb, k=10, query_id="vec_id", query_vec="embedding",
-        base_id="vec_id", base_vec="embedding", impl="sql",
-    ).select("qid", "neighbor_id")
-    cents = SH.label_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = SH.label_centroids(emb).localCheckpoint()  # 10 x d rows
     assign = SH.assign_to_centroids(emb, cents)
-    sharded = assign.select("vec_id", "shard_id").join(
+    base = assign.select("vec_id", "shard_id").join(
         emb.select("vec_id", "embedding"), "vec_id"
     )
-    q2 = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    approx = ANN.ivf_search(q2, sharded, cents, k=10, nprobe=2).select("qid", "neighbor_id")
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "shard_id",
+            l2_distance("qvec", "embedding").alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    order = [F.col("dist").asc(), F.col("neighbor_id").asc()]
+    exact = top_k_per_group(scored, ["qid"], order, 10).select("qid", "neighbor_id")
+    routed = ANN.route_queries(queries, cents, nprobe=2).select("qid", "shard_id")
+    approx = top_k_per_group(
+        scored.join(routed, ["qid", "shard_id"]), ["qid"], order, 10
+    ).select("qid", "neighbor_id")
     n_exact = exact.count()
     hits = exact.join(approx, ["qid", "neighbor_id"]).count()
     return spark.createDataFrame(

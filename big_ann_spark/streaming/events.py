@@ -163,81 +163,6 @@ def user_running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
-def user_totals_transform_with_state(events: DataFrame) -> DataFrame:
-    """The same per-user running totals implemented on Spark 4's NEW
-    stateful API (``transformWithStateInPandas`` + ``StatefulProcessor``
-    with typed ValueState) — the forward-looking replacement for
-    applyInPandasWithState. Kept alongside the legacy-API variant so
-    both stateful surfaces are exercised.
-
-    Requires google.protobuf (the new API's state protocol), absent in
-    this container — gated like the multimodal codecs; the
-    applyInPandasWithState variant is the tested path here."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "transformWithStateInPandas requires google.protobuf, which is "
-            "not installed in this environment; use "
-            "user_running_totals_stateful (applyInPandasWithState) instead"
-        ) from e
-    import pandas as pd
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    out_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("n_events", LongType()),
-            StructField("total_value", DoubleType()),
-        ]
-    )
-
-    class Totals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState(
-                "totals",
-                StructType(
-                    [StructField("n", LongType()), StructField("total", DoubleType())]
-                ),
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, total = (0, 0.0)
-            if self._state.exists():
-                n, total = self._state.get()
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._state.update((n, total))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "total_value": [round(total, 2)],
-                }
-            )
-
-        def close(self) -> None:
-            pass
-
-    return (
-        events.withWatermark("ts", "1 hour")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            statefulProcessor=Totals(),
-            outputStructType=out_schema,
-            outputMode="Update",
-            timeMode="EventTime",
-        )
-    )
-
-
 def click_purchase_stream_join(
     events: DataFrame, *, window: str = "30 minutes"
 ) -> DataFrame:

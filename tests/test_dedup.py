@@ -86,9 +86,20 @@ def test_simhash_plan_has_single_explode(spark):
     physical plan, and one hash aggregation pair (partial+final), not
     two."""
     plan = D.simhash64(_corpus(spark))._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Generate") == 1, plan
-    # one logical aggregation = 2 HashAggregate nodes (partial + final)
-    assert plan.count("HashAggregate") == 2, plan
+    # node-substring counts, robust to aggregate-impl fallbacks
+    # (Hash/ObjectHash/SortAggregate) and version renames (ADVICE r4):
+    # exactly one explode, and at most one partial+final aggregation
+    # pair — a second aggregation round-trip would betray the x62 row
+    # inflation regressing.
+    n_generate = sum(line.count("Generate") for line in plan.splitlines())
+    n_agg = sum(
+        1
+        for line in plan.splitlines()
+        for marker in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+        if marker in line
+    )
+    assert n_generate == 1, plan
+    assert n_agg <= 2, plan
 
 
 def test_simhash_near_pairs_blocking(spark):

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from big_ann_spark.catalog import load_table
 from big_ann_spark.streaming import events as EV
+from big_ann_spark.streaming import experimental as EX
 
 
 def _protobuf_available() -> bool:
@@ -24,10 +25,10 @@ def test_transform_with_state(spark, sf_dir):
     stream = EV.read_event_stream(spark, sf_dir)
     if not _protobuf_available():
         with pytest.raises(NotImplementedError, match="protobuf"):
-            EV.user_totals_transform_with_state(stream)
+            EX.user_totals_transform_with_state(stream)
         return
     out = EV.run_to_memory(
-        EV.user_totals_transform_with_state(stream), "t_tws", output_mode="update"
+        EX.user_totals_transform_with_state(stream), "t_tws", output_mode="update"
     )
     from pyspark.sql import Window
 
