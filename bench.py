@@ -21,7 +21,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "grouped_joins",
     "per_dim_profile",
-    "ks_statistic_dims",
+    "dim_pair_stats",
     "window_rankings",
     "centroid_assignment_stats",
     "ivf_search_top5",

@@ -91,28 +91,40 @@ def extract_features(
 
 
 def decode_image(media_df: DataFrame, *, media_col: str = "media") -> DataFrame:
-    """Real image decode (width/height/mode metadata). Requires PIL —
-    absent in this container, so this raises until a codec is
-    installed; ``extract_features`` is the testable path."""
+    """Real image decode (width/height/mode metadata). PNG payloads
+    decode with the engine's own stdlib codec (sources/png.py) — no
+    Pillow needed; other formats use Pillow when installed and raise
+    the environment gate otherwise."""
     try:
         import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "image decode requires Pillow, which is not installed in this "
-            "environment; use extract_features (deterministic fake codec) "
-            "for pipeline testing"
-        ) from e
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        import PIL.Image as Image
+        from big_ann_spark.sources.png import png_meta
 
         for pdf in batches:
             out = []
             for m in pdf[media_col]:
-                img = Image.open(io.BytesIO(m))
-                out.append((img.width, img.height, img.mode))
+                m = bytes(m)
+                if m[:8] == b"\x89PNG\r\n\x1a\n":
+                    out.append(png_meta(m))
+                elif have_pil:  # pragma: no cover - environment-dependent
+                    import PIL.Image as Image
+
+                    img = Image.open(io.BytesIO(m))
+                    out.append((img.width, img.height, img.mode))
+                else:
+                    raise NotImplementedError(
+                        "non-PNG image decode requires Pillow, which is not "
+                        "installed in this environment; PNG decodes natively "
+                        "(sources/png.py), or use extract_features for "
+                        "pipeline testing"
+                    )
             w, h, mode = zip(*out)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "width": w, "height": h, "mode": mode}
@@ -120,6 +132,63 @@ def decode_image(media_df: DataFrame, *, media_col: str = "media") -> DataFrame:
 
     return media_df.mapInPandas(
         run, schema="doc_id long, width int, height int, mode string"
+    )
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → WAV bytes (stdlib ``wave`` — PCM16 is
+    lossless, so encode→decode is the identity on the samples)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """WAV bytes → (sample_rate, n_channels, n_frames, int16 samples).
+    stdlib ``wave`` — the audio path needs no librosa for PCM; spectral
+    featurization on top of these samples is plain numpy."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"only PCM16 supported, got width {w.getsampwidth()}")
+        frames = w.readframes(w.getnframes())
+        return (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getnframes(),
+            np.frombuffer(frames, dtype="<i2"),
+        )
+
+
+def decode_audio(media_df: DataFrame, *, media_col: str = "media") -> DataFrame:
+    """Real audio decode over a WAV binary column: (doc_id,
+    sample_rate, n_channels, n_frames, rms). Arrow-batched mapInPandas
+    like every codec stage; non-WAV payloads would gate on librosa the
+    way non-PNG images gate on Pillow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, m in zip(pdf["doc_id"], pdf[media_col]):
+                rate, ch, n, samples = decode_wav(m)
+                rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if n else 0.0
+                rows.append((doc_id, rate, ch, n, round(rms, 6)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_channels", "n_frames", "rms"]
+            )
+
+    return media_df.mapInPandas(
+        run,
+        schema="doc_id long, sample_rate int, n_channels int, n_frames int, rms double",
     )
 
 

@@ -78,3 +78,75 @@ def multimodal_pipeline(spark, sf_dir):
         )
     )
     return frames.unionByName(hist)
+
+
+@register(
+    "multimodal_codec_roundtrip",
+    sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+q AS (SELECT vec_id, i,
+             least(greatest(floor(v[i] * 40 + 128), 0), 255)::BIGINT AS px,
+             least(greatest(floor(v[i] * 1000), -32768), 32767)::BIGINT AS smp
+      FROM e, range(1, 65) t(i)),
+png AS (SELECT 'png' AS variant, vec_id AS id, 8 AS d1, 8 AS d2,
+               SUM(px)::BIGINT AS v_sum, MIN(px) AS v_min, MAX(px) AS v_max
+        FROM q GROUP BY vec_id),
+wav AS (SELECT 'wav' AS variant, vec_id AS id, 8000 AS d1, 64 AS d2,
+               SUM(smp)::BIGINT AS v_sum, MIN(smp) AS v_min, MAX(smp) AS v_max
+        FROM q GROUP BY vec_id)
+SELECT * FROM png UNION ALL SELECT * FROM wav
+""",
+)
+def multimodal_codec_roundtrip(spark, sf_dir):
+    """REAL codecs, oracle-checked end to end (no Pillow/librosa — the
+    engine's own stdlib codecs):
+    - ``png``: each embedding quantized to an 8x8 grayscale image,
+      PNG-encoded (zlib, sources/png.py) then DECODED back inside the
+      same Arrow batch; pixel sum/min/max come from the decoded bytes,
+      so the hash match against DuckDB's direct quantization proves
+      encode→decode is the identity.
+    - ``wav``: the same values quantized to int16 PCM, WAV-encoded
+      (stdlib wave) and decoded; d1/d2 carry the decoded sample rate
+      and frame count.
+    Both run in ONE mapInPandas pass over the embeddings — the decode→
+    feature shape every multimodal training pipeline uses, with real
+    bytes instead of the deterministic fake."""
+    import numpy as np
+    import pandas as pd
+
+    from big_ann_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+    from big_ann_spark.sources.png import decode_png, encode_png
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
+                arr = np.asarray(v, dtype=np.float64)
+                px = np.clip(np.floor(arr * 40 + 128), 0, 255).astype(np.uint8)
+                dec = decode_png(encode_png(px.reshape(8, 8)))[:, :, 0].astype(np.int64)
+                rows.append(
+                    ("png", vid, dec.shape[1], dec.shape[0],
+                     int(dec.sum()), int(dec.min()), int(dec.max()))
+                )
+                smp = np.clip(np.floor(arr * 1000), -32768, 32767).astype(np.int16)
+                rate, _ch, n, ds = decode_wav(encode_wav_pcm16(smp))
+                ds = ds.astype(np.int64)
+                rows.append(
+                    ("wav", vid, rate, n, int(ds.sum()), int(ds.min()), int(ds.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["variant", "id", "d1", "d2", "v_sum", "v_min", "v_max"],
+            )
+
+    return emb.mapInPandas(
+        run,
+        schema="variant string, id long, d1 int, d2 int, v_sum long, v_min long, v_max long",
+    )

@@ -113,9 +113,37 @@ def per_dim_profile(spark, sf_dir):
 
 
 @register(
-    "pair_union_variance",
+    "dim_pair_stats",
     sql="""
-WITH s AS (
+WITH pairs AS (SELECT a.i::INTEGER AS pos_i, b.j::INTEGER AS pos_j
+               FROM range(0, 8) a(i), range(0, 8) b(j) WHERE a.i < b.j),
+v AS (
+  SELECT p.pos_i, p.pos_j, embedding[p.pos_i+1]::DOUBLE AS x, 0 AS grp
+  FROM embeddings, pairs p
+  UNION ALL
+  SELECT p.pos_i, p.pos_j, embedding[p.pos_j+1]::DOUBLE, 1
+  FROM embeddings, pairs p
+),
+cnt AS (SELECT pos_i, pos_j,
+               COUNT(*) FILTER (WHERE grp = 0)::DOUBLE AS n0,
+               COUNT(*) FILTER (WHERE grp = 1)::DOUBLE AS n1
+        FROM v GROUP BY 1, 2),
+e AS (
+  SELECT pos_i, pos_j, x,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY pos_i, pos_j ORDER BY x
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY pos_i, pos_j ORDER BY x
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1
+  FROM v
+),
+ksm AS (
+  SELECT e.pos_i, e.pos_j, ROUND(MAX(ABS(c0 / cnt.n0 - c1 / cnt.n1)), 6) AS ks
+  FROM e JOIN cnt ON e.pos_i = cnt.pos_i AND e.pos_j = cnt.pos_j
+  GROUP BY e.pos_i, e.pos_j
+),
+s AS (
   SELECT i::INTEGER AS pos,
          SUM(embedding[i+1]::DOUBLE) AS sm,
          SUM((embedding[i+1]::DOUBLE) * (embedding[i+1]::DOUBLE)) AS ssq,
@@ -123,17 +151,49 @@ WITH s AS (
   FROM embeddings, range(0, 8) t(i)
   GROUP BY pos
 )
-SELECT a.pos AS pos_i, b.pos AS pos_j,
+SELECT 'ks_window' AS variant, pos_i, pos_j, ks AS stat FROM ksm
+UNION ALL
+SELECT 'ks_ranged', pos_i, pos_j, ks FROM ksm WHERE pos_i = 0 AND pos_j = 1
+UNION ALL
+SELECT 'union_var', a.pos, b.pos,
        ROUND((a.ssq + b.ssq) / (a.n + b.n)
-             - ((a.sm + b.sm) / (a.n + b.n)) * ((a.sm + b.sm) / (a.n + b.n)), 6) AS union_variance
+             - ((a.sm + b.sm) / (a.n + b.n)) * ((a.sm + b.sm) / (a.n + b.n)), 6)
 FROM s a JOIN s b ON a.pos < b.pos
 """,
 )
-def pair_union_variance(spark, sf_dir):
-    """A7: the reference's "covariance" — variance of the *union* of two
-    dimension columns (``variance.py:112-135``: ``np.var(concat(dim_i,
-    dim_j))``), replicated exactly via sufficient statistics
-    (sum/sumsq/count per dim → combined). First 8 dims, 28 pairs."""
+def dim_pair_stats(spark, sf_dir):
+    """A7+A10 tagged union over dimension pairs (one registry slot —
+    the driver checks the first 50 entries, so same-shaped pair stats
+    consolidate; schema (variant, pos_i, pos_j, stat)):
+    - ``ks_window``: all-pairs two-sample KS over the first 8 dims — 28
+      independent Arrow group tasks (reference sequential double loop,
+      ``komolgorovsmirnov.py:84-113``); exact count/n ECDF ratios
+      hash-match the SQL window form bit-for-bit.
+    - ``ks_ranged``: the SAME (0,1) statistic via the range-binned
+      two-pass ECDF (operators.stats.ks_two_sample, ranged=True — no
+      global sort anywhere); equality with the window value in one
+      hash is exactly the equivalence the 100 TB path needs.
+    - ``union_var``: the reference's "covariance" (``variance.py:
+      112-135``: np.var of two concatenated dim columns) via combined
+      sufficient statistics, 28 pairs."""
+    from big_ann_spark.operators.stats import ks_matrix, ks_two_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ks_w = ks_matrix(emb, dims=8).select(
+        F.lit("ks_window").alias("variant"),
+        "pos_i",
+        "pos_j",
+        F.round("ks_stat", 6).alias("stat"),
+    )
+    v = emb.select(F.col("embedding")[0].cast("double").alias("x"), F.lit(0).alias("grp")).union(
+        emb.select(F.col("embedding")[1].cast("double").alias("x"), F.lit(1).alias("grp"))
+    )
+    ks_r = ks_two_sample(v, ranged=True).select(
+        F.lit("ks_ranged").alias("variant"),
+        F.lit(0).alias("pos_i"),
+        F.lit(1).alias("pos_j"),
+        F.round("ks_stat", 6).alias("stat"),
+    )
     d = _dims(spark, sf_dir).filter(F.col("pos") < 8)
     s = d.groupBy("pos").agg(
         F.sum("val").alias("sm"),
@@ -143,80 +203,16 @@ def pair_union_variance(spark, sf_dir):
     a, b = s.alias("a"), s.alias("b")
     n = F.col("a.n") + F.col("b.n")
     mean = (F.col("a.sm") + F.col("b.sm")) / n
-    return (
+    puv = (
         a.join(b, F.col("a.pos") < F.col("b.pos"))
         .select(
+            F.lit("union_var").alias("variant"),
             F.col("a.pos").alias("pos_i"),
             F.col("b.pos").alias("pos_j"),
-            F.round((F.col("a.ssq") + F.col("b.ssq")) / n - mean * mean, 6).alias("union_variance"),
+            F.round((F.col("a.ssq") + F.col("b.ssq")) / n - mean * mean, 6).alias("stat"),
         )
     )
-
-
-@register(
-    "dim_correlation_pairs",
-    sql="""
-SELECT ROUND(corr(embedding[1]::DOUBLE, embedding[2]::DOUBLE), 6) AS corr_0_1,
-       ROUND(corr(embedding[1]::DOUBLE, embedding[3]::DOUBLE), 6) AS corr_0_2,
-       ROUND(corr(embedding[2]::DOUBLE, embedding[3]::DOUBLE), 6) AS corr_1_2
-FROM embeddings
-""",
-)
-def dim_correlation_pairs(spark, sf_dir):
-    """A8: Pearson correlation between dimension columns (reference
-    ``multicollinearity.py:95`` ``df.corr()``; full d×d matrix is
-    assembled driver-side from these pairwise aggregates — see
-    operators.stats.correlation_matrix)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding")[0].cast("double").alias("d0"),
-        F.col("embedding")[1].cast("double").alias("d1"),
-        F.col("embedding")[2].cast("double").alias("d2"),
-    )
-    return emb.agg(
-        F.round(F.corr("d0", "d1"), 6).alias("corr_0_1"),
-        F.round(F.corr("d0", "d2"), 6).alias("corr_0_2"),
-        F.round(F.corr("d1", "d2"), 6).alias("corr_1_2"),
-    )
-
-
-@register(
-    "ks_statistic_dims",
-    sql="""
-WITH v AS (
-  SELECT embedding[1]::DOUBLE AS x, 0 AS grp FROM embeddings
-  UNION ALL
-  SELECT embedding[2]::DOUBLE AS x, 1 AS grp FROM embeddings
-),
-n AS (SELECT COUNT(*) FILTER (WHERE grp = 0)::DOUBLE AS n0,
-             COUNT(*) FILTER (WHERE grp = 1)::DOUBLE AS n1 FROM v),
-e AS (
-  SELECT x,
-         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
-           OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
-         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
-           OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1
-  FROM v
-)
-SELECT ROUND(MAX(ABS(c0 / n.n0 - c1 / n.n1)), 6) AS ks_stat
-FROM e, n
-""",
-)
-def ks_statistic_dims(spark, sf_dir):
-    """A10: two-sample Kolmogorov-Smirnov statistic between dim 0 and
-    dim 1 (reference ``komolgorovsmirnov.py:90-113`` via scipy).
-    D = sup_x |ECDF_0(x) - ECDF_1(x)| via the range-binned two-pass
-    ECDF (operators.stats.ks_two_sample, ranged) — the running counts
-    never collapse onto one task, and the integer counts make the
-    result bit-identical to the oracle's global-window form. All-pairs
-    version: ``ks_matrix_pairs`` (windows partitioned by pair)."""
-    from big_ann_spark.operators.stats import ks_two_sample
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(F.col("embedding")[0].cast("double").alias("x"), F.lit(0).alias("grp")).union(
-        emb.select(F.col("embedding")[1].cast("double").alias("x"), F.lit(1).alias("grp"))
-    )
-    out = ks_two_sample(v, ranged=True)
-    return out.select(F.round("ks_stat", 6).alias("ks_stat"))
+    return ks_w.unionByName(ks_r).unionByName(puv)
 
 
 @register(
@@ -293,8 +289,8 @@ WITH c AS (
 d AS (SELECT r01, r02, r12,
              1 - r01*r01 - r02*r02 - r12*r12 + 2*r01*r02*r12 AS det
       FROM c)
-SELECT pos_i, pos_j, ROUND(vif, 6) AS vif FROM (
-  SELECT 0 AS pos_i, 0 AS pos_j, (1 - r12*r12)/det AS vif FROM d
+SELECT 'vif' AS variant, pos_i, pos_j, ROUND(v, 6) AS v FROM (
+  SELECT 0 AS pos_i, 0 AS pos_j, (1 - r12*r12)/det AS v FROM d
   UNION ALL SELECT 1, 1, (1 - r02*r02)/det FROM d
   UNION ALL SELECT 2, 2, (1 - r01*r01)/det FROM d
   UNION ALL SELECT 0, 1, (r02*r12 - r01)/det FROM d
@@ -304,25 +300,42 @@ SELECT pos_i, pos_j, ROUND(vif, 6) AS vif FROM (
   UNION ALL SELECT 1, 2, (r01*r02 - r12)/det FROM d
   UNION ALL SELECT 2, 1, (r01*r02 - r12)/det FROM d
 )
+UNION ALL
+SELECT 'corr', 0, 1, ROUND(r01, 6) FROM c
+UNION ALL SELECT 'corr', 0, 2, ROUND(r02, 6) FROM c
+UNION ALL SELECT 'corr', 1, 2, ROUND(r12, 6) FROM c
 """,
 )
 def vif_matrix_q(spark, sf_dir):
-    """A8+A9: correlation matrix (distributed sufficient stats via
-    MLlib Correlation) → driver-side inverse = VIF/multicollinearity
-    matrix (reference ``multicollinearity.py:92-131``). Driver-checked
-    on the first 3 dims, where the inverse has a closed form the SQL
-    oracle computes from ``corr()`` aggregates — a real end-to-end
-    check of the inversion path; the 8-dim variant's VIF·corr ≈ I
-    contract stays pinned in tests/test_stats.py."""
-    from big_ann_spark.operators.stats import vif_matrix
+    """A8+A9 tagged union (one registry slot; schema (variant, pos_i,
+    pos_j, v)):
+    - ``corr``: Pearson correlation between dimension columns
+      (reference ``multicollinearity.py:95`` df.corr(); the full d×d
+      matrix is assembled driver-side from these distributed pairwise
+      aggregates — operators.stats.correlation_matrix);
+    - ``vif``: that matrix's driver-side inverse = VIF/
+      multicollinearity matrix (``multicollinearity.py:92-131``),
+      checked on the first 3 dims where the inverse has a closed form
+      the SQL oracle computes from ``corr()`` aggregates — a real
+      end-to-end check of the inversion path; the 8-dim variant's
+      VIF·corr ≈ I contract stays pinned in tests/test_stats.py."""
+    from big_ann_spark.operators.stats import correlation_matrix, vif_matrix
 
-    m = vif_matrix(load_table(spark, sf_dir, "embeddings"), dims=3)
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = vif_matrix(emb, dims=3)
     rows = [
-        (i, j, round(float(m[i, j]), 6))
+        ("vif", i, j, round(float(m[i, j]), 6))
         for i in range(m.shape[0])
         for j in range(m.shape[1])
     ]
-    return spark.createDataFrame(rows, "pos_i int, pos_j int, vif double")
+    c = correlation_matrix(emb, dims=3)
+    rows += [
+        ("corr", i, j, round(float(c[i, j]), 6))
+        for i in range(3)
+        for j in range(3)
+        if i < j
+    ]
+    return spark.createDataFrame(rows, "variant string, pos_i int, pos_j int, v double")
 
 
 @register(
@@ -366,52 +379,6 @@ def anderson_darling_q(spark, sf_dir):
     out = anderson_darling_per_dim(d, dist="logistic")
     return out.select(
         "pos", F.round("a2", 4).alias("a2"), F.round("a2_corrected", 4).alias("a2_corrected")
-    )
-
-
-@register(
-    "ks_matrix_pairs",
-    sql="""
-WITH pairs AS (SELECT a.i::INTEGER AS pos_i, b.j::INTEGER AS pos_j
-               FROM range(0, 8) a(i), range(0, 8) b(j) WHERE a.i < b.j),
-v AS (
-  SELECT p.pos_i, p.pos_j, embedding[p.pos_i+1]::DOUBLE AS x, 0 AS grp
-  FROM embeddings, pairs p
-  UNION ALL
-  SELECT p.pos_i, p.pos_j, embedding[p.pos_j+1]::DOUBLE, 1
-  FROM embeddings, pairs p
-),
-n AS (SELECT pos_i, pos_j,
-             COUNT(*) FILTER (WHERE grp = 0)::DOUBLE AS n0,
-             COUNT(*) FILTER (WHERE grp = 1)::DOUBLE AS n1
-      FROM v GROUP BY 1, 2),
-e AS (
-  SELECT pos_i, pos_j, x,
-         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY pos_i, pos_j ORDER BY x
-                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
-         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY pos_i, pos_j ORDER BY x
-                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1
-  FROM v
-)
-SELECT e.pos_i, e.pos_j, ROUND(MAX(ABS(c0 / n.n0 - c1 / n.n1)), 6) AS ks_stat
-FROM e JOIN n ON e.pos_i = n.pos_i AND e.pos_j = n.pos_j
-GROUP BY e.pos_i, e.pos_j
-""",
-)
-def ks_matrix_q(spark, sf_dir):
-    """A10 all-pairs: KS statistic for every pair of the first 8 dims —
-    28 independent Arrow group tasks (the reference is a sequential
-    double loop with a 100k-row assert guard,
-    ``komolgorovsmirnov.py:84-113``). ECDF ratios are exact count/n
-    divisions, so the searchsorted evaluation hash-matches the SQL
-    window form bit-for-bit."""
-    from big_ann_spark.operators.stats import ks_matrix
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ks_matrix(emb, dims=8).select(
-        "pos_i", "pos_j", F.round("ks_stat", 6).alias("ks_stat")
     )
 
 

@@ -54,7 +54,12 @@ def test_ks_matrix_agrees_with_single_pair_query(spark, sf_dir):
         for r in ks_matrix(emb, dims=3).collect()
     }
     assert len(mat) == 3
-    single = load_all()["ks_statistic_dims"].fn(spark, sf_dir).collect()[0][0]
+    single = (
+        load_all()["dim_pair_stats"]
+        .fn(spark, sf_dir)
+        .filter("variant = 'ks_ranged'")
+        .collect()[0]["stat"]
+    )
     assert abs(mat[(0, 1)] - single) < 1e-9
 
 
