@@ -193,6 +193,70 @@ def jaccard_similarity_pairs(
     )
 
 
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    word_base: int = 31,
+    combine_base: int = 1_000_003,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """(doc_id, begin, end) — per-document TOKEN spans covered by an
+    n-token gram occurring ≥ ``min_count`` times anywhere in the corpus
+    (including same-document repeats): exact duplicated-substring
+    detection at n-token granularity, the Lee et al. "Deduplicating
+    Training Data" span-removal shape re-expressed relationally. The
+    downstream action is stripping those spans (or dropping docs whose
+    spans cover too much).
+
+    Plan: gram keys are the same two-fold polynomial hash as
+    ``doc_shingle_keys`` but WITH positions and WITHOUT the per-doc
+    distinct (occurrence counts, not document frequency) → global
+    count per gram (map-side partial) → broadcast/hash join back →
+    each duplicated gram contributes the interval [pos, pos+n) →
+    ``intervals.merge_overlaps(strict=False, partition_cols=[doc])``
+    fuses touching grams into maximal spans — one shuffle keyed by
+    doc. Every stage is linear in token count; no pair of documents is
+    ever joined, so dup-heavy corpora cost the same as clean ones."""
+    from big_ann_spark.operators.intervals import merge_overlaps
+
+    toks = F.split(F.col(text_col), " ")
+    word_hash = lambda w: F.aggregate(  # noqa: E731
+        F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * word_base + x) % mod,
+    )
+    with_h = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, word_hash).alias("_H"),
+    )
+
+    def key_at(i):
+        k = F.lit(0).cast("long")
+        for j in range(n):
+            k = (k * combine_base + F.element_at("_H", i + j)) % mod
+        return k
+
+    keys = F.when(
+        F.size("_H") >= n,
+        F.transform(F.sequence(F.lit(1), F.size("_H") - (n - 1)), key_at),
+    ).otherwise(F.array().cast("array<long>"))
+    g = with_h.select("doc_id", F.posexplode(keys).alias("_pos", "gram"))
+    counts = g.groupBy("gram").agg(F.count("*").alias("_c"))
+    dup = g.join(
+        counts.filter(F.col("_c") >= min_count).select("gram"), "gram"
+    )
+    spans = dup.select(
+        "doc_id",
+        F.col("_pos").cast("long").alias("begin"),
+        (F.col("_pos") + n).cast("long").alias("end"),
+    )
+    return merge_overlaps(spans, strict=False, partition_cols=["doc_id"])
+
+
 def prefix_filtered_jaccard_pairs(
     docs: DataFrame,
     *,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from big_ann_spark.catalog import load_table
 from big_ann_spark.functions import text as T
+from big_ann_spark.operators import dedup as D
 from big_ann_spark.queries import register
 
 _SW = {lg: ", ".join(f"'{w}'" for w in ws) for lg, ws in T.STOPWORDS.items()}
@@ -157,19 +158,92 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
 
-@register(
-    "doc_fingerprint",
-    sql="""
-SELECT doc_id,
+# n=8 gram fold: k = fold_j (k*1000003 + H[i+j]) % p — mirrors
+# dedup.duplicate_ngram_spans' key_at exactly
+_GRAM8 = "H[i]"
+for _j in range(1, 8):
+    _GRAM8 = f"({_GRAM8} % 1000000007 * 1000003 + H[i+{_j}])"
+_GRAM8 += " % 1000000007"
+
+_FP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ')
+  FROM documents
+),
+docs AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> list_reduce(list_prepend(0::BIGINT,
+                               list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                               (a, b) -> (a * 31 + b) % 1000000007)) AS H
+  FROM corpus
+),
+g AS (SELECT doc_id, (i - 1)::BIGINT AS pos, {_GRAM8} AS gram
+      FROM docs, range(1, 4000) t(i) WHERE i <= len(H) - 7),
+c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
+d AS (SELECT doc_id, pos AS s, pos + 8 AS e
+      FROM g JOIN c USING (gram) WHERE cnt >= 2),
+m AS (SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM d),
+isl AS (SELECT doc_id, s, e,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM m)
+SELECT 'dup_span' AS variant, doc_id, MIN(s)::BIGINT AS v1, MAX(e)::BIGINT AS v2
+FROM isl GROUP BY doc_id, island
+UNION ALL
+SELECT 'char_fp', doc_id,
        list_reduce(
          list_prepend(0::BIGINT,
            list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
-         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         (a, b) -> (a * 31 + b) % 1000000007),
+       0
 FROM documents WHERE doc_id < 100
-""",
-)
+"""
+
+
+@register("doc_fingerprint", sql=_FP_SQL)
 def doc_fingerprint(spark, sf_dir):
-    """Polynomial rolling-hash document fingerprint (char-level,
-    mod 1e9+7) — identical left fold in both engines."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return d.select("doc_id", T.char_fingerprint("text").alias("fingerprint"))
+    """Fingerprint-hash text surface, tagged union (schema (variant,
+    doc_id, v1, v2)):
+    - ``char_fp``: polynomial rolling-hash document fingerprint
+      (char-level, mod 1e9+7) — identical left fold in both engines;
+      v1 = fingerprint.
+    - ``dup_span``: exact duplicated-substring spans at 8-token
+      granularity (operators.dedup.duplicate_ngram_spans — the Lee et
+      al. span-removal shape: gram-hash occurrence counts → interval
+      merge per doc; the corpus is doubled with truncated copies so
+      guaranteed duplicated spans exist). v1 = span begin, v2 = span
+      end, in token positions."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.filter(F.col("doc_id") < 100).select(
+        F.lit("char_fp").alias("variant"),
+        "doc_id",
+        T.char_fingerprint("text").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split("text", " "),
+                1,
+                F.greatest(F.size(F.split("text", " ")) - 3, F.lit(1)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").union(mutated)
+    spans = D.duplicate_ngram_spans(corpus, n=8).select(
+        F.lit("dup_span").alias("variant"),
+        "doc_id",
+        F.col("begin").alias("v1"),
+        F.col("end").alias("v2"),
+    )
+    return spans.unionByName(fp)

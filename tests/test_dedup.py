@@ -226,3 +226,23 @@ def test_minhash_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     assert all(labels[i] == find(i) for i in labels)
+
+
+def test_duplicate_ngram_spans_hand_case(spark):
+    """Two docs share an 8-token phrase; one doc also self-repeats a
+    gram. Spans must cover exactly the duplicated token ranges and
+    touching grams must merge into one maximal span."""
+    shared = "a b c d e f g h"  # 8 tokens, present in docs 1 and 2
+    d1 = f"x1 x2 {shared} y1 y2"
+    d2 = f"z1 {shared} z2 z3 z4"
+    d3 = "p q r s t u v w p q r s t u v w"  # self-repeat: 2 occurrences
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.begin, r.end)
+        for r in D.duplicate_ngram_spans(docs, n=8).collect()
+    }
+    # d1: tokens 2..9 dup; d2: tokens 1..8 dup; d3: both copies (plus the
+    # wrap-around grams bridging them) -> one span covering all 16 tokens
+    assert got == {(1, 2, 10), (2, 1, 9), (3, 0, 16)}
