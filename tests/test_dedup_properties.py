@@ -1,0 +1,118 @@
+"""Hypothesis property tests for the exactness-critical dedup
+operators, against independent pure-Python models. Few examples —
+every example runs Spark jobs."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from big_ann_spark.operators import dedup as D
+
+# small vocab + short docs → shingle collisions and real near-dup pairs
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=3, max_size=10).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _shingle_set(text: str, n: int = 3) -> frozenset:
+    toks = text.split(" ")
+    return frozenset(tuple(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy, st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_exact_on_random_corpora(spark, texts, threshold):
+    """prefix_filtered_jaccard_pairs == brute-force Jaccard filter for
+    arbitrary corpora and thresholds (the prefix/positional/length
+    filters may prune candidates but never answers)."""
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = set()
+    for (ia, ta), (ib, tb) in combinations(rows, 2):
+        sa, sb = _shingle_set(ta), _shingle_set(tb)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            want.add((min(ia, ib), max(ia, ib), round(j, 9)))
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.prefix_filtered_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_min_label_components_matches_union_find(spark, edges):
+    """min-label propagation == union-find connected components on
+    random graphs (chains force multi-round convergence)."""
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    got = {
+        (r.doc_id, r.cluster_rep)
+        for r in D.min_label_components(e, nodes).collect()
+    }
+    parent = {i: i for i in range(10)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(i, find(i)) for i in range(10)}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy, st.sampled_from([2, 3]))
+def test_duplicate_ngram_spans_match_model(spark, texts, n):
+    """duplicate_ngram_spans == brute-force: positions whose n-token
+    gram occurs >= 2 times corpus-wide, merged into maximal spans."""
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for i, t in rows:
+        toks = t.split(" ")
+        gs = [tuple(toks[p : p + n]) for p in range(len(toks) - n + 1)]
+        per_doc[i] = gs
+        grams.update(gs)
+    want = set()
+    for i, gs in per_doc.items():
+        spans = [
+            (p, p + n) for p, g in enumerate(gs) if grams[g] >= 2
+        ]
+        merged = []
+        for b, e in spans:
+            if merged and b <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((b, e))
+        want |= {(i, b, e) for b, e in merged}
+    got = {
+        (r.doc_id, r.begin, r.end)
+        for r in D.duplicate_ngram_spans(df, n=n).collect()
+    }
+    assert got == want

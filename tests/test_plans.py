@@ -133,3 +133,35 @@ def test_routing_zero_exchange(spark, sf_dir):
     after_bcast = plan.split("BroadcastExchange")[0]
     assert "Window" not in plan
     assert "Exchange hashpartitioning" not in after_bcast
+
+
+def test_prefix_filter_candidate_plan_is_hash_joined(spark, sf_dir):
+    """The prefix-filtered near-dup query must stay hash-join shaped:
+    no nested-loop cross products, no WindowExec (the df-order is fused
+    into the array build — a rank window here would be the r5 perf bug
+    regressing)."""
+    df = load_all()["ngram_prefix_filtered_pairs"].fn(spark, sf_dir)
+    df.count()  # AQE: final plan only exists post-execution
+    plan = _plan(df)
+    assert "NestedLoop" not in plan
+    assert "WindowExec" not in plan and "Window " not in plan
+
+
+def test_dup_span_plan_single_explode_no_pair_join(spark, sf_dir):
+    """duplicate_ngram_spans: gram explode feeds one global count and
+    one per-doc islands window — there must be no doc×doc join anywhere
+    (the operator is linear in token count by design)."""
+    from big_ann_spark.catalog import load_table
+    from big_ann_spark.operators.dedup import duplicate_ngram_spans
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = duplicate_ngram_spans(d, n=8)
+    df.count()
+    plan = _plan(df)
+    assert "NestedLoop" not in plan
+    # joins allowed: gram->count lookup only (broadcast or shuffled);
+    # a second join would betray a pair-generation stage
+    n_joins = sum(
+        plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
