@@ -2,13 +2,13 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 stages (decode → feature-extract → resize / frame-sample).
 
-The container ships no image/audio libraries, so the *codec* step is
-stubbed two ways (per the build contract):
-- a deterministic fake decoder (bytes → pseudo-pixels) so the whole
-  pipeline — schema, batch shapes, partitioning, UDF signatures — runs
-  and is tested end-to-end;
-- real-codec entry points gated behind import-try that raise a
-  clearly-marked NotImplementedError when PIL/librosa are absent.
+Codecs (round 5): PNG decodes/encodes with the engine's OWN stdlib
+codec (sources/png.py — zlib + the full filter set) and WAV PCM16 with
+stdlib ``wave`` — REAL, container-testable, oracle-checked
+(multimodal_codec_roundtrip proves encode→decode identity). Only
+non-PNG image formats still gate on Pillow with a clearly-marked
+NotImplementedError; the deterministic fake decoder remains for
+pipeline-shape tests that want format-independent bytes.
 
 At scale: binaries stay columnar in parquet (or are pointers into an
 object store resolved inside the batch fn); each mapInPandas batch is
