@@ -67,7 +67,13 @@ def ngram_jaccard_top_pairs(spark, sf_dir):
     similar pairs (deterministic tie-break on ids). Runs on hashed
     shingle keys (doc_shingle_keys) — the Σdf² inverted-index join
     shuffles 8-byte longs instead of shingle strings; the oracle
-    mirrors the same word-hash combine."""
+    mirrors the same word-hash combine.
+
+    This unthresholded top-k form is the EXPLORATORY tool: with no
+    threshold there is no sound prefix bound, so it pays full Σdf² and
+    is output-oblivious — on dup-heavy corpora use the scale paths
+    instead: ``ngram_prefix_filtered_pairs`` (exact at a threshold,
+    prefix+ppjoin pruned) or ``minhash_dedup_clusters`` (O(n) output)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_similarity_pairs(d, shingles=D.doc_shingle_keys(d))
     return (

@@ -196,3 +196,30 @@ def test_decode_audio_wav(spark):
     row = MM.decode_audio(df).collect()[0]
     assert (row.sample_rate, row.n_channels, row.n_frames) == (8000, 1, 4)
     assert abs(row.rms - 3.0) < 1e-9
+
+
+def test_cli_list_run_and_fbin(spark, sf_dir, tmp_path, capsys):
+    """CLI surface: list names every registered query; run executes one
+    against the fixture dir (stdout table + parquet out); the fbin
+    converters round-trip through the real codecs."""
+    from big_ann_spark.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "knn_exact_top10\toracle" in out and "pipeline_invariants\trows-only" in out
+
+    assert main(["run", "dedup_exact", "--sf-dir", sf_dir,
+                 "--out", str(tmp_path / "res.parquet")]) == 0
+    got = spark.read.parquet(str(tmp_path / "res.parquet"))
+    assert got.count() > 0 and set(got.columns) == {"kept_doc_id", "n_copies"}
+
+    assert main(["run", "nope_not_a_query"]) == 2
+
+    assert main(["parquet-to-fbin", f"{sf_dir}/embeddings.parquet",
+                 str(tmp_path / "e.fbin")]) == 0
+    assert main(["fbin-to-parquet", str(tmp_path / "e.fbin"),
+                 str(tmp_path / "e2.parquet")]) == 0
+    back = spark.read.parquet(str(tmp_path / "e2.parquet"))
+    from big_ann_spark.catalog import load_table
+
+    assert back.count() == load_table(spark, sf_dir, "embeddings").count()
