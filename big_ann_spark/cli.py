@@ -35,6 +35,26 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--format", default="parquet", choices=["parquet", "csv"])
     r.add_argument("--show", type=int, default=20, help="rows to print when no --out")
 
+    b = sub.add_parser(
+        "build-index",
+        help="K-Means shard a vector table into a partitioned on-disk IVF index",
+    )
+    b.add_argument("src", help="parquet with (id, vector) columns")
+    b.add_argument("dst", help="index dir: shards/ (partitionBy shard_id) + centroids.parquet")
+    b.add_argument("--m", type=int, default=10, help="number of shards")
+    b.add_argument("--id-col", default="vec_id")
+    b.add_argument("--vec-col", default="embedding")
+
+    s = sub.add_parser("search", help="batch ANN search against a built index")
+    s.add_argument("index", help="dir produced by build-index")
+    s.add_argument("queries", help="parquet with (id, vector) query columns")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--nprobe", type=int, default=2)
+    s.add_argument("--id-col", default="vec_id")
+    s.add_argument("--vec-col", default="embedding")
+    s.add_argument("--out", default=None)
+    s.add_argument("--show", type=int, default=20)
+
     f2p = sub.add_parser("fbin-to-parquet", help="distributed fbin/ibin/u8bin -> parquet")
     f2p.add_argument("src")
     f2p.add_argument("dst")
@@ -77,6 +97,37 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from pyspark.sql import functions as F
+
+    if args.cmd == "build-index":
+        from big_ann_spark.operators import sharding as SH
+
+        emb = spark.read.parquet(args.src)
+        assign, cents, _model = SH.kmeans_shard(
+            emb, m=args.m, id_col=args.id_col, vec_col=args.vec_col
+        )
+        SH.write_sharded(assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col)
+        cents.write.mode("overwrite").parquet(f"{args.dst}/centroids.parquet")
+        print(f"{emb.count()} vectors -> {args.m} shards at {args.dst}")
+        return 0
+
+    if args.cmd == "search":
+        from big_ann_spark.operators import ann as ANN
+
+        cents = spark.read.parquet(f"{args.index}/centroids.parquet")
+        shards = spark.read.parquet(f"{args.index}/shards")
+        q = spark.read.parquet(args.queries).select(
+            F.col(args.id_col).alias("qid"), F.col(args.vec_col).alias("qvec")
+        )
+        out = ANN.ivf_search(
+            q, shards, cents, k=args.k, nprobe=args.nprobe,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"{out.count()} rows -> {args.out}")
+        else:
+            out.show(args.show, truncate=False)
+        return 0
 
     from big_ann_spark.sources import fbin as FB
 

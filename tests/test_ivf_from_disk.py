@@ -35,3 +35,29 @@ def test_ivf_from_disk_equals_in_memory(spark, sf_dir):
     a = sorted(map(tuple, mem.select("qid", "neighbor_id", "rank").collect()))
     b = sorted(map(tuple, disk.select("qid", "neighbor_id", "rank").collect()))
     assert a == b and len(a) == 100
+
+
+def test_cli_build_index_and_search(spark, sf_dir, tmp_path):
+    """The reference's main workflow as two CLI calls: build-index
+    (K-Means shard -> partitioned parquet + centroids) then search;
+    results must carry valid ranks for every query."""
+    from big_ann_spark.cli import main
+
+    idx = str(tmp_path / "idx")
+    assert main(["build-index", f"{sf_dir}/embeddings.parquet", idx, "--m", "5"]) == 0
+    out = str(tmp_path / "res.parquet")
+    assert main(
+        ["search", idx, f"{sf_dir}/embeddings.parquet", "--k", "5",
+         "--nprobe", "2", "--out", out]
+    ) == 0
+    res = spark.read.parquet(out)
+    n_q = load_table(spark, sf_dir, "embeddings").count()
+    assert res.count() == 5 * n_q
+    ranks = res.groupBy("qid").agg(
+        F.min("rank").alias("mn"), F.max("rank").alias("mx")
+    ).collect()
+    assert all(r.mn == 1 and r.mx == 5 for r in ranks)
+    # partition pruning is live: the shards table is shard_id-partitioned
+    import os
+
+    assert any(d.startswith("shard_id=") for d in os.listdir(f"{idx}/shards"))
