@@ -460,6 +460,29 @@ def minhash_dedup_clusters(
     return min_label_components(pairs, all_ids, max_iter=max_iter)
 
 
+def ngram_dedup_clusters(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_iter: int = 20,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_rep) under EXACT n-gram Jaccard ≥ threshold:
+    prefix-filtered pairs (no LSH recall loss) → min-label connected
+    components; singletons keep themselves. The exact-threshold
+    counterpart of ``minhash_dedup_clusters`` — same O(n) output
+    contract, deterministic, dedup action = ``doc_id == cluster_rep``."""
+    pairs = prefix_filtered_jaccard_pairs(
+        docs, id_col=id_col, text_col=text_col, n=n, threshold=threshold,
+        shingles=shingles,
+    )
+    all_ids = docs.select(F.col(id_col).alias("doc_id"))
+    return min_label_components(pairs, all_ids, max_iter=max_iter)
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,

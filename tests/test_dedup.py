@@ -246,3 +246,35 @@ def test_duplicate_ngram_spans_hand_case(spark):
     # d1: tokens 2..9 dup; d2: tokens 1..8 dup; d3: both copies (plus the
     # wrap-around grams bridging them) -> one span covering all 16 tokens
     assert got == {(1, 2, 10), (2, 1, 9), (3, 0, 16)}
+
+
+def test_ngram_dedup_clusters_exact_components(spark):
+    """Exact-threshold clusters: components of the brute-force J>=t
+    pair graph, singletons as own rep (no LSH recall caveat)."""
+    corpus = _corpus(spark)
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_similarity_pairs(corpus)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    ]
+    labels = {
+        r.doc_id: r.cluster_rep
+        for r in D.ngram_dedup_clusters(corpus, threshold=0.5).collect()
+    }
+    assert len(labels) == corpus.count()
+    parent = {i: i for i in labels}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert labels == {i: find(i) for i in labels}
+    # the four seeded near-dup pairs actually cluster
+    assert all(labels[100 + i] == i for i in range(4))
