@@ -133,3 +133,34 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# ---- PII-style pattern redaction (corpus-prep hygiene): pure
+# regexp_replace/regexp_count column expressions — codegen, zero
+# Python, one scan when composed. Patterns are the standard corpus-
+# cleaning shapes (emails, URLs, long digit runs ~ phone/account
+# numbers, IPv4); redaction inserts stable placeholder tokens so
+# downstream tokenization/dedup stay deterministic.
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "digits": r"\b\d{7,}\b",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """{kind: count-of-matches} per row for every PII pattern."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {k: F.regexp_count(c, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace each PII match with ``<KIND>`` placeholders, applied in
+    PII_PATTERNS order (email/url before the bare digit-run pattern so
+    digits inside them are consumed by the more specific rule first)."""
+    out = F.col(text) if isinstance(text, str) else text
+    for k in kinds or list(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"<{k.upper()}>")
+    return out

@@ -1,0 +1,85 @@
+"""Distributed BPE trainer vs an independent pure-Python model of the
+same algorithm (overlap-counted pair statistics, deterministic
+(count desc, pair asc) tie-break, greedy-leftmost merge application)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from big_ann_spark.operators import bpe as B
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider new new low",
+]
+
+
+def _py_bpe_train(texts, n_merges, min_freq=2):
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[w] += 1
+    vocab = {tuple(list(w) + [B.END]): f for w, f in vocab.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:  # greedy-leftmost, identical to the fold
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_model(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+    got = B.bpe_train(docs, 12)
+    want = _py_bpe_train(CORPUS, 12)
+    assert got == want and len(got) >= 8
+
+
+def test_bpe_segment_roundtrip(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+    merges = B.bpe_train(docs, 10)
+    seg = {r.doc_id: list(r.tokens) for r in B.bpe_segment(docs, merges).collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    for i, t in enumerate(CORPUS):
+        want = [s for w in t.split(" ") if w for s in B._apply_merges(w, ranks)]
+        assert seg[i] == want
+    # frequent words compress to few symbols; tokens rebuild the text
+    joined = "".join(seg[0]).replace(B.END, " ").strip()
+    assert joined == CORPUS[0]
+
+
+def test_bpe_learns_frequent_words(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+    merges = B.bpe_train(docs, 20)
+    built = {a + b for a, b in merges}
+    # 'low</w>' appears 6x and 'newest</w>' 6x — both should become
+    # single tokens within 20 merges
+    assert "low" + B.END in built or "low" in built
+    assert any(s.startswith("newest") for s in built)

@@ -278,3 +278,29 @@ def test_ngram_dedup_clusters_exact_components(spark):
     assert labels == {i: find(i) for i in labels}
     # the four seeded near-dup pairs actually cluster
     assert all(labels[100 + i] == i for i in range(4))
+
+
+def test_pii_redaction(spark):
+    from big_ann_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@site.org or visit https://a.b/c?q=1 now"),
+            (2, "call 12345678 from 10.0.0.1 ok"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        T.redact_pii("text").alias("red"),
+        *[v.alias(k) for k, v in T.pii_counts("text").items()],
+    ).collect()
+    by = {r.doc_id: r for r in out}
+    assert by[1].email == 1 and by[1].url == 1
+    assert "<EMAIL>" in by[1].red and "<URL>" in by[1].red
+    assert "jo.doe" not in by[1].red and "a.b" not in by[1].red
+    assert by[2].digits == 1 and by[2].ipv4 == 1
+    assert "<DIGITS>" in by[2].red and "<IPV4>" in by[2].red
+    assert by[3].red == "clean text with no pii at all"
+    assert by[3].email == by[3].url == by[3].ipv4 == by[3].digits == 0
