@@ -314,40 +314,48 @@ def prefix_filtered_jaccard_pairs(
         )
         .localCheckpoint()
     )
-    # prefix rows carry (pos, size) so the join can apply the ppjoin
-    # pruning filters (Xiao et al., WWW'08) — both exactness-preserving:
-    # - length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|);
-    # - positional filter: at the FIRST shared prefix shingle (global
-    #   order) every common shingle sits at positions >= (pa, pb), so
-    #   |A∩B| <= 1 + min(|A|-pa, |B|-pb), which must reach the overlap
-    #   bound alpha = ceil(t/(1+t)*(|A|+|B|)); that first-collision row
-    #   always survives the filter, so no qualifying pair is lost.
+    # Candidate generation joins an asymmetric pair of prefix indexes
+    # (Xiao et al., WWW'08 + the TODS'11 indexing-prefix refinement) —
+    # all exactness-preserving:
+    # - probe side (the (size, id)-LARGER record of a pair): prefix
+    #   length |A| − ⌈t·|A|⌉ + 1 (overlap ≥ α ≥ t·|A|);
+    # - index side (the smaller record): only |B| − ⌈2t/(1+t)·|B|⌉ + 1
+    #   shingles — for any qualifying pair with |A| ≥ |B| the overlap
+    #   α = ⌈t/(1+t)(|A|+|B|)⌉ ≥ 2t/(1+t)·|B|, so the first common
+    #   shingle (global df-order) sits inside BOTH prefixes;
+    # - length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
+    # - positional filter: at that first shared shingle every common
+    #   shingle sits at positions ≥ (pa, pb), so |A∩B| ≤ 1 +
+    #   min(|A|−pa, |B|−pb) must reach α — the first-collision row
+    #   always survives, so no qualifying pair is lost.
     n_sh = F.size("shs")
-    plen = (n_sh - F.ceil(F.lit(threshold) * n_sh) + 1).cast("int")
-    prefix = arrs.select(
-        "doc_id",
-        n_sh.alias("_sz"),
-        F.posexplode(F.slice("shs", F.lit(1), plen)).alias("_pos", "shingle"),
-    )
-    a = prefix.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("_sz").alias("_sza"),
-        F.col("_pos").alias("_pa"),
-        "shingle",
-    )
-    b = prefix.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("_sz").alias("_szb"),
-        F.col("_pos").alias("_pb"),
-        "shingle",
-    )
+    probe_len = (n_sh - F.ceil(F.lit(threshold) * n_sh) + 1).cast("int")
+    idx_len = (
+        n_sh - F.ceil(F.lit(2.0 * threshold / (1.0 + threshold)) * n_sh) + 1
+    ).cast("int")
+
+    def side(plen, doc, sz, pos):
+        return arrs.select(
+            F.col("doc_id").alias(doc),
+            n_sh.alias(sz),
+            F.posexplode(F.slice("shs", F.lit(1), plen)).alias(pos, "shingle"),
+        )
+
+    probe = side(probe_len, "doc_a", "_sza", "_pa")
+    idx = side(idx_len, "doc_b", "_szb", "_pb")
     alpha = F.ceil(
         F.lit(threshold) / (1.0 + threshold) * (F.col("_sza") + F.col("_szb"))
     )
     cands = (
-        a.join(b, "shingle")
+        probe.join(idx, "shingle")
         .filter(
-            (F.col("doc_a") < F.col("doc_b"))
+            # index side strictly precedes the probe side in the
+            # (size, id) total order — every unordered pair is probed
+            # exactly from its larger record
+            (
+                (F.col("_szb") < F.col("_sza"))
+                | ((F.col("_szb") == F.col("_sza")) & (F.col("doc_b") < F.col("doc_a")))
+            )
             & (
                 F.least("_sza", "_szb")
                 >= F.ceil(F.lit(threshold) * F.greatest("_sza", "_szb"))
@@ -361,7 +369,10 @@ def prefix_filtered_jaccard_pairs(
                 >= alpha
             )
         )
-        .select("doc_a", "doc_b")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
     )
     verified = jaccard_for_pairs(docs, cands, shingle_arrays=arrs)
