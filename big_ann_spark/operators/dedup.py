@@ -899,3 +899,69 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cosine_similarity("_va", "_vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def hash_sample(
+    docs: DataFrame,
+    fraction: float,
+    *,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    a: int = 2654435761,
+    mod: int = MINHASH_P,
+) -> DataFrame:
+    """Deterministic content-stable sampling: keep a row iff
+    ``((id mod p + salt)·a) mod p < fraction·p``. Unlike ``df.sample``
+    this is reproducible across runs/engines (the multiplicative hash
+    is plain arithmetic — a DuckDB oracle computes the identical
+    subset), stable under repartitioning, and consistent across tables
+    sharing the id; nested fractions nest (a 10% sample ⊂ the 30%
+    sample at the same salt). The salt is mixed BEFORE the multiply so
+    different salts select unrelated subsets, not a boundary-shifted
+    one. The reduction keeps every product under 2^63 for any long
+    id."""
+    thresh = int(fraction * mod)
+    keep = (((F.pmod(F.col(id_col), F.lit(mod)) + salt) * a) % mod) < thresh
+    return docs.filter(keep)
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic data mixing: sample each source so its share of
+    the output token count approaches ``weights`` (normalized) of
+    ``total_tokens``. Two passes: (1) one aggregate for per-source
+    token totals; (2) per-source hash_sample fractions = target/actual
+    (capped at 1 — an under-weight source contributes all it has, the
+    standard non-upsampling mix). Selection is content-stable
+    (hash_sample), so reruns and incremental rebuilds pick identical
+    documents. Returns the sampled docs with a ``target_tokens``
+    column for audit."""
+    from big_ann_spark.functions.text import token_count
+
+    w_sum = sum(weights.values())
+    sized = docs.withColumn("_toks", token_count(text_col))
+    totals = {
+        r[source_col]: r["_n"]
+        for r in sized.groupBy(source_col).agg(F.sum("_toks").alias("_n")).collect()
+    }
+    out = None
+    for src, w in weights.items():
+        if src not in totals or totals[src] == 0:
+            continue
+        target = total_tokens * (w / w_sum)
+        frac = min(1.0, target / totals[src])
+        part = hash_sample(
+            sized.filter(F.col(source_col) == src), frac, id_col=id_col, salt=salt
+        ).withColumn("target_tokens", F.lit(int(target)))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return sized.filter(F.lit(False)).withColumn("target_tokens", F.lit(0))
+    return out.drop("_toks")

@@ -304,3 +304,43 @@ def test_pii_redaction(spark):
     assert "<DIGITS>" in by[2].red and "<IPV4>" in by[2].red
     assert by[3].red == "clean text with no pii at all"
     assert by[3].email == by[3].url == by[3].ipv4 == by[3].digits == 0
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(2000)], "doc_id long, text string"
+    )
+    a = {r.doc_id for r in D.hash_sample(docs, 0.3).collect()}
+    b = {r.doc_id for r in D.hash_sample(docs, 0.3).collect()}
+    assert a == b  # rerun-stable
+    assert 0.25 < len(a) / 2000 < 0.35
+    # nested fractions: a 0.1 sample is a subset of the 0.3 sample
+    c = {r.doc_id for r in D.hash_sample(docs, 0.1).collect()}
+    assert c <= a
+    # salt decorrelates
+    d = {r.doc_id for r in D.hash_sample(docs, 0.3, salt=7).collect()}
+    assert d != a
+
+
+def test_token_budget_mix(spark):
+    rows = []
+    for i in range(300):
+        rows.append((i, "w " * 9 + "w", "web"))        # 10 tokens each
+    for i in range(300, 400):
+        rows.append((i, "b " * 9 + "b", "books"))      # 10 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = D.token_budget_mix(
+        docs, {"web": 1.0, "books": 1.0}, total_tokens=2000
+    )
+    got = out.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in got}
+    # each source targets 1000 tokens = 100 docs; hash sampling is
+    # approximate for web (300 docs -> frac 1/3), exact-ish bounds
+    assert 70 <= by["web"] <= 130
+    # books has exactly its target (frac capped at 1.0 -> all 100 docs)
+    assert by["books"] == 100
+    # deterministic across reruns
+    again = {r.doc_id for r in D.token_budget_mix(
+        docs, {"web": 1.0, "books": 1.0}, total_tokens=2000).select("doc_id").collect()}
+    first = {r.doc_id for r in out.select("doc_id").collect()}
+    assert first == again
