@@ -203,6 +203,9 @@ def duplicate_ngram_spans(
     word_base: int = 31,
     combine_base: int = 1_000_003,
     mod: int = 1_000_000_007,
+    word_base2: int | None = 37,
+    combine_base2: int = 1_000_033,
+    mod2: int | None = 998_244_353,
 ) -> DataFrame:
     """(doc_id, begin, end) — per-document TOKEN spans covered by an
     n-token gram occurring ≥ ``min_count`` times anywhere in the corpus
@@ -212,11 +215,19 @@ def duplicate_ngram_spans(
     downstream action is stripping those spans (or dropping docs whose
     spans cover too much).
 
-    Plan: gram keys are the same two-fold polynomial hash as
-    ``doc_shingle_keys`` but WITH positions and WITHOUT the per-doc
-    distinct (occurrence counts, not document frequency) → global
-    count per gram (map-side partial) → broadcast/hash join back →
-    each duplicated gram contributes the interval [pos, pos+n) →
+    Gram keys are TWO independent polynomial folds combined into one
+    64-bit value (``g1·mod2 + g2``, key space ``mod·mod2`` ≈ 2^60 —
+    both folds plain arithmetic, so a SQL oracle reproduces the key
+    bit-for-bit). A single 2^30 fold would make cross-gram collisions
+    dominate at corpus scale (m ≈ 1e11 grams → ~m²/2^31 ≈ 1e12
+    colliding pairs, i.e. false spans destructively stripping
+    non-duplicated text); at 2^60 the expectation is ~5e3 colliding
+    pairs over the whole corpus — vanishing per-gram. Pass
+    ``mod2=None`` for the legacy single-mod key (back-compat only).
+
+    Plan: word-hash arrays → positional gram fold → global count per
+    gram (map-side partial) → hash join back → each duplicated gram
+    contributes the interval [pos, pos+n) →
     ``intervals.merge_overlaps(strict=False, partition_cols=[doc])``
     fuses touching grams into maximal spans — one shuffle keyed by
     doc. Every stage is linear in token count; no pair of documents is
@@ -224,21 +235,40 @@ def duplicate_ngram_spans(
     from big_ann_spark.operators.intervals import merge_overlaps
 
     toks = F.split(F.col(text_col), " ")
-    word_hash = lambda w: F.aggregate(  # noqa: E731
-        F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * word_base + x) % mod,
-    )
-    with_h = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(toks, word_hash).alias("_H"),
-    )
 
-    def key_at(i):
-        k = F.lit(0).cast("long")
-        for j in range(n):
-            k = (k * combine_base + F.element_at("_H", i + j)) % mod
-        return k
+    def word_hash(base, m):
+        return lambda w: F.aggregate(
+            F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * base + x) % m,
+        )
+
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, word_hash(word_base, mod)).alias("_H"),
+    ]
+    if mod2 is not None:
+        cols.append(F.transform(toks, word_hash(word_base2, mod2)).alias("_H2"))
+    with_h = docs.select(*cols)
+
+    def fold_at(arr, cb, m):
+        def at(i):
+            k = F.lit(0).cast("long")
+            for j in range(n):
+                k = (k * cb + F.element_at(arr, i + j)) % m
+            return k
+
+        return at
+
+    k1 = fold_at("_H", combine_base, mod)
+    if mod2 is None:
+        key_at = k1
+    else:
+        k2 = fold_at("_H2", combine_base2, mod2)
+
+        def key_at(i):
+            # k1 < mod ≈ 1e9, ·mod2 ≈ 1e18 < 2^63 — no overflow
+            return k1(i) * F.lit(mod2).cast("long") + k2(i)
 
     keys = F.when(
         F.size("_H") >= n,
@@ -410,6 +440,7 @@ def min_label_components(
     else:
         ids = sym.select(F.col("src").alias("id")).distinct()
     labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             sym.join(
@@ -443,6 +474,19 @@ def min_label_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # the last sweep still moved labels: the component diameter
+        # exceeds max_iter and the returned labels are NOT a fixpoint
+        # (clusters would be silently over-split). Surface it loudly.
+        import warnings
+
+        warnings.warn(
+            f"min_label_components did not converge within max_iter={max_iter} "
+            "iterations; returned cluster labels are not a fixpoint "
+            "(long duplicate chains would be over-split). Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.withColumnRenamed("label", "cluster_rep").withColumnRenamed(
         "id", "doc_id"
     )
@@ -918,10 +962,14 @@ def hash_sample(
     sharing the id; nested fractions nest (a 10% sample ⊂ the 30%
     sample at the same salt). The salt is mixed BEFORE the multiply so
     different salts select unrelated subsets, not a boundary-shifted
-    one. The reduction keeps every product under 2^63 for any long
-    id."""
+    one. The salted value is reduced mod p again before the multiply —
+    (x+s)·a ≡ ((x+s) mod p)·a (mod p), so results are unchanged where
+    the old form was in range, but the product now stays under 2^63
+    for ANY salt (including negative ones, where Spark's signed ``%``
+    would otherwise have made the predicate silently always-true)."""
     thresh = int(fraction * mod)
-    keep = (((F.pmod(F.col(id_col), F.lit(mod)) + salt) * a) % mod) < thresh
+    salted = F.pmod(F.pmod(F.col(id_col), F.lit(mod)) + F.lit(salt % mod), F.lit(mod))
+    keep = ((salted * a) % mod) < thresh
     return docs.filter(keep)
 
 
@@ -960,8 +1008,13 @@ def token_budget_mix(
         frac = min(1.0, target / totals[src])
         part = hash_sample(
             sized.filter(F.col(source_col) == src), frac, id_col=id_col, salt=salt
-        ).withColumn("target_tokens", F.lit(int(target)))
+        ).withColumn("target_tokens", F.lit(int(target)).cast("long"))
         out = part if out is None else out.unionByName(part)
     if out is None:
-        return sized.filter(F.lit(False)).withColumn("target_tokens", F.lit(0))
+        # same schema as the normal path (no _toks, long target_tokens)
+        return (
+            sized.filter(F.lit(False))
+            .withColumn("target_tokens", F.lit(0).cast("long"))
+            .drop("_toks")
+        )
     return out.drop("_toks")

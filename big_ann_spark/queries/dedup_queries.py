@@ -48,7 +48,9 @@ WITH docs AS (
 sh AS (SELECT DISTINCT doc_id,
               ((H[i] % 1000000007 * 1000003 + H[i+1]) % 1000000007
                * 1000003 + H[i+2]) % 1000000007 AS shingle
-       FROM docs, range(1, 2000) t(i) WHERE i <= len(H) - 2),
+       FROM (SELECT doc_id, H,
+                    unnest(generate_series(1, greatest(len(H) - 2, 0)))::BIGINT AS i
+             FROM docs)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -178,7 +180,9 @@ docs AS (
   FROM corpus
 ),
 sh AS (SELECT DISTINCT doc_id, {_SHINGLE_KEY} AS shingle
-       FROM docs, range(1, 4000) t(i) WHERE i <= len(H) - 2),
+       FROM (SELECT doc_id, H,
+                    unnest(generate_series(1, greatest(len(H) - 2, 0)))::BIGINT AS i
+             FROM docs)),
 hx AS (SELECT doc_id, shingle AS x FROM sh),
 sig AS (SELECT doc_id,
         {_MIN_TERMS}

@@ -158,13 +158,20 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
 
-# n=8 gram fold: k = fold_j (k*1000003 + H[i+j]) % p — mirrors
-# dedup.duplicate_ngram_spans' key_at exactly
-_GRAM8 = "H[i]"
+# n=8 gram folds: k = fold_j (k*cb + H[i+j]) % p over TWO independent
+# (base, mod) pairs, combined as g1*mod2 + g2 — mirrors
+# dedup.duplicate_ngram_spans' 64-bit key_at exactly
+_GRAM8_A = "H[i]"
+_GRAM8_B = "H2[i]"
 for _j in range(1, 8):
-    _GRAM8 = f"({_GRAM8} % 1000000007 * 1000003 + H[i+{_j}])"
-_GRAM8 += " % 1000000007"
+    _GRAM8_A = f"({_GRAM8_A} % 1000000007 * 1000003 + H[i+{_j}])"
+    _GRAM8_B = f"({_GRAM8_B} % 998244353 * 1000033 + H2[i+{_j}])"
+_GRAM8_A += " % 1000000007"
+_GRAM8_B += " % 998244353"
 
+# position enumeration is derived from len(H) (lateral unnest of
+# generate_series), NOT a fixed range cap — oracle coverage is
+# unbounded in document length, matching the Spark side.
 _FP_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -178,11 +185,19 @@ docs AS (
          list_transform(string_split(text, ' '),
                         w -> list_reduce(list_prepend(0::BIGINT,
                                list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
-                               (a, b) -> (a * 31 + b) % 1000000007)) AS H
+                               (a, b) -> (a * 31 + b) % 1000000007)) AS H,
+         list_transform(string_split(text, ' '),
+                        w -> list_reduce(list_prepend(0::BIGINT,
+                               list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                               (a, b) -> (a * 37 + b) % 998244353)) AS H2
   FROM corpus
 ),
-g AS (SELECT doc_id, (i - 1)::BIGINT AS pos, {_GRAM8} AS gram
-      FROM docs, range(1, 4000) t(i) WHERE i <= len(H) - 7),
+posn AS (SELECT doc_id, H, H2,
+                unnest(generate_series(1, greatest(len(H) - 7, 0)))::BIGINT AS i
+         FROM docs),
+g AS (SELECT doc_id, (i - 1)::BIGINT AS pos,
+             ({_GRAM8_A}) * 998244353 + ({_GRAM8_B}) AS gram
+      FROM posn),
 c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
 d AS (SELECT doc_id, pos AS s, pos + 8 AS e
       FROM g JOIN c USING (gram) WHERE cnt >= 2),

@@ -322,6 +322,46 @@ def test_hash_sample_deterministic_and_proportional(spark):
     assert d != a
 
 
+def test_hash_sample_extreme_salts_respect_fraction(spark):
+    # ADVICE r5: salts beyond ~1.3e9 used to overflow int64 and make
+    # the predicate silently always-true (fraction ignored). Pinned:
+    # any salt, including negative, still samples ~fraction.
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(2000)], "doc_id long, text string"
+    )
+    for salt in (10**18, -10**18, 2**62, -7):
+        got = D.hash_sample(docs, 0.3, salt=salt).count()
+        assert 0.2 < got / 2000 < 0.4, f"salt={salt} kept {got}/2000"
+
+
+def test_token_budget_mix_empty_path_schema(spark):
+    # ADVICE r5: the no-matching-source branch must return the SAME
+    # schema as the normal path (no leaked _toks column).
+    docs = spark.createDataFrame(
+        [(1, "a b c", "web")], "doc_id long, text string, source string"
+    )
+    normal = D.token_budget_mix(docs, {"web": 1.0}, total_tokens=100)
+    empty = D.token_budget_mix(docs, {"nosuch": 1.0}, total_tokens=100)
+    assert empty.schema == normal.schema
+    assert empty.count() == 0
+    # unionByName across the two branches must not raise
+    assert normal.unionByName(empty).count() == normal.count()
+
+
+def test_min_label_components_warns_on_non_convergence(spark):
+    import warnings as W
+
+    # a 40-node chain has diameter >> max_iter=2 -> labels are not a
+    # fixpoint; ADVICE r5: that must be surfaced, not silent.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        D.min_label_components(edges, max_iter=2).collect()
+    assert any("did not converge" in str(w.message) for w in rec)
+
+
 def test_token_budget_mix(spark):
     rows = []
     for i in range(300):
