@@ -61,23 +61,31 @@ j AS (SELECT doc_a, doc_b,
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b)
 SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
-FROM j ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+FROM j WHERE jaccard >= 0.5 ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
 """,
 )
-def ngram_jaccard_top_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard via shingle inverted index; top-20 most
-    similar pairs (deterministic tie-break on ids). Runs on hashed
-    shingle keys (doc_shingle_keys) — the Σdf² inverted-index join
-    shuffles 8-byte longs instead of shingle strings; the oracle
-    mirrors the same word-hash combine.
+def ngram_jaccard_top_pairs(spark, sf_dir, naive=False):
+    """Top-20 most similar pairs by exact 3-gram Jaccard AT a 0.5
+    threshold (deterministic tie-break on ids) — the registered path is
+    ``prefix_filtered_jaccard_pairs`` (VERDICT r5 #1): only each doc's
+    globally-RAREST (1−t)-fraction of shingles enters the inverted
+    index, removing the hot-shingle Σdf² blowup while provably missing
+    no pair at the threshold. The oracle is the NAIVE full inverted
+    index + the same threshold/order/limit, so the hash check certifies
+    the pruned plan reproduces the naive answer bit-for-bit.
 
-    This unthresholded top-k form is the EXPLORATORY tool: with no
+    ``naive=True`` (never passed by the driver) switches to the
+    unthresholded full-index form — the EXPLORATORY tool for surveying
+    a corpus's similarity structure below any threshold: with no
     threshold there is no sound prefix bound, so it pays full Σdf² and
-    is output-oblivious — on dup-heavy corpora use the scale paths
-    instead: ``ngram_prefix_filtered_pairs`` (exact at a threshold,
-    prefix+ppjoin pruned) or ``minhash_dedup_clusters`` (O(n) output)."""
+    is quadratic in dup-cluster size. On dup-heavy corpora prefer the
+    default, or ``minhash_dedup_clusters`` (O(n) output)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_similarity_pairs(d, shingles=D.doc_shingle_keys(d))
+    keys = D.doc_shingle_keys(d)
+    if naive:
+        pairs = D.jaccard_similarity_pairs(d, shingles=keys)
+    else:
+        pairs = D.prefix_filtered_jaccard_pairs(d, threshold=0.5, shingles=keys)
     return (
         pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
