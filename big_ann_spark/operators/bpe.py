@@ -4,19 +4,30 @@ training-data-pipeline op the regex census (functions.text) approximates.
 ``bpe_train`` is the Sennrich et al. (ACL 2016) merge loop re-expressed
 Spark-first: the corpus collapses once to the DISTINCT-WORD vocabulary
 with frequencies (the classic trick — pair statistics are a function of
-the vocab, not the corpus), then each round is
+the vocab, not the corpus). Training then takes one of two paths
+(VERDICT r5 #3 — the per-merge collect+job pair made a 32k-vocab run
+~64k driver-scheduled jobs):
 
-    adjacent-pair explode  →  groupBy(pair) weighted count (map-side
-    partial)  →  argmax with deterministic tie-break (one tiny collect)
-    →  broadcast merge applied as a codegen ``aggregate`` fold
-
-so a round costs two narrow jobs over |vocab| rows regardless of corpus
-size; the vocab table is localCheckpointed per round (constant plan
-depth — the KANNDI pattern for inherently sequential algorithms).
+- **driver-local (default, ``mode="auto"``)**: the distinct-word vocab
+  is bounded by language vocabulary, not corpus size — it ALWAYS fits
+  the driver (a 100 TB corpus still has ~10⁶-10⁷ distinct words). One
+  distributed aggregation builds it, one collect ships it, and the
+  whole merge loop runs driver-side with incremental pair-count
+  updates and a lazy max-heap: **O(1) Spark jobs total**, not O(merges).
+- **distributed (``mode="distributed"``, or vocab > max_driver_vocab)**:
+  batched sweeps — each sweep collects the top-``sweep_top`` pairs and
+  applies the longest prefix of them that is PROVABLY the next run of
+  sequential merges (pairwise symbol-disjoint, merged-string-disjoint,
+  every non-leading member strictly above the stop bound — see
+  ``_select_batch`` for the exactness argument), as nested codegen
+  folds in ONE projection + one localCheckpoint. Sweeps cost two jobs
+  regardless of corpus size; the batch is exact, so the merge table is
+  bit-identical to the one-merge-per-round loop at ANY sweep_top.
 
 Greedy-leftmost application and overlap-counted pair statistics mirror
 the reference algorithm exactly; the unit tests pin merge-table
-equality against an independent pure-Python implementation.
+equality against an independent pure-Python implementation for both
+paths and at interleaved sweep sizes.
 
 ``bpe_segment`` is the inference side: the trained merge list applies
 per word inside an Arrow-batched mapInPandas (tokenizer inference is a
@@ -65,19 +76,151 @@ def _merge_fold(a: str, b: str):
     )
 
 
+def _train_driver_local(
+    rows: list[tuple[list[str], int]], n_merges: int, min_freq: int
+) -> list[tuple[str, str]]:
+    """The Sennrich merge loop over a collected (symbols, freq) vocab:
+    incremental pair-count maintenance (only words containing the
+    merged pair are touched, via a pair→word-ids index) and a lazy
+    max-heap keyed (−count, pair) — the same (count desc, pair asc)
+    tie-break as the distributed argmax. 32k merges cost seconds, and
+    zero Spark jobs."""
+    import heapq
+
+    words = [list(s) for s, _ in rows]
+    freqs = [f for _, f in rows]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + f
+            where.setdefault(p, set()).add(wi)
+    heap = [(-n, p) for p, n in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        neg, p = heapq.heappop(heap)
+        n = counts.get(p, 0)
+        if n != -neg:  # stale entry — re-push at the live count
+            if n > 0:
+                heapq.heappush(heap, (-n, p))
+            continue
+        if n < min_freq:
+            break
+        a, b = p
+        merges.append(p)
+        touched: set[tuple[str, str]] = set()
+        for wi in where.get(p, ()):  # stale ids are harmless no-ops
+            syms = words[wi]
+            f = freqs[wi]
+            for i in range(len(syms) - 1):
+                q = (syms[i], syms[i + 1])
+                counts[q] = counts.get(q, 0) - f
+                touched.add(q)
+            out: list[str] = []
+            for s in syms:  # greedy-leftmost, identical to the fold
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[wi] = out
+            for i in range(len(out) - 1):
+                q = (out[i], out[i + 1])
+                counts[q] = counts.get(q, 0) + f
+                where.setdefault(q, set()).add(wi)
+                touched.add(q)
+        where.pop(p, None)
+        counts.pop(p, None)
+        for q in touched:
+            nq = counts.get(q, 0)
+            if nq <= 0:
+                counts.pop(q, None)
+                where.pop(q, None)
+            elif q != p:
+                heapq.heappush(heap, (-nq, q))
+    return merges
+
+
+def _select_batch(
+    rows: list[tuple[str, str, int]], collected_cap: int, min_freq: int
+) -> list[tuple[str, str]]:
+    """From pair counts sorted (n desc, a, b) — i.e. exact sequential
+    preference order — pick the longest prefix that provably equals the
+    next run of one-at-a-time merges.
+
+    Exactness argument: applying a merge leaves the count of any
+    symbol-disjoint pair unchanged, so accepted members keep their
+    sorted positions against every OLD pair (ties already resolved by
+    the same (a, b) order the sort used). The only new contenders are
+    pairs CREATED by earlier batch merges; each created pair's count is
+    bounded by some existing pair sharing a symbol with the applied
+    merge, and every sharing pair sits at/after the stop position
+    (otherwise it would have stopped the prefix earlier), so created
+    counts ≤ stop_n. Requiring every non-leading member's count to be
+    STRICTLY above stop_n therefore rules created pairs out. Membership
+    of a merged STRING (a+b) among another member's symbols or merged
+    strings is also treated as interaction: such a merge changes the
+    other pair's population, breaking the disjoint-count invariant. The
+    leading pair needs no guard — it is the argmax on current counts."""
+    batch: list[tuple[str, str, int]] = []
+    syms: set[str] = set()
+    merged: set[str] = set()
+    stop_n: int | None = None
+    for a, b, n in rows:
+        if batch and (
+            n < min_freq or ({a, b, a + b} & syms) or ({a, b, a + b} & merged)
+        ):
+            stop_n = n
+            break
+        if n < min_freq:
+            return []
+        batch.append((a, b, n))
+        syms |= {a, b}
+        merged.add(a + b)
+    else:
+        if len(rows) == collected_cap and rows:
+            stop_n = rows[-1][2]  # unseen pairs below can tie this
+    if stop_n is not None:
+        while len(batch) > 1 and batch[-1][2] <= stop_n:
+            batch.pop()
+    return [(a, b) for a, b, _ in batch]
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int,
     *,
     text_col: str = "text",
     min_freq: int = 2,
+    mode: str = "auto",
+    max_driver_vocab: int = 2_000_000,
+    sweep_top: int = 64,
 ) -> list[tuple[str, str]]:
     """Train ``n_merges`` BPE merges on the corpus; returns the ordered
     merge list. Stops early when the best pair's corpus frequency drops
-    below ``min_freq``."""
-    vocab = word_vocab(docs, text_col=text_col).localCheckpoint()
+    below ``min_freq``.
+
+    ``mode="auto"`` trains driver-local when the distinct-word vocab
+    has ≤ ``max_driver_vocab`` entries (always true in practice —
+    vocabulary is a language property, not a data-volume one), else
+    falls back to distributed batched sweeps. ``"driver"`` /
+    ``"distributed"`` force a path. All paths produce the identical
+    merge table."""
+    vocab = word_vocab(docs, text_col=text_col)
+    if mode == "driver" or (
+        mode == "auto"
+        and vocab.limit(max_driver_vocab + 1).count() <= max_driver_vocab
+    ):
+        rows = vocab.collect()
+        return _train_driver_local(
+            [(list(r["symbols"]), r["freq"]) for r in rows], n_merges, min_freq
+        )
+
+    vocab = vocab.localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         # guard fully-merged single-symbol words: sequence(1, 0) would
         # DESCEND in Spark, producing out-of-range element_at indices
         pair_arr = F.when(
@@ -91,20 +234,25 @@ def bpe_train(
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
         pairs = vocab.select("freq", F.explode(pair_arr).alias("p"))
-        best = (
+        top = (
             pairs.groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.col("n").desc(), "a", "b")
-            .limit(1)
+            .limit(sweep_top)
             .collect()
         )
-        if not best or best[0]["n"] < min_freq:
+        if not top or top[0]["n"] < min_freq:
             break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        vocab = vocab.select(
-            _merge_fold(a, b)("symbols").alias("symbols"), "freq"
-        ).localCheckpoint()
+        batch = _select_batch(
+            [(r["a"], r["b"], r["n"]) for r in top], sweep_top, min_freq
+        )[: n_merges - len(merges)]
+        if not batch:
+            break
+        merges.extend(batch)
+        expr = F.col("symbols")
+        for a, b in batch:
+            expr = _merge_fold(a, b)(expr)
+        vocab = vocab.select(expr.alias("symbols"), "freq").localCheckpoint()
     return merges
 
 
