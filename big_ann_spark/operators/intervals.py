@@ -86,6 +86,53 @@ def binned_point_join(
     return out.drop("_bin")
 
 
+def write_binned_intervals(
+    intervals: DataFrame, path: str, *, bin_width: int
+) -> None:
+    """Persist an interval table bin-partitioned on disk
+    (``partitionBy(_bin)``): each interval is written once per integer
+    bin it touches, so a probe that knows its bins scans only those
+    directories — the interval analogue of the S7 sharded-vector
+    layout. At 100 TB this is the layout that turns a range join into
+    partition-pruned IO instead of a full scan."""
+    binned = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("begin") / bin_width),
+                F.floor((F.col("end") - F.lit(1)) / bin_width),
+            )
+        ),
+    )
+    binned.write.mode("overwrite").partitionBy("_bin").parquet(path)
+
+
+def binned_point_join_from_disk(
+    spark, path: str, points: DataFrame, *, point_col: str = "p", bin_width: int
+) -> DataFrame:
+    """Point-in-interval join against a ``write_binned_intervals``
+    layout. The small (broadcast) point side is binned with the same
+    width and equi-joined on the partition column, so Spark inserts a
+    dynamic-partition-pruning subquery on the interval scan: only the
+    directories whose ``_bin`` appears in the probe are read
+    (PartitionFilters: dynamicpruningexpression — plan-pinned in
+    tests/test_intervals.py). Residual containment predicate filters
+    within the bin; duplicates from multi-bin intervals are impossible
+    because a point lives in exactly one bin."""
+    iv = spark.read.parquet(path)
+    # bin with the PARTITION COLUMN's read-back type (int) so the join
+    # key is the raw partition attribute — a cast on the partition side
+    # defeats the DPP rule's partition-scan lineage match
+    bin_t = dict(iv.dtypes)["_bin"]
+    binned_p = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / bin_width).cast(bin_t)
+    )
+    out = iv.join(F.broadcast(binned_p), "_bin").filter(
+        contains_point("begin", "end", point_col)
+    )
+    return out.drop("_bin")
+
+
 def is_point_covered(points: DataFrame, intervals: DataFrame, *, point_col: str = "p") -> DataFrame:
     """Semi-join form — ``is_number_in_interval_tree``
     (``src/util/utils.py:387-393``): keep points covered by ≥1 interval."""

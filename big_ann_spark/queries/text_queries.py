@@ -98,63 +98,350 @@ def language_id_q(spark, sf_dir):
     )
 
 
-@register(
-    "pipeline_clean_corpus",
-    sql=f"""
-WITH t AS (
+# ---- pipeline_clean_corpus: the full pretraining-prep composite as a
+# tagged union, one stage per variant (VERDICT r5 #2/#7 — the r5 ops
+# get oracle-checked driver rows WITHOUT new registry entries):
+#   redact    — PII match census on the (synthetically injected) corpus
+#   clean     — redact → quality filter → exact dedup, per-source stats
+#   sample    — + deterministic hash_sample(0.5, salt=1)
+#   mix       — + token_budget_mix (pinned weights/budget, salt=2)
+#   bpe       — + BPE segmentation of the sampled set (PINNED 8-merge
+#               table applied as rank-order codegen folds — the JVM
+#               equivalent of bpe_segment, equality unit-tested)
+#   bpe_train — the 8-merge table trained on the raw corpus, certified
+#               by an unrolled argmax+apply CTE chain in DuckDB
+# Every stage is plain arithmetic/regex, so DuckDB reproduces the whole
+# pipeline bit-for-bit. Schema: (variant, key, n, v1, v2).
+
+_PIN_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+]  # bpe_train(documents@sf0.01, 8, mode="driver") — pinned constant
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "nosuch": 1.0}
+_MIX_TOTAL = 1500
+_HP = 2_147_483_647  # dedup.MINHASH_P — the hash_sample modulus
+_HA = 2_654_435_761
+
+
+def _pipeline_sql() -> str:
+    from big_ann_spark.functions.text import PII_PATTERNS
+
+    qual = (
+        "0.4 * least(len(string_split(red, ' '))::DOUBLE / 100.0, 1.0)\n"
+        "       + 0.3 * greatest(0.0, 1.0 - 4.0 *"
+        " (length(regexp_replace(red, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(red)))\n"
+        "       + 0.3 * greatest(0.0, 1.0 - abs("
+        "len(list_filter(string_split(red, ' '), x -> list_contains(["
+        + _SW["en"]
+        + "], x)))::DOUBLE / len(string_split(red, ' ')) - 0.4) / 0.4)"
+    )
+    red_expr = "text"
+    for k in PII_PATTERNS:
+        red_expr = (
+            f"regexp_replace({red_expr}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+        )
+    pii_union = "\nUNION ALL\n".join(
+        f"SELECT '{k}' AS key,"
+        f" coalesce(sum(len(regexp_extract_all(text, '{p}'))), 0)::BIGINT AS n,"
+        f" (count(*) FILTER (WHERE len(regexp_extract_all(text, '{p}')) > 0))::DOUBLE AS v1"
+        " FROM inj"
+        for k, p in PII_PATTERNS.items()
+    )
+    th_half = int(0.5 * _HP)
+    w_sum = sum(_MIX_WEIGHTS.values())
+    real_srcs = [s for s in _MIX_WEIGHTS if s != "nosuch"]
+    frac_case = " ".join(
+        f"WHEN '{s}' THEN least(1.0, ({float(_MIX_TOTAL)} * ({_MIX_WEIGHTS[s]} / {w_sum})) / tot)"
+        for s in real_srcs
+    )
+    tgt_case = " ".join(
+        f"WHEN '{s}' THEN {float(int(_MIX_TOTAL * (_MIX_WEIGHTS[s] / w_sum)))}"
+        for s in real_srcs
+    )
+    src_list = ", ".join(f"'{s}'" for s in real_srcs)
+    # per-word BPE token count: symbols as a chr(31)-framed string
+    # (outer single, inner double separators), merges applied in rank
+    # order by left-to-right non-overlapping replace — exactly the
+    # greedy-leftmost fold
+    rep = (
+        "chr(31) || array_to_string(list_append(string_split(w, ''), '</w>'),"
+        " chr(31)||chr(31)) || chr(31)"
+    )
+    for a, b in _PIN_MERGES:
+        rep = (
+            f"replace({rep}, chr(31)||'{a}'||chr(31)||chr(31)||'{b}'||chr(31),"
+            f" chr(31)||'{a}{b}'||chr(31))"
+        )
+    ntok = (
+        f"len(string_split(substring({rep}, 2, length({rep}) - 2),"
+        " chr(31)||chr(31)))"
+    )
+    # unrolled trainer stages: pairs -> argmax (n desc, a, b) -> apply
+    train_ctes = []
+    train_rows = []
+    prev = "v0"
+    for k in range(1, len(_PIN_MERGES) + 1):
+        train_ctes.append(
+            f"""l{k} AS MATERIALIZED (SELECT string_split(substring(s, 2, length(s) - 2), chr(31)||chr(31)) AS l, freq FROM {prev}),
+p{k} AS MATERIALIZED (SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS n
+         FROM (SELECT l, freq, unnest(generate_series(1, greatest(len(l) - 1, 0)))::BIGINT AS i FROM l{k})
+         GROUP BY 1, 2),
+b{k} AS MATERIALIZED (SELECT a, b FROM p{k} WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
+v{k} AS MATERIALIZED (SELECT replace(s,
+           coalesce(chr(31)||(SELECT a FROM b{k})||chr(31)||chr(31)||(SELECT b FROM b{k})||chr(31), chr(30)),
+           coalesce(chr(31)||(SELECT a FROM b{k})||(SELECT b FROM b{k})||chr(31), chr(30))) AS s, freq
+      FROM {prev})"""
+        )
+        train_rows.append(
+            f"SELECT 'bpe_train' AS variant, a || '->' || b AS key,"
+            f" {k}::BIGINT AS n, 0.0 AS v1, 0.0 AS v2 FROM b{k}"
+        )
+        prev = f"v{k}"
+    train_ctes_sql = ",\n".join(train_ctes)
+    train_rows_sql = "\nUNION ALL\n".join(train_rows)
+    return f"""
+WITH inj AS (
   SELECT doc_id, source,
-         string_split(text, ' ') AS toks,
-         length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
-         text
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact u' || doc_id || '@example.com ref ' || (7000000 + doc_id * 7)
+              ELSE text END AS text
   FROM documents
 ),
-s AS (
-  SELECT doc_id, source, text, len(toks) AS n_tokens,
-         0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
-       + 0.3 * greatest(0.0, 1.0 - 4.0 * punct_ratio)
-       + 0.3 * greatest(0.0, 1.0 - abs(
-           len(list_filter(toks, x -> list_contains([{_SW['en']}], x)))::DOUBLE / len(toks)
-           - 0.4) / 0.4) AS quality
-  FROM t
+pii AS ({pii_union}),
+redtbl AS MATERIALIZED (SELECT doc_id, source, {red_expr} AS red FROM inj),
+scored AS MATERIALIZED (
+  SELECT doc_id, source, red,
+         len(string_split(red, ' ')) AS n_tokens,
+         {qual} AS quality
+  FROM redtbl
 ),
-filtered AS (SELECT * FROM s WHERE quality >= 0.5),
-deduped AS (
+filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+deduped AS MATERIALIZED (
   SELECT min(doc_id) AS doc_id, min(source) AS source,
-         min(n_tokens) AS n_tokens, min(quality) AS quality
-  FROM filtered GROUP BY text
-)
-SELECT source,
-       COUNT(*) AS n_docs,
-       ROUND(AVG(n_tokens), 4) AS avg_tokens,
-       ROUND(AVG(quality), 6) AS avg_quality
+         min(n_tokens) AS n_tokens, min(quality) AS quality, red
+  FROM filtered GROUP BY red
+),
+sampled AS MATERIALIZED (
+  SELECT * FROM deduped
+  WHERE ((doc_id % {_HP} + 1) % {_HP} * {_HA}) % {_HP} < {th_half}
+),
+tok_totals AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM sampled GROUP BY source),
+mixf AS (SELECT source, tot,
+                CASE source {frac_case} END AS frac,
+                CASE source {tgt_case} END AS target
+         FROM tok_totals WHERE source IN ({src_list})),
+mixed AS (SELECT s.*, m.frac, m.target
+          FROM sampled s JOIN mixf m USING (source)
+          WHERE ((s.doc_id % {_HP} + 2) % {_HP} * {_HA}) % {_HP}
+                < CAST(trunc(m.frac * {_HP}) AS BIGINT)),
+bpe_docs AS (
+  SELECT source,
+         coalesce(list_sum(list_transform(
+           list_filter(string_split(red, ' '), w -> w != ''),
+           w -> {ntok})), 0)::BIGINT AS n_bpe
+  FROM sampled
+),
+w0 AS (SELECT w, count(*)::BIGINT AS freq
+       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents)
+       GROUP BY w),
+v0 AS MATERIALIZED (SELECT chr(31) || array_to_string(list_append(string_split(w, ''), '</w>'), chr(31)||chr(31)) || chr(31) AS s, freq FROM w0),
+{train_ctes_sql}
+SELECT 'redact' AS variant, key, n, v1, 0.0 AS v2 FROM pii
+UNION ALL
+SELECT 'clean', source, COUNT(*)::BIGINT, ROUND(AVG(n_tokens), 4), ROUND(AVG(quality), 6)
 FROM deduped GROUP BY source
-""",
-)
+UNION ALL
+SELECT 'sample', source, COUNT(*)::BIGINT, SUM(n_tokens)::DOUBLE, 0.0
+FROM sampled GROUP BY source
+UNION ALL
+SELECT 'mix', source, COUNT(*)::BIGINT, SUM(n_tokens)::DOUBLE, ANY_VALUE(target)
+FROM mixed GROUP BY source
+UNION ALL
+SELECT 'bpe', source, COUNT(*)::BIGINT, SUM(n_bpe)::DOUBLE, ROUND(AVG(n_bpe), 6)
+FROM bpe_docs GROUP BY source
+UNION ALL
+{train_rows_sql}
+"""
+
+
+@register("pipeline_clean_corpus", sql=_pipeline_sql())
 def pipeline_clean_corpus(spark, sf_dir):
-    """North-star composite: the training-data cleaning pipeline as ONE
-    declarative plan — quality scoring → threshold filter → exact dedup
-    (min-id winner per text) → per-source corpus stats. Catalyst fuses
-    the whole chain into a scan + two aggregates; at 100 TB this is the
-    shape of a real corpus-prep job."""
+    """North-star composite: the pretraining-data prep pipeline as ONE
+    tagged-union plan, each stage certified by the same DuckDB oracle —
+    PII redaction (functions.text.redact_pii; the corpus gets a
+    deterministic synthetic PII suffix on every 5th doc so the patterns
+    have real work) → quality scoring + threshold filter → exact dedup
+    (min-id winner per redacted text) → deterministic
+    ``hash_sample(0.5)`` → ``token_budget_mix`` (pinned weights incl. a
+    missing source) → BPE segmentation of the sampled set with the
+    PINNED 8-merge table applied as rank-order codegen folds (the
+    JVM-side equivalent of ``bpe_segment``, equality unit-tested) —
+    plus the 8-merge ``bpe_train`` table itself (driver-local path).
+    All stages are column expressions; the only driver-side pieces are
+    token_budget_mix's per-source fraction map and the collected
+    distinct-word vocab, both contractually tiny."""
+    from big_ann_spark.operators import bpe as BP
+    from big_ann_spark.operators.dedup import hash_sample, token_budget_mix
+
     d = load_table(spark, sf_dir, "documents")
-    scored = d.select(
+    inj = d.select(
         "doc_id",
         "source",
-        "text",
-        T.token_count("text").alias("n_tokens"),
-        T.quality_score("text").alias("quality"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ref "),
+                (F.lit(7000000) + F.col("doc_id") * 7).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
     )
-    filtered = scored.filter(F.col("quality") >= 0.5)
-    deduped = filtered.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min("source").alias("source"),
-        F.min("n_tokens").alias("n_tokens"),
-        F.min("quality").alias("quality"),
+
+    cnts = T.pii_counts("text")
+    aggs = []
+    for k in T.PII_PATTERNS:
+        aggs.append(F.sum(cnts[k]).alias(f"{k}_n"))
+        aggs.append(F.count(F.when(cnts[k] > 0, F.lit(1))).alias(f"{k}_d"))
+    stack_args = ", ".join(f"'{k}', {k}_n, {k}_d" for k in T.PII_PATTERNS)
+    redact_rows = (
+        inj.agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(T.PII_PATTERNS)}, {stack_args}) as (key, n, d)"
+            )
+        )
+        .select(
+            F.lit("redact").alias("variant"),
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.col("d").cast("double").alias("v1"),
+            F.lit(0.0).alias("v2"),
+        )
     )
-    return deduped.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+
+    scored = inj.select(
+        "doc_id",
+        "source",
+        T.redact_pii("text").alias("red"),
+    ).select(
+        "doc_id",
+        "source",
+        "red",
+        T.token_count("red").alias("n_tokens"),
+        T.quality_score("red").alias("quality"),
+    )
+    deduped = (
+        scored.filter(F.col("quality") >= 0.5)
+        .groupBy("red")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("source").alias("source"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("quality").alias("quality"),
+        )
+    )
+    clean_rows = (
+        deduped.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_tokens"), 4).alias("v1"),
+            F.round(F.avg("quality"), 6).alias("v2"),
+        )
+        .select(
+            F.lit("clean").alias("variant"),
+            F.col("source").alias("key"),
+            "n",
+            "v1",
+            "v2",
+        )
+    )
+
+    sampled = hash_sample(deduped, 0.5, salt=1)
+    sample_rows = (
+        sampled.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_tokens").cast("double").alias("v1"),
+        )
+        .select(
+            F.lit("sample").alias("variant"),
+            F.col("source").alias("key"),
+            "n",
+            "v1",
+            F.lit(0.0).alias("v2"),
+        )
+    )
+
+    mixed = token_budget_mix(
+        sampled, _MIX_WEIGHTS, _MIX_TOTAL, text_col="red", salt=2
+    )
+    mix_rows = (
+        mixed.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_tokens").cast("double").alias("v1"),
+            F.first("target_tokens").cast("double").alias("v2"),
+        )
+        .select(
+            F.lit("mix").alias("variant"),
+            F.col("source").alias("key"),
+            "n",
+            "v1",
+            "v2",
+        )
+    )
+
+    end_arr = F.array(F.lit(BP.END))
+
+    def seg_count(w):
+        expr = F.concat(F.split(w, ""), end_arr)
+        for a, b in _PIN_MERGES:
+            expr = BP._merge_fold(a, b)(expr)
+        return F.size(expr)
+
+    words = F.filter(F.split("red", " "), lambda w: w != "")
+    n_bpe = F.aggregate(
+        F.transform(words, seg_count), F.lit(0), lambda acc, x: acc + x
+    )
+    bpe_rows = (
+        sampled.select("source", n_bpe.alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bpe").cast("double").alias("v1"),
+            F.round(F.avg("n_bpe"), 6).alias("v2"),
+        )
+        .select(
+            F.lit("bpe").alias("variant"),
+            F.col("source").alias("key"),
+            "n",
+            "v1",
+            "v2",
+        )
+    )
+
+    merges = BP.bpe_train(d, len(_PIN_MERGES), mode="driver")
+    train_rows = spark.createDataFrame(
+        [(f"{a}->{b}", i + 1) for i, (a, b) in enumerate(merges)],
+        "key string, n long",
+    ).select(
+        F.lit("bpe_train").alias("variant"),
+        "key",
+        "n",
+        F.lit(0.0).alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+
+    return (
+        redact_rows.unionByName(clean_rows)
+        .unionByName(sample_rows)
+        .unionByName(mix_rows)
+        .unionByName(bpe_rows)
+        .unionByName(train_rows)
     )
 
 

@@ -96,6 +96,39 @@ def test_bpe_batched_parity_randomized_corpora(spark):
         ), f"trial {trial}"
 
 
+def test_pinned_fold_segmentation_equals_bpe_segment(spark):
+    # pipeline_clean_corpus applies the pinned merge table as rank-order
+    # codegen folds; that must equal bpe_segment's priority encoder
+    # (the classic rank-order/priority equivalence for trained tables).
+    from pyspark.sql import functions as F
+
+    from big_ann_spark.queries.text_queries import _PIN_MERGES
+
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+    end_arr = F.array(F.lit(B.END))
+
+    def seg_count(w):
+        expr = F.concat(F.split(w, ""), end_arr)
+        for a, b in _PIN_MERGES:
+            expr = B._merge_fold(a, b)(expr)
+        return F.size(expr)
+
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n_fold = F.aggregate(
+        F.transform(words, seg_count), F.lit(0), lambda acc, x: acc + x
+    )
+    fold_counts = {
+        r.doc_id: r.n for r in docs.select("doc_id", n_fold.alias("n")).collect()
+    }
+    seg_counts = {
+        r.doc_id: r.n_tokens
+        for r in B.bpe_segment(docs, list(_PIN_MERGES)).collect()
+    }
+    assert fold_counts == seg_counts
+
+
 def test_bpe_auto_mode_job_count(spark):
     # the SCALE contract: auto-mode training is O(1) Spark jobs total,
     # not O(merges) — a 32k-merge tokenizer must not be 64k jobs.

@@ -61,3 +61,43 @@ def test_ids_to_intervals_runs(spark):
     ids = spark.createDataFrame([(1,), (2,), (3,), (7,), (8,), (12,)], "id long")
     out = sorted(map(tuple, iv.ids_to_intervals(ids).collect()))
     assert out == [(1, 3), (7, 8), (12, 12)]
+
+
+def test_binned_layout_dynamic_partition_pruning(spark):
+    # VERDICT r3/r5 carry-over: the bin-partitioned interval layout
+    # must show DPP on the interval side of a binned range join, like
+    # test_sharded_layout pins static pruning for shards.
+    import tempfile
+
+    ivs = _df(spark, [(i * 10, i * 10 + 8) for i in range(200)])
+    path = tempfile.mkdtemp(prefix="big_ann_binned_iv_")
+    iv.write_binned_intervals(ivs, path, bin_width=64)
+
+    # a selective predicate on the probe side is what lets Spark's DPP
+    # rule judge the pruning subquery worthwhile (IsNotNull alone is
+    # ignored by design)
+    pts = spark.createDataFrame([(5,), (9,), (130,), (1999,)], "p long").filter(
+        F.col("p") >= 0
+    )
+    out = iv.binned_point_join_from_disk(spark, path, pts, bin_width=64)
+    rows = sorted(
+        map(tuple, out.select("p", "begin", "end").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            iv.binned_point_join(ivs, pts, bin_width=64)
+            .select("p", "begin", "end")
+            .collect(),
+        )
+    )
+    assert rows == want and len(rows) > 0
+
+    # plan must carry a dynamic-pruning subquery in the scan's
+    # PartitionFilters (AQE: inspect the executed plan)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
+    after = plan.split("PartitionFilters", 1)[1][:300]
+    assert "dynamicpruning" in after.lower(), after
