@@ -93,17 +93,32 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    static_prune: bool = True,
 ) -> DataFrame:
     """IVF top-k: route → candidate join on shard_id → per-query top-k
     globally re-ranked by true distance (W2: union of per-shard
     candidates re-sorted, ``kanndi/README.md:46-47``).
 
     ``sharded_vectors`` must have (id_col, vec_col, shard_id). When it
-    is a ``partitionBy("shard_id")`` parquet table, the equi-join key
-    doubles as the partition-pruning key (DPP turns the probe list into
-    a scan filter).
-    """
+    is a ``partitionBy("shard_id")`` parquet table, ``static_prune``
+    (default) collects the DISTINCT routed shard ids — bounded by
+    min(Q·nprobe, m), contractually tiny — and applies them as an
+    ``isin`` filter before the join, so the scan carries static
+    PartitionFilters and reads ONLY probed shard directories. This is
+    what keeps search wall N-independent at fixed shard size (measured:
+    the join-only form relies on DPP, which Spark's heuristics decline
+    for this plan shape, silently degrading to a full scan — 11 s vs
+    0.9 s at 2M vectors). Disable for huge query batches that probe
+    every shard anyway (the filter is then a no-op costing one routing
+    pass)."""
     routed = route_queries(queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim)
+    if static_prune:
+        probe_ids = [
+            r["shard_id"] for r in routed.select("shard_id").distinct().collect()
+        ]
+        sharded_vectors = sharded_vectors.filter(
+            F.col("shard_id").isin(probe_ids)
+        )
     cands = routed.join(
         sharded_vectors.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_bvec"), "shard_id"
