@@ -135,6 +135,108 @@ def doc_shingle_keys(
     )
 
 
+def benchmark_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    word_base: int = 31,
+    combine_base: int = 1_000_003,
+    mod: int = 1_000_000_007,
+    word_base2: int = 37,
+    combine_base2: int = 1_000_033,
+    mod2: int = 998_244_353,
+) -> DataFrame:
+    """Benchmark decontamination census: for every training document,
+    how many of its distinct n-token grams also occur anywhere in the
+    held-out benchmark set. Returns (doc_id, n_grams, n_matched,
+    contam_frac) with one row per train doc — including zero-gram docs
+    (shorter than n tokens), so the output is a total function of the
+    train set. Downstream policy (drop when contam_frac exceeds a
+    threshold, the GPT-3/PaLM n-gram-overlap decontamination shape) is
+    a plain filter over this census.
+
+    Gram keys are the same 64-bit two-fold construction as
+    ``duplicate_ngram_spans`` (``g1·mod2 + g2``, key space ≈ 2^60):
+    plain arithmetic both engines reproduce bit-for-bit, and cross-gram
+    collisions — which would FALSELY flag clean training docs — stay
+    ~m²/2^61 corpus-wide instead of dominating at the 1e11-gram scale a
+    2^30 key space would.
+
+    Scale shape: the benchmark side is contractually tiny (every public
+    eval suite together is MBs of text → its distinct-gram table
+    broadcasts); the train side streams once. Per-doc gram arrays are
+    deduped with ``array_distinct`` inside the scan stage (per-row, no
+    shuffle), the broadcast left join marks hits without moving the
+    train side, and the single shuffle is the per-doc count aggregation
+    keyed on ``doc_id`` with map-side partial aggregation. Nothing in
+    the plan grows with benchmark count beyond the broadcast, and
+    nothing pairs train docs with each other."""
+
+    def gram_keys(docs: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+
+        def word_hash(base, m):
+            return lambda w: F.aggregate(
+                F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * base + x) % m,
+            )
+
+        with_h = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(toks, word_hash(word_base, mod)).alias("_H"),
+            F.transform(toks, word_hash(word_base2, mod2)).alias("_H2"),
+        )
+
+        def fold_at(arr, cb, m):
+            def at(i):
+                k = F.lit(0).cast("long")
+                for j in range(n):
+                    k = (k * cb + F.element_at(arr, i + j)) % m
+                return k
+
+            return at
+
+        k1 = fold_at("_H", combine_base, mod)
+        k2 = fold_at("_H2", combine_base2, mod2)
+        keys = F.when(
+            F.size("_H") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_H") - (n - 1)),
+                lambda i: k1(i) * F.lit(mod2).cast("long") + k2(i),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        return with_h.select("doc_id", F.array_distinct(keys).alias("_grams"))
+
+    bench_grams = (
+        gram_keys(bench)
+        .select(F.explode("_grams").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train_grams = gram_keys(train)
+    flagged = (
+        train_grams.select("doc_id", F.explode_outer("_grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_matched"),
+        )
+    )
+    return flagged.select(
+        "doc_id",
+        "n_grams",
+        "n_matched",
+        F.when(F.col("n_grams") > 0, F.col("n_matched") / F.col("n_grams"))
+        .otherwise(F.lit(0.0))
+        .alias("contam_frac"),
+    )
+
+
 def jaccard_similarity_pairs(
     docs: DataFrame,
     *,

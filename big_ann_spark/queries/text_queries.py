@@ -507,6 +507,27 @@ SELECT 'char_fp', doc_id,
          (a, b) -> (a * 31 + b) % 1000000007),
        0
 FROM documents WHERE doc_id < 100
+UNION ALL
+-- decontam: distinct 8-gram overlap of each train doc (doc_id % 13 <> 0)
+-- against the benchmark split (doc_id % 13 = 0); raw docs only (the
+-- doubled corpus above is dup_span's fixture, not decontam's)
+SELECT 'decontam', doc_id, n_matched, n_grams FROM (
+  WITH rg AS (
+    SELECT DISTINCT doc_id, ({_GRAM8_A}) * 998244353 + ({_GRAM8_B}) AS gram
+    FROM (SELECT doc_id, H, H2,
+                 unnest(generate_series(1, greatest(len(H) - 7, 0)))::BIGINT AS i
+          FROM docs WHERE doc_id < 100000)
+  ),
+  bg AS (SELECT DISTINCT gram FROM rg WHERE doc_id % 13 = 0)
+  SELECT d.doc_id,
+         COUNT(t.gram)::BIGINT AS n_grams,
+         COUNT(b.gram)::BIGINT AS n_matched
+  FROM documents d
+  LEFT JOIN rg t ON t.doc_id = d.doc_id
+  LEFT JOIN bg b ON b.gram = t.gram
+  WHERE d.doc_id % 13 <> 0
+  GROUP BY d.doc_id
+)
 """
 
 
@@ -522,7 +543,13 @@ def doc_fingerprint(spark, sf_dir):
       al. span-removal shape: gram-hash occurrence counts → interval
       merge per doc; the corpus is doubled with truncated copies so
       guaranteed duplicated spans exist). v1 = span begin, v2 = span
-      end, in token positions."""
+      end, in token positions.
+    - ``decontam``: benchmark-decontamination census
+      (operators.dedup.benchmark_contamination, the GPT-3/PaLM
+      n-gram-overlap shape) — docs with doc_id % 13 == 0 act as the
+      held-out benchmark, every other doc is train; v1 = distinct
+      8-grams matched in the benchmark set, v2 = total distinct
+      8-grams (zero-gram short docs included with 0/0)."""
     d = load_table(spark, sf_dir, "documents")
     fp = d.filter(F.col("doc_id") < 100).select(
         F.lit("char_fp").alias("variant"),
@@ -548,4 +575,14 @@ def doc_fingerprint(spark, sf_dir):
         F.col("begin").alias("v1"),
         F.col("end").alias("v2"),
     )
-    return spans.unionByName(fp)
+    contam = D.benchmark_contamination(
+        d.filter(F.col("doc_id") % 13 != 0),
+        d.filter(F.col("doc_id") % 13 == 0),
+        n=8,
+    ).select(
+        F.lit("decontam").alias("variant"),
+        "doc_id",
+        F.col("n_matched").alias("v1"),
+        F.col("n_grams").alias("v2"),
+    )
+    return spans.unionByName(fp).unionByName(contam)

@@ -384,3 +384,40 @@ def test_token_budget_mix(spark):
         docs, {"web": 1.0, "books": 1.0}, total_tokens=2000).select("doc_id").collect()}
     first = {r.doc_id for r in out.select("doc_id").collect()}
     assert first == again
+
+
+def test_benchmark_contamination_brute_force(spark):
+    """Census equals a pure-Python distinct-n-gram overlap, zero-gram
+    docs included, and the bench side arrives broadcast."""
+    n = 3
+    train_rows = [
+        (1, "a b c d e f"),          # shares the c-d-e window with bench
+        (2, "x y z q r s"),          # clean
+        (3, "a b"),                  # shorter than n -> zero grams
+        (4, "c d e c d e c d e"),    # only bench-matched grams
+    ]
+    bench_rows = [(100, "c d e c d e"), (101, "p q r")]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    def grams(t):
+        toks = t.split(" ")
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_set = set().union(*(grams(t) for _, t in bench_rows))
+    expect = {}
+    for i, t in train_rows:
+        g = grams(t) if len(t.split(" ")) >= n else set()
+        expect[i] = (len(g), len(g & bench_set))
+
+    out = D.benchmark_contamination(train, bench, n=n)
+    got = {
+        r.doc_id: (r.n_grams, r.n_matched, r.contam_frac)
+        for r in out.collect()
+    }
+    assert set(got) == set(expect)
+    for i, (ng, nm) in expect.items():
+        assert got[i][0] == ng and got[i][1] == nm
+        assert got[i][2] == (nm / ng if ng else 0.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
