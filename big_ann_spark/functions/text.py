@@ -164,3 +164,59 @@ def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
     for k in kinds or list(PII_PATTERNS):
         out = F.regexp_replace(out, PII_PATTERNS[k], f"<{k.upper()}>")
     return out
+
+
+def repetition_metrics(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 quality rules, re-expressed relationally): one row per doc —
+
+    - ``max_word_frac``: occurrences of the most frequent token / total
+      tokens (Gopher drops docs where any single word dominates).
+    - ``top_bigram_frac``: occurrences of the most frequent token
+      2-gram / total 2-grams; 0.0 for single-token docs.
+
+    Unlike the scalar helpers above this is a DataFrame op: per-doc
+    mode-frequency needs a group-by, not an array fold. Both metrics
+    are explode → two-level hash aggregation (the per-dim-entropy
+    pattern): map-side partial aggregation reduces each partition to
+    its distinct (doc, term) pairs before any shuffle, every stage is
+    linear in token count, and no step materializes a per-doc
+    vocabulary in one task — so a 100k-token document costs the same
+    per token as a 100-token one (an array-expression
+    distinct×filter formulation would be quadratic in doc vocabulary).
+    MAX(c)/SUM(c) folds the denominator into the same aggregate — no
+    join back to the base table."""
+    toks = tokens(text_col)
+    words = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("w"))
+    wf = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("max_word_frac"))
+    )
+    bigrams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark — guard single-token docs
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("b"),
+    )
+    bf = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    return wf.join(bf, "doc_id", "left").select(
+        "doc_id",
+        "max_word_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )

@@ -29,30 +29,58 @@ s AS (
          punct_ratio,
          len(list_filter(toks, x -> list_contains([{_SW['en']}], x)))::DOUBLE / len(toks) AS sw
   FROM t
+),
+wf AS (
+  SELECT doc_id, MAX(c) / SUM(c) AS max_word_frac
+  FROM (SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+bf AS (
+  SELECT doc_id, MAX(c) / SUM(c) AS top_bigram_frac
+  FROM (SELECT doc_id, b, COUNT(*) AS c
+        FROM (SELECT t.doc_id, t.toks[u.i] || ' ' || t.toks[u.i + 1] AS b
+              FROM t, LATERAL unnest(generate_series(1, len(t.toks) - 1)) AS u(i))
+        GROUP BY doc_id, b)
+  GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT s.doc_id,
        len(toks) AS n_tokens,
        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
        length(text) AS n_chars,
        ROUND(0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
            + 0.3 * greatest(0.0, 1.0 - 4.0 * punct_ratio)
-           + 0.3 * greatest(0.0, 1.0 - abs(sw - 0.4) / 0.4), 6) AS quality
-FROM s
+           + 0.3 * greatest(0.0, 1.0 - abs(sw - 0.4) / 0.4), 6) AS quality,
+       ROUND(wf.max_word_frac, 6) AS max_word_frac,
+       ROUND(COALESCE(bf.top_bigram_frac, 0.0), 6) AS top_bigram_frac
+FROM s JOIN wf ON s.doc_id = wf.doc_id
+LEFT JOIN bf ON s.doc_id = bf.doc_id
 """,
 )
 def text_metrics(spark, sf_dir):
     """Token census + quality score per document, folded into one
     per-doc row: whitespace tokens, BPE-ish regex tokens, char count,
-    and the composite quality score (length, punctuation noise,
-    stopword naturalness — functions.text.quality_score for the
-    contract). One scan, pure column expressions."""
+    the composite quality score (length, punctuation noise, stopword
+    naturalness — functions.text.quality_score for the contract), and
+    the Gopher-style repetition signals (max_word_frac /
+    top_bigram_frac — functions.text.repetition_metrics: explode →
+    two-level hash agg, linear in tokens). The scalar columns stay one
+    scan of pure column expressions; the repetition join keys on
+    doc_id."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    base = d.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
         T.bpe_ish_token_count("text").alias("n_bpe_ish"),
         F.length("text").alias("n_chars"),
         F.round(T.quality_score("text"), 6).alias("quality"),
+    )
+    rep = T.repetition_metrics(d)
+    return base.join(rep, "doc_id").select(
+        base["*"],
+        F.round("max_word_frac", 6).alias("max_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
     )
 
 

@@ -421,3 +421,22 @@ def test_benchmark_contamination_brute_force(spark):
         assert got[i][2] == (nm / ng if ng else 0.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_metrics_hand_case(spark):
+    from big_ann_spark.functions import text as T
+
+    d = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "p q p q p q")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.max_word_frac, r.top_bigram_frac)
+        for r in T.repetition_metrics(d).collect()
+    }
+    # doc1: 'a'x3 of 4 tokens; bigrams 'a a'x2, 'a b'x1 -> 2/3
+    assert got[1] == (0.75, 2 / 3)
+    # single-token doc: no bigrams -> 0.0
+    assert got[2] == (1.0, 0.0)
+    # doc3: p/q each 3 of 6; 'p q'x3 of 5 bigrams
+    assert got[3] == (0.5, 0.6)
