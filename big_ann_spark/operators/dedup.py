@@ -135,6 +135,59 @@ def doc_shingle_keys(
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    history: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "survivors",
+) -> DataFrame:
+    """Exact dedup of a NEW ingest batch against a historical corpus —
+    the incremental form every continuously-crawled training pipeline
+    runs (history = everything already kept; new batch = today's
+    crawl). Returns (kept_doc_id, n_copies) per distinct new text:
+
+    - ``mode="survivors"`` (default): texts NOT present in history —
+      the rows to append; within-batch duplicates collapse to the
+      min-id winner with their copy count.
+    - ``mode="duplicates"``: texts already present in history — the
+      audit/reporting direction.
+
+    Scale shape: both sides project to an 8-byte ``xxhash64(text)``
+    before anything shuffles, so the join moves 8-16 bytes per row,
+    never the corpus, and the keys are high-entropy hashes (no skew by
+    construction). The join runs on the RAW hash projections — a plain
+    Project-over-Scan on each side — precisely so Spark's runtime
+    Bloom-filter injection
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) can prune
+    non-matching batch rows before the shuffle in the ``duplicates``
+    direction when the history side is filtered/selective (the
+    injection rule declines plans with an Aggregate below the join, so
+    pre-deduping either side would forfeit it — plan-pinned in
+    tests/test_dedup.py). The per-text aggregation happens after the
+    join and reuses the join's hash partitioning, so it adds no
+    exchange. The ``survivors`` anti-join cannot be Bloom-pruned (a
+    Bloom miss means KEEP, not skip — fundamental, not a missing
+    optimization)."""
+    if mode not in ("survivors", "duplicates"):
+        raise ValueError(f"unknown mode {mode!r}")
+    hist = history.select(F.xxhash64(F.col(text_col)).alias("_h"))
+    batch = new_docs.select(
+        F.xxhash64(F.col(text_col)).alias("_h"), F.col(id_col)
+    )
+    how = "left_anti" if mode == "survivors" else "left_semi"
+    return (
+        batch.join(hist, "_h", how)
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("kept_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("_h")
+    )
+
+
 def benchmark_contamination(
     train: DataFrame,
     bench: DataFrame,

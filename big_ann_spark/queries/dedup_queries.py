@@ -22,16 +22,52 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000, text FROM documents
+),
+newbatch AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ')
+  FROM documents WHERE doc_id % 7 = 0
 )
-SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+SELECT 'full' AS variant, min(doc_id) AS kept_doc_id, count(*) AS n_copies
 FROM corpus GROUP BY text
+UNION ALL
+SELECT 'incr_surv', min(doc_id), count(*) FROM newbatch
+WHERE text NOT IN (SELECT text FROM documents) GROUP BY text
+UNION ALL
+SELECT 'incr_dup', min(doc_id), count(*) FROM newbatch
+WHERE text IN (SELECT text FROM documents) GROUP BY text
 """,
 )
 def dedup_exact(spark, sf_dir):
-    """Exact dedup (hash-groupBy, min-id winner) on the doubled corpus."""
+    """Exact dedup, tagged union (variant, kept_doc_id, n_copies):
+    - ``full``: hash-groupBy min-id-winner dedup on the doubled corpus.
+    - ``incr_surv`` / ``incr_dup``: incremental dedup of a synthetic
+      new-ingest batch (exact copies of history + truncated mutations
+      of every 7th doc) against the original corpus as history —
+      operators.dedup.incremental_exact_dedup in both directions."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.union(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    return D.exact_dedup(corpus)
+    full = D.exact_dedup(corpus).select(
+        F.lit("full").alias("variant"), "kept_doc_id", "n_copies"
+    )
+    toks = F.split("text", " ")
+    newbatch = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text").union(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " "
+            ).alias("text"),
+        )
+    )
+    incr = [
+        D.incremental_exact_dedup(newbatch, d, mode=mode).select(
+            F.lit(tag).alias("variant"), "kept_doc_id", "n_copies"
+        )
+        for mode, tag in (("survivors", "incr_surv"), ("duplicates", "incr_dup"))
+    ]
+    return full.unionByName(incr[0]).unionByName(incr[1])
 
 
 @register(

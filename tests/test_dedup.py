@@ -440,3 +440,65 @@ def test_repetition_metrics_hand_case(spark):
     assert got[2] == (1.0, 0.0)
     # doc3: p/q each 3 of 6; 'p q'x3 of 5 bigrams
     assert got[3] == (0.5, 0.6)
+
+
+def test_incremental_exact_dedup(spark):
+    hist = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(20)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"doc {i} text") for i in range(10)]     # dups of history
+        + [(2000 + i, f"fresh {i} text") for i in range(5)]  # genuinely new
+        + [(3000, "fresh 0 text")],                          # within-batch dup
+        "doc_id long, text string",
+    )
+    surv = {r.kept_doc_id: r.n_copies
+            for r in D.incremental_exact_dedup(new, hist).collect()}
+    assert len(surv) == 5 and surv[2000] == 2  # min-id winner, copy count
+    assert all(k >= 2000 for k in surv)
+    dups = {r.kept_doc_id for r in
+            D.incremental_exact_dedup(new, hist, mode="duplicates").collect()}
+    assert dups == {1000 + i for i in range(10)}
+
+
+def test_incremental_dedup_duplicates_gets_runtime_bloom(spark):
+    """The 'duplicates' semi-join shape must stay eligible for Spark's
+    runtime Bloom-filter injection: raw hash projections on both sides,
+    no Aggregate below the join (the injection rule declines those).
+    Pin it so a refactor that re-introduces a pre-join distinct is
+    caught here, not in a 100 TB run."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big_new = spark.range(0, 100000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"),
+        )
+        small_hist = (
+            spark.range(0, 100000)
+            .filter(F.col("id") % 101 == 0)
+            .select(F.concat(F.lit("t"), F.col("id")).alias("text"))
+        )
+        q = D.incremental_exact_dedup(big_new, small_hist, mode="duplicates")
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
