@@ -220,3 +220,46 @@ def repetition_metrics(docs, *, id_col: str = "doc_id", text_col: str = "text"):
         "max_word_frac",
         F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
     )
+
+
+def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                    lm_docs=None):
+    """CCNet-style language-model quality signal, with a unigram LM in
+    place of the KenLM 5-gram: score every document by the mean
+    log-probability of its tokens under an add-one-smoothed unigram
+    model trained on ``lm_docs`` (default: the scored corpus itself —
+    self-perplexity). Low scores mark gibberish / rare-token documents,
+    high scores mark repetitive boilerplate; real pipelines bucket on
+    this (CCNet keeps head/middle by perplexity). Returns (doc_id,
+    lp_per_token) where lp = ln((c(w)+1)/(T+V)) averaged over the
+    doc's tokens; unseen tokens get the smoothed floor ln(1/(T+V)).
+
+    Scale shape: the LM is ONE aggregate over the exploded LM corpus
+    whose result is vocabulary-sized (language-bounded, ~1e6 rows at
+    any corpus size) → broadcast to the scoring join; the scoring side
+    explodes once and the single shuffle is the per-doc mean keyed on
+    doc_id (map-side partial). Token probabilities are plain
+    arithmetic, so a SQL oracle reproduces the score exactly (mod the
+    usual ROUND-6 float-sum tolerance)."""
+    lm = lm_docs if lm_docs is not None else docs
+    lm_toks = lm.select(F.explode(tokens(text_col)).alias("w"))
+    counts = lm_toks.groupBy("w").agg(F.count("*").alias("c"))
+    # T and V are scalars of a tiny aggregate — fold them in as a
+    # broadcast-joined single row to keep the plan lazy (no collect)
+    totals = counts.agg(
+        F.sum("c").alias("_T"), F.count("*").alias("_V")
+    )
+    scored = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(text_col)).alias("w"))
+        .join(F.broadcast(counts), "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("_T") + F.col("_V")).cast("double")
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.avg("_lp").alias("lp_per_token"))

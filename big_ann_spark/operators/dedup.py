@@ -201,6 +201,7 @@ def benchmark_contamination(
     word_base2: int = 37,
     combine_base2: int = 1_000_033,
     mod2: int = 998_244_353,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination census: for every training document,
     how many of its distinct n-token grams also occur anywhere in the
@@ -220,7 +221,9 @@ def benchmark_contamination(
 
     Scale shape: the benchmark side is contractually tiny (every public
     eval suite together is MBs of text → its distinct-gram table
-    broadcasts); the train side streams once. Per-doc gram arrays are
+    broadcasts; pass ``broadcast_bench=False`` to fall back to a
+    shuffle join if yours genuinely is not); the train side streams
+    once. Per-doc gram arrays are
     deduped with ``array_distinct`` inside the scan stage (per-row, no
     shuffle), the broadcast left join marks hits without moving the
     train side, and the single shuffle is the per-doc count aggregation
@@ -271,9 +274,11 @@ def benchmark_contamination(
         .withColumn("_hit", F.lit(1))
     )
     train_grams = gram_keys(train)
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
     flagged = (
         train_grams.select("doc_id", F.explode_outer("_grams").alias("gram"))
-        .join(F.broadcast(bench_grams), "gram", "left")
+        .join(bench_grams, "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count("gram").alias("n_grams"),

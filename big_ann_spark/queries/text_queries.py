@@ -44,6 +44,18 @@ bf AS (
               FROM t, LATERAL unnest(generate_series(1, len(t.toks) - 1)) AS u(i))
         GROUP BY doc_id, b)
   GROUP BY doc_id
+),
+cnt AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+tot AS (SELECT SUM(c) AS T, COUNT(*) AS V FROM cnt),
+lm AS (
+  SELECT doc_id, AVG(ln((c + 1)::DOUBLE / (T + V))) AS lp
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  JOIN cnt USING (w) CROSS JOIN tot
+  GROUP BY doc_id
 )
 SELECT s.doc_id,
        len(toks) AS n_tokens,
@@ -53,9 +65,11 @@ SELECT s.doc_id,
            + 0.3 * greatest(0.0, 1.0 - 4.0 * punct_ratio)
            + 0.3 * greatest(0.0, 1.0 - abs(sw - 0.4) / 0.4), 6) AS quality,
        ROUND(wf.max_word_frac, 6) AS max_word_frac,
-       ROUND(COALESCE(bf.top_bigram_frac, 0.0), 6) AS top_bigram_frac
+       ROUND(COALESCE(bf.top_bigram_frac, 0.0), 6) AS top_bigram_frac,
+       ROUND(lm.lp, 6) AS lp_per_token
 FROM s JOIN wf ON s.doc_id = wf.doc_id
 LEFT JOIN bf ON s.doc_id = bf.doc_id
+JOIN lm ON s.doc_id = lm.doc_id
 """,
 )
 def text_metrics(spark, sf_dir):
@@ -65,9 +79,11 @@ def text_metrics(spark, sf_dir):
     naturalness — functions.text.quality_score for the contract), and
     the Gopher-style repetition signals (max_word_frac /
     top_bigram_frac — functions.text.repetition_metrics: explode →
-    two-level hash agg, linear in tokens). The scalar columns stay one
-    scan of pure column expressions; the repetition join keys on
-    doc_id."""
+    two-level hash agg, linear in tokens), and the CCNet-style
+    unigram-LM score (lp_per_token — functions.text.unigram_logprob:
+    vocabulary-sized LM aggregate broadcast to the scoring join). The
+    scalar columns stay one scan of pure column expressions; the
+    repetition/LM joins key on doc_id."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -77,10 +93,16 @@ def text_metrics(spark, sf_dir):
         F.round(T.quality_score("text"), 6).alias("quality"),
     )
     rep = T.repetition_metrics(d)
-    return base.join(rep, "doc_id").select(
-        base["*"],
-        F.round("max_word_frac", 6).alias("max_word_frac"),
-        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    lm = T.unigram_logprob(d)
+    return (
+        base.join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .select(
+            base["*"],
+            F.round("max_word_frac", 6).alias("max_word_frac"),
+            F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+            F.round("lp_per_token", 6).alias("lp_per_token"),
+        )
     )
 
 

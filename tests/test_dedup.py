@@ -502,3 +502,25 @@ def test_incremental_dedup_duplicates_gets_runtime_bloom(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+
+    from big_ann_spark.functions import text as T
+
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "z q")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.lp_per_token for r in T.unigram_logprob(d).collect()}
+    # corpus counts: a=2 b=1 z=1 q=1; T=5, V=4, smoothing +1/(T+V)
+    exp1 = (2 * math.log(3 / 9) + math.log(2 / 9)) / 3
+    exp2 = math.log(2 / 9)
+    assert abs(got[1] - exp1) < 1e-12 and abs(got[2] - exp2) < 1e-12
+    # external LM: token unseen by the LM gets the smoothed floor
+    lm = spark.createDataFrame([(9, "a a")], "doc_id long, text string")
+    got2 = {r.doc_id: r.lp_per_token
+            for r in T.unigram_logprob(d, lm_docs=lm).collect()}
+    # LM: a=2, T=2, V=1 -> p(a)=3/3, p(unseen)=1/3
+    assert abs(got2[1] - (2 * math.log(1.0) + math.log(1 / 3)) / 3) < 1e-12
+    assert abs(got2[2] - math.log(1 / 3)) < 1e-12
