@@ -1,0 +1,82 @@
+"""Sequence packing — the final stage of a pretraining data pipeline:
+lay the cleaned corpus end-to-end in a deterministic document order and
+slice the token stream into fixed-length training windows
+(concat-and-chunk, the standard GPT-style packing; documents may span
+window boundaries, separated by an EOS the tokenizer adds downstream).
+
+The core quantity is each document's OFFSET in the concatenated
+stream = the exclusive prefix sum of token counts in doc-id order — a
+global running total, which a naive ``Window.orderBy(doc_id)`` would
+compute on ONE task. Here it runs as the ranged two-pass pattern
+(operators/ranged.py): per-bin local prefix windows in parallel + an
+O(n_bins) driver-side carry table broadcast back. Value-identical to
+the global window, no single-partition WindowExec anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_ann_spark.functions.text import token_count
+from big_ann_spark.operators.ranged import add_value_bins, bin_prefix_table
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-document placement in the packed token stream: (doc_id,
+    n_tokens, offset, window_start, window_end) where ``offset`` is the
+    exclusive prefix sum of token counts in ``id_col`` order and
+    ``window_start``/``window_end`` are the first/last ``ctx_len``-token
+    training windows the document touches (equal unless the doc spans a
+    boundary). Deterministic: same corpus + order → same packing, on
+    any partitioning.
+
+    Pass ``tokens_col`` to reuse a precomputed token count (e.g. real
+    tokenizer lengths from ``bpe_segment``); otherwise whitespace
+    ``token_count(text_col)`` is used.
+
+    Scale shape: one tiny min/max job to bin ids, per-bin local prefix
+    windows (parallel, bounded state), one O(n_bins) carry collect,
+    broadcast join back — the two-pass ranged prefix; nothing global.
+    Window ids are exact: offsets are int64 and the floor-divide runs
+    on integers."""
+    n = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else token_count(text_col)
+    ).cast("long")
+    d = docs.select(F.col(id_col).alias("doc_id"), n.alias("n_tokens"))
+    binned = add_value_bins(d, "doc_id", n_bins)
+    w = (
+        Window.partitionBy("_bin")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = binned.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    )
+    pfx = bin_prefix_table(binned, {"tok": (F.sum("n_tokens"), "sum")})
+    placed = local.join(F.broadcast(pfx), "_bin").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_local_off") + F.col("_pfx_tok")).alias("offset"),
+    )
+    # integer floor-divide: exact for the full int64 offset domain
+    start = (F.col("offset") - F.col("offset") % ctx_len) / ctx_len
+    last = F.col("offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))
+    end = (last - last % ctx_len) / ctx_len
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "offset",
+        start.cast("long").alias("window_start"),
+        end.cast("long").alias("window_end"),
+    )

@@ -284,6 +284,12 @@ mixed AS (SELECT s.*, m.frac, m.target
           FROM sampled s JOIN mixf m USING (source)
           WHERE ((s.doc_id % {_HP} + 2) % {_HP} * {_HA}) % {_HP}
                 < CAST(trunc(m.frac * {_HP}) AS BIGINT)),
+pack AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM deduped
+),
 bpe_docs AS (
   SELECT source,
          coalesce(list_sum(list_transform(
@@ -310,6 +316,11 @@ UNION ALL
 SELECT 'bpe', source, COUNT(*)::BIGINT, SUM(n_bpe)::DOUBLE, ROUND(AVG(n_bpe), 6)
 FROM bpe_docs GROUP BY source
 UNION ALL
+SELECT 'pack', doc_id::VARCHAR, n_tokens::BIGINT,
+       floor(off / 256)::DOUBLE,
+       floor((off + greatest(n_tokens - 1, 0)) / 256)::DOUBLE
+FROM pack
+UNION ALL
 {train_rows_sql}
 """
 
@@ -326,7 +337,11 @@ def pipeline_clean_corpus(spark, sf_dir):
     missing source) → BPE segmentation of the sampled set with the
     PINNED 8-merge table applied as rank-order codegen folds (the
     JVM-side equivalent of ``bpe_segment``, equality unit-tested) —
-    plus the 8-merge ``bpe_train`` table itself (driver-local path).
+    plus the 8-merge ``bpe_train`` table itself (driver-local path),
+    and concat-and-chunk sequence packing of the deduped set into
+    256-token training windows (operators.packing.pack_sequences —
+    ranged two-pass prefix sum, no global window; per-doc placement
+    rows).
     All stages are column expressions; the only driver-side pieces are
     token_budget_mix's per-source fraction map and the collected
     distinct-word vocab, both contractually tiny."""
@@ -410,6 +425,16 @@ def pipeline_clean_corpus(spark, sf_dir):
         )
     )
 
+    from big_ann_spark.operators.packing import pack_sequences
+
+    pack_rows = pack_sequences(deduped, 256, tokens_col="n_tokens").select(
+        F.lit("pack").alias("variant"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_tokens").alias("n"),
+        F.col("window_start").cast("double").alias("v1"),
+        F.col("window_end").cast("double").alias("v2"),
+    )
+
     sampled = hash_sample(deduped, 0.5, salt=1)
     sample_rows = (
         sampled.groupBy("source")
@@ -491,6 +516,7 @@ def pipeline_clean_corpus(spark, sf_dir):
         .unionByName(sample_rows)
         .unionByName(mix_rows)
         .unionByName(bpe_rows)
+        .unionByName(pack_rows)
         .unionByName(train_rows)
     )
 
