@@ -288,8 +288,27 @@ perm AS (
          array_to_string(list_transform([3, 1, 2],
                          i -> round(embedding[i + 1]::DOUBLE, 6)::DECIMAL(10,6)::VARCHAR), ',') AS encoded
   FROM e
+),
+sqstats AS (
+  SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+  FROM (
+    SELECT i, MIN(v) AS mn, MAX(v) AS mx
+    FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+                 unnest(range(1, len(embedding)+1)) AS i
+          FROM embeddings)
+    GROUP BY i)
+),
+sq8 AS (
+  SELECT e.vec_id, 'sq8' AS encoder,
+         array_to_string(list_transform(range(1, len(e.embedding)+1),
+           i -> (CASE WHEN s.mx[i] = s.mn[i] THEN 0
+                 ELSE least(255.0, greatest(0.0,
+                        floor((e.embedding[i]::DOUBLE - s.mn[i]) / (s.mx[i] - s.mn[i]) * 255)))::INTEGER
+                 END)::VARCHAR), ',') AS encoded
+  FROM e, sqstats s
 )
 SELECT * FROM solr UNION ALL SELECT * FROM es UNION ALL SELECT * FROM perm
+UNION ALL SELECT * FROM sq8
 """,
 )
 def vector_encodings(spark, sf_dir):
@@ -300,6 +319,10 @@ def vector_encodings(spark, sf_dir):
       (reference ``get_elasticsearch_vector``, ``utils.py:56-69``);
     - ``permuted_head``: buddy dimension reorder ``points[:, friends]``
       (reference ``utils.py:195-202``), head [3, 1, 2].
+    - ``sq8``: per-dimension affine int8 scalar quantization (the
+      FAISS ScalarQuantizer shape — operators.pq.train_sq8 /
+      sq8_encode_col; ranges trained on the FULL table, codes for the
+      sample certified digit-for-digit).
     All rendered via DECIMAL casts so Spark's Java float→string and
     DuckDB's shortest-roundtrip formats cannot diverge, and arrays are
     stringified — the driver canonicalizer cannot sort list cells."""
@@ -341,4 +364,18 @@ def vector_encodings(spark, sf_dir):
         F.lit("permuted_head").alias("encoder"),
         F.array_join(perm_arr, ",").alias("encoded"),
     )
-    return solr.unionByName(es).unionByName(permuted)
+    from big_ann_spark.operators.pq import sq8_encode_col, train_sq8
+
+    mins, maxs = train_sq8(load_table(spark, sf_dir, "embeddings"))
+    sq8 = emb.select(
+        "vec_id",
+        F.lit("sq8").alias("encoder"),
+        F.array_join(
+            F.transform(
+                sq8_encode_col("embedding", mins, maxs),
+                lambda c: c.cast("string"),
+            ),
+            ",",
+        ).alias("encoded"),
+    )
+    return solr.unionByName(es).unionByName(permuted).unionByName(sq8)

@@ -183,3 +183,43 @@ def test_permute_dims_roundtrip(spark):
     a = [r["embedding"] for r in e.orderBy("vec_id").collect()]
     b = [r["embedding"] for r in back.orderBy("vec_id").collect()]
     assert a == b
+
+
+def test_sq8_roundtrip_error_bound(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = PQ.train_sq8(emb)
+    assert len(mins) == len(maxs) == 64
+    dec = emb.select(
+        F.col("embedding").cast("array<double>").alias("v"),
+        PQ.sq8_decode_col(
+            PQ.sq8_encode_col("embedding", mins, maxs), mins, maxs
+        ).alias("vhat"),
+        PQ.sq8_encode_col("embedding", mins, maxs).alias("codes"),
+    )
+    row = dec.select(
+        F.max(
+            F.aggregate(
+                F.zip_with("v", "vhat", lambda a, b: F.abs(a - b)),
+                F.lit(0.0),
+                lambda s, x: F.greatest(s, x),
+            )
+        ).alias("maxerr"),
+        F.min(F.array_min("codes")).alias("cmin"),
+        F.max(F.array_max("codes")).alias("cmax"),
+    ).collect()[0]
+    half_step = max((mx - mn) / 255 for mn, mx in zip(mins, maxs)) / 2
+    assert row.maxerr <= half_step * (1 + 1e-9)
+    assert 0 <= row.cmin and row.cmax <= 255
+
+
+def test_sq8_constant_dim_encodes_zero(spark):
+    d = spark.createDataFrame(
+        [(i, [1.5, float(i)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    mins, maxs = PQ.train_sq8(d)
+    codes = d.select(
+        PQ.sq8_encode_col("embedding", mins, maxs).alias("c")
+    ).collect()
+    assert all(r.c[0] == 0 for r in codes)  # constant dim -> code 0
+    assert {r.c[1] for r in codes} == {0, 85, 170, 255}
