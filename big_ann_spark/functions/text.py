@@ -223,7 +223,7 @@ def repetition_metrics(docs, *, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
-                    lm_docs=None):
+                    lm_docs=None, broadcast_lm: bool = True):
     """CCNet-style language-model quality signal, with a unigram LM in
     place of the KenLM 5-gram: score every document by the mean
     log-probability of its tokens under an add-one-smoothed unigram
@@ -236,7 +236,10 @@ def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
 
     Scale shape: the LM is ONE aggregate over the exploded LM corpus
     whose result is vocabulary-sized (language-bounded, ~1e6 rows at
-    any corpus size) → broadcast to the scoring join; the scoring side
+    any corpus size for real words; pass ``broadcast_lm=False`` for a
+    shuffle join when the raw token vocabulary is inflated by
+    typos/numbers beyond broadcast comfort) → broadcast to the
+    scoring join; the scoring side
     explodes once and the single shuffle is the per-doc mean keyed on
     doc_id (map-side partial). Token probabilities are plain
     arithmetic, so a SQL oracle reproduces the score exactly (mod the
@@ -252,7 +255,7 @@ def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
     scored = (
         docs.select(F.col(id_col).alias("doc_id"),
                     F.explode(tokens(text_col)).alias("w"))
-        .join(F.broadcast(counts), "w", "left")
+        .join(F.broadcast(counts) if broadcast_lm else counts, "w", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",

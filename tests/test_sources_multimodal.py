@@ -211,7 +211,7 @@ def test_cli_list_run_and_fbin(spark, sf_dir, tmp_path, capsys):
     assert main(["run", "dedup_exact", "--sf-dir", sf_dir,
                  "--out", str(tmp_path / "res.parquet")]) == 0
     got = spark.read.parquet(str(tmp_path / "res.parquet"))
-    assert got.count() > 0 and set(got.columns) == {"kept_doc_id", "n_copies"}
+    assert got.count() > 0 and set(got.columns) == {"variant", "kept_doc_id", "n_copies"}
 
     assert main(["run", "nope_not_a_query"]) == 2
 
