@@ -1,0 +1,98 @@
+"""Streaming corpus ingestion: incremental dedup vs landed history +
+exactly-once append, including the replay-must-not-see-its-own-
+partition trap."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_ann_spark.streaming import corpus as SC
+
+_SCHEMA = "doc_id long, text string"
+
+
+def _write_batches(spark, src, batches):
+    for rows in batches:
+        (
+            spark.createDataFrame(rows, _SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+
+
+def test_stream_corpus_dedup_across_batches(spark):
+    src = tempfile.mkdtemp(prefix="big_ann_corpus_src_")
+    # batch files are consumed in write order (one file per trigger)
+    _write_batches(
+        spark,
+        src,
+        [
+            [(1, "alpha"), (2, "beta"), (3, "alpha")],     # in-batch dup
+            [(10, "beta"), (11, "gamma")],                 # dup of history
+            [(20, "gamma"), (21, "delta"), (22, "delta")],
+        ],
+    )
+    path = tempfile.mkdtemp(prefix="big_ann_corpus_")
+    SC.stream_corpus_ingest(_stream(spark, src), path)
+    got = {(r.doc_id, r.text) for r in SC.read_corpus(spark, path).collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (11, "gamma"), (21, "delta")}
+
+    # nothing new -> re-run is a no-op
+    SC.stream_corpus_ingest(_stream(spark, src), path)
+    assert SC.read_corpus(spark, path).count() == 4
+
+    # late batch with one genuinely new text
+    _write_batches(spark, src, [[(30, "alpha"), (31, "epsilon")]])
+    SC.stream_corpus_ingest(_stream(spark, src), path)
+    got = {(r.doc_id, r.text) for r in SC.read_corpus(spark, path).collect()}
+    assert got == {
+        (1, "alpha"), (2, "beta"), (11, "gamma"), (21, "delta"),
+        (31, "epsilon"),
+    }
+
+
+@pytest.mark.parametrize("crash_point", ["pre-marker", "post-marker"])
+def test_stream_corpus_crash_restart_exactly_once(spark, crash_point):
+    """Crash at both windows on a middle batch; the restart must
+    neither duplicate nor lose rows — in particular the replayed batch
+    must not anti-join itself away against its own half-landed
+    partition (the data-written/marker-missing window)."""
+    src = tempfile.mkdtemp(prefix="big_ann_corpus_src_")
+    _write_batches(
+        spark,
+        src,
+        [
+            [(1, "alpha"), (2, "beta")],
+            [(10, "beta"), (11, "gamma"), (12, "delta")],
+            [(20, "delta"), (21, "epsilon")],
+        ],
+    )
+    path = tempfile.mkdtemp(prefix="big_ann_corpus_crash_")
+
+    def crash(point, batch_id):
+        if point == crash_point and batch_id == 1:
+            raise RuntimeError("injected crash")
+
+    with pytest.raises(Exception, match="injected crash|STREAM"):
+        SC.stream_corpus_ingest(
+            _stream(spark, src), path, _fault_point=crash
+        )
+    SC.stream_corpus_ingest(_stream(spark, src), path)  # restart
+    got = {(r.doc_id, r.text) for r in SC.read_corpus(spark, path).collect()}
+    assert got == {
+        (1, "alpha"), (2, "beta"), (11, "gamma"), (12, "delta"),
+        (21, "epsilon"),
+    }
