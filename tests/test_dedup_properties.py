@@ -116,3 +116,55 @@ def test_duplicate_ngram_spans_match_model(spark, texts, n):
         for r in D.duplicate_ngram_spans(df, n=n).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy, docs_strategy, st.sampled_from([2, 3]))
+def test_benchmark_contamination_matches_model(spark, train_texts, bench_texts, n):
+    """benchmark_contamination == pure-Python distinct-n-gram overlap
+    for arbitrary train/bench corpora and gram sizes."""
+    train_rows = list(enumerate(train_texts))
+    bench_rows = [(100 + i, t) for i, t in enumerate(bench_texts)]
+
+    def grams(t):
+        toks = t.split(" ")
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_set = set().union(*(grams(t) for _, t in bench_rows)) if bench_rows else set()
+    want = {}
+    for i, t in train_rows:
+        g = grams(t)
+        want[i] = (len(g), len(g & bench_set))
+
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_matched)
+        for r in D.benchmark_contamination(train, bench, n=n).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30),
+    st.sampled_from([8, 16, 64]),
+    st.sampled_from([1, 3, 7]),
+)
+def test_pack_sequences_matches_sequential_model(spark, lens, ctx, n_bins):
+    """pack_sequences == a sequential scan for arbitrary doc lengths,
+    context sizes, and bin counts (incl. n_bins > n_docs)."""
+    from big_ann_spark.operators.packing import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(lens)]
+    d = spark.createDataFrame(rows, "doc_id long, ntok long")
+    got = {
+        r.doc_id: (r.offset, r.window_start, r.window_end)
+        for r in pack_sequences(
+            d, ctx, tokens_col="ntok", n_bins=n_bins
+        ).collect()
+    }
+    off = 0
+    for i, n in rows:
+        assert got[i] == (off, off // ctx, (off + n - 1) // ctx)
+        off += n
