@@ -9,6 +9,9 @@ CLI over the query registry and the fbin codecs:
     python -m big_ann_spark fbin-to-parquet vectors.fbin out.parquet
     python -m big_ann_spark parquet-to-fbin emb.parquet out.fbin \\
         [--id-col vec_id --vec-col embedding]
+    python -m big_ann_spark ingest crawl_dir/ corpus_dir/ \\
+        [--format json|parquet]   # streaming dedup ingest (jsonl in,
+                                  # exactly-once deduped corpus out)
 
 ``run`` executes any registered query (the same callables the grading
 driver runs) against a TESTDATA-shaped directory; with ``--out`` the
@@ -64,6 +67,17 @@ def _build_parser() -> argparse.ArgumentParser:
     p2f.add_argument("dst")
     p2f.add_argument("--id-col", default="vec_id")
     p2f.add_argument("--vec-col", default="embedding")
+
+    ing = sub.add_parser(
+        "ingest",
+        help="stream a jsonl/parquet document directory into a deduped "
+        "corpus (incremental exact dedup vs history, exactly-once append)",
+    )
+    ing.add_argument("src", help="directory of .jsonl or .parquet doc files")
+    ing.add_argument("dst", help="corpus dir (data/ + checkpoint/ + _committed/)")
+    ing.add_argument("--format", default="json", choices=["json", "parquet"])
+    ing.add_argument("--id-col", default="doc_id")
+    ing.add_argument("--text-col", default="text")
     return p
 
 
@@ -135,6 +149,25 @@ def main(argv: list[str] | None = None) -> int:
         df = FB.read_fbin_spark(spark, args.src)
         df.write.mode("overwrite").parquet(args.dst)
         print(f"{df.count()} vectors -> {args.dst}")
+        return 0
+
+    if args.cmd == "ingest":
+        from big_ann_spark.streaming import corpus as SC
+
+        schema = f"{args.id_col} long, {args.text_col} string"
+        reader = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format(args.format)
+        )
+        SC.stream_corpus_ingest(
+            reader.load(args.src),
+            args.dst,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        n = SC.read_corpus(spark, args.dst).count()
+        print(f"corpus at {args.dst}: {n} unique docs")
         return 0
 
     if args.cmd == "parquet-to-fbin":

@@ -96,3 +96,42 @@ def test_stream_corpus_crash_restart_exactly_once(spark, crash_point):
         (1, "alpha"), (2, "beta"), (11, "gamma"), (12, "delta"),
         (21, "epsilon"),
     }
+
+
+def test_cli_ingest_jsonl(spark, tmp_path, capsys):
+    """CLI ingest: jsonl crawl files stream into a deduped corpus
+    (the common-crawl-shaped entry path; one file per micro-batch)."""
+    import json
+
+    from big_ann_spark.cli import main
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "alpha"},
+                {"doc_id": 2, "text": "beta"},
+                {"doc_id": 3, "text": "alpha"},
+            ]
+        )
+    )
+    (src / "b.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 10, "text": "beta"},
+                {"doc_id": 11, "text": "gamma"},
+            ]
+        )
+    )
+    dst = tmp_path / "corpus"
+    assert main(["ingest", str(src), str(dst)]) == 0
+    assert "3 unique docs" in capsys.readouterr().out
+    got = {r.text: r.doc_id for r in SC.read_corpus(spark, str(dst)).collect()}
+    # file-stream batch ORDER is mtime-based, not name-based, so beta's
+    # keeper depends on which file streamed first — but uniqueness and
+    # the single-file keepers do not
+    assert set(got) == {"alpha", "beta", "gamma"}
+    assert got["alpha"] == 1 and got["gamma"] == 11 and got["beta"] in (2, 10)
