@@ -61,9 +61,14 @@ def stream_corpus_ingest(
         batch = batch_df.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         ).withColumn("_h", F.xxhash64("text"))
-        # within-batch: min-id winner per distinct text
+        # within-batch: min-id winner per distinct text; the trailing
+        # dropDuplicates is deterministic (post-semi rows sharing a
+        # hash share doc_id AND text) and guards malformed batches
+        # that repeat a doc_id
         winners = batch.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
-        batch = batch.join(winners, ["_h", "doc_id"], "left_semi")
+        batch = batch.join(winners, ["_h", "doc_id"], "left_semi").dropDuplicates(
+            ["_h"]
+        )
 
         data_dir = f"{path}/data"
         try:
