@@ -78,6 +78,14 @@ def _build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--format", default="json", choices=["json", "parquet"])
     ing.add_argument("--id-col", default="doc_id")
     ing.add_argument("--text-col", default="text")
+    ing.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        help="files per micro-batch; default lets availableNow batch "
+        "naturally (one history pass total) — per-file batches rescan "
+        "history once per file, O(files x corpus)",
+    )
     return p
 
 
@@ -155,11 +163,11 @@ def main(argv: list[str] | None = None) -> int:
         from big_ann_spark.streaming import corpus as SC
 
         schema = f"{args.id_col} long, {args.text_col} string"
-        reader = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .format(args.format)
-        )
+        reader = spark.readStream.schema(schema).format(args.format)
+        if args.max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", args.max_files_per_trigger
+            )
         SC.stream_corpus_ingest(
             reader.load(args.src),
             args.dst,

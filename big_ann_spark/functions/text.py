@@ -184,9 +184,12 @@ def repetition_metrics(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     vocabulary in one task — so a 100k-token document costs the same
     per token as a 100-token one (an array-expression
     distinct×filter formulation would be quadratic in doc vocabulary).
-    MAX(c)/SUM(c) folds the denominator into the same aggregate — no
-    join back to the base table."""
+    MAX(c)/SUM(c) folds the denominator into the same aggregate.
+    NULL-text docs (whose explode emits nothing) are restored by a
+    left join from the id set with 0.0 metrics — the output is a total
+    function of ``docs``."""
     toks = tokens(text_col)
+    ids = docs.select(F.col(id_col).alias("doc_id"))
     words = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("w"))
     wf = (
         words.groupBy("doc_id", "w")
@@ -215,10 +218,14 @@ def repetition_metrics(docs, *, id_col: str = "doc_id", text_col: str = "text"):
         .groupBy("doc_id")
         .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
     )
-    return wf.join(bf, "doc_id", "left").select(
-        "doc_id",
-        "max_word_frac",
-        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    return (
+        ids.join(wf, "doc_id", "left")
+        .join(bf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_word_frac", F.lit(0.0)).alias("max_word_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
     )
 
 
@@ -265,4 +272,8 @@ def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
             ).alias("_lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(F.avg("_lp").alias("lp_per_token"))
+    per_doc = scored.groupBy("doc_id").agg(F.avg("_lp").alias("lp_per_token"))
+    # NULL-text docs emit no tokens; restore them (lp NULL — there is
+    # no principled score for an absent document body)
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left")

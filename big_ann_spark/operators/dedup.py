@@ -135,6 +135,73 @@ def doc_shingle_keys(
     )
 
 
+def gram_key_arrays(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    word_base: int = 31,
+    combine_base: int = 1_000_003,
+    mod: int = 1_000_000_007,
+    word_base2: int | None = 37,
+    combine_base2: int = 1_000_033,
+    mod2: int | None = 998_244_353,
+) -> DataFrame:
+    """(doc_id, _keys: array<long>) — the ONE gram-key construction
+    every n-gram operator shares (``duplicate_ngram_spans``,
+    ``benchmark_contamination``; the DuckDB ``_GRAM8`` oracle macros
+    mirror it fold-for-fold): per-word polynomial char hashes
+    materialized behind a projection (each word folds once, not once
+    per gram), then an n-word positional fold per gram. With ``mod2``
+    set (default) the key is TWO independent folds combined as
+    ``g1·mod2 + g2`` — a ~2^60 space, so cross-gram collisions stay
+    negligible at corpus scale; ``mod2=None`` keeps the legacy single
+    ~2^30 fold (oracle back-compat only). Keys are ordered by gram
+    position; docs shorter than ``n`` tokens get an empty array."""
+    toks = F.split(F.col(text_col), " ")
+
+    def word_hash(base, m):
+        return lambda w: F.aggregate(
+            F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * base + x) % m,
+        )
+
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, word_hash(word_base, mod)).alias("_H"),
+    ]
+    if mod2 is not None:
+        cols.append(F.transform(toks, word_hash(word_base2, mod2)).alias("_H2"))
+    with_h = docs.select(*cols)
+
+    def fold_at(arr, cb, m):
+        def at(i):
+            k = F.lit(0).cast("long")
+            for j in range(n):
+                k = (k * cb + F.element_at(arr, i + j)) % m
+            return k
+
+        return at
+
+    k1 = fold_at("_H", combine_base, mod)
+    if mod2 is None:
+        key_at = k1
+    else:
+        k2 = fold_at("_H2", combine_base2, mod2)
+
+        def key_at(i):
+            # k1 < mod ≈ 1e9, ·mod2 ≈ 1e18 < 2^63 — no overflow
+            return k1(i) * F.lit(mod2).cast("long") + k2(i)
+
+    keys = F.when(
+        F.size("_H") >= n,
+        F.transform(F.sequence(F.lit(1), F.size("_H") - (n - 1)), key_at),
+    ).otherwise(F.array().cast("array<long>"))
+    return with_h.select("doc_id", keys.alias("_keys"))
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     history: DataFrame,
@@ -232,40 +299,18 @@ def benchmark_contamination(
     nothing pairs train docs with each other."""
 
     def gram_keys(docs: DataFrame) -> DataFrame:
-        toks = F.split(F.col(text_col), " ")
-
-        def word_hash(base, m):
-            return lambda w: F.aggregate(
-                F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * base + x) % m,
-            )
-
-        with_h = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.transform(toks, word_hash(word_base, mod)).alias("_H"),
-            F.transform(toks, word_hash(word_base2, mod2)).alias("_H2"),
-        )
-
-        def fold_at(arr, cb, m):
-            def at(i):
-                k = F.lit(0).cast("long")
-                for j in range(n):
-                    k = (k * cb + F.element_at(arr, i + j)) % m
-                return k
-
-            return at
-
-        k1 = fold_at("_H", combine_base, mod)
-        k2 = fold_at("_H2", combine_base2, mod2)
-        keys = F.when(
-            F.size("_H") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_H") - (n - 1)),
-                lambda i: k1(i) * F.lit(mod2).cast("long") + k2(i),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-        return with_h.select("doc_id", F.array_distinct(keys).alias("_grams"))
+        return gram_key_arrays(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            word_base=word_base,
+            combine_base=combine_base,
+            mod=mod,
+            word_base2=word_base2,
+            combine_base2=combine_base2,
+            mod2=mod2,
+        ).select("doc_id", F.array_distinct("_keys").alias("_grams"))
 
     bench_grams = (
         gram_keys(bench)
@@ -394,47 +439,19 @@ def duplicate_ngram_spans(
     ever joined, so dup-heavy corpora cost the same as clean ones."""
     from big_ann_spark.operators.intervals import merge_overlaps
 
-    toks = F.split(F.col(text_col), " ")
-
-    def word_hash(base, m):
-        return lambda w: F.aggregate(
-            F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * base + x) % m,
-        )
-
-    cols = [
-        F.col(id_col).alias("doc_id"),
-        F.transform(toks, word_hash(word_base, mod)).alias("_H"),
-    ]
-    if mod2 is not None:
-        cols.append(F.transform(toks, word_hash(word_base2, mod2)).alias("_H2"))
-    with_h = docs.select(*cols)
-
-    def fold_at(arr, cb, m):
-        def at(i):
-            k = F.lit(0).cast("long")
-            for j in range(n):
-                k = (k * cb + F.element_at(arr, i + j)) % m
-            return k
-
-        return at
-
-    k1 = fold_at("_H", combine_base, mod)
-    if mod2 is None:
-        key_at = k1
-    else:
-        k2 = fold_at("_H2", combine_base2, mod2)
-
-        def key_at(i):
-            # k1 < mod ≈ 1e9, ·mod2 ≈ 1e18 < 2^63 — no overflow
-            return k1(i) * F.lit(mod2).cast("long") + k2(i)
-
-    keys = F.when(
-        F.size("_H") >= n,
-        F.transform(F.sequence(F.lit(1), F.size("_H") - (n - 1)), key_at),
-    ).otherwise(F.array().cast("array<long>"))
-    g = with_h.select("doc_id", F.posexplode(keys).alias("_pos", "gram"))
+    arrs = gram_key_arrays(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        word_base=word_base,
+        combine_base=combine_base,
+        mod=mod,
+        word_base2=word_base2,
+        combine_base2=combine_base2,
+        mod2=mod2,
+    )
+    g = arrs.select("doc_id", F.posexplode("_keys").alias("_pos", "gram"))
     counts = g.groupBy("gram").agg(F.count("*").alias("_c"))
     dup = g.join(
         counts.filter(F.col("_c") >= min_count).select("gram"), "gram"

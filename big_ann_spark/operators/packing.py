@@ -46,8 +46,12 @@ def pack_sequences(
     Scale shape: one tiny min/max job to bin ids, per-bin local prefix
     windows (parallel, bounded state), one O(n_bins) carry collect,
     broadcast join back — the two-pass ranged prefix; nothing global.
-    Window ids are exact: offsets are int64 and the floor-divide runs
-    on integers."""
+    Window ids are exact: offsets are int64 and window assignment uses
+    TRUE integer division (``div``), never a double round-trip.
+
+    ``id_col`` values must be unique — they are the packing order, and
+    ties would make offsets depend on physical row order (the corpus
+    contract everywhere in this engine: ids are primary keys)."""
     n = (
         F.col(tokens_col)
         if tokens_col is not None
@@ -69,14 +73,15 @@ def pack_sequences(
         "n_tokens",
         (F.col("_local_off") + F.col("_pfx_tok")).alias("offset"),
     )
-    # integer floor-divide: exact for the full int64 offset domain
-    start = (F.col("offset") - F.col("offset") % ctx_len) / ctx_len
+    # TRUE integer division (`div`) — Spark's `/` casts longs to double,
+    # which silently misplaces windows once offsets pass 2^53 (the exact
+    # domain the ranged prefix machinery preserves)
+    ctx = int(ctx_len)
     last = F.col("offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))
-    end = (last - last % ctx_len) / ctx_len
-    return placed.select(
+    return placed.withColumn("_last", last).selectExpr(
         "doc_id",
         "n_tokens",
         "offset",
-        start.cast("long").alias("window_start"),
-        end.cast("long").alias("window_end"),
+        f"offset div {ctx} as window_start",
+        f"_last div {ctx} as window_end",
     )

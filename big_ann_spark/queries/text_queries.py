@@ -95,8 +95,8 @@ def text_metrics(spark, sf_dir):
     rep = T.repetition_metrics(d)
     lm = T.unigram_logprob(d)
     return (
-        base.join(rep, "doc_id")
-        .join(lm, "doc_id")
+        base.join(rep, "doc_id", "left")
+        .join(lm, "doc_id", "left")
         .select(
             base["*"],
             F.round("max_word_frac", 6).alias("max_word_frac"),

@@ -230,42 +230,23 @@ def stream_to_partitioned_parquet(
     marker just avoids rewriting a fully-landed batch. Readers use
     ``read_partitioned_sink`` (drops the bookkeeping column). In
     production the same pattern lands on object storage; ``_fault_point``
-    is the crash-injection hook the restart test uses."""
-    import os
+    is the crash-injection hook the restart test uses. The protocol
+    itself lives ONCE in streaming/sink.py (shared with the corpus
+    ingest sink)."""
+    from big_ann_spark.streaming.sink import run_exactly_once_sink
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        marker_dir = f"{path}/_committed"
-        os.makedirs(marker_dir, exist_ok=True)
-        marker = f"{marker_dir}/{batch_id}"
-        if os.path.exists(marker):
-            if _fault_point is not None:
-                _fault_point("skip", batch_id)
-            return
-        out = batch_df.withColumn("event_date", F.to_date("ts")).withColumn(
+    def prepare(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return batch_df.withColumn("event_date", F.to_date("ts")).withColumn(
             "_batch_id", F.lit(batch_id)
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                out.write.partitionBy("event_date", "_batch_id")
-                .mode("overwrite")
-                .parquet(f"{path}/data")
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        if _fault_point is not None:
-            _fault_point("pre-marker", batch_id)
-        open(marker, "w").close()
-        if _fault_point is not None:
-            _fault_point("post-marker", batch_id)
 
-    writer = stream_df.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", f"{path}/checkpoint"
+    run_exactly_once_sink(
+        stream_df,
+        path,
+        prepare,
+        ["event_date", "_batch_id"],
+        _fault_point=_fault_point,
     )
-    q = writer.trigger(availableNow=True).start()
-    q.awaitTermination()
 
 
 def read_partitioned_sink(spark: SparkSession, path: str) -> DataFrame:

@@ -53,3 +53,21 @@ def test_pack_sequences_precomputed_tokens_col(spark):
     }
     # doc2 spans windows 0->1 (offset 10, len 300 -> last token 309)
     assert out == {1: (0, 0, 0), 2: (10, 0, 1), 3: (310, 1, 1)}
+
+
+def test_pack_sequences_exact_past_2_53(spark):
+    """Window assignment must stay exact when cumulative offsets exceed
+    2^53 (double-division would misplace windows silently)."""
+    big = 2**53  # one giant doc pushes every later offset past 2^53
+    d = spark.createDataFrame(
+        [(0, big + 1), (1, 3), (2, 5)], "doc_id long, ntok long"
+    )
+    ctx = 7
+    got = {
+        r.doc_id: (r.offset, r.window_start, r.window_end)
+        for r in pack_sequences(d, ctx, tokens_col="ntok", n_bins=2).collect()
+    }
+    off = 0
+    for i, n in [(0, big + 1), (1, 3), (2, 5)]:
+        assert got[i] == (off, off // ctx, (off + n - 1) // ctx)
+        off += n
