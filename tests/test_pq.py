@@ -223,3 +223,39 @@ def test_sq8_constant_dim_encodes_zero(spark):
     ).collect()
     assert all(r.c[0] == 0 for r in codes)  # constant dim -> code 0
     assert {r.c[1] for r in codes} == {0, 85, 170, 255}
+
+
+def test_sq8_knn_recall(spark, sf_dir):
+    """SQ8 scan + exact re-rank must reproduce exact kNN; the
+    quantized-only tier stays near-exact (8-bit codes at d=64)."""
+    from big_ann_spark.operators.knn import exact_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = PQ.train_sq8(emb)
+    codes = emb.select(
+        F.col("vec_id").alias("id"),
+        PQ.sq8_encode_col("embedding", mins, maxs).alias("codes"),
+    )
+    qs = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ex = {
+        (r.qid, r.neighbor_id)
+        for r in exact_knn(
+            qs, emb, k=10, query_id="qid", query_vec="qvec",
+            base_id="vec_id", base_vec="embedding",
+        ).collect()
+    }
+    sq = {
+        (r.qid, r.neighbor_id)
+        for r in PQ.sq8_knn(qs, codes, mins, maxs, k=10).collect()
+    }
+    assert len(sq & ex) / len(ex) >= 0.95
+    raw = emb.select(F.col("vec_id").alias("id"), "embedding")
+    rr = {
+        (r.qid, r.neighbor_id)
+        for r in PQ.sq8_knn(
+            qs, codes, mins, maxs, k=10, rerank_with=raw
+        ).collect()
+    }
+    assert rr == ex  # exact re-rank over 4k candidates recovers exact
