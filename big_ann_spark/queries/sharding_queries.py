@@ -131,7 +131,12 @@ def ivf_search_top5(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = ANN.ivf_search(queries, sharded, cents, k=5, nprobe=2)
+    # in-memory sharded table: the shard_id equi-join already restricts
+    # to routed shards and there is no partitioned layout to prune, so
+    # the static-prune routing collect would be a pure extra job
+    out = ANN.ivf_search(
+        queries, sharded, cents, k=5, nprobe=2, static_prune=False
+    )
     return out.select("qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
 
 
@@ -200,7 +205,9 @@ def ann_recall_at_10(spark, sf_dir):
         emb.select("vec_id", "embedding"), "vec_id"
     )
     q2 = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    approx = ANN.ivf_search(q2, sharded, cents, k=10, nprobe=2).select(
+    approx = ANN.ivf_search(
+        q2, sharded, cents, k=10, nprobe=2, static_prune=False
+    ).select(
         "qid", "neighbor_id"
     )
     n_exact = exact.count()
@@ -254,7 +261,9 @@ def kanndi_search_top1(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = ANN.ivf_search(queries, sharded, cents, k=10, nprobe=1)
+    out = ANN.ivf_search(
+        queries, sharded, cents, k=10, nprobe=1, static_prune=False
+    )
     return out.select("qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
 
 
