@@ -179,7 +179,10 @@ def dim_pair_stats(spark, sf_dir):
     from big_ann_spark.operators.stats import ks_matrix, ks_two_sample
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ks_w = ks_matrix(emb, dims=8).select(
+    # ranged=False = the documented 28-Arrow-task small-d fast path
+    # (bit-identical to the ranged form — integer count ECDFs); the
+    # ranged two-pass stays certified by the ks_ranged variant below
+    ks_w = ks_matrix(emb, dims=8, ranged=False).select(
         F.lit("ks_window").alias("variant"),
         "pos_i",
         "pos_j",
