@@ -74,7 +74,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "corpus (incremental exact dedup vs history, exactly-once append)",
     )
     ing.add_argument("src", help="directory of .jsonl or .parquet doc files")
-    ing.add_argument("dst", help="corpus dir (data/ + checkpoint/ + _committed/)")
+    ing.add_argument("dst", help="corpus dir (data/ + checkpoint/ incl. commit markers)")
     ing.add_argument("--format", default="json", choices=["json", "parquet"])
     ing.add_argument("--id-col", default="doc_id")
     ing.add_argument("--text-col", default="text")

@@ -113,6 +113,10 @@ def ivf_search(
     pass)."""
     routed = route_queries(queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim)
     if static_prune:
+        # materialize routing ONCE: the distinct-id collect and the
+        # candidate join below both reuse it (without this the routing
+        # lineage — centroid agg + broadcast argmin — executes twice)
+        routed = routed.localCheckpoint()
         probe_ids = [
             r["shard_id"] for r in routed.select("shard_id").distinct().collect()
         ]

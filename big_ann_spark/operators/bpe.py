@@ -209,14 +209,23 @@ def bpe_train(
     ``"distributed"`` force a path. All paths produce the identical
     merge table."""
     vocab = word_vocab(docs, text_col=text_col)
-    if mode == "driver" or (
-        mode == "auto"
-        and vocab.limit(max_driver_vocab + 1).count() <= max_driver_vocab
-    ):
+    if mode == "driver":
         rows = vocab.collect()
         return _train_driver_local(
             [(list(r["symbols"]), r["freq"]) for r in rows], n_merges, min_freq
         )
+    if mode == "auto":
+        # ONE corpus aggregation decides the path AND supplies the rows:
+        # collect up to the cap + 1 (limit above an aggregate cannot
+        # short-circuit the partial agg, so a separate count() would
+        # scan the corpus twice)
+        rows = vocab.limit(max_driver_vocab + 1).collect()
+        if len(rows) <= max_driver_vocab:
+            return _train_driver_local(
+                [(list(r["symbols"]), r["freq"]) for r in rows],
+                n_merges,
+                min_freq,
+            )
 
     vocab = vocab.localCheckpoint()
     merges: list[tuple[str, str]] = []

@@ -109,15 +109,12 @@ def doc_shingle_keys(
     The word hashes are materialized behind a projection (``_H``) so
     the per-word fold runs once per word, not once per shingle
     position."""
+    from big_ann_spark.functions.text import poly_hash
+
     toks = F.split(F.col(text_col), " ")
-    word_hash = lambda w: F.aggregate(  # noqa: E731
-        F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * word_base + x) % mod,
-    )
     with_h = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(toks, word_hash).alias("_H"),
+        F.transform(toks, lambda w: poly_hash(w, word_base, mod)).alias("_H"),
     )
 
     def key_at(i):
@@ -159,21 +156,19 @@ def gram_key_arrays(
     negligible at corpus scale; ``mod2=None`` keeps the legacy single
     ~2^30 fold (oracle back-compat only). Keys are ordered by gram
     position; docs shorter than ``n`` tokens get an empty array."""
+    from big_ann_spark.functions.text import poly_hash
+
     toks = F.split(F.col(text_col), " ")
-
-    def word_hash(base, m):
-        return lambda w: F.aggregate(
-            F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * base + x) % m,
-        )
-
     cols = [
         F.col(id_col).alias("doc_id"),
-        F.transform(toks, word_hash(word_base, mod)).alias("_H"),
+        F.transform(toks, lambda w: poly_hash(w, word_base, mod)).alias("_H"),
     ]
     if mod2 is not None:
-        cols.append(F.transform(toks, word_hash(word_base2, mod2)).alias("_H2"))
+        cols.append(
+            F.transform(toks, lambda w: poly_hash(w, word_base2, mod2)).alias(
+                "_H2"
+            )
+        )
     with_h = docs.select(*cols)
 
     def fold_at(arr, cb, m):

@@ -94,8 +94,12 @@ def write_binned_intervals(
     bin it touches, so a probe that knows its bins scans only those
     directories — the interval analogue of the S7 sharded-vector
     layout. At 100 TB this is the layout that turns a range join into
-    partition-pruned IO instead of a full scan."""
-    binned = intervals.withColumn(
+    partition-pruned IO instead of a full scan. Degenerate intervals
+    (``end <= begin``, empty under half-open semantics) are dropped —
+    without the filter Spark's DESCENDING sequence(b0, b0-1) would fan
+    them into spurious (including negative) bin directories that every
+    probe of those bins then scans."""
+    binned = intervals.filter(F.col("end") > F.col("begin")).withColumn(
         "_bin",
         F.explode(
             F.sequence(

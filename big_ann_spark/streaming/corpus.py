@@ -84,7 +84,7 @@ def stream_corpus_ingest(
 
 def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Read back the kept corpus — COMMITTED batches only (a batch
-    whose data landed but whose ``_committed/<id>`` marker did not is,
+    whose data landed but whose checkpoint-scoped commit marker did not is,
     by the sink's own protocol, un-landed: it will be rewritten on
     restart, and a read racing that window must not see it). The
     marker listing is driver-side and O(batches); the filter is a

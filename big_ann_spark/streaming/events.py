@@ -221,7 +221,7 @@ def stream_to_partitioned_parquet(
       commit) overwrites exactly its own partitions, touching no other
       batch's data. Plain ``append`` here is the classic
       duplicate-on-replay bug.
-    - **batch-id commit markers**: an empty ``_committed/<batch_id>``
+    - **batch-id commit markers**: an empty ``checkpoint/_committed/<batch_id>``
       file lands after the write; a replay that finds its marker skips
       the write entirely (the cheap path when the crash hit between
       marker and checkpoint commit).

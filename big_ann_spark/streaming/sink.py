@@ -10,11 +10,16 @@ never diverge between sinks:
   commit) overwrites exactly its own partitions, touching no other
   batch's data. Plain ``append`` is the classic duplicate-on-replay
   bug.
-- **batch-id commit markers**: an empty ``_committed/<batch_id>`` file
-  lands after the write; a replay that finds its marker skips the
-  write entirely (the cheap path when the crash hit between marker and
-  checkpoint commit). Readers that must not observe un-landed batches
-  filter partitions to marked ids (``committed_batch_ids``).
+- **batch-id commit markers**: an empty ``<checkpoint>/_committed/
+  <batch_id>`` file lands after the write; a replay that finds its
+  marker skips the write entirely (the cheap path when the crash hit
+  between marker and checkpoint commit). Readers that must not observe
+  un-landed batches filter partitions to marked ids
+  (``committed_batch_ids``). Markers live INSIDE the checkpoint
+  directory so their lifecycle is the checkpoint's: deleting the
+  checkpoint to reprocess (batch ids restart at 0) deletes the markers
+  with it — bare-id markers that outlived the checkpoint would make
+  every restarted batch silently skip its write.
 
 ``_fault_point`` is the crash-injection hook the restart tests use
 (called at "skip" / "pre-marker" / "post-marker").
@@ -45,8 +50,7 @@ def run_exactly_once_sink(
     caller's contract there)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        marker_dir = f"{path}/_committed"
+        marker_dir = f"{path}/checkpoint/_committed"
         os.makedirs(marker_dir, exist_ok=True)
         marker = f"{marker_dir}/{batch_id}"
         if os.path.exists(marker):
@@ -54,18 +58,16 @@ def run_exactly_once_sink(
                 _fault_point("skip", batch_id)
             return
         out = prepare(batch_df, batch_id)
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # per-WRITER option, not the session conf: mutating the global
+        # conf races concurrent writers in the same session (a restore
+        # to 'static' mid-flight turns another sink's dynamic overwrite
+        # into a delete-everything static overwrite)
+        (
+            out.write.partitionBy(*partition_cols)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{path}/data")
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                out.write.partitionBy(*partition_cols)
-                .mode("overwrite")
-                .parquet(f"{path}/data")
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         if _fault_point is not None:
             _fault_point("pre-marker", batch_id)
         open(marker, "w").close()
@@ -84,7 +86,7 @@ def run_exactly_once_sink(
 def committed_batch_ids(path: str) -> list[int]:
     """Batch ids whose commit marker landed — the set a
     protocol-honoring reader restricts its partitions to."""
-    marker_dir = f"{path}/_committed"
+    marker_dir = f"{path}/checkpoint/_committed"
     if not os.path.isdir(marker_dir):
         return []
     return [int(b) for b in os.listdir(marker_dir)]

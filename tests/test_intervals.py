@@ -101,3 +101,26 @@ def test_binned_layout_dynamic_partition_pruning(spark):
     assert "dynamicpruning" in plan.lower(), plan[:4000]
     after = plan.split("PartitionFilters", 1)[1][:300]
     assert "dynamicpruning" in after.lower(), after
+
+
+def test_write_binned_intervals_drops_degenerate(spark, tmp_path):
+    """Empty intervals (end <= begin) must not fan into spurious bins
+    (Spark's sequence DESCENDS when start > stop)."""
+    import os
+
+    from big_ann_spark.operators.intervals import write_binned_intervals
+
+    iv = spark.createDataFrame(
+        [(0, 0, "empty-at-bin-edge"), (5, 5, "empty"), (10, 70, "real")],
+        "begin long, end long, data string",
+    )
+    path = str(tmp_path / "binned")
+    write_binned_intervals(iv, path, bin_width=64)
+    bins = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if d.startswith("_bin=")
+    )
+    assert bins == [0, 1]  # only the real interval's bins; no _bin=-1
+    back = spark.read.parquet(path)
+    assert back.filter("data != 'real'").count() == 0
