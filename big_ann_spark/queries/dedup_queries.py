@@ -117,7 +117,10 @@ def ngram_jaccard_top_pairs(spark, sf_dir, naive=False):
     is quadratic in dup-cluster size. On dup-heavy corpora prefer the
     default, or ``minhash_dedup_clusters`` (O(n) output)."""
     d = load_table(spark, sf_dir, "documents")
-    keys = D.doc_shingle_keys(d)
+    # materialize the text→hash lineage once: the df aggregation and
+    # the array build downstream otherwise both recompute the per-char
+    # polynomial folds (measured ~0.5 s of the query at sf0.1)
+    keys = D.doc_shingle_keys(d).localCheckpoint()
     if naive:
         pairs = D.jaccard_similarity_pairs(d, shingles=keys)
     else:
