@@ -58,6 +58,11 @@ def main() -> None:
     # inside any external timeout instead of losing the round's bench.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "240"))
+    # host loadavg before/after: this is a shared host and external
+    # contention has repeatedly faked 2-5x "regressions" (r4, r6) —
+    # publishing the load lets a reader discount contended runs without
+    # re-running anything
+    load_before = [round(v, 2) for v in os.getloadavg()]
     suite_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -110,6 +115,8 @@ def main() -> None:
                 "knn_qps_cold": knn_qps_cold,
                 "runs_per_query": n_runs,
                 "cold_total": cold_total,
+                "loadavg_before": load_before,
+                "loadavg_after": [round(v, 2) for v in os.getloadavg()],
             }
         )
     )
