@@ -1117,6 +1117,52 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_dedup_clusters(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bands: int = 16,
+    rows_per_band: int = 3,
+    dim: int = 64,
+    max_iter: int = 20,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_rep) semantic dedup over an embedding column —
+    the SemDeDup shape (Abbas et al. 2023): documents whose embeddings
+    sit within cosine ``threshold`` of each other collapse to one
+    representative per connected component. Candidate generation is the
+    banded hyperplane-LSH equi-join (never O(n²)); verified pairs ≥
+    threshold become edges; min-label propagation picks the min id per
+    component; vectors in no near-dup pair keep themselves. The dedup
+    action is ``filter(doc_id == cluster_rep)`` — O(n) output however
+    large the semantic clusters grow, the same contract as
+    ``minhash_dedup_clusters`` / ``ngram_dedup_clusters`` so all three
+    dedup families (token-exact, sketch, embedding) expose one
+    downstream interface.
+
+    ``pairs``: pre-computed verified pair DataFrame (id_a, id_b[,
+    cosine]) to reuse when the caller already built it (e.g. a query
+    registering both the pairs and the clusters); default builds the
+    LSH pipeline here."""
+    if pairs is None:
+        pairs = embedding_lsh_near_dup_pairs(
+            emb,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            n_bands=n_bands,
+            rows_per_band=rows_per_band,
+            dim=dim,
+        )
+    edges = pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    all_ids = emb.select(F.col(id_col).alias("doc_id"))
+    return min_label_components(edges, all_ids, max_iter=max_iter)
+
+
 def hash_sample(
     docs: DataFrame,
     fraction: float,

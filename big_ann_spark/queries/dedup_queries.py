@@ -147,7 +147,7 @@ def _planes_literal() -> str:
 
 
 _EMB_ND_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 d AS (SELECT vec_id,
         list_transform({_planes_literal()},
                        p -> list_sum(list_transform(range(1, {_ND_DIM}+1), i -> v[i] * p[i]))) AS ds
@@ -165,27 +165,62 @@ n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM 
 p AS (SELECT c.id_a, c.id_b,
         list_sum(list_transform(range(1, {_ND_DIM}+1), i -> a.v[i]*b.v[i]))
           / (a.nrm * b.nrm) AS cosine
-      FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b)
-SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM p WHERE cosine >= 0.45
+      FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b),
+good AS (SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45),
+edges AS (SELECT id_a AS src, id_b AS dst FROM good
+          UNION ALL
+          SELECT id_b, id_a FROM good),
+reach(id, comp) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT ed.dst, r.comp FROM reach r JOIN edges ed ON ed.src = r.id
+)
+SELECT 'pair' AS variant, id_a, id_b, ROUND(cosine, 6) AS cosine FROM good
+UNION ALL
+SELECT 'cluster', id, min(comp), NULL FROM reach GROUP BY id
 """
 
 
 @register("embedding_near_dup", sql=_EMB_ND_SQL)
 def embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via banded hyperplane-LSH
-    candidate generation + exact cosine verification (VERDICT r2 #3:
-    the registered query now exercises the bucketed 100 TB path — a
-    hash join on (band, bucket), never the O(n²) nested-loop self-join;
-    operators.dedup.embedding_lsh_near_dup_pairs). Threshold 0.45 — the
-    synthetic blobs top out near 0.51; real near-dup corpora use ~0.95
-    with the same plan and tighter buckets. 16 bands × 3 rows recovers
-    every brute-force pair on the fixtures (recall pinned in
-    tests/test_dedup.py)."""
+    """Embedding-cosine near-dup, tagged union (variant, id_a, id_b,
+    cosine):
+    - ``pair``: verified near-dup pairs via banded hyperplane-LSH
+      candidate generation + exact cosine verification (VERDICT r2 #3:
+      the bucketed 100 TB path — a hash join on (band, bucket), never
+      the O(n²) nested-loop self-join;
+      operators.dedup.embedding_lsh_near_dup_pairs).
+    - ``cluster``: SemDeDup-style semantic dedup (id_a=doc, id_b=its
+      cluster representative, cosine NULL) — the verified pairs become
+      edges, min-label propagation collapses each cosine-connected
+      component to its min id, singletons keep themselves
+      (operators.dedup.embedding_dedup_clusters; oracle = recursive
+      CTE). Dedup action = ``id_a == id_b`` filter, O(n) output.
+
+    Threshold 0.45 — the synthetic blobs top out near 0.51; real
+    near-dup corpora use ~0.95 with the same plan and tighter buckets.
+    16 bands × 3 rows recovers every brute-force pair on the fixtures
+    (recall pinned in tests/test_dedup.py)."""
     e = load_table(spark, sf_dir, "embeddings")
-    out = D.embedding_lsh_near_dup_pairs(
+    # one LSH build + verify feeds both variants (min-label iterates
+    # over the edge list, so materialize the pairs once)
+    pairs = D.embedding_lsh_near_dup_pairs(
         e, threshold=0.45, n_bands=_ND_BANDS, rows_per_band=_ND_ROWS, dim=_ND_DIM
+    ).localCheckpoint()
+    pair_rows = pairs.select(
+        F.lit("pair").alias("variant"),
+        "id_a",
+        "id_b",
+        F.round("cosine", 6).alias("cosine"),
     )
-    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    labels = D.embedding_dedup_clusters(e, pairs=pairs)
+    cluster_rows = labels.select(
+        F.lit("cluster").alias("variant"),
+        F.col("doc_id").alias("id_a"),
+        F.col("cluster_rep").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    return pair_rows.unionByName(cluster_rows)
 
 
 # ---- MinHash-LSH oracle: the FULL pipeline (polynomial shingle hash →

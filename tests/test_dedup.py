@@ -228,6 +228,39 @@ def test_minhash_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     assert all(labels[i] == find(i) for i in labels)
 
 
+def test_embedding_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """SemDeDup-shape clusters must be the connected components of the
+    LSH-verified cosine pairs: endpoints share a label, labels are the
+    component min id (union-find reference), singletons keep
+    themselves; every input vector gets exactly one row."""
+    from big_ann_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(200)
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in D.embedding_lsh_near_dup_pairs(e, threshold=0.45).collect()
+    ]
+    labels = {
+        r.doc_id: r.cluster_rep
+        for r in D.embedding_dedup_clusters(e, threshold=0.45).collect()
+    }
+    assert len(labels) == e.count()
+    assert all(labels[a] == labels[b] for a, b in pairs)
+    parent = {i: i for i in labels}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert all(labels[i] == find(i) for i in labels)
+
+
 def test_duplicate_ngram_spans_hand_case(spark):
     """Two docs share an 8-token phrase; one doc also self-repeats a
     gram. Spans must cover exactly the duplicated token ranges and
