@@ -166,6 +166,70 @@ def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
     return out
 
 
+# ---- C4-style heuristic cleaning (Raffel et al. 2020 §2.2, the
+# public C4 rule set re-expressed as column expressions): line-level
+# retention + page-level drops. Zero Python in the hot path — one
+# split/filter/join per document — and every rule is deterministic
+# regex/arithmetic, so a DuckDB oracle reproduces the filter exactly.
+# The bad-word list is a deliberately tiny pinned placeholder (the real
+# C4 uses an external public list; the CONTRACT — page dropped when any
+# listed word appears as a token — is what matters here).
+
+C4_BAD_WORDS = ["badword", "unsafeword"]
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+_C4_TERMINAL = r'[.!?"]$'
+
+
+def c4_keep_line(line: Column) -> Column:
+    """C4 line-retention predicate on a trimmed line: ends in terminal
+    punctuation (. ! ? \"), has >= 5 words, and does not mention
+    'javascript' (case-insensitive)."""
+    t = F.trim(line)
+    return (
+        t.rlike(_C4_TERMINAL)
+        & (F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0)) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(t).rlike("javascript")
+    )
+
+
+def c4_clean(text: Column | str) -> dict[str, Column]:
+    """Apply the C4 page pipeline to a newline-delimited document.
+    Returns columns:
+
+    - ``kept_text``: newline-join of retained (trimmed) lines
+    - ``n_lines`` / ``n_lines_kept``: line census
+    - ``n_sentences``: terminal-punctuation marks in the kept text (>= 1
+      per kept line by construction; mid-line sentence breaks count too)
+    - ``drop_page``: page-level drop — fewer than 3 sentences after
+      line filtering, contains 'lorem ipsum' (case-insensitive),
+      contains '{', or contains a pinned bad word as a whole token
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, "\n")
+    kept = F.transform(F.filter(lines, c4_keep_line), lambda x: F.trim(x))
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.regexp_extract_all(kept_text, F.lit(r'[.!?"]'), 0)
+    )
+    bad = F.lit(False)
+    for w in C4_BAD_WORDS:
+        bad = bad | F.lower(c).rlike(rf"\b{w}\b")
+    drop = (
+        (n_sentences < C4_MIN_SENTENCES)
+        | F.lower(c).contains("lorem ipsum")
+        | c.contains("{")
+        | bad
+    )
+    return {
+        "kept_text": kept_text,
+        "n_lines": F.size(lines),
+        "n_lines_kept": F.size(kept),
+        "n_sentences": n_sentences,
+        "drop_page": drop,
+    }
+
+
 def repetition_metrics(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style within-document repetition signals (Rae et al. 2021
     §A1.1 quality rules, re-expressed relationally): one row per doc —

@@ -324,6 +324,13 @@ def pipeline_invariants(spark, sf_dir):
       v2=plain recall — v1 ≥ v2 on the same injected view, and OPQ's
       same-trainer distortion is monotone-better by construction
       (tests/test_pq.py).
+    - ``nn_descent``: NN-Descent approximate kNN-graph construction
+      (Dong et al. WWW 2011, operators.ann.nn_descent_knn_graph —
+      joins + per-node top-k only, per-iteration cost linear in n at
+      fixed degree). Row: k1=n nodes, k2=k, v1=recall of the built
+      graph vs the exact self-excluded kNN graph, v2=iterations —
+      deterministic (hash init, (dist, id) tie-breaks); recall ≥ 0.9
+      asserted in tests/test_ann_extras.py.
     Schema: (variant, k1, k2, v1, v2) — scalar columns only."""
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -430,9 +437,41 @@ def pipeline_invariants(spark, sf_dir):
         "variant string, k1 long, k2 long, v1 double, v2 double",
     )
 
+    from big_ann_spark.operators.knn import exact_knn, recall_at_k
+
+    nd_base = emb.filter(F.col("vec_id") < 500)
+    nd_n = nd_base.count()
+    g = ANN.nn_descent_knn_graph(nd_base, k=10, iterations=3, dim=64)
+    nd_exact = (
+        exact_knn(
+            nd_base.select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+            ),
+            nd_base,
+            k=11,
+            base_id="vec_id",
+            base_vec="embedding",
+            impl="sql",
+        )
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "neighbor_id")
+    )
+    nn_desc = recall_at_k(
+        g.select(F.col("src").alias("qid"), F.col("dst").alias("neighbor_id")),
+        nd_exact,
+        10,
+    ).select(
+        F.lit("nn_descent").alias("variant"),
+        F.lit(nd_n).cast("long").alias("k1"),
+        F.lit(10).cast("long").alias("k2"),
+        F.round("recall_at_k", 6).alias("v1"),
+        F.lit(3.0).alias("v2"),
+    )
+
     return (
         kanndi.unionByName(lsh)
         .unionByName(fbin)
         .unionByName(buddy)
         .unionByName(opq)
+        .unionByName(nn_desc)
     )

@@ -174,7 +174,12 @@ _HA = 2_654_435_761
 
 
 def _pipeline_sql() -> str:
-    from big_ann_spark.functions.text import PII_PATTERNS
+    from big_ann_spark.functions.text import (
+        C4_BAD_WORDS,
+        C4_MIN_SENTENCES,
+        C4_MIN_WORDS_PER_LINE,
+        PII_PATTERNS,
+    )
 
     qual = (
         "0.4 * least(len(string_split(red, ' '))::DOUBLE / 100.0, 1.0)\n"
@@ -249,6 +254,55 @@ v{k} AS MATERIALIZED (SELECT replace(s,
         prev = f"v{k}"
     train_ctes_sql = ",\n".join(train_ctes)
     train_rows_sql = "\nUNION ALL\n".join(train_rows)
+    # C4 fixture: sentence-structure injection (every 10 words becomes a
+    # terminal-punctuated line) + page-drop triggers on disjoint doc_id
+    # residues; first-match-wins CASE mirrors the Spark when-chain
+    bad_re = "|".join(rf"\b{w}\b" for w in C4_BAD_WORDS)
+    keep_line = (
+        "regexp_matches(trim(l), '[.!?\"]$')"
+        " AND len(regexp_extract_all(trim(l), '\\S+')) >= "
+        f"{C4_MIN_WORDS_PER_LINE}"
+        " AND NOT regexp_matches(lower(trim(l)), 'javascript')"
+    )
+    c4_ctes = f"""
+c4src AS (
+  SELECT doc_id, source,
+         regexp_replace(text, '((\\S+ ){{9}}\\S+) ', '\\1.' || chr(10), 'g') AS st
+  FROM documents
+),
+c4inj AS (
+  SELECT doc_id, source, CASE
+     WHEN doc_id % 11 = 0 THEN st || chr(10) || 'lorem ipsum dolor sit amet okay.'
+     WHEN doc_id % 13 = 3 THEN st || chr(10) || 'curly {{ brace line with words.'
+     WHEN doc_id % 7 = 0 THEN st || chr(10) || 'this javascript line would be dropped anyway.'
+     WHEN doc_id % 17 = 5 THEN st || chr(10) || 'a badword line with enough words.'
+     ELSE st END AS st
+  FROM c4src
+),
+c4pages AS (
+  SELECT doc_id, source, st,
+         array_to_string(list_transform(
+           list_filter(string_split(st, chr(10)), l -> {keep_line}),
+           l -> trim(l)), chr(10)) AS kept,
+         len(list_filter(string_split(st, chr(10)), l -> {keep_line})) AS nk,
+         len(regexp_extract_all(st, '\\S+')) AS nt_all
+  FROM c4inj
+),
+c4flag AS (
+  SELECT *,
+         (len(regexp_extract_all(kept, '[.!?\"]')) < {C4_MIN_SENTENCES}
+          OR contains(lower(st), 'lorem ipsum')
+          OR contains(st, '{{')
+          OR regexp_matches(lower(st), '{bad_re}')) AS dropped
+  FROM c4pages
+)"""
+    c4_row = f"""
+SELECT 'c4', source, (count(*) FILTER (WHERE NOT dropped))::BIGINT,
+       coalesce(sum(nk) FILTER (WHERE NOT dropped), 0)::DOUBLE,
+       ROUND(coalesce(sum(len(regexp_extract_all(kept, '\\S+')))
+                        FILTER (WHERE NOT dropped), 0)::DOUBLE
+             / sum(nt_all), 6)
+FROM c4flag GROUP BY source"""
     return f"""
 WITH inj AS (
   SELECT doc_id, source,
@@ -301,6 +355,7 @@ w0 AS (SELECT w, count(*)::BIGINT AS freq
        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents)
        GROUP BY w),
 v0 AS MATERIALIZED (SELECT chr(31) || array_to_string(list_append(string_split(w, ''), '</w>'), chr(31)||chr(31)) || chr(31) AS s, freq FROM w0),
+{c4_ctes},
 {train_ctes_sql}
 SELECT 'redact' AS variant, key, n, v1, 0.0 AS v2 FROM pii
 UNION ALL
@@ -320,6 +375,8 @@ SELECT 'pack', doc_id::VARCHAR, n_tokens::BIGINT,
        floor(off / 256)::DOUBLE,
        floor((off + greatest(n_tokens - 1, 0)) / 256)::DOUBLE
 FROM pack
+UNION ALL
+{c4_row}
 UNION ALL
 {train_rows_sql}
 """
@@ -341,7 +398,13 @@ def pipeline_clean_corpus(spark, sf_dir):
     and concat-and-chunk sequence packing of the deduped set into
     256-token training windows (operators.packing.pack_sequences —
     ranged two-pass prefix sum, no global window; per-doc placement
-    rows).
+    rows), plus C4-style heuristic cleaning (Raffel et al. 2020 §2.2,
+    functions.text.c4_clean: line retention by terminal punctuation /
+    >=5 words / no-javascript, page drops for <3 sentences, 'lorem
+    ipsum', '{{', pinned bad words — per-source kept-page counts, kept
+    lines and token-retention ratio as the ``c4`` variant; the corpus
+    gets deterministic sentence structure injected so every rule has
+    real work).
     All stages are column expressions; the only driver-side pieces are
     token_budget_mix's per-source fraction map and the collected
     distinct-word vocab, both contractually tiny."""
@@ -499,6 +562,68 @@ def pipeline_clean_corpus(spark, sf_dir):
         )
     )
 
+    # C4 heuristic cleaning over the same corpus with deterministic
+    # sentence-structure injection (functions.text.c4_clean; the CASE
+    # chain mirrors the oracle's first-match-wins residues)
+    struct_text = F.regexp_replace("text", r"((\S+ ){9}\S+) ", "$1.\n")
+    c4doc = d.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(struct_text, F.lit("\nlorem ipsum dolor sit amet okay.")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 3,
+            F.concat(struct_text, F.lit("\ncurly { brace line with words.")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                struct_text, F.lit("\nthis javascript line would be dropped anyway.")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 17 == 5,
+            F.concat(struct_text, F.lit("\na badword line with enough words.")),
+        )
+        .otherwise(struct_text)
+        .alias("st"),
+    )
+    c4 = T.c4_clean("st")
+    c4pages = c4doc.select(
+        "source",
+        c4["kept_text"].alias("kept"),
+        c4["n_lines_kept"].alias("nk"),
+        c4["drop_page"].alias("dropped"),
+        F.size(F.regexp_extract_all("st", F.lit(r"\S+"), 0)).alias("nt_all"),
+    )
+    c4_rows = (
+        c4pages.groupBy("source")
+        .agg(
+            F.count(F.when(~F.col("dropped"), 1)).alias("n"),
+            F.sum(F.when(~F.col("dropped"), F.col("nk")).otherwise(0))
+            .cast("double")
+            .alias("v1"),
+            F.round(
+                F.sum(
+                    F.when(
+                        ~F.col("dropped"),
+                        F.size(F.regexp_extract_all("kept", F.lit(r"\S+"), 0)),
+                    ).otherwise(0)
+                ).cast("double")
+                / F.sum("nt_all"),
+                6,
+            ).alias("v2"),
+        )
+        .select(
+            F.lit("c4").alias("variant"),
+            F.col("source").alias("key"),
+            "n",
+            "v1",
+            "v2",
+        )
+    )
+
     merges = BP.bpe_train(d, len(_PIN_MERGES), mode="driver")
     train_rows = spark.createDataFrame(
         [(f"{a}->{b}", i + 1) for i, (a, b) in enumerate(merges)],
@@ -517,6 +642,7 @@ def pipeline_clean_corpus(spark, sf_dir):
         .unionByName(mix_rows)
         .unionByName(bpe_rows)
         .unionByName(pack_rows)
+        .unionByName(c4_rows)
         .unionByName(train_rows)
     )
 

@@ -55,3 +55,36 @@ def test_capped_jaccard_is_lower_bound_subset(spark):
     assert set(capped) <= set(full)
     for pair, j in capped.items():
         assert j <= full[pair] + 1e-12
+
+
+def test_nn_descent_recall_improves_and_converges(spark, sf_dir):
+    """NN-Descent kNN-graph: recall vs the exact (self-excluded) kNN
+    graph rises monotonically with iterations and the converged graph
+    recovers >= 0.9 of true neighbors; the build is deterministic
+    (hash init + (dist, id) tie-breaks), so two runs are identical."""
+    from big_ann_spark.operators.knn import recall_at_k
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    k = 10
+    exact = (
+        exact_knn(
+            emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+            emb, k=k + 1,
+            base_id="vec_id", base_vec="embedding", impl="sql",
+        )
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "neighbor_id")
+    )
+
+    def graph_recall(iterations):
+        g = ANN.nn_descent_knn_graph(emb, k=k, iterations=iterations, dim=64)
+        pred = g.select(F.col("src").alias("qid"), F.col("dst").alias("neighbor_id"))
+        return recall_at_k(pred, exact, k).collect()[0].recall_at_k
+
+    r0, r2, r4 = graph_recall(0), graph_recall(2), graph_recall(4)
+    assert r0 < r2 <= r4, (r0, r2, r4)
+    assert r4 >= 0.9, r4
+
+    a = sorted(map(tuple, ANN.nn_descent_knn_graph(emb, k=k, iterations=2, dim=64).collect()))
+    b = sorted(map(tuple, ANN.nn_descent_knn_graph(emb, k=k, iterations=2, dim=64).collect()))
+    assert a == b

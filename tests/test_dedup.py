@@ -339,6 +339,51 @@ def test_pii_redaction(spark):
     assert by[3].email == by[3].url == by[3].ipv4 == by[3].digits == 0
 
 
+def test_c4_clean_rules(spark):
+    """Every C4 rule exercised on hand-built pages: line retention
+    (terminal punctuation, >=5 words, no 'javascript'), page drops
+    (<3 sentences, 'lorem ipsum', '{', pinned bad word)."""
+    from big_ann_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "this line has enough words here.\n"
+                "too short.\n"
+                "no terminal punctuation despite its many fine words\n"
+                "a javascript line with plenty of words.\n"
+                "  padded line with five good words!  \n"
+                'quoted line has exactly six words?"',
+            ),
+            (2, "good first sentence with five words.\nmentions Lorem Ipsum dolor sit amet.\nthird fine sentence with many words."),
+            (3, "curly brace pages are code dumps.\nsecond valid sentence right here okay.\nthird valid sentence right here too { x }."),
+            (4, "a BadWord page gets dropped entirely.\nsecond valid sentence right here okay.\nthird valid sentence right here too."),
+            (5, "only two valid sentences on page.\nsecond valid sentence right here okay"),
+        ],
+        "doc_id long, text string",
+    )
+    c4 = T.c4_clean("text")
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in c4.items()]
+        ).collect()
+    }
+    assert out[1].kept_text == (
+        "this line has enough words here.\n"
+        "padded line with five good words!\n"
+        'quoted line has exactly six words?"'
+    )
+    assert out[1].n_lines == 6 and out[1].n_lines_kept == 3
+    assert out[1].n_sentences == 4  # . ! ? " — mid-line marks count
+    assert not out[1].drop_page
+    assert out[2].drop_page  # lorem ipsum, case-insensitive
+    assert out[3].drop_page  # curly brace
+    assert out[4].drop_page  # bad word, case-insensitive
+    assert out[5].drop_page and out[5].n_sentences == 1  # < 3 sentences
+
+
 def test_hash_sample_deterministic_and_proportional(spark):
     docs = spark.createDataFrame(
         [(i, f"t{i}") for i in range(2000)], "doc_id long, text string"
