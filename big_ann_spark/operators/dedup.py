@@ -748,6 +748,38 @@ def minhash_signatures(
     return agg.select("doc_id", F.array(*[f"h{j}" for j in range(k)]).alias("sig"))
 
 
+def band_table(
+    signatures: DataFrame,
+    *,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_mode: str = "hash",
+) -> DataFrame:
+    """(doc_id, band, bucket) — each signature exploded into its LSH
+    band buckets; the shared primitive behind same-corpus candidate
+    pairing (``lsh_candidate_pairs``) and cross-corpus incremental
+    matching (``incremental_minhash_dedup``). In a continuously-landing
+    pipeline THIS table is the persisted signature store: append new
+    batches' rows and every future batch joins against it directly."""
+    if bucket_mode == "slice":
+        bucket = lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)  # noqa: E731
+    else:
+        bucket = lambda b: F.xxhash64(  # noqa: E731
+            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        )
+    return signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -764,23 +796,9 @@ def lsh_candidate_pairs(
     only ever ADD candidates; the raw-slice form is exactly
     reproducible in the SQL oracle). The default "hash" keeps the join
     key at a fixed 8 bytes — the at-scale choice."""
-    if bucket_mode == "slice":
-        bucket = lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)  # noqa: E731
-    else:
-        bucket = lambda b: F.xxhash64(  # noqa: E731
-            F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        )
-    banded = signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = band_table(
+        signatures, bands=bands, rows_per_band=rows_per_band, bucket_mode=bucket_mode
+    )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -900,6 +918,136 @@ def minhash_dedup_pairs(
     verified = jaccard_for_pairs(docs, cands, shingle_arrays=arrs)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    history: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    mode: str = "survivors",
+    shingle_hash: Column | None = None,
+    bucket_mode: str = "hash",
+    new_shingles: DataFrame | None = None,
+    new_sigs: DataFrame | None = None,
+    history_bands: DataFrame | None = None,
+    history_shingles: DataFrame | None = None,
+    history_shingle_arrays: DataFrame | None = None,
+) -> DataFrame:
+    """NEAR-dup (MinHash-LSH) counterpart of ``incremental_exact_dedup``:
+    screen a new ingest batch against the landed history, where a new
+    doc is a duplicate when its exact Jaccard against SOME history doc
+    reaches ``threshold``. Ids must be globally unique across both
+    sides (every incremental pipeline already guarantees this).
+
+    - ``mode="survivors"`` (default): the new rows (all columns) with
+      no history near-dup — the rows to append. Within-batch near-dups
+      among survivors are the caller's second stage
+      (``minhash_dedup_clusters`` on the batch) — kept separate because
+      batch-internal collapse picks representatives, while
+      history-screening is a pure filter.
+    - ``mode="duplicates"``: audit pairs (doc_id, dup_of, jaccard) —
+      each new doc matched to every verified history near-dup.
+
+    Scale shape — the whole point of the incremental form: per batch,
+    history contributes ONLY (a) its band table (``history_bands``, the
+    persisted signature store that ``band_table`` documents — 8-byte
+    bucket keys, appended as batches land, never recomputed) and (b)
+    shingle arrays for the CANDIDATE history docs (semi-join on the
+    matched ids; pass ``history_shingles`` — the persisted (doc_id,
+    shingle) store — or ``history_shingle_arrays`` — its (doc_id, shs)
+    array-column form, what a parquet corpus lands per row — to avoid
+    touching history text at all). Batch cost
+    is O(|new| + |candidates|), independent of history size; the band
+    equi-join is the same never-O(n²) hash join as the batch pipeline.
+    When neither store is passed, both are derived from ``history``
+    (correct, but O(history) per batch — first-batch/backfill mode).
+
+    The candidate set restricted to (new × history) pairs is exactly
+    the full-corpus LSH candidate set's cross pairs (signatures are
+    per-doc), so the incremental screen returns precisely what the
+    batch pipeline would have flagged between the two sides — the
+    oracle-checked ``incr_*`` variants of minhash_lsh_near_dup certify
+    that equivalence."""
+    if mode not in ("survivors", "duplicates"):
+        raise ValueError(f"unknown mode {mode!r}")
+    have_shingle_store = (
+        history_shingles is not None or history_shingle_arrays is not None
+    )
+    if history is None and (history_bands is None or not have_shingle_store):
+        raise ValueError(
+            "pass history, or history_bands plus a shingle store "
+            "(history_shingles or history_shingle_arrays)"
+        )
+    sh_new = (
+        new_shingles
+        if new_shingles is not None
+        else doc_shingles(new_docs, id_col=id_col, text_col=text_col, n=n)
+    )
+    arrs_new = doc_shingle_arrays(shingles=sh_new).localCheckpoint()
+    ex_new = arrs_new.select("doc_id", F.explode("shs").alias("shingle"))
+    sigs_new = (
+        new_sigs
+        if new_sigs is not None
+        else minhash_signatures(
+            new_docs, id_col=id_col, text_col=text_col, n=n,
+            shingles=ex_new, shingle_hash=shingle_hash,
+        )
+    )
+    if history_bands is None:
+        sigs_hist = minhash_signatures(
+            history, id_col=id_col, text_col=text_col, n=n,
+            shingles=history_shingles, shingle_hash=shingle_hash,
+        )
+        history_bands = band_table(sigs_hist, bucket_mode=bucket_mode)
+    cand = (
+        band_table(sigs_new, bucket_mode=bucket_mode)
+        .select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(
+            history_bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_hist_ids = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    if history_shingle_arrays is not None:
+        arrs_hist = history_shingle_arrays.select("doc_id", "shs").join(
+            cand_hist_ids, "doc_id", "left_semi"
+        )
+    elif history_shingles is not None:
+        arrs_hist = doc_shingle_arrays(
+            shingles=history_shingles.join(cand_hist_ids, "doc_id", "left_semi")
+        )
+    else:
+        hist_cand_docs = history.join(
+            cand_hist_ids.withColumnRenamed("doc_id", id_col),
+            id_col,
+            "left_semi",
+        )
+        arrs_hist = doc_shingle_arrays(
+            shingles=doc_shingles(
+                hist_cand_docs, id_col=id_col, text_col=text_col, n=n
+            )
+        )
+    arrs = arrs_new.union(arrs_hist)
+    verified = jaccard_for_pairs(None, cand, shingle_arrays=arrs).filter(
+        F.col("jaccard") >= threshold
+    )
+    if mode == "duplicates":
+        return verified.select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("dup_of"),
+            "jaccard",
+        )
+    return new_docs.join(
+        verified.select(F.col("doc_a").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
     )
 
 

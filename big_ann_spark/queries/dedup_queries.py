@@ -289,20 +289,43 @@ j AS (SELECT c.doc_a, c.doc_b,
       JOIN sizes sb ON sb.doc_id = c.doc_b)"""
 
 _MINHASH_SQL = f"""
-WITH {_MINHASH_CTES}
-SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.3
+WITH {_MINHASH_CTES},
+incr_dup AS (
+  SELECT doc_b AS new_id, doc_a AS hist_id, jaccard FROM j
+  WHERE jaccard >= 0.3 AND doc_a < 100000 AND doc_a % 2 = 0 AND doc_b >= 100000
+)
+SELECT 'pair' AS variant, doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+FROM j WHERE jaccard >= 0.3
+UNION ALL
+SELECT 'incr_dup', new_id, hist_id, ROUND(jaccard, 6) FROM incr_dup
+UNION ALL
+SELECT 'incr_surv', doc_id, NULL::BIGINT, NULL::DOUBLE FROM corpus
+WHERE doc_id >= 100000 AND doc_id NOT IN (SELECT new_id FROM incr_dup)
 """
 
 
 @register("minhash_lsh_near_dup", sql=_MINHASH_SQL)
 def minhash_lsh_near_dup(spark, sf_dir):
-    """MinHash(32) + LSH(8 bands × 4 rows) near-dup candidates verified
-    by exact Jaccard ≥ 0.3, on a corpus doubled with truncated copies
-    (guaranteed true near-dups). The oracle replicates the whole
-    pipeline — the query variant uses SQL-reproducible hashed shingle
-    KEYS (word-hash combine, doc_shingle_keys: ~n× less hashing work
-    and 8-byte join keys) and raw-slice band buckets (operators.dedup
-    docstrings for the at-scale defaults: xxhash64 + hashed buckets)."""
+    """MinHash-LSH near-dup surface, tagged union (variant, doc_a,
+    doc_b, jaccard):
+    - ``pair``: MinHash(32) + LSH(8 bands × 4 rows) candidates verified
+      by exact Jaccard ≥ 0.3, on a corpus doubled with truncated copies
+      (guaranteed true near-dups). The oracle replicates the whole
+      pipeline — the query variant uses SQL-reproducible hashed shingle
+      KEYS (word-hash combine, doc_shingle_keys: ~n× less hashing work
+      and 8-byte join keys) and raw-slice band buckets (operators.dedup
+      docstrings for the at-scale defaults: xxhash64 + hashed buckets).
+    - ``incr_dup`` / ``incr_surv``: the INCREMENTAL form
+      (operators.dedup.incremental_minhash_dedup) — history = the
+      even-id originals (their persisted shingle store passed in), new
+      batch = every truncated copy; each new doc screens against
+      history via the cross band join. ``incr_dup`` rows are the audit
+      pairs (doc_a=new id, doc_b=its history near-dup); ``incr_surv``
+      rows are the new ids with no history near-dup (doc_b/jaccard
+      NULL — here the odd-id copies, whose originals never landed).
+      The oracle derives both from the FULL pipeline's cross pairs,
+      certifying the incremental screen returns exactly what the batch
+      pipeline flags between the two sides."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # truncated copies: drop the last 3 words → high-but-<1 Jaccard twins
     mutated = d.select(
@@ -310,7 +333,7 @@ def minhash_lsh_near_dup(spark, sf_dir):
         F.array_join(F.slice(F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 3, F.lit(1))), " ").alias("text"),
     )
     corpus = d.union(mutated)
-    keys = D.doc_shingle_keys(corpus)
+    keys = D.doc_shingle_keys(corpus).localCheckpoint()
     out = D.minhash_dedup_pairs(
         corpus,
         threshold=0.3,
@@ -318,7 +341,42 @@ def minhash_lsh_near_dup(spark, sf_dir):
         bucket_mode="slice",
         shingles=keys,
     )
-    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    pair_rows = out.select(
+        F.lit("pair").alias("variant"),
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    dup = D.incremental_minhash_dedup(
+        mutated,
+        hist,
+        threshold=0.3,
+        mode="duplicates",
+        shingle_hash=F.col("shingle"),
+        bucket_mode="slice",
+        new_shingles=keys.filter(F.col("doc_id") >= 100000),
+        history_shingles=keys.filter(
+            (F.col("doc_id") < 100000) & (F.col("doc_id") % 2 == 0)
+        ),
+    ).localCheckpoint()
+    dup_rows = dup.select(
+        F.lit("incr_dup").alias("variant"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("dup_of").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    # survivors = batch minus screened ids (mode="survivors" runs this
+    # same anti-join inside the op; equivalence unit-tested)
+    surv_rows = mutated.join(
+        dup.select(F.col("doc_id")).distinct(), "doc_id", "left_anti"
+    ).select(
+        F.lit("incr_surv").alias("variant"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return pair_rows.unionByName(dup_rows).unionByName(surv_rows)
 
 
 _SIMHASH_SQL = f"""

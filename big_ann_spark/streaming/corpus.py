@@ -35,6 +35,8 @@ def stream_corpus_ingest(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    near_dup_threshold: float | None = None,
+    shingle_n: int = 3,
     _fault_point=None,
 ) -> None:
     """foreachBatch ingest with incremental dedup + exactly-once append
@@ -49,7 +51,19 @@ def stream_corpus_ingest(
     Scale: the dedup is incremental_exact_dedup's shape — 8-byte hash
     projections, history never collected; the per-batch cost is one
     scan of history's hash column (at real scale: a hash-only
-    side table or Bloom/index layer, same plan)."""
+    side table or Bloom/index layer, same plan).
+
+    ``near_dup_threshold``: also screen each batch for NEAR-duplicates
+    of the landed history (MinHash-LSH + exact-Jaccard verification,
+    operators.dedup.incremental_minhash_dedup). The landed layout then
+    carries each survivor's signature (``_sig``) and shingle array
+    (``_shs``) — the persisted stores the incremental screen's scale
+    contract asks for, so future batches band-join against stored
+    8-byte buckets and verify against stored arrays without ever
+    re-shingling history text. Per-batch cost stays
+    O(|batch| + |candidates|)."""
+    if near_dup_threshold is not None:
+        from big_ann_spark.operators import dedup as D
 
     def prepare(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
@@ -65,14 +79,56 @@ def stream_corpus_ingest(
             .agg(F.min_by(F.struct("doc_id", "text"), "doc_id").alias("_w"))
             .select("_h", "_w.doc_id", "_w.text")
         )
+        hist = None
         try:
             hist = spark.read.parquet(f"{path}/data")
             # CRITICAL: a replay must not treat its own half-landed
             # partition as history (see docstring)
-            hist_h = hist.filter(F.col("_batch_id") != batch_id).select("_h")
-            batch = batch.join(hist_h, "_h", "left_anti")
+            hist = hist.filter(F.col("_batch_id") != batch_id)
+            batch = batch.join(hist.select("_h"), "_h", "left_anti")
         except AnalysisException:
             pass  # first batch: no history yet
+        if near_dup_threshold is not None:
+            # attach signature + shingle array to every surviving row
+            # (landed alongside the text = the persisted stores)
+            arrs = D.doc_shingle_arrays(
+                shingles=D.doc_shingles(batch, n=shingle_n)
+            ).localCheckpoint()
+            sigs = D.minhash_signatures(
+                batch,
+                n=shingle_n,
+                shingles=arrs.select("doc_id", F.explode("shs").alias("shingle")),
+            )
+            batch = (
+                batch.join(arrs, "doc_id", "left")
+                .join(sigs, "doc_id", "left")
+                .withColumnRenamed("shs", "_shs")
+                .withColumnRenamed("sig", "_sig")
+            )
+            # docs too short to shingle have NULL _sig/_shs: an empty
+            # shingle set can never reach a positive Jaccard — keep
+            if hist is not None:
+                flagged = D.incremental_minhash_dedup(
+                    batch.filter(F.col("_sig").isNotNull()),
+                    new_shingles=arrs.select(
+                        "doc_id", F.explode("shs").alias("shingle")
+                    ),
+                    new_sigs=sigs,
+                    history_bands=D.band_table(
+                        hist.filter(F.col("_sig").isNotNull()).select(
+                            "doc_id", F.col("_sig").alias("sig")
+                        )
+                    ),
+                    history_shingle_arrays=hist.select(
+                        "doc_id", F.col("_shs").alias("shs")
+                    ),
+                    threshold=near_dup_threshold,
+                    n=shingle_n,
+                    mode="duplicates",
+                )
+                batch = batch.join(
+                    flagged.select("doc_id").distinct(), "doc_id", "left_anti"
+                )
         # keep _h in the landed layout so future history reads scan one
         # 8-byte column instead of rehashing text
         return batch.withColumn("_batch_id", F.lit(batch_id))

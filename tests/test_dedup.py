@@ -602,3 +602,62 @@ def test_unigram_logprob_hand_case(spark):
     # LM: a=2, T=2, V=1 -> p(a)=3/3, p(unseen)=1/3
     assert abs(got2[1] - (2 * math.log(1.0) + math.log(1 / 3)) / 3) < 1e-12
     assert abs(got2[2] - math.log(1 / 3)) < 1e-12
+
+
+def test_incremental_minhash_matches_batch_cross_pairs(spark, sf_dir):
+    """The incremental screen must flag exactly the (new x history)
+    pairs the full-corpus batch pipeline verifies; survivors mode is
+    the anti-join of duplicates; and running from persisted
+    band/shingle stores (no history text) is identical."""
+    from big_ann_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    new = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split("text", " "),
+                1,
+                F.greatest(F.size(F.split("text", " ")) - 3, F.lit(1)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+
+    batch_pairs = {
+        (r.doc_b, r.doc_a, round(r.jaccard, 6))
+        for r in D.minhash_dedup_pairs(hist.union(new), threshold=0.3).collect()
+        if r.doc_a < 100000 and r.doc_b >= 100000
+    }
+    dup = D.incremental_minhash_dedup(
+        new, hist, threshold=0.3, mode="duplicates"
+    )
+    incr_pairs = {
+        (r.doc_id, r.dup_of, round(r.jaccard, 6)) for r in dup.collect()
+    }
+    assert incr_pairs == batch_pairs and incr_pairs
+
+    surv = {
+        r.doc_id
+        for r in D.incremental_minhash_dedup(
+            new, hist, threshold=0.3, mode="survivors"
+        ).collect()
+    }
+    flagged = {p[0] for p in incr_pairs}
+    all_new = {r.doc_id for r in new.select("doc_id").collect()}
+    assert surv == all_new - flagged
+
+    # store-based path: persisted band table + shingle store, history
+    # text never touched
+    sigs_hist = D.minhash_signatures(hist)
+    stores = D.incremental_minhash_dedup(
+        new,
+        history_bands=D.band_table(sigs_hist),
+        history_shingles=D.doc_shingles(hist),
+        threshold=0.3,
+        mode="duplicates",
+    )
+    assert {
+        (r.doc_id, r.dup_of, round(r.jaccard, 6)) for r in stores.collect()
+    } == incr_pairs

@@ -135,3 +135,59 @@ def test_cli_ingest_jsonl(spark, tmp_path, capsys):
     # the single-file keepers do not
     assert set(got) == {"alpha", "beta", "gamma"}
     assert got["alpha"] == 1 and got["gamma"] == 11 and got["beta"] in (2, 10)
+
+
+def test_stream_corpus_near_dup_screen(spark):
+    """near_dup_threshold: a later batch's truncated near-copy of a
+    landed doc is screened out (exact hash alone would keep it); fresh
+    docs and exact dups behave as before; short unshingleable docs pass
+    through; the landed layout carries _sig/_shs stores and a crashed
+    replay still converges."""
+    a = ("w" + " x y z a b c d e f g h i j k l m n o p").replace("  ", " ")
+    doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta"  # truncated
+    src = tempfile.mkdtemp(prefix="big_ann_corpus_src_")
+    _write_batches(
+        spark,
+        src,
+        [
+            [(1, doc), (2, a), (3, "hi")],          # 'hi': no 3-shingle
+            [(10, near), (11, doc), (12, "totally different words here now ok yes")],
+        ],
+    )
+    path = tempfile.mkdtemp(prefix="big_ann_corpus_nd_")
+    SC.stream_corpus_ingest(_stream(spark, src), path, near_dup_threshold=0.5)
+    got = {r.doc_id for r in SC.read_corpus(spark, path).collect()}
+    # 10 (near-dup of 1) and 11 (exact dup of 1) dropped; rest kept
+    assert got == {1, 2, 3, 12}
+    # landed stores exist for shingleable docs
+    landed = spark.read.parquet(f"{path}/data")
+    assert {"_sig", "_shs"} <= set(landed.columns)
+    by_id = {r.doc_id: r for r in landed.collect()}
+    assert by_id[1]._sig is not None and len(by_id[1]._sig) == 32
+    assert by_id[3]._sig is None  # unshingleable, kept anyway
+
+
+@pytest.mark.parametrize("crash_point", ["pre-marker", "post-marker"])
+def test_stream_corpus_near_dup_crash_restart(spark, crash_point):
+    doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta"
+    src = tempfile.mkdtemp(prefix="big_ann_corpus_src_")
+    _write_batches(
+        spark,
+        src,
+        [[(1, doc)], [(10, near), (11, "fresh words entirely new stuff here")]],
+    )
+    path = tempfile.mkdtemp(prefix="big_ann_corpus_ndc_")
+
+    def crash(point, batch_id):
+        if point == crash_point and batch_id == 1:
+            raise RuntimeError("injected crash")
+
+    with pytest.raises(Exception, match="injected crash|STREAM"):
+        SC.stream_corpus_ingest(
+            _stream(spark, src), path, near_dup_threshold=0.5, _fault_point=crash
+        )
+    SC.stream_corpus_ingest(_stream(spark, src), path, near_dup_threshold=0.5)
+    got = {r.doc_id for r in SC.read_corpus(spark, path).collect()}
+    assert got == {1, 11}
