@@ -86,6 +86,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "naturally (one history pass total) — per-file batches rescan "
         "history once per file, O(files x corpus)",
     )
+    ing.add_argument(
+        "--near-dup-threshold",
+        type=float,
+        default=None,
+        help="also drop batch docs whose Jaccard vs the landed corpus "
+        "reaches this threshold (MinHash-LSH screen; survivors land "
+        "with their signature/shingle stores)",
+    )
     return p
 
 
@@ -173,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
             args.dst,
             id_col=args.id_col,
             text_col=args.text_col,
+            near_dup_threshold=args.near_dup_threshold,
         )
         n = SC.read_corpus(spark, args.dst).count()
         print(f"corpus at {args.dst}: {n} unique docs")

@@ -888,6 +888,8 @@ def minhash_dedup_pairs(
     shingle_hash: Column | None = None,
     bucket_mode: str = "hash",
     shingles: DataFrame | None = None,
+    shingle_arrays: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact-Jaccard verification ≥ threshold. Verification
@@ -896,7 +898,9 @@ def minhash_dedup_pairs(
     blowup the bands avoid). Pass a precomputed ``shingles`` table
     (e.g. ``doc_shingle_keys`` for 8-byte hashed keys) to replace the
     string-shingle explode in both the signature and verification
-    stages."""
+    stages; ``shingle_arrays`` / ``signatures`` (already persisted)
+    skip the respective builds entirely — the pattern for callers that
+    share one corpus-wide build across several dedup stages."""
     sh = (
         shingles
         if shingles is not None
@@ -908,12 +912,18 @@ def minhash_dedup_pairs(
     # array_intersect form, which on dup-heavy corpora (10^6 candidate
     # pairs) replaces an exploded-join + per-pair groupBy over ~10^8
     # rows with one codegen projection per pair.
-    arrs = doc_shingle_arrays(shingles=sh).localCheckpoint()
-    ex = arrs.select("doc_id", F.explode("shs").alias("shingle"))
-    sigs = minhash_signatures(
-        docs, id_col=id_col, text_col=text_col, n=n, shingles=ex,
-        shingle_hash=shingle_hash,
+    arrs = (
+        shingle_arrays
+        if shingle_arrays is not None
+        else doc_shingle_arrays(shingles=sh).localCheckpoint()
     )
+    sigs = signatures
+    if sigs is None:
+        ex = arrs.select("doc_id", F.explode("shs").alias("shingle"))
+        sigs = minhash_signatures(
+            docs, id_col=id_col, text_col=text_col, n=n, shingles=ex,
+            shingle_hash=shingle_hash,
+        )
     cands = lsh_candidate_pairs(sigs, bucket_mode=bucket_mode)
     verified = jaccard_for_pairs(docs, cands, shingle_arrays=arrs)
     return verified.filter(F.col("jaccard") >= threshold).select(
@@ -933,6 +943,7 @@ def incremental_minhash_dedup(
     shingle_hash: Column | None = None,
     bucket_mode: str = "hash",
     new_shingles: DataFrame | None = None,
+    new_shingle_arrays: DataFrame | None = None,
     new_sigs: DataFrame | None = None,
     history_bands: DataFrame | None = None,
     history_shingles: DataFrame | None = None,
@@ -983,21 +994,22 @@ def incremental_minhash_dedup(
             "pass history, or history_bands plus a shingle store "
             "(history_shingles or history_shingle_arrays)"
         )
-    sh_new = (
-        new_shingles
-        if new_shingles is not None
-        else doc_shingles(new_docs, id_col=id_col, text_col=text_col, n=n)
-    )
-    arrs_new = doc_shingle_arrays(shingles=sh_new).localCheckpoint()
-    ex_new = arrs_new.select("doc_id", F.explode("shs").alias("shingle"))
-    sigs_new = (
-        new_sigs
-        if new_sigs is not None
-        else minhash_signatures(
+    if new_shingle_arrays is not None:
+        arrs_new = new_shingle_arrays
+    else:
+        sh_new = (
+            new_shingles
+            if new_shingles is not None
+            else doc_shingles(new_docs, id_col=id_col, text_col=text_col, n=n)
+        )
+        arrs_new = doc_shingle_arrays(shingles=sh_new).localCheckpoint()
+    sigs_new = new_sigs
+    if sigs_new is None:
+        ex_new = arrs_new.select("doc_id", F.explode("shs").alias("shingle"))
+        sigs_new = minhash_signatures(
             new_docs, id_col=id_col, text_col=text_col, n=n,
             shingles=ex_new, shingle_hash=shingle_hash,
         )
-    )
     if history_bands is None:
         sigs_hist = minhash_signatures(
             history, id_col=id_col, text_col=text_col, n=n,

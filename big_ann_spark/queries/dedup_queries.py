@@ -333,13 +333,23 @@ def minhash_lsh_near_dup(spark, sf_dir):
         F.array_join(F.slice(F.split("text", " "), 1, F.greatest(F.size(F.split("text", " ")) - 3, F.lit(1))), " ").alias("text"),
     )
     corpus = d.union(mutated)
-    keys = D.doc_shingle_keys(corpus).localCheckpoint()
+    # ONE corpus-wide build shared by the batch pipeline AND the
+    # incremental screen (the persisted-store pattern the incremental
+    # op is designed around): shingle keys -> arrays -> signatures,
+    # checkpointed once; both variants below are pure band joins +
+    # candidate verification over these.
+    keys = D.doc_shingle_keys(corpus)
+    arrs = D.doc_shingle_arrays(shingles=keys).localCheckpoint()
+    ex = arrs.select("doc_id", F.explode("shs").alias("shingle"))
+    sigs = D.minhash_signatures(
+        corpus, shingles=ex, shingle_hash=F.col("shingle")
+    ).localCheckpoint()
     out = D.minhash_dedup_pairs(
         corpus,
         threshold=0.3,
-        shingle_hash=F.col("shingle"),  # keys are already 30-bit ints
         bucket_mode="slice",
-        shingles=keys,
+        shingle_arrays=arrs,
+        signatures=sigs,
     )
     pair_rows = out.select(
         F.lit("pair").alias("variant"),
@@ -347,18 +357,18 @@ def minhash_lsh_near_dup(spark, sf_dir):
         "doc_b",
         F.round("jaccard", 6).alias("jaccard"),
     )
-    hist = d.filter(F.col("doc_id") % 2 == 0)
+    hist_mask = (F.col("doc_id") < 100000) & (F.col("doc_id") % 2 == 0)
     dup = D.incremental_minhash_dedup(
         mutated,
-        hist,
         threshold=0.3,
         mode="duplicates",
-        shingle_hash=F.col("shingle"),
         bucket_mode="slice",
-        new_shingles=keys.filter(F.col("doc_id") >= 100000),
-        history_shingles=keys.filter(
-            (F.col("doc_id") < 100000) & (F.col("doc_id") % 2 == 0)
+        new_shingle_arrays=arrs.filter(F.col("doc_id") >= 100000),
+        new_sigs=sigs.filter(F.col("doc_id") >= 100000),
+        history_bands=D.band_table(
+            sigs.filter(hist_mask), bucket_mode="slice"
         ),
+        history_shingle_arrays=arrs.filter(hist_mask),
     ).localCheckpoint()
     dup_rows = dup.select(
         F.lit("incr_dup").alias("variant"),
