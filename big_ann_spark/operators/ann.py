@@ -314,3 +314,78 @@ def nn_descent_knn_graph(
             top_k_per_group(merged, ["src"], order, kb).drop("rank").localCheckpoint()
         )
     return top_k_per_group(graph, ["src"], order, k)
+
+
+def knn_graph_search(
+    queries: DataFrame,
+    graph: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    *,
+    beam: int = 24,
+    hops: int = 4,
+    n_entry: int = 4,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Batch beam search over a kNN graph (the search half of the
+    graph-ANN pair whose build half is ``nn_descent_knn_graph``) —
+    HNSW/NSG-style greedy navigation re-expressed as per-hop joins:
+
+    1. every query scores ``n_entry`` fixed entry nodes (min-id — the
+       same deterministic entries for all queries, like an HNSW entry
+       point);
+    2. per hop: the frontier joins the graph's edge list on node id
+       (hash join), freshly discovered nodes are scored against the
+       query, and the ``beam`` best NEW nodes per query form the next
+       frontier;
+    3. after ``hops`` rounds, top-k per query over everything scored.
+
+    Scale shape: per hop the frontier is Q·beam rows and the expansion
+    Q·beam·degree — independent of n; the vector table is touched only
+    through equi-joins on candidate node ids (at a partitioned layout:
+    shard-pruned point lookups), and the accumulated state is bounded
+    by Q·(n_entry + hops·beam·degree). Queries ride along the frontier
+    rows; nothing is O(n) per query, which is what makes graph search
+    the lowest-IO ANN tier. Wholly deterministic ((dist, id)
+    tie-breaks), so recall is a stable, testable number.
+
+    Returns (qid, neighbor_id, dist, rank), rank 1..k by (dist, id).
+    """
+    vt = vectors.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec"))
+    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("_qv"))
+    edges = graph.select("src", "dst")
+    entries = vt.orderBy("_nid").limit(n_entry).select("_nid")
+
+    def _score(cand: DataFrame) -> DataFrame:
+        # (qid, node) -> (qid, node, dist)
+        return (
+            cand.join(vt, cand["node"] == vt["_nid"])
+            .join(q, "qid")
+            .select("qid", "node", l2_distance("_qv", "_nvec", dim).alias("dist"))
+        )
+
+    order = [F.col("dist").asc(), F.col("node").asc()]
+    frontier = _score(q.select("qid").crossJoin(F.broadcast(entries).select(F.col("_nid").alias("node"))))
+    scored = frontier.localCheckpoint()
+    frontier = scored
+    for _ in range(hops):
+        nbrs = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("qid", F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = nbrs.join(scored.select("qid", "node"), ["qid", "node"], "left_anti")
+        fresh_scored = _score(fresh)
+        frontier = top_k_per_group(fresh_scored, ["qid"], order, beam).drop("rank")
+        scored = scored.union(fresh_scored).localCheckpoint()
+        frontier = frontier.localCheckpoint()
+    return top_k_per_group(
+        scored.withColumnRenamed("node", "neighbor_id"),
+        ["qid"],
+        [F.col("dist").asc(), F.col("neighbor_id").asc()],
+        k,
+    )

@@ -331,6 +331,12 @@ def pipeline_invariants(spark, sf_dir):
       graph vs the exact self-excluded kNN graph, v2=iterations —
       deterministic (hash init, (dist, id) tie-breaks); recall ≥ 0.9
       asserted in tests/test_ann_extras.py.
+    - ``graph_search``: batch beam search over that same graph
+      (operators.ann.knn_graph_search — HNSW-style navigation as
+      per-hop equi-joins; per-hop cost Q·beam·degree, n-independent).
+      Row: k1=n nodes, k2=beam, v1=recall vs exact self-included
+      top-10, v2=hops. Monotone-in-hops + determinism in
+      tests/test_ann_extras.py.
     Schema: (variant, k1, k2, v1, v2) — scalar columns only."""
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -441,7 +447,7 @@ def pipeline_invariants(spark, sf_dir):
 
     nd_base = emb.filter(F.col("vec_id") < 500)
     nd_n = nd_base.count()
-    g = ANN.nn_descent_knn_graph(nd_base, k=10, iterations=3, dim=64)
+    g = ANN.nn_descent_knn_graph(nd_base, k=10, iterations=3, dim=64).localCheckpoint()
     nd_exact = (
         exact_knn(
             nd_base.select(
@@ -468,10 +474,33 @@ def pipeline_invariants(spark, sf_dir):
         F.lit(3.0).alias("v2"),
     )
 
+    gs_queries = nd_base.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    gs = ANN.knn_graph_search(
+        gs_queries, g, nd_base, k=10, beam=24, hops=4, dim=64
+    )
+    # exact side INCLUDES the query point itself (graph search finds
+    # the dist-0 self node, so both sides must count it the same way)
+    gs_exact = exact_knn(
+        gs_queries, nd_base, k=10,
+        base_id="vec_id", base_vec="embedding", impl="sql",
+    ).select("qid", "neighbor_id")
+    graph_search = recall_at_k(
+        gs.select("qid", "neighbor_id"), gs_exact, 10
+    ).select(
+        F.lit("graph_search").alias("variant"),
+        F.lit(nd_n).cast("long").alias("k1"),
+        F.lit(24).cast("long").alias("k2"),
+        F.round("recall_at_k", 6).alias("v1"),
+        F.lit(4.0).alias("v2"),
+    )
+
     return (
         kanndi.unionByName(lsh)
         .unionByName(fbin)
         .unionByName(buddy)
         .unionByName(opq)
         .unionByName(nn_desc)
+        .unionByName(graph_search)
     )

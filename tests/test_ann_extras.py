@@ -88,3 +88,34 @@ def test_nn_descent_recall_improves_and_converges(spark, sf_dir):
     a = sorted(map(tuple, ANN.nn_descent_knn_graph(emb, k=k, iterations=2, dim=64).collect()))
     b = sorted(map(tuple, ANN.nn_descent_knn_graph(emb, k=k, iterations=2, dim=64).collect()))
     assert a == b
+
+
+def test_knn_graph_search_recall_and_determinism(spark, sf_dir):
+    """Beam search over the NN-Descent graph: recall rises with hop
+    count and reaches >= 0.95 of the exact (self-included) top-10 at
+    beam=24/hops=4; the search is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = (
+        exact_knn(qs, emb, k=10, base_id="vec_id", base_vec="embedding", impl="sql")
+        .select("qid", "neighbor_id")
+        .localCheckpoint()
+    )
+    g = ANN.nn_descent_knn_graph(emb, k=10, iterations=3, dim=64).localCheckpoint()
+    from big_ann_spark.operators.knn import recall_at_k
+
+    def rec(hops):
+        got = ANN.knn_graph_search(qs, g, emb, k=10, beam=24, hops=hops, dim=64)
+        return recall_at_k(
+            got.select("qid", "neighbor_id"), exact, 10
+        ).collect()[0].recall_at_k
+
+    r1, r4 = rec(1), rec(4)
+    assert r1 < r4, (r1, r4)
+    assert r4 >= 0.95, r4
+
+    a = sorted(map(tuple, ANN.knn_graph_search(qs, g, emb, k=10, dim=64).collect()))
+    b = sorted(map(tuple, ANN.knn_graph_search(qs, g, emb, k=10, dim=64).collect()))
+    assert a == b
