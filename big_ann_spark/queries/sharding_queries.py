@@ -477,9 +477,7 @@ def pipeline_invariants(spark, sf_dir):
     gs_queries = nd_base.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    gs = ANN.knn_graph_search(
-        gs_queries, g, nd_base, k=10, beam=24, hops=4, dim=64
-    )
+    gs = ANN.knn_graph_search(gs_queries, g, nd_base, k=10, dim=64)
     # exact side INCLUDES the query point itself (graph search finds
     # the dist-0 self node, so both sides must count it the same way)
     gs_exact = exact_knn(
@@ -493,7 +491,7 @@ def pipeline_invariants(spark, sf_dir):
         F.lit(nd_n).cast("long").alias("k1"),
         F.lit(24).cast("long").alias("k2"),
         F.round("recall_at_k", 6).alias("v1"),
-        F.lit(4.0).alias("v2"),
+        F.lit(6.0).alias("v2"),
     )
 
     return (

@@ -106,15 +106,23 @@ def test_knn_graph_search_recall_and_determinism(spark, sf_dir):
     g = ANN.nn_descent_knn_graph(emb, k=10, iterations=3, dim=64).localCheckpoint()
     from big_ann_spark.operators.knn import recall_at_k
 
-    def rec(hops):
-        got = ANN.knn_graph_search(qs, g, emb, k=10, beam=24, hops=hops, dim=64)
+    def rec(hops, n_entry=4):
+        got = ANN.knn_graph_search(
+            qs, g, emb, k=10, beam=24, hops=hops, n_entry=n_entry, dim=64
+        )
         return recall_at_k(
             got.select("qid", "neighbor_id"), exact, 10
         ).collect()[0].recall_at_k
 
+    # from few entries, recall grows with hop depth (best-first
+    # actually makes progress); default params reach >= 0.95
     r1, r4 = rec(1), rec(4)
     assert r1 < r4, (r1, r4)
-    assert r4 >= 0.95, r4
+    got_default = ANN.knn_graph_search(qs, g, emb, k=10, dim=64)
+    r_def = recall_at_k(
+        got_default.select("qid", "neighbor_id"), exact, 10
+    ).collect()[0].recall_at_k
+    assert r_def >= 0.95, r_def
 
     a = sorted(map(tuple, ANN.knn_graph_search(qs, g, emb, k=10, dim=64).collect()))
     b = sorted(map(tuple, ANN.knn_graph_search(qs, g, emb, k=10, dim=64).collect()))
