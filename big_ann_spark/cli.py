@@ -11,7 +11,10 @@ CLI over the query registry and the fbin codecs:
         [--id-col vec_id --vec-col embedding]
     python -m big_ann_spark ingest crawl_dir/ corpus_dir/ \\
         [--format json|parquet]   # streaming dedup ingest (jsonl in,
-                                  # exactly-once deduped corpus out)
+        [--near-dup-threshold 0.8]  # exactly-once deduped corpus out)
+    python -m big_ann_spark build-graph emb.parquet graph_dir/ --k 10
+    python -m big_ann_spark graph-search graph_dir/ emb.parquet \\
+        queries.parquet --k 10 [--beam 24 --hops 6]
 
 ``run`` executes any registered query (the same callables the grading
 driver runs) against a TESTDATA-shaped directory; with ``--out`` the
@@ -47,6 +50,32 @@ def _build_parser() -> argparse.ArgumentParser:
     b.add_argument("--m", type=int, default=10, help="number of shards")
     b.add_argument("--id-col", default="vec_id")
     b.add_argument("--vec-col", default="embedding")
+
+    bg = sub.add_parser(
+        "build-graph",
+        help="NN-Descent approximate kNN graph over a vector table -> parquet",
+    )
+    bg.add_argument("src", help="parquet with (id, vector) columns")
+    bg.add_argument("dst", help="graph dir: edges.parquet (src, dst, dist, rank)")
+    bg.add_argument("--k", type=int, default=10, help="graph degree")
+    bg.add_argument("--iterations", type=int, default=3)
+    bg.add_argument("--id-col", default="vec_id")
+    bg.add_argument("--vec-col", default="embedding")
+
+    g = sub.add_parser(
+        "graph-search", help="batch beam search over a built kNN graph"
+    )
+    g.add_argument("graph", help="dir produced by build-graph")
+    g.add_argument("base", help="parquet vector table the graph indexes")
+    g.add_argument("queries", help="parquet with (id, vector) query columns")
+    g.add_argument("--k", type=int, default=10)
+    g.add_argument("--beam", type=int, default=24)
+    g.add_argument("--hops", type=int, default=6)
+    g.add_argument("--n-entry", type=int, default=64)
+    g.add_argument("--id-col", default="vec_id")
+    g.add_argument("--vec-col", default="embedding")
+    g.add_argument("--out", default=None)
+    g.add_argument("--show", type=int, default=20)
 
     s = sub.add_parser("search", help="batch ANN search against a built index")
     s.add_argument("index", help="dir produced by build-index")
@@ -138,6 +167,37 @@ def main(argv: list[str] | None = None) -> int:
         SH.write_sharded(assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col)
         cents.write.mode("overwrite").parquet(f"{args.dst}/centroids.parquet")
         print(f"{emb.count()} vectors -> {args.m} shards at {args.dst}")
+        return 0
+
+    if args.cmd == "build-graph":
+        from big_ann_spark.operators import ann as ANN
+
+        vecs = spark.read.parquet(args.src)
+        g = ANN.nn_descent_knn_graph(
+            vecs, k=args.k, iterations=args.iterations,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        g.write.mode("overwrite").parquet(f"{args.dst}/edges.parquet")
+        print(f"{g.count()} edges (k={args.k}) -> {args.dst}")
+        return 0
+
+    if args.cmd == "graph-search":
+        from big_ann_spark.operators import ann as ANN
+
+        g = spark.read.parquet(f"{args.graph}/edges.parquet")
+        base = spark.read.parquet(args.base)
+        q = spark.read.parquet(args.queries).select(
+            F.col(args.id_col).alias("qid"), F.col(args.vec_col).alias("qvec")
+        )
+        out = ANN.knn_graph_search(
+            q, g, base, k=args.k, beam=args.beam, hops=args.hops,
+            n_entry=args.n_entry, id_col=args.id_col, vec_col=args.vec_col,
+        )
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"{out.count()} rows -> {args.out}")
+        else:
+            out.show(args.show, truncate=False)
         return 0
 
     if args.cmd == "search":

@@ -61,3 +61,26 @@ def test_cli_build_index_and_search(spark, sf_dir, tmp_path):
     import os
 
     assert any(d.startswith("shard_id=") for d in os.listdir(f"{idx}/shards"))
+
+
+def test_cli_build_graph_and_search(spark, sf_dir, tmp_path):
+    """Graph-tier lifecycle as two CLI calls: build-graph (NN-Descent
+    edges -> parquet) then graph-search from the landed edge list;
+    every query gets k ranked results and its own dist-0 self hit."""
+    from big_ann_spark.cli import main
+
+    gdir = str(tmp_path / "graph")
+    src = f"{sf_dir}/embeddings.parquet"
+    assert main(["build-graph", src, gdir, "--k", "5"]) == 0
+    out = str(tmp_path / "gres.parquet")
+    assert main(
+        ["graph-search", gdir, src, src, "--k", "5", "--out", out]
+    ) == 0
+    res = spark.read.parquet(out)
+    n_q = load_table(spark, sf_dir, "embeddings").count()
+    assert res.count() == 5 * n_q
+    ranks = res.groupBy("qid").agg(
+        F.min("rank").alias("mn"), F.max("rank").alias("mx"),
+        F.min("dist").alias("md"),
+    ).collect()
+    assert all(r.mn == 1 and r.mx == 5 and r.md == 0.0 for r in ranks)
