@@ -106,29 +106,34 @@ def doc_shingle_keys(
     both engines (≈ m²/2/mod expected for m distinct shingles —
     deterministic, tested parity holds).
 
-    The word hashes are materialized behind a projection (``_H``) so
-    the per-word fold runs once per word, not once per shingle
-    position."""
+    The word-hash array is bound as a LAMBDA VARIABLE (a one-element
+    ``transform``) rather than a projected column: the optimizer
+    inlines projected aliases into every downstream ``element_at`` —
+    even across Generate/explode boundaries — which re-evaluates the
+    per-word char fold n× per position (measured 16× blowup for the
+    8-gram variant); a lambda binding is opaque to that rewrite, so
+    each word folds exactly once per row."""
     from big_ann_spark.functions.text import poly_hash
 
     toks = F.split(F.col(text_col), " ")
-    with_h = docs.select(
+    h = F.transform(toks, lambda w: poly_hash(w, word_base, mod))
+
+    def make_keys(H):
+        def key_at(i):
+            k = F.lit(0).cast("long")
+            for j in range(n):
+                k = (k * combine_base + F.element_at(H, i + j)) % mod
+            return k
+
+        return F.when(
+            F.size(H) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(H) - (n - 1)), key_at),
+        ).otherwise(F.array().cast("array<long>"))
+
+    keys = F.element_at(F.transform(F.array(h), make_keys), 1)
+    return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(toks, lambda w: poly_hash(w, word_base, mod)).alias("_H"),
-    )
-
-    def key_at(i):
-        k = F.lit(0).cast("long")
-        for j in range(n):
-            k = (k * combine_base + F.element_at("_H", i + j)) % mod
-        return k
-
-    keys = F.when(
-        F.size("_H") >= n,
-        F.transform(F.sequence(F.lit(1), F.size("_H") - (n - 1)), key_at),
-    ).otherwise(F.array().cast("array<long>"))
-    return with_h.select(
-        "doc_id", F.explode(F.array_distinct(keys)).alias("shingle")
+        F.explode(F.array_distinct(keys)).alias("shingle"),
     )
 
 
@@ -155,46 +160,57 @@ def gram_key_arrays(
     ``g1·mod2 + g2`` — a ~2^60 space, so cross-gram collisions stay
     negligible at corpus scale; ``mod2=None`` keeps the legacy single
     ~2^30 fold (oracle back-compat only). Keys are ordered by gram
-    position; docs shorter than ``n`` tokens get an empty array."""
+    position; docs shorter than ``n`` tokens get an empty array.
+
+    The word-hash arrays are bound as LAMBDA VARIABLES (a one-element
+    ``transform`` over a struct of both arrays), not projected columns:
+    the optimizer inlines projected aliases into every downstream
+    ``element_at`` — including across Generate/explode boundaries —
+    re-evaluating the per-word char fold n× per gram position
+    (measured: a 16× wall blowup for n=8 with two folds, 52 s → 3 s at
+    sf0.01). A lambda binding is opaque to that rewrite: the arrays
+    materialize exactly once per row whatever sits above this plan."""
     from big_ann_spark.functions.text import poly_hash
 
     toks = F.split(F.col(text_col), " ")
-    cols = [
-        F.col(id_col).alias("doc_id"),
-        F.transform(toks, lambda w: poly_hash(w, word_base, mod)).alias("_H"),
+    parts = [
+        F.transform(toks, lambda w: poly_hash(w, word_base, mod)).alias("h1")
     ]
     if mod2 is not None:
-        cols.append(
-            F.transform(toks, lambda w: poly_hash(w, word_base2, mod2)).alias(
-                "_H2"
-            )
+        parts.append(
+            F.transform(toks, lambda w: poly_hash(w, word_base2, mod2)).alias("h2")
         )
-    with_h = docs.select(*cols)
+    bound = F.struct(*parts)
 
-    def fold_at(arr, cb, m):
-        def at(i):
-            k = F.lit(0).cast("long")
-            for j in range(n):
-                k = (k * cb + F.element_at(arr, i + j)) % m
-            return k
+    def make_keys(s):
+        H = s["h1"]
 
-        return at
+        def fold_at(arr, cb, m):
+            def at(i):
+                k = F.lit(0).cast("long")
+                for j in range(n):
+                    k = (k * cb + F.element_at(arr, i + j)) % m
+                return k
 
-    k1 = fold_at("_H", combine_base, mod)
-    if mod2 is None:
-        key_at = k1
-    else:
-        k2 = fold_at("_H2", combine_base2, mod2)
+            return at
 
-        def key_at(i):
-            # k1 < mod ≈ 1e9, ·mod2 ≈ 1e18 < 2^63 — no overflow
-            return k1(i) * F.lit(mod2).cast("long") + k2(i)
+        k1 = fold_at(H, combine_base, mod)
+        if mod2 is None:
+            key_at = k1
+        else:
+            k2 = fold_at(s["h2"], combine_base2, mod2)
 
-    keys = F.when(
-        F.size("_H") >= n,
-        F.transform(F.sequence(F.lit(1), F.size("_H") - (n - 1)), key_at),
-    ).otherwise(F.array().cast("array<long>"))
-    return with_h.select("doc_id", keys.alias("_keys"))
+            def key_at(i):
+                # k1 < mod ≈ 1e9, ·mod2 ≈ 1e18 < 2^63 — no overflow
+                return k1(i) * F.lit(mod2).cast("long") + k2(i)
+
+        return F.when(
+            F.size(H) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(H) - (n - 1)), key_at),
+        ).otherwise(F.array().cast("array<long>"))
+
+    keys = F.element_at(F.transform(F.array(bound), make_keys), 1)
+    return docs.select(F.col(id_col).alias("doc_id"), keys.alias("_keys"))
 
 
 def incremental_exact_dedup(
@@ -457,6 +473,79 @@ def duplicate_ngram_spans(
         (F.col("_pos") + n).cast("long").alias("end"),
     )
     return merge_overlaps(spans, strict=False, partition_cols=["doc_id"])
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    **gram_kw,
+) -> DataFrame:
+    """The ACTION half of Lee et al. span dedup (``duplicate_ngram_spans``
+    is the detection half): remove every occurrence of a duplicated
+    n-gram EXCEPT the globally-first one (min (doc_id, position)), so
+    exactly one copy of each duplicated substring survives the corpus.
+    Returns (doc_id, <text_col> cleaned, n_removed) for EVERY input doc
+    (clean docs pass through untouched; a fully-duplicated doc comes
+    back empty with n_removed = its token count).
+
+    Plan: the shared ``gram_key_arrays`` 64-bit keys → per-gram
+    ``min(struct(doc_id, pos))`` winner (ONE aggregate, no window — a
+    hot gram costs a partial-min, not a sorted partition) → loser
+    occurrences hash-join back → per-doc interval merge (the
+    duplicate_ngram_spans machinery) → spans collected per doc and the
+    token array filtered positionally in one codegen projection.
+    Linear in token count, no doc-pair join, and the only per-doc state
+    is its own merged span list."""
+    from big_ann_spark.operators.intervals import merge_overlaps
+
+    arrs = gram_key_arrays(docs, id_col=id_col, text_col=text_col, n=n, **gram_kw)
+    g = arrs.select("doc_id", F.posexplode("_keys").alias("_pos", "gram"))
+    winners = g.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "_pos")).alias("_w"),
+        F.count("*").alias("_c"),
+    )
+    losers = (
+        g.join(winners.filter(F.col("_c") >= min_count), "gram")
+        .filter(F.struct("doc_id", "_pos") != F.col("_w"))
+        .select(
+            "doc_id",
+            F.col("_pos").cast("long").alias("begin"),
+            (F.col("_pos") + n).cast("long").alias("end"),
+        )
+    )
+    merged = merge_overlaps(losers, strict=False, partition_cols=["doc_id"])
+    spans_arr = merged.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("begin").alias("s"), F.col("end").alias("e"))
+        ).alias("_spans")
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    joined = base.join(spans_arr, "doc_id", "left").select(
+        "doc_id",
+        "_t",
+        F.coalesce(
+            "_spans", F.array().cast("array<struct<s:bigint,e:bigint>>")
+        ).alias("_spans"),
+    )
+    toks = F.split("_t", " ")
+    marked = F.transform(
+        toks, lambda w, i: F.struct(w.alias("w"), i.cast("long").alias("i"))
+    )
+    kept = F.filter(
+        marked,
+        lambda s: ~F.exists(
+            F.col("_spans"), lambda sp: (s["i"] >= sp["s"]) & (s["i"] < sp["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(text_col),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )
 
 
 def prefix_filtered_jaccard_pairs(

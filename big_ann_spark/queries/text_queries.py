@@ -730,6 +730,47 @@ SELECT 'decontam', doc_id, n_matched, n_grams FROM (
   WHERE d.doc_id % 13 <> 0
   GROUP BY d.doc_id
 )
+UNION ALL
+-- strip: the Lee et al. ACTION — every duplicated-gram occurrence
+-- except the globally-first is masked; v1 = char fold of '#'||cleaned
+-- text (sentinel avoids empty-string split divergence), v2 = tokens
+-- removed; every corpus doc gets a row
+SELECT 'strip', doc_id, v1, v2 FROM (
+  WITH ranked AS (
+    SELECT doc_id, pos, gram,
+           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM g
+  ),
+  lose AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM ranked WHERE rn > 1),
+  lm AS (SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS brk
+         FROM lose),
+  lisl AS (SELECT doc_id, s, e,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM lm),
+  lmerged AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+              FROM lisl GROUP BY doc_id, island),
+  tok AS (SELECT c.doc_id, c.toks[t.i] AS w, t.i - 1 AS i0, t.i AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) c,
+               LATERAL unnest(generate_series(1, len(c.toks))) AS t(i)),
+  keptt AS (SELECT t.doc_id, t.i, t.w FROM tok t
+            LEFT JOIN lmerged m
+              ON m.doc_id = t.doc_id AND t.i0 >= m.s AND t.i0 < m.e
+            WHERE m.doc_id IS NULL),
+  cleant AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS ct,
+                    count(*) AS nk
+             FROM keptt GROUP BY doc_id)
+  SELECT c0.doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(string_split('#' || COALESCE(cl.ct, ''), ''),
+                          ch -> ascii(ch)::BIGINT)),
+           (a, b) -> (a * 31 + b) % 1000000007) AS v1,
+         (len(string_split(c0.text, ' ')) - COALESCE(cl.nk, 0))::BIGINT AS v2
+  FROM corpus c0 LEFT JOIN cleant cl USING (doc_id)
+)
 """
 
 
@@ -751,7 +792,12 @@ def doc_fingerprint(spark, sf_dir):
       n-gram-overlap shape) — docs with doc_id % 13 == 0 act as the
       held-out benchmark, every other doc is train; v1 = distinct
       8-grams matched in the benchmark set, v2 = total distinct
-      8-grams (zero-gram short docs included with 0/0)."""
+      8-grams (zero-gram short docs included with 0/0).
+    - ``strip``: the span-removal ACTION
+      (operators.dedup.strip_duplicate_spans) — all but the
+      globally-first occurrence of each duplicated 8-gram masked out;
+      v1 = char fingerprint of '#'+cleaned text (the hash certifies
+      the exact surviving text), v2 = tokens removed."""
     d = load_table(spark, sf_dir, "documents")
     fp = d.filter(F.col("doc_id") < 100).select(
         F.lit("char_fp").alias("variant"),
@@ -787,4 +833,10 @@ def doc_fingerprint(spark, sf_dir):
         F.col("n_matched").alias("v1"),
         F.col("n_grams").alias("v2"),
     )
-    return spans.unionByName(fp).unionByName(contam)
+    strip_rows = D.strip_duplicate_spans(corpus, n=8).select(
+        F.lit("strip").alias("variant"),
+        "doc_id",
+        T.char_fingerprint(F.concat(F.lit("#"), F.col("text"))).alias("v1"),
+        F.col("n_removed").alias("v2"),
+    )
+    return spans.unionByName(fp).unionByName(contam).unionByName(strip_rows)

@@ -168,3 +168,40 @@ def test_pack_sequences_matches_sequential_model(spark, lens, ctx, n_bins):
     for i, n in rows:
         assert got[i] == (off, off // ctx, (off + n - 1) // ctx)
         off += n
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy, st.sampled_from([2, 3]))
+def test_strip_duplicate_spans_matches_model(spark, texts, n):
+    """strip_duplicate_spans == brute-force: every duplicated-gram
+    occurrence except the globally-first (min (doc_id, pos)) becomes a
+    removal span; merged spans mask token positions; survivors rebuild
+    the text in order. Clean docs pass through verbatim."""
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    per_doc = {}
+    for i, t in rows:
+        toks = t.split(" ")
+        per_doc[i] = toks
+        for p in range(len(toks) - n + 1):
+            occ[tuple(toks[p : p + n])].append((i, p))
+    want = {}
+    for i, toks in per_doc.items():
+        dead = set()
+        for g, sites in occ.items():
+            if len(sites) < 2:
+                continue
+            first = min(sites)
+            for d, p in sites:
+                if d == i and (d, p) != first:
+                    dead.update(range(p, p + n))
+        kept = [w for p, w in enumerate(toks) if p not in dead]
+        want[i] = (" ".join(kept), len(toks) - len(kept))
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in D.strip_duplicate_spans(df, n=n).collect()
+    }
+    assert got == want
