@@ -26,6 +26,19 @@ FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_BASE = 31
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and hand it to ``fn`` as a bound
+    lambda variable (one-element ``transform``). This is the
+    optimizer-proof materialization point for an expensive array
+    expression consumed repeatedly: a projected alias gets INLINED into
+    every downstream reference (even across explode boundaries — see
+    SCALE.md "Measured pitfalls", a measured 70× blowup), and HOF
+    lambdas have no common-subexpression elimination, so without the
+    binding an O(len) subexpression referenced per position costs
+    O(len²) per row."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization."""
     c = F.col(text) if isinstance(text, str) else text
@@ -124,15 +137,18 @@ def char_fingerprint(text: Column | str) -> Column:
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """All n-word shingles (space-joined) of the document — the MinHash
     / Jaccard dedup unit. Documents shorter than n words yield an empty
-    array."""
-    t = tokens(text)
-    return F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    array. The token array is bound once (``bind_once``) so the
+    per-position slice doesn't re-split the document O(len) times."""
+    return bind_once(
+        tokens(text),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 # ---- PII-style pattern redaction (corpus-prep hygiene): pure
@@ -261,20 +277,21 @@ def repetition_metrics(docs, *, id_col: str = "doc_id", text_col: str = "text"):
         .groupBy("doc_id")
         .agg((F.max("c") / F.sum("c")).alias("max_word_frac"))
     )
-    bigrams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            # sequence(1, 0) DESCENDS in Spark — guard single-token docs
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                    ),
+    bigram_arr = bind_once(
+        toks,
+        # sequence(1, 0) DESCENDS in Spark — guard single-token docs
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("b"),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    bigrams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(bigram_arr).alias("b")
     )
     bf = (
         bigrams.groupBy("doc_id", "b")
