@@ -50,6 +50,14 @@ def _build_parser() -> argparse.ArgumentParser:
     b.add_argument("--m", type=int, default=10, help="number of shards")
     b.add_argument("--id-col", default="vec_id")
     b.add_argument("--vec-col", default="embedding")
+    b.add_argument(
+        "--sq8",
+        action="store_true",
+        help="store SQ8 int8 codes instead of float vectors (FAISS "
+        "IVF-SQ8 shape: 4x smaller shards; search decodes as a "
+        "projection AFTER partition pruning, so only probed shards "
+        "ever decode)",
+    )
 
     bg = sub.add_parser(
         "build-graph",
@@ -164,9 +172,27 @@ def main(argv: list[str] | None = None) -> int:
         assign, cents, _model = SH.kmeans_shard(
             emb, m=args.m, id_col=args.id_col, vec_col=args.vec_col
         )
-        SH.write_sharded(assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col)
+        if args.sq8:
+            from big_ann_spark.operators import pq as PQ
+
+            mins, maxs = PQ.train_sq8(emb, vec_col=args.vec_col)
+            coded = emb.select(
+                F.col(args.id_col),
+                PQ.sq8_encode_col(args.vec_col, mins, maxs).alias("codes"),
+            )
+            SH.write_sharded(
+                assign, coded, args.dst, id_col=args.id_col, vec_col="codes"
+            )
+            spark.createDataFrame(
+                [(mins, maxs)], "mins array<double>, maxs array<double>"
+            ).write.mode("overwrite").parquet(f"{args.dst}/sq8_ranges.parquet")
+        else:
+            SH.write_sharded(
+                assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col
+            )
         cents.write.mode("overwrite").parquet(f"{args.dst}/centroids.parquet")
-        print(f"{emb.count()} vectors -> {args.m} shards at {args.dst}")
+        tag = " (sq8 codes)" if args.sq8 else ""
+        print(f"{emb.count()} vectors -> {args.m} shards at {args.dst}{tag}")
         return 0
 
     if args.cmd == "build-graph":
@@ -205,6 +231,26 @@ def main(argv: list[str] | None = None) -> int:
 
         cents = spark.read.parquet(f"{args.index}/centroids.parquet")
         shards = spark.read.parquet(f"{args.index}/shards")
+        # SQ8 index auto-detect: decode codes -> vectors as a pure
+        # projection (placed above the pruned scan, so only probed
+        # shards decode)
+        from pyspark.errors import AnalysisException
+
+        try:
+            rng = spark.read.parquet(
+                f"{args.index}/sq8_ranges.parquet"
+            ).collect()[0]
+            from big_ann_spark.operators import pq as PQ
+
+            shards = shards.select(
+                args.id_col,
+                "shard_id",
+                PQ.sq8_decode_col(
+                    F.col("codes"), list(rng.mins), list(rng.maxs)
+                ).alias(args.vec_col),
+            )
+        except AnalysisException:
+            pass
         q = spark.read.parquet(args.queries).select(
             F.col(args.id_col).alias("qid"), F.col(args.vec_col).alias("qvec")
         )

@@ -165,3 +165,36 @@ def test_dup_span_plan_single_explode_no_pair_join(spark, sf_dir):
         plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     )
     assert n_joins == 1, plan
+
+
+def test_gram_keys_word_hash_not_reinlined(spark, sf_dir):
+    """Pins the 70x fix (SCALE.md "Measured pitfalls"): the optimizer
+    inlines projected HOF aliases into every downstream element_at
+    once a Generate sits above — before the lambda-binding fix the
+    8-gram plan carried 76 full copies of the per-word char-fold
+    transform (one per element_at). The bound form keeps the word-hash
+    transform count independent of n: a handful of copies (the
+    array(struct(...)) binding + size refs), never O(n) of them."""
+    from big_ann_spark.catalog import load_table
+    from big_ann_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = D.gram_key_arrays(d, n=8).select(
+        "doc_id", F.posexplode("_keys").alias("_pos", "gram")
+    )
+    opt = g._jdf.queryExecution().optimizedPlan().toString()
+    n_copies = opt.count("transform(split")
+    assert n_copies < 16, f"word-hash transform inlined {n_copies}x"
+    # same guard for the 3-gram shingle keys and string shingles
+    sh = D.doc_shingle_keys(d)
+    n_sh = sh._jdf.queryExecution().optimizedPlan().toString().count(
+        "transform(split"
+    )
+    assert n_sh < 8, n_sh
+    from big_ann_spark.functions.text import word_shingles
+
+    ws = d.select(F.explode(word_shingles("text")).alias("s"))
+    n_ws = ws._jdf.queryExecution().optimizedPlan().toString().count(
+        "split(text"
+    )
+    assert n_ws < 8, n_ws
