@@ -240,6 +240,9 @@ def main(argv: list[str] | None = None) -> int:
             rng = spark.read.parquet(
                 f"{args.index}/sq8_ranges.parquet"
             ).collect()[0]
+        except AnalysisException:
+            rng = None  # float index — no ranges sidecar
+        if rng is not None:
             from big_ann_spark.operators import pq as PQ
 
             shards = shards.select(
@@ -249,8 +252,6 @@ def main(argv: list[str] | None = None) -> int:
                     F.col("codes"), list(rng.mins), list(rng.maxs)
                 ).alias(args.vec_col),
             )
-        except AnalysisException:
-            pass
         q = spark.read.parquet(args.queries).select(
             F.col(args.id_col).alias("qid"), F.col(args.vec_col).alias("qvec")
         )

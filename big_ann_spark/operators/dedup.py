@@ -130,7 +130,9 @@ def doc_shingle_keys(
             F.transform(F.sequence(F.lit(1), F.size(H) - (n - 1)), key_at),
         ).otherwise(F.array().cast("array<long>"))
 
-    keys = F.element_at(F.transform(F.array(h), make_keys), 1)
+    from big_ann_spark.functions.text import bind_once
+
+    keys = bind_once(h, make_keys)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(keys)).alias("shingle"),
@@ -209,7 +211,9 @@ def gram_key_arrays(
             F.transform(F.sequence(F.lit(1), F.size(H) - (n - 1)), key_at),
         ).otherwise(F.array().cast("array<long>"))
 
-    keys = F.element_at(F.transform(F.array(bound), make_keys), 1)
+    from big_ann_spark.functions.text import bind_once
+
+    keys = bind_once(bound, make_keys)
     return docs.select(F.col(id_col).alias("doc_id"), keys.alias("_keys"))
 
 
@@ -990,22 +994,22 @@ def minhash_dedup_pairs(
     stages; ``shingle_arrays`` / ``signatures`` (already persisted)
     skip the respective builds entirely — the pattern for callers that
     share one corpus-wide build across several dedup stages."""
-    sh = (
-        shingles
-        if shingles is not None
-        else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
-    )
     # ONE materialized shingle pass (r5): the signature build and the
     # pair verification both derive from the checkpointed array table,
     # so the text->hash lineage runs once — and verification is the
     # array_intersect form, which on dup-heavy corpora (10^6 candidate
     # pairs) replaces an exploded-join + per-pair groupBy over ~10^8
-    # rows with one codegen projection per pair.
-    arrs = (
-        shingle_arrays
-        if shingle_arrays is not None
-        else doc_shingle_arrays(shingles=sh).localCheckpoint()
-    )
+    # rows with one codegen projection per pair. A fully store-backed
+    # caller (shingle_arrays + signatures) never touches ``docs``.
+    if shingle_arrays is not None:
+        arrs = shingle_arrays
+    else:
+        sh = (
+            shingles
+            if shingles is not None
+            else doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+        )
+        arrs = doc_shingle_arrays(shingles=sh).localCheckpoint()
     sigs = signatures
     if sigs is None:
         ex = arrs.select("doc_id", F.explode("shs").alias("shingle"))
@@ -1041,8 +1045,11 @@ def incremental_minhash_dedup(
     """NEAR-dup (MinHash-LSH) counterpart of ``incremental_exact_dedup``:
     screen a new ingest batch against the landed history, where a new
     doc is a duplicate when its exact Jaccard against SOME history doc
-    reaches ``threshold``. Ids must be globally unique across both
-    sides (every incremental pipeline already guarantees this).
+    reaches ``threshold``. Verification is SIDE-TAGGED (each pair's
+    left side joins the batch's shingle store, the right side the
+    history's), so a doc_id that appears on both sides — a re-crawled
+    page with a stable id — is compared new-text-vs-stored-text, never
+    against itself.
 
     - ``mode="survivors"`` (default): the new rows (all columns) with
       no history near-dup — the rows to append. Within-batch near-dups
@@ -1135,9 +1142,30 @@ def incremental_minhash_dedup(
                 hist_cand_docs, id_col=id_col, text_col=text_col, n=n
             )
         )
-    arrs = arrs_new.union(arrs_hist)
-    verified = jaccard_for_pairs(None, cand, shingle_arrays=arrs).filter(
-        F.col("jaccard") >= threshold
+    # side-tagged verification: doc_a joins ONLY the batch store,
+    # doc_b ONLY the history store — a unioned id-keyed table would
+    # verify a reused doc_id against the wrong side (J(new_X, new_X)
+    # = 1.0 silently dropping a legitimately updated document)
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    verified = (
+        cand.join(
+            arrs_new.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            arrs_hist.select(
+                F.col("doc_id").alias("doc_b"), F.col("shs").alias("_sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double") / (F.size("_sa") + F.size("_sb") - inter)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
     if mode == "duplicates":
         return verified.select(

@@ -108,20 +108,47 @@ def stream_corpus_ingest(
             # docs too short to shingle have NULL _sig/_shs: an empty
             # shingle set can never reach a positive Jaccard — keep
             if hist is not None:
-                flagged = D.incremental_minhash_dedup(
-                    batch.filter(F.col("_sig").isNotNull()),
-                    new_shingles=arrs.select(
+                # History rows without landed stores — the whole corpus
+                # when near-dup screening is enabled over an older
+                # exact-only ingest, or nothing but short docs on a
+                # store-carrying one — fall back to recomputing their
+                # signatures/arrays from text (backfill mode), so
+                # toggling the flag on an existing corpus neither
+                # crashes (no _sig column at all) nor silently skips
+                # the legacy partitions.
+                if "_sig" in hist.columns:
+                    stored = hist.filter(F.col("_sig").isNotNull())
+                    hb = D.band_table(
+                        stored.select("doc_id", F.col("_sig").alias("sig"))
+                    )
+                    hsa = stored.select("doc_id", F.col("_shs").alias("shs"))
+                    legacy = hist.filter(F.col("_sig").isNull()).select(
+                        "doc_id", "text"
+                    )
+                else:
+                    hb = hsa = None
+                    legacy = hist.select("doc_id", "text")
+                l_arrs = D.doc_shingle_arrays(
+                    shingles=D.doc_shingles(legacy, n=shingle_n)
+                )
+                l_sigs = D.minhash_signatures(
+                    legacy,
+                    n=shingle_n,
+                    shingles=l_arrs.select(
                         "doc_id", F.explode("shs").alias("shingle")
                     ),
+                )
+                lb = D.band_table(l_sigs)
+                hb = lb if hb is None else hb.union(lb)
+                hsa = l_arrs if hsa is None else hsa.union(
+                    l_arrs.select("doc_id", "shs")
+                )
+                flagged = D.incremental_minhash_dedup(
+                    batch.filter(F.col("_sig").isNotNull()),
+                    new_shingle_arrays=arrs,
                     new_sigs=sigs,
-                    history_bands=D.band_table(
-                        hist.filter(F.col("_sig").isNotNull()).select(
-                            "doc_id", F.col("_sig").alias("sig")
-                        )
-                    ),
-                    history_shingle_arrays=hist.select(
-                        "doc_id", F.col("_shs").alias("shs")
-                    ),
+                    history_bands=hb,
+                    history_shingle_arrays=hsa,
                     threshold=near_dup_threshold,
                     n=shingle_n,
                     mode="duplicates",

@@ -661,3 +661,26 @@ def test_incremental_minhash_matches_batch_cross_pairs(spark, sf_dir):
     assert {
         (r.doc_id, r.dup_of, round(r.jaccard, 6)) for r in stores.collect()
     } == incr_pairs
+
+
+def test_incremental_minhash_side_tagged_on_reused_id(spark):
+    """A doc_id present on BOTH sides (re-crawled page, stable id) must
+    be verified new-text-vs-stored-text — never against itself. The
+    emitted jaccard equals the true cross-side value (one row, not a
+    union-join fanout with a spurious 1.0)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    trunc = " ".join(base.split()[:-2])
+    hist = spark.createDataFrame([(7, base)], "doc_id long, text string")
+    new = spark.createDataFrame([(7, trunc)], "doc_id long, text string")
+    rows = D.incremental_minhash_dedup(
+        new, hist, threshold=0.3, mode="duplicates"
+    ).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 7 and rows[0].dup_of == 7
+
+    def shingles(t):
+        w = t.split()
+        return {tuple(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    a, b = shingles(trunc), shingles(base)
+    want = len(a & b) / len(a | b)
+    assert abs(rows[0].jaccard - want) < 1e-9, (rows[0].jaccard, want)

@@ -191,3 +191,26 @@ def test_stream_corpus_near_dup_crash_restart(spark, crash_point):
     SC.stream_corpus_ingest(_stream(spark, src), path, near_dup_threshold=0.5)
     got = {r.doc_id for r in SC.read_corpus(spark, path).collect()}
     assert got == {1, 11}
+
+
+def test_stream_corpus_near_dup_toggle_on_existing_corpus(spark):
+    """Enabling --near-dup-threshold over a corpus previously ingested
+    WITHOUT it must not crash (no _sig column in history) and must
+    still screen against that legacy history by recomputing its
+    signatures from text (backfill fallback)."""
+    doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta"
+    src = tempfile.mkdtemp(prefix="big_ann_corpus_src_")
+    _write_batches(spark, src, [[(1, doc)]])
+    path = tempfile.mkdtemp(prefix="big_ann_corpus_tgl_")
+    SC.stream_corpus_ingest(_stream(spark, src), path)  # exact-only
+    assert "_sig" not in spark.read.parquet(f"{path}/data").columns
+
+    _write_batches(
+        spark, src, [[(10, near), (11, "fresh words entirely new here")]]
+    )
+    SC.stream_corpus_ingest(
+        _stream(spark, src), path, near_dup_threshold=0.5
+    )
+    got = {r.doc_id for r in SC.read_corpus(spark, path).collect()}
+    assert got == {1, 11}  # 10 screened against the LEGACY history
