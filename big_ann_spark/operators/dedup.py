@@ -21,7 +21,7 @@ Scale design (the point of each variant):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_ann_spark.functions.text import word_shingles
@@ -1466,6 +1466,41 @@ def hash_sample(
     salted = F.pmod(F.pmod(F.col(id_col), F.lit(mod)) + F.lit(salt % mod), F.lit(mod))
     keep = ((salted * a) % mod) < thresh
     return docs.filter(keep)
+
+
+def cap_per_source(
+    docs: DataFrame,
+    max_per_source: int,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: int = 0,
+    a: int = 2654435761,
+    mod: int = MINHASH_P,
+) -> DataFrame:
+    """Per-source document cap (the Dolma/C4-style per-DOMAIN cap: no
+    single site may dominate the corpus): keep at most
+    ``max_per_source`` docs per source, selected by the same
+    content-stable multiplicative hash as ``hash_sample`` — so the
+    survivors are a deterministic pseudo-random subset, reproducible
+    across runs/engines/repartitioning, and a larger cap's survivor
+    set CONTAINS a smaller cap's (rank order is cap-independent).
+
+    Plan shape: rank = ``row_number`` per source ordered by (hash, id)
+    — a WindowGroupLimit, so each partition prunes to its local top
+    ``max_per_source`` before the shuffle; per-task state is the cap,
+    not the source's row count, which is exactly what makes a
+    100M-page domain affordable."""
+    salted = F.pmod(
+        F.pmod(F.col(id_col), F.lit(mod)) + F.lit(salt % mod), F.lit(mod)
+    )
+    hashed = (salted * a) % mod
+    w = Window.partitionBy(source_col).orderBy(hashed.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_source)
+        .drop("_rk")
+    )
 
 
 def token_budget_mix(

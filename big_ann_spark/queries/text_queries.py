@@ -344,6 +344,14 @@ pack AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
   FROM deduped
 ),
+capped AS (
+  SELECT source, doc_id, n_tokens FROM (
+    SELECT source, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY source
+             ORDER BY ((doc_id % {_HP} + 3) % {_HP} * {_HA}) % {_HP}, doc_id) AS rk
+    FROM deduped)
+  WHERE rk <= 100
+),
 bpe_docs AS (
   SELECT source,
          coalesce(list_sum(list_transform(
@@ -376,6 +384,9 @@ SELECT 'pack', doc_id::VARCHAR, n_tokens::BIGINT,
        floor((off + greatest(n_tokens - 1, 0)) / 256)::DOUBLE
 FROM pack
 UNION ALL
+SELECT 'cap', source, COUNT(*)::BIGINT, SUM(doc_id)::DOUBLE, SUM(n_tokens)::DOUBLE
+FROM capped GROUP BY source
+UNION ALL
 {c4_row}
 UNION ALL
 {train_rows_sql}
@@ -398,7 +409,12 @@ def pipeline_clean_corpus(spark, sf_dir):
     and concat-and-chunk sequence packing of the deduped set into
     256-token training windows (operators.packing.pack_sequences —
     ranged two-pass prefix sum, no global window; per-doc placement
-    rows), plus C4-style heuristic cleaning (Raffel et al. 2020 §2.2,
+    rows), a Dolma-style per-source document cap
+    (operators.dedup.cap_per_source: keep ≤100 docs per source by the
+    content-stable hash rank — WindowGroupLimit, per-task state is the
+    cap; the ``cap`` variant's doc_id/token sums certify the exact
+    survivor set), plus C4-style heuristic cleaning (Raffel et al.
+    2020 §2.2,
     functions.text.c4_clean: line retention by terminal punctuation /
     >=5 words / no-javascript, page drops for <3 sentences, 'lorem
     ipsum', '{{', pinned bad words — per-source kept-page counts, kept
@@ -496,6 +512,25 @@ def pipeline_clean_corpus(spark, sf_dir):
         F.col("n_tokens").alias("n"),
         F.col("window_start").cast("double").alias("v1"),
         F.col("window_end").cast("double").alias("v2"),
+    )
+
+    from big_ann_spark.operators.dedup import cap_per_source
+
+    cap_rows = (
+        cap_per_source(deduped, 100, salt=3)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").cast("double").alias("v1"),
+            F.sum("n_tokens").cast("double").alias("v2"),
+        )
+        .select(
+            F.lit("cap").alias("variant"),
+            F.col("source").alias("key"),
+            "n",
+            "v1",
+            "v2",
+        )
     )
 
     sampled = hash_sample(deduped, 0.5, salt=1)
@@ -642,6 +677,7 @@ def pipeline_clean_corpus(spark, sf_dir):
         .unionByName(mix_rows)
         .unionByName(bpe_rows)
         .unionByName(pack_rows)
+        .unionByName(cap_rows)
         .unionByName(c4_rows)
         .unionByName(train_rows)
     )

@@ -684,3 +684,25 @@ def test_incremental_minhash_side_tagged_on_reused_id(spark):
     a, b = shingles(trunc), shingles(base)
     want = len(a & b) / len(a | b)
     assert abs(rows[0].jaccard - want) < 1e-9, (rows[0].jaccard, want)
+
+
+def test_cap_per_source(spark):
+    """Per-source cap: counts == min(cap, source size); survivors are
+    deterministic, repartition-stable, and nested (cap-20 survivors ⊂
+    cap-50 survivors — rank order is cap-independent)."""
+    rows = [(i, f"t{i}", f"src{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    c50 = {r.doc_id for r in D.cap_per_source(docs, 50).collect()}
+    c50b = {r.doc_id for r in D.cap_per_source(docs.repartition(7), 50).collect()}
+    assert c50 == c50b and len(c50) == 150
+    from collections import Counter
+
+    per_src = Counter(i % 3 for i in c50)
+    assert all(per_src[s] == 50 for s in range(3))
+    c20 = {r.doc_id for r in D.cap_per_source(docs, 20).collect()}
+    assert c20 < c50
+    # a source smaller than the cap passes through whole
+    tiny = spark.createDataFrame(
+        rows[:10], "doc_id long, text string, source string"
+    )
+    assert D.cap_per_source(tiny, 50).count() == 10
