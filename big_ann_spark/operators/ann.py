@@ -302,14 +302,32 @@ def nn_descent_knn_graph(
         rev = graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "dist")
         rev = top_k_per_group(rev, ["src"], order, rcap).drop("rank")
         both = graph.select("src", "dst").union(rev.select("src", "dst")).distinct()
-        cand = (
-            both.alias("a")
-            .join(both.alias("b"), "src")
-            .select(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
-            .filter(F.col("u") < F.col("v"))
-            .distinct()
+        # carry each neighbor's VECTOR through one self-join on the
+        # pivot: the candidate pairs (the biggest stream by far,
+        # n·deg² rows) materialize with both vectors already in-task,
+        # so they are scored and projected down to (src, dst, dist)
+        # inside the join stage — never shuffled, never re-joined to
+        # the vector table (the previous form shuffled the candidate
+        # id-pair stream three more times: distinct + two vector
+        # joins). Duplicate pairs from shared pivots are rescored
+        # (cheap codegen) and collapse in the dropDuplicates below.
+        both_v = both.join(vt, both["dst"] == vt["_nid"]).select(
+            "src", "dst", F.col("_nvec").alias("_dv")
         )
-        merged = graph.union(_score(cand)).dropDuplicates(["src", "dst"])
+        pairs = (
+            both_v.alias("a")
+            .join(both_v.alias("b"), "src")
+            .filter(F.col("a.dst") < F.col("b.dst"))
+            .select(
+                F.col("a.dst").alias("u"),
+                F.col("b.dst").alias("v"),
+                l2_distance("a._dv", "b._dv", dim).alias("dist"),
+            )
+        )
+        edges = pairs.select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), "dist"
+        ).union(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"), "dist"))
+        merged = graph.union(edges).dropDuplicates(["src", "dst"])
         graph = (
             top_k_per_group(merged, ["src"], order, kb).drop("rank").localCheckpoint()
         )
