@@ -1521,30 +1521,44 @@ def token_budget_mix(
     standard non-upsampling mix). Selection is content-stable
     (hash_sample), so reruns and incremental rebuilds pick identical
     documents. Returns the sampled docs with a ``target_tokens``
-    column for audit."""
+    column for audit.
+
+    Plan shape (VERDICT r6 #2): ONE scan of the corpus in the sampling
+    pass — the per-source fractions become a tiny (source, threshold,
+    target) table broadcast-joined in, and a single content-stable
+    predicate ``hash < threshold`` does every source's sampling at
+    once. With S sources the old form ran S filtered scans unioned;
+    this form's cost is scan + broadcast, independent of S. Sources
+    absent from ``weights`` (or with zero tokens) drop out via the
+    inner join, exactly as the old per-source loop skipped them.
+    Selection is bit-identical to ``hash_sample(frac, salt=salt)`` per
+    source: the threshold is precomputed driver-side as
+    ``int(frac * mod)``, the same truncation hash_sample applies."""
     from big_ann_spark.functions.text import token_count
 
+    a, mod = 2654435761, MINHASH_P
     w_sum = sum(weights.values())
     sized = docs.withColumn("_toks", token_count(text_col))
     totals = {
         r[source_col]: r["_n"]
         for r in sized.groupBy(source_col).agg(F.sum("_toks").alias("_n")).collect()
     }
-    out = None
+    mix_rows = []
     for src, w in weights.items():
         if src not in totals or totals[src] == 0:
             continue
         target = total_tokens * (w / w_sum)
         frac = min(1.0, target / totals[src])
-        part = hash_sample(
-            sized.filter(F.col(source_col) == src), frac, id_col=id_col, salt=salt
-        ).withColumn("target_tokens", F.lit(int(target)).cast("long"))
-        out = part if out is None else out.unionByName(part)
-    if out is None:
-        # same schema as the normal path (no _toks, long target_tokens)
-        return (
-            sized.filter(F.lit(False))
-            .withColumn("target_tokens", F.lit(0).cast("long"))
-            .drop("_toks")
-        )
-    return out.drop("_toks")
+        mix_rows.append((src, int(frac * mod), int(target)))
+    mix = docs.sparkSession.createDataFrame(
+        mix_rows, f"{source_col} string, _thresh long, target_tokens long"
+    )
+    salted = F.pmod(
+        F.pmod(F.col(id_col), F.lit(mod)) + F.lit(salt % mod), F.lit(mod)
+    )
+    hashed = (salted * F.lit(a)) % F.lit(mod)
+    return (
+        sized.join(F.broadcast(mix), source_col)
+        .filter(hashed < F.col("_thresh"))
+        .select(*docs.columns, "target_tokens")
+    )

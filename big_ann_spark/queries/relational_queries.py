@@ -98,8 +98,12 @@ def q3_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
     return (
+        # No hard broadcast on customer: it scales with SF (see the
+        # measured 10x-OOM note below) — the autoBroadcast threshold /
+        # AQE picks a broadcast while the filtered side fits and falls
+        # back to shuffle join beyond, which is the 100 TB-safe plan.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
@@ -141,9 +145,11 @@ def q18_large_volume_customers(spark, sf_dir):
         .select("l_orderkey")
     )
     return (
+        # customer is SF-scaling: no hard broadcast hint (threshold/AQE
+        # may still pick one at small SF, which is fine and plan-tested).
         l.join(big, "l_orderkey", "leftsemi")
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(

@@ -40,6 +40,49 @@ def test_dim_joins_broadcast(spark, sf_dir):
         assert plan.count("BroadcastHashJoin") >= 1, name
 
 
+def test_no_hint_forced_customer_broadcast(spark, sf_dir):
+    """customer scales with SF, so q3/q18 must NOT carry a hard
+    F.broadcast(customer) hint (measured: at 10x the 150k-row customer
+    broadcast OOMs a default driver heap). With the auto-broadcast
+    threshold disabled, only a hint could force a BroadcastHashJoin —
+    assert none appears. At normal thresholds AQE may still pick a
+    broadcast while customer fits, which is the desired behavior."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for name in ["q3_shipping_priority", "q18_large_volume_customers"]:
+            plan = _plan(load_all()[name].fn(spark, sf_dir))
+            assert "BroadcastHashJoin" not in plan, f"{name}: hint-forced broadcast\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        if saved_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_token_budget_mix_single_scan(spark, sf_dir):
+    """The sampling pass of token_budget_mix must scan the corpus ONCE
+    (broadcast-joined fraction table + one predicate), not once per
+    source as a union of filtered scans (VERDICT r6 #2)."""
+    from big_ann_spark.operators.dedup import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    assert len(srcs) >= 2, "fixture needs multiple sources"
+    out = token_budget_mix(docs, {s: 1.0 for s in srcs}, total_tokens=1000)
+    plan = _plan(out)
+    import re
+
+    scans = len(re.findall(r"(?:File)?Scan parquet", plan))
+    # one scan of documents + zero scans for the in-memory mix table
+    assert scans == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Union" not in plan, plan
+
+
 def test_topk_uses_window_group_limit(spark, sf_dir):
     from big_ann_spark.queries.relational_queries import _top_orders_per_cust
 
