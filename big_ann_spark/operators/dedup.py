@@ -560,6 +560,7 @@ def prefix_filtered_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """ALL pairs with n-gram Jaccard ≥ ``threshold`` — exact, via
     df-ordered prefix filtering (Chaudhuri et al. SSJoin / Bayardo et
@@ -578,7 +579,22 @@ def prefix_filtered_jaccard_pairs(
     shingles to the index. Costs over the naive index: one extra
     df aggregation (8-byte keys) and one per-doc rank window (bounded
     partitions — a document has bounded shingles). Verification is
-    Σ_pair(|A|+|B|), output-bound like LSH verification."""
+    Σ_pair(|A|+|B|), output-bound like LSH verification.
+
+    ``max_df``: additionally DROP shingles appearing in more than
+    ``max_df`` documents before any pairing — the hot-key cap for
+    boilerplate-dominated crawls, where even the prefix index keeps a
+    hot shingle when a doc is mostly boilerplate (its rare fraction is
+    too small) and one shingle's posting list becomes the straggler
+    task. With the cap set, Jaccard is computed over the CAPPED shingle
+    universe on BOTH sides (intersection and union consistently exclude
+    capped shingles — set semantics stay exact on the sub-universe,
+    unlike ``jaccard_similarity_pairs``'s join-side-only lower bound),
+    and the result equals ``jaccard_similarity_pairs(shingles=capped)``
+    at the same threshold (equality-tested). RECALL CONSEQUENCE: pairs
+    similar only through capped boilerplate are missed — for dedup
+    that is usually the desired reading (boilerplate similarity is not
+    content similarity). Default None = exact over the full universe."""
     sh = (
         shingles
         if shingles is not None
@@ -595,6 +611,11 @@ def prefix_filtered_jaccard_pairs(
     #    second shuffle of the exploded table. localCheckpoint shares
     #    the (expensive) text->hash lineage across index + verify.
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    if max_df is not None:
+        # inner join below then drops capped shingles from BOTH the
+        # prefix index and the verification arrays — consistent
+        # capped-universe semantics (see docstring)
+        df_counts = df_counts.filter(F.col("_df") <= max_df)
     arrs = (
         sh.join(df_counts, "shingle")
         .groupBy("doc_id")
@@ -879,6 +900,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     bucket_mode: str = "hash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit all same-bucket doc pairs. Bucket
     key = (band index, hash of the band's signature slice); join is a
@@ -888,10 +910,34 @@ def lsh_candidate_pairs(
     its xxhash64 (semantically identical up to hash collisions, which
     only ever ADD candidates; the raw-slice form is exactly
     reproducible in the SQL oracle). The default "hash" keeps the join
-    key at a fixed 8 bytes — the at-scale choice."""
+    key at a fixed 8 bytes — the at-scale choice.
+
+    ``max_bucket_size``: drop (band, bucket) groups holding more than
+    this many docs before pairing — the hot-key cap for crawl-scale
+    corpora (SCALE.md 'frequency-capping hot keys is the standard
+    move'). A bucket of b docs emits b² /2 pairs in ONE task (the
+    equi-join can't split a single key), so one boilerplate-dominated
+    bucket is the straggler that decides the stage's wall clock; AQE
+    skew-split can't help because the blowup is the join OUTPUT.
+    RECALL CONSEQUENCE: a pair whose every matching band lands in a
+    dropped bucket is missed. In practice oversized buckets are
+    near-identical boilerplate cliques — their members still meet in
+    any not-dropped band, and exact/substring dedup upstream is the
+    right tool for true clones. Precision is untouched (verification
+    still computes exact Jaccard on full shingle sets)."""
     banded = band_table(
         signatures, bands=bands, rows_per_band=rows_per_band, bucket_mode=bucket_mode
     )
+    if max_bucket_size is not None:
+        # hot set is tiny by construction (only buckets above the cap):
+        # one 8-byte-key agg + a broadcastable anti-join
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(hot, ["band", "bucket"], "left_anti")
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -983,6 +1029,7 @@ def minhash_dedup_pairs(
     shingles: DataFrame | None = None,
     shingle_arrays: DataFrame | None = None,
     signatures: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact-Jaccard verification ≥ threshold. Verification
@@ -1017,7 +1064,9 @@ def minhash_dedup_pairs(
             docs, id_col=id_col, text_col=text_col, n=n, shingles=ex,
             shingle_hash=shingle_hash,
         )
-    cands = lsh_candidate_pairs(sigs, bucket_mode=bucket_mode)
+    cands = lsh_candidate_pairs(
+        sigs, bucket_mode=bucket_mode, max_bucket_size=max_bucket_size
+    )
     verified = jaccard_for_pairs(docs, cands, shingle_arrays=arrs)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
@@ -1041,6 +1090,7 @@ def incremental_minhash_dedup(
     history_bands: DataFrame | None = None,
     history_shingles: DataFrame | None = None,
     history_shingle_arrays: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """NEAR-dup (MinHash-LSH) counterpart of ``incremental_exact_dedup``:
     screen a new ingest batch against the landed history, where a new
@@ -1112,8 +1162,32 @@ def incremental_minhash_dedup(
             shingles=history_shingles, shingle_hash=shingle_hash,
         )
         history_bands = band_table(sigs_hist, bucket_mode=bucket_mode)
+    new_bands = band_table(sigs_new, bucket_mode=bucket_mode)
+    if max_bucket_size is not None:
+        # Hot-bucket cap (see lsh_candidate_pairs): the join output per
+        # (band, bucket) is |new| x |hist| in ONE task, so drop buckets
+        # oversized on EITHER side. History counting is restricted to
+        # buckets the batch actually probes (semi-join first), so the
+        # aggregated volume stays O(batch buckets), and the anti-join
+        # lands on the batch side only — candidate output for a dropped
+        # bucket is zero either way.
+        probe_buckets = new_bands.select("band", "bucket").distinct()
+
+        def _hot(t: DataFrame) -> DataFrame:
+            return (
+                t.groupBy("band", "bucket")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") > max_bucket_size)
+                .select("band", "bucket")
+            )
+
+        hist_probed = history_bands.join(
+            probe_buckets, ["band", "bucket"], "left_semi"
+        )
+        hot = _hot(new_bands).unionByName(_hot(hist_probed)).distinct()
+        new_bands = new_bands.join(hot, ["band", "bucket"], "left_anti")
     cand = (
-        band_table(sigs_new, bucket_mode=bucket_mode)
+        new_bands
         .select(F.col("doc_id").alias("doc_a"), "band", "bucket")
         .join(
             history_bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),

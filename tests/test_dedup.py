@@ -169,6 +169,113 @@ def test_prefix_filtered_equals_naive_threshold(spark, sf_dir):
     assert pf == naive and len(naive) > 0
 
 
+def test_prefix_max_df_equals_naive_on_capped_universe(spark):
+    """With max_df set, the prefix path must equal the naive inverted
+    index computed over the SAME capped shingle universe (consistent
+    set semantics on both sides), and must drop pairs whose similarity
+    rode only on the hot boilerplate."""
+    boiler = "subscribe to our newsletter for updates "
+    rows = []
+    for i in range(40):
+        # unique body + shared boilerplate: boilerplate shingles hit
+        # df=40, body shingles df<=2
+        body = f"doc number {i} talks about topic {i % 20} in detail "
+        rows.append((i, boiler + body))
+        if i < 10:  # 10 genuine near-dup partners (body shared)
+            rows.append((1000 + i, boiler + body + "extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.doc_shingles(docs)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    capped_sh = sh.join(
+        df_counts.filter(F.col("_df") <= 5).select("shingle"), "shingle"
+    )
+    naive = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.jaccard_similarity_pairs(docs, shingles=capped_sh)
+        .filter(F.col("jaccard") >= 0.4)
+        .collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.prefix_filtered_jaccard_pairs(
+            docs, threshold=0.4, max_df=5
+        ).collect()
+    }
+    assert pf == naive and len(pf) > 0
+    # genuine (body-sharing) partners survive the cap
+    got_pairs = {(a, b) for a, b, _ in pf}
+    assert (0, 1000) in got_pairs
+    # boilerplate-only pairs do NOT (uncapped they can pass 0.4)
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in D.prefix_filtered_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    boiler_only = uncapped - got_pairs
+    assert boiler_only, "fixture should have boilerplate-driven pairs"
+    # in particular, pairs of DISTINCT base docs (no shared body at all)
+    # passed 0.4 only through boilerplate and are gone under the cap
+    assert any(a < 1000 and b < 1000 for a, b in boiler_only)
+
+
+def test_lsh_max_bucket_size_drops_hot_bucket(spark):
+    """A clone clique lands every band in one bucket of clique size; a
+    cap below it kills the b^2/2 straggler pairs while pairs meeting in
+    small buckets survive (SCALE.md hot-key cap, VERDICT r6 #3)."""
+    rows = [(i, "identical boilerplate page content " * 3) for i in range(60)]
+    rows += [
+        (1000, "a unique document about spark adaptive query execution today"),
+        (1001, "a unique document about spark adaptive query execution now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(docs)
+    uncapped = D.lsh_candidate_pairs(sigs)
+    capped = D.lsh_candidate_pairs(sigs, max_bucket_size=10)
+    assert uncapped.count() >= 60 * 59 // 2  # clique blowup present
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (1000, 1001) in got  # small-bucket pair survives
+    assert not any(a < 1000 and b < 1000 for a, b in got)  # clique gone
+    # end-to-end knob: verified pipeline exposes it
+    out = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_dedup_pairs(
+            docs, threshold=0.5, max_bucket_size=10
+        ).collect()
+    }
+    assert out == {(1000, 1001)}
+
+
+def test_incremental_minhash_max_bucket_size(spark):
+    """The incremental screen's hot-bucket cap: a history clique above
+    the cap stops producing |new| x |hist| candidate pairs, while a
+    genuine near-dup of a non-hot history doc is still caught."""
+    hist_rows = [(i, "identical boilerplate page content " * 3) for i in range(50)]
+    hist_rows.append((500, "a unique history document about interval trees and joins"))
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (9000, "identical boilerplate page content " * 3),
+            (9001, "a unique history document about interval trees and queries"),
+            (9002, "totally novel content with no partner in the landed corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    dups = {
+        r.doc_id
+        for r in D.incremental_minhash_dedup(
+            new, hist, threshold=0.4, mode="duplicates", max_bucket_size=10
+        ).collect()
+    }
+    assert 9001 in dups  # small-bucket match survives the cap
+    assert 9000 not in dups  # clique match suppressed (documented recall cost)
+    surv = {
+        r.doc_id
+        for r in D.incremental_minhash_dedup(
+            new, hist, threshold=0.4, mode="survivors", max_bucket_size=10
+        ).collect()
+    }
+    assert surv == {9000, 9002}
+
+
 def test_min_label_components_hand_graph(spark):
     """Chain 1-2-3, pair 10-11, singleton 99: labels converge to the
     component min; the chain needs >1 propagation round."""
