@@ -231,18 +231,23 @@ def main(argv: list[str] | None = None) -> int:
 
         cents = spark.read.parquet(f"{args.index}/centroids.parquet")
         shards = spark.read.parquet(f"{args.index}/shards")
-        # SQ8 index auto-detect: decode codes -> vectors as a pure
-        # projection (placed above the pruned scan, so only probed
-        # shards decode)
-        from pyspark.errors import AnalysisException
-
-        try:
-            rng = spark.read.parquet(
+        # SQ8 auto-detect keys off the DATA ('codes' column present),
+        # not off the sidecar file: a float rebuild into a dir that
+        # previously held an --sq8 index overwrites shards/ but leaves
+        # the stale sq8_ranges.parquet behind, and sidecar-keyed
+        # detection would then reference a nonexistent codes column.
+        # The decode is a pure projection placed above the pruned scan,
+        # so only probed shards decode.
+        if "codes" in shards.columns:
+            rows = spark.read.parquet(
                 f"{args.index}/sq8_ranges.parquet"
-            ).collect()[0]
-        except AnalysisException:
-            rng = None  # float index — no ranges sidecar
-        if rng is not None:
+            ).collect()
+            if not rows:
+                raise SystemExit(
+                    f"{args.index}: shards carry sq8 codes but "
+                    "sq8_ranges.parquet is empty — rebuild the index"
+                )
+            rng = rows[0]
             from big_ann_spark.operators import pq as PQ
 
             shards = shards.select(

@@ -278,6 +278,32 @@ def nn_descent_knn_graph(
         .filter(F.col("u") < F.col("v"))
         .distinct()
     )
+    # Orphan backfill (ADVICE r6): a node whose init buckets are ALL
+    # singletons gets no init pair, and a node absent from the seed
+    # graph can never be rediscovered by later iterations — it would be
+    # silently missing from the returned graph. Detect orphans (tiny by
+    # construction: P ≈ (kb/n)^init_memberships per node) and pair each
+    # with the two globally smallest ids (two, so the min node itself
+    # can orphan) — a broadcastable 2-row anchor table, exact scoring,
+    # and the descent iterations then pull the node toward its true
+    # neighborhood. Every node is thereby guaranteed ≥1 src row in the
+    # output; an orphan's competitiveness as an INCOMING edge of its
+    # anchor remains heuristic, as for every edge in NN-Descent.
+    touched = init_pairs.select(F.col("u").alias("_nid")).union(
+        init_pairs.select(F.col("v").alias("_nid"))
+    )
+    orphans = vt.select("_nid").join(touched, "_nid", "left_anti")
+    anchors = vt.select(F.col("_nid").alias("_aid")).orderBy("_aid").limit(2)
+    orphan_pairs = (
+        orphans.crossJoin(F.broadcast(anchors))
+        .filter(F.col("_nid") != F.col("_aid"))
+        .select(
+            F.least("_nid", "_aid").alias("u"),
+            F.greatest("_nid", "_aid").alias("v"),
+        )
+        .distinct()
+    )
+    init_pairs = init_pairs.unionByName(orphan_pairs).distinct()
 
     def _score(cand: DataFrame) -> DataFrame:
         s = (

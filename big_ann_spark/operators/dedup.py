@@ -700,6 +700,7 @@ def min_label_components(
     nodes: DataFrame | None = None,
     *,
     max_iter: int = 20,
+    on_nonconverge: str = "warn",
 ) -> DataFrame:
     """(id, cluster_rep) connected-component labels over an undirected
     edge list (doc_a, doc_b) by iterative min-label propagation: every
@@ -718,7 +719,14 @@ def min_label_components(
 
     ``nodes``: optional one-column DataFrame of ALL ids; ids with no
     edge become singleton clusters (own id). Default: ids appearing in
-    edges only."""
+    edges only.
+
+    ``on_nonconverge``: what to do when labels still moved at
+    ``max_iter`` — i.e. some component's diameter exceeds the bound
+    and the returned labels would be over-split (and diverge from an
+    exact-components oracle). ``"warn"`` (default) raises a
+    RuntimeWarning; ``"raise"`` raises RuntimeError — the right choice
+    for oracle-checked or correctness-critical pipelines (ADVICE r6)."""
     e = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     if nodes is not None:
@@ -764,15 +772,16 @@ def min_label_components(
         # the last sweep still moved labels: the component diameter
         # exceeds max_iter and the returned labels are NOT a fixpoint
         # (clusters would be silently over-split). Surface it loudly.
-        import warnings
-
-        warnings.warn(
+        msg = (
             f"min_label_components did not converge within max_iter={max_iter} "
             "iterations; returned cluster labels are not a fixpoint "
-            "(long duplicate chains would be over-split). Raise max_iter.",
-            RuntimeWarning,
-            stacklevel=2,
+            "(long duplicate chains would be over-split). Raise max_iter."
         )
+        if on_nonconverge == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.withColumnRenamed("label", "cluster_rep").withColumnRenamed(
         "id", "doc_id"
     )
@@ -786,6 +795,7 @@ def minhash_dedup_clusters(
     n: int = 3,
     threshold: float = 0.5,
     max_iter: int = 20,
+    on_nonconverge: str = "warn",
     **minhash_kw,
 ) -> DataFrame:
     """(doc_id, cluster_rep) for EVERY input doc: MinHash-LSH verified
@@ -798,7 +808,9 @@ def minhash_dedup_clusters(
         **minhash_kw,
     )
     all_ids = docs.select(F.col(id_col).alias("doc_id"))
-    return min_label_components(pairs, all_ids, max_iter=max_iter)
+    return min_label_components(
+        pairs, all_ids, max_iter=max_iter, on_nonconverge=on_nonconverge
+    )
 
 
 def ngram_dedup_clusters(
@@ -809,6 +821,7 @@ def ngram_dedup_clusters(
     n: int = 3,
     threshold: float = 0.8,
     max_iter: int = 20,
+    on_nonconverge: str = "warn",
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_rep) under EXACT n-gram Jaccard ≥ threshold:
@@ -821,7 +834,9 @@ def ngram_dedup_clusters(
         shingles=shingles,
     )
     all_ids = docs.select(F.col(id_col).alias("doc_id"))
-    return min_label_components(pairs, all_ids, max_iter=max_iter)
+    return min_label_components(
+        pairs, all_ids, max_iter=max_iter, on_nonconverge=on_nonconverge
+    )
 
 
 def minhash_signatures(
@@ -1478,6 +1493,7 @@ def embedding_dedup_clusters(
     rows_per_band: int = 3,
     dim: int = 64,
     max_iter: int = 20,
+    on_nonconverge: str = "warn",
     pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_rep) semantic dedup over an embedding column —
@@ -1496,7 +1512,14 @@ def embedding_dedup_clusters(
     ``pairs``: pre-computed verified pair DataFrame (id_a, id_b[,
     cosine]) to reuse when the caller already built it (e.g. a query
     registering both the pairs and the clusters); default builds the
-    LSH pipeline here."""
+    LSH pipeline here.
+
+    DIAMETER BOUND: labels are exact only for components of diameter ≤
+    ``max_iter``; a longer transitive near-dup chain (realistic for
+    cosine chains at scale) triggers ``on_nonconverge`` — "warn"
+    (default) or "raise". The DuckDB oracle (recursive CTE) computes
+    exact components, so a non-converged run WOULD hash-mismatch it;
+    the signal makes that diagnosable instead of silent (ADVICE r6)."""
     if pairs is None:
         pairs = embedding_lsh_near_dup_pairs(
             emb,
@@ -1511,7 +1534,9 @@ def embedding_dedup_clusters(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     all_ids = emb.select(F.col(id_col).alias("doc_id"))
-    return min_label_components(edges, all_ids, max_iter=max_iter)
+    return min_label_components(
+        edges, all_ids, max_iter=max_iter, on_nonconverge=on_nonconverge
+    )
 
 
 def hash_sample(

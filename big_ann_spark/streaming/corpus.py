@@ -81,7 +81,16 @@ def stream_corpus_ingest(
         )
         hist = None
         try:
-            hist = spark.read.parquet(f"{path}/data")
+            # mergeSchema: on a corpus mixing legacy (no _sig/_shs) and
+            # store-carrying partitions, default schema inference can
+            # resolve to a legacy footer — '_sig' in hist.columns would
+            # then be False and every batch would silently re-shingle
+            # the ENTIRE history (correct but O(history) per batch,
+            # defeating the persisted-store contract). Merging footers
+            # keeps the store columns visible whenever any partition
+            # carries them; true legacy rows still hit the backfill
+            # path via their NULL _sig.
+            hist = spark.read.option("mergeSchema", "true").parquet(f"{path}/data")
             # CRITICAL: a replay must not treat its own half-landed
             # partition as history (see docstring)
             hist = hist.filter(F.col("_batch_id") != batch_id)

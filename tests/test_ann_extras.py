@@ -90,6 +90,40 @@ def test_nn_descent_recall_improves_and_converges(spark, sf_dir):
     assert a == b
 
 
+def test_nn_descent_covers_every_node(spark, sf_dir):
+    """ADVICE r6: a node whose init buckets are all singletons used to
+    be silently absent from the returned graph. The orphan backfill
+    must guarantee every input node has >= 1 src row. Exercised with
+    init_memberships=1 (maximizes singleton odds) across seeds, and the
+    fixture must actually produce an orphan for some seed."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    n = emb.count()
+    kb = 4  # k=2 -> build_k default 4
+    n_buckets = max(1, n // kb)
+    saw_orphan = False
+    for seed in range(1, 8):
+        # reproduce the init membership to know whether this seed
+        # orphans someone (single membership -> singleton bucket)
+        member = emb.select(
+            F.col("vec_id").alias("_nid"),
+            (
+                (F.xxhash64(F.col("vec_id"), F.lit(seed), F.lit(0)) % n_buckets
+                 + n_buckets) % n_buckets
+            ).alias("_bkt"),
+        )
+        sizes = member.groupBy("_bkt").count()
+        orphan_cnt = (
+            member.join(sizes, "_bkt").filter(F.col("count") == 1).count()
+        )
+        saw_orphan = saw_orphan or orphan_cnt > 0
+        g = ANN.nn_descent_knn_graph(
+            emb, k=2, iterations=1, dim=64, init_memberships=1, seed=seed
+        )
+        covered = g.select("src").distinct().count()
+        assert covered == n, (seed, covered, n, orphan_cnt)
+    assert saw_orphan, "fixture never produced an orphan; test is vacuous"
+
+
 def test_knn_graph_search_recall_and_determinism(spark, sf_dir):
     """Beam search over the NN-Descent graph: recall rises with hop
     count and reaches >= 0.95 of the exact (self-included) top-10 at

@@ -547,6 +547,28 @@ def test_min_label_components_warns_on_non_convergence(spark):
     assert any("did not converge" in str(w.message) for w in rec)
 
 
+def test_min_label_components_raise_mode(spark):
+    """on_nonconverge='raise': a chain longer than max_iter must raise
+    instead of returning silently over-split labels (ADVICE r6 — the
+    recursive-CTE oracle computes exact components, so a non-fixpoint
+    return would hash-mismatch undiagnosably)."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.min_label_components(edges, max_iter=2, on_nonconverge="raise").collect()
+    # converged runs are unaffected
+    out = {
+        (r.doc_id, r.cluster_rep)
+        for r in D.min_label_components(
+            edges, max_iter=10, on_nonconverge="raise"
+        ).collect()
+    }
+    assert out == {(i, 0) for i in range(7)}
+
+
 def test_token_budget_mix(spark):
     rows = []
     for i in range(300):

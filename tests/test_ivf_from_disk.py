@@ -113,3 +113,25 @@ def test_cli_build_index_sq8_and_search(spark, sf_dir, tmp_path):
     assert qres.count() == 5 * n_q
     q = {(r.qid, r.neighbor_id) for r in qres.collect()}
     assert len(q & f) / len(f) >= 0.9, len(q & f) / len(f)
+
+
+def test_cli_float_rebuild_over_sq8_index(spark, sf_dir, tmp_path):
+    """ADVICE r6: a float rebuild into a dir that previously held an
+    --sq8 index overwrites shards/ but leaves the stale
+    sq8_ranges.parquet sidecar behind — search must key detection off
+    the DATA (codes column), so the rebuilt float index searches fine
+    despite the stale sidecar."""
+    from big_ann_spark.cli import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "idx_rebuilt")
+    assert main(["build-index", src, idx, "--m", "5", "--sq8"]) == 0
+    assert main(["build-index", src, idx, "--m", "5"]) == 0  # float rebuild
+    import os
+
+    assert os.path.exists(f"{idx}/sq8_ranges.parquet")  # stale sidecar survives
+    assert "codes" not in spark.read.parquet(f"{idx}/shards").columns
+    out = str(tmp_path / "res.parquet")
+    assert main(["search", idx, src, "--k", "5", "--nprobe", "2", "--out", out]) == 0
+    n_q = load_table(spark, sf_dir, "embeddings").count()
+    assert spark.read.parquet(out).count() == 5 * n_q

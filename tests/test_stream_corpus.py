@@ -214,3 +214,15 @@ def test_stream_corpus_near_dup_toggle_on_existing_corpus(spark):
     )
     got = {r.doc_id for r in SC.read_corpus(spark, path).collect()}
     assert got == {1, 11}  # 10 screened against the LEGACY history
+
+    # The corpus now mixes legacy (no _sig/_shs) and store-carrying
+    # partitions. The production history read merges footers, so future
+    # batches must SEE the store columns (otherwise every batch would
+    # silently re-shingle the whole history — ADVICE r6): the
+    # store-carrying row keeps its landed signature, the legacy row
+    # surfaces as NULL _sig (backfill path).
+    hist = spark.read.option("mergeSchema", "true").parquet(f"{path}/data")
+    assert {"_sig", "_shs"} <= set(hist.columns)
+    by_id = {r.doc_id: r for r in hist.collect()}
+    assert by_id[11]._sig is not None and len(by_id[11]._sig) == 32
+    assert by_id[1]._sig is None
