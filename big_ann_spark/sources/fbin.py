@@ -29,6 +29,11 @@ _DTYPES = {
     "fbin": (np.float32, 4),
     "u8bin": (np.uint8, 1),
     "ibin": (np.int32, 4),
+    # int8: the reference ADVERTISES this dtype in its CLI help but
+    # never implements an ingest branch (shard_by_distance.py:483,
+    # 494-502 — only uint8/float32 are handled); we out-cover it. The
+    # .i8bin suffix is the big-ann-benchmarks convention (SpaceV).
+    "i8bin": (np.int8, 1),
 }
 
 
@@ -110,10 +115,25 @@ def read_fbin_spark(spark: SparkSession, path_glob: str) -> DataFrame:
 
 
 def write_fbin_from_df(
-    df: DataFrame, path: str, *, id_col: str = "id", vec_col: str = "vec"
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    max_rows: int = 1_000_000,
 ) -> None:
-    """Export a vector DataFrame to one local fbin/u8bin/ibin file
-    (interop sink — driver-side; the at-scale sink is parquet)."""
+    """Export a vector DataFrame to one local fbin/u8bin/i8bin/ibin
+    file (interop sink — driver-side BY CONTRACT; the at-scale sink is
+    parquet). ``max_rows`` guards the driver collect: exceeding it
+    raises instead of OOMing — raise the cap explicitly if you really
+    want a bigger single-file export."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_fbin_from_df collects to the driver: {n} rows > "
+            f"max_rows={max_rows}. Use parquet for at-scale sinks, or "
+            "raise max_rows explicitly."
+        )
     rows = df.select(id_col, vec_col).orderBy(id_col).collect()
     mat = np.array([r[1] for r in rows])
     write_vectors_local(path, mat)
