@@ -220,6 +220,7 @@ def nn_descent_knn_graph(
     reverse_cap: int | None = None,
     init_memberships: int = 2,
     seed: int = 1,
+    merge_strategy: str = "window",
 ) -> DataFrame:
     """Approximate kNN-graph construction by NN-Descent (Dong, Moses &
     Li, WWW 2011) — the build stage behind graph-ANN indexes
@@ -281,18 +282,26 @@ def nn_descent_knn_graph(
     # Orphan backfill (ADVICE r6): a node whose init buckets are ALL
     # singletons gets no init pair, and a node absent from the seed
     # graph can never be rediscovered by later iterations — it would be
-    # silently missing from the returned graph. Detect orphans (tiny by
-    # construction: P ≈ (kb/n)^init_memberships per node) and pair each
-    # with the two globally smallest ids (two, so the min node itself
-    # can orphan) — a broadcastable 2-row anchor table, exact scoring,
-    # and the descent iterations then pull the node toward its true
-    # neighborhood. Every node is thereby guaranteed ≥1 src row in the
-    # output; an orphan's competitiveness as an INCOMING edge of its
-    # anchor remains heuristic, as for every edge in NN-Descent.
-    touched = init_pairs.select(F.col("u").alias("_nid")).union(
-        init_pairs.select(F.col("v").alias("_nid"))
+    # silently missing from the returned graph. Detect orphans from the
+    # BUCKET SIZES (a node is orphaned iff its largest bucket has one
+    # member — n·m rows aggregated twice, never touching the much
+    # larger init_pairs stream) and pair each with the two globally
+    # smallest ids (two, so the min node itself can orphan) — a
+    # broadcastable 2-row anchor table, exact scoring, and the descent
+    # iterations then pull the node toward its true neighborhood.
+    # Orphan pairs are disjoint from init_pairs by construction (an
+    # orphan appears in NO init pair), so the union needs no distinct.
+    # Every node is thereby guaranteed ≥1 src row in the output; an
+    # orphan's competitiveness as an INCOMING edge of its anchor
+    # remains heuristic, as for every edge in NN-Descent.
+    bkt_sizes = member.groupBy("_bkt").agg(F.count("*").alias("_bn"))
+    orphans = (
+        member.join(bkt_sizes, "_bkt")
+        .groupBy("_nid")
+        .agg(F.max("_bn").alias("_mx"))
+        .filter(F.col("_mx") == 1)
+        .select("_nid")
     )
-    orphans = vt.select("_nid").join(touched, "_nid", "left_anti")
     anchors = vt.select(F.col("_nid").alias("_aid")).orderBy("_aid").limit(2)
     orphan_pairs = (
         orphans.crossJoin(F.broadcast(anchors))
@@ -303,7 +312,7 @@ def nn_descent_knn_graph(
         )
         .distinct()
     )
-    init_pairs = init_pairs.unionByName(orphan_pairs).distinct()
+    init_pairs = init_pairs.unionByName(orphan_pairs)
 
     def _score(cand: DataFrame) -> DataFrame:
         s = (
@@ -353,10 +362,40 @@ def nn_descent_knn_graph(
         edges = pairs.select(
             F.col("u").alias("src"), F.col("v").alias("dst"), "dist"
         ).union(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"), "dist"))
-        merged = graph.union(edges).dropDuplicates(["src", "dst"])
-        graph = (
-            top_k_per_group(merged, ["src"], order, kb).drop("rank").localCheckpoint()
-        )
+        merged = graph.union(edges)
+        if merge_strategy == "agg":
+            # ONE exchange per round: groupBy(src) collecting each
+            # node's (dist, dst) structs, sort + adjacent-dup removal +
+            # slice(kb) inside the aggregate. The window form below
+            # shuffles the edge stream twice (dropDuplicates clusters
+            # on (src,dst), the top-k window re-clusters on src);
+            # identical output because a duplicate (src,dst) always
+            # carries the identical dist (deterministic expression), so
+            # struct-identity dedup == pair dedup, and (dist, dst)
+            # struct order == the window's order. Per-group state is
+            # bounded by the node's per-round candidate degree (~deg²),
+            # not by n. A/B-measured in SCALE.md.
+            agg = merged.groupBy("src").agg(
+                F.slice(
+                    F.array_distinct(
+                        F.array_sort(F.collect_list(F.struct("dist", "dst")))
+                    ),
+                    1,
+                    kb,
+                ).alias("_nn")
+            )
+            graph = (
+                agg.select("src", F.explode("_nn").alias("_e"))
+                .select("src", F.col("_e.dst").alias("dst"), F.col("_e.dist").alias("dist"))
+                .localCheckpoint()
+            )
+        else:
+            merged = merged.dropDuplicates(["src", "dst"])
+            graph = (
+                top_k_per_group(merged, ["src"], order, kb)
+                .drop("rank")
+                .localCheckpoint()
+            )
     return top_k_per_group(graph, ["src"], order, k)
 
 

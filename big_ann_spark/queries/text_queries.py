@@ -478,6 +478,10 @@ def pipeline_clean_corpus(spark, sf_dir):
         T.token_count("red").alias("n_tokens"),
         T.quality_score("red").alias("quality"),
     )
+    # six variant branches (clean/pack/cap/sample/mix/bpe) fan out from
+    # this table: checkpoint it so the regex-heavy redact -> score ->
+    # dedup lineage runs ONCE instead of once per branch (the regexes
+    # dominate the composite's wall; measured ~2x on the bench entry)
     deduped = (
         scored.filter(F.col("quality") >= 0.5)
         .groupBy("red")
@@ -487,6 +491,7 @@ def pipeline_clean_corpus(spark, sf_dir):
             F.min("n_tokens").alias("n_tokens"),
             F.min("quality").alias("quality"),
         )
+        .localCheckpoint()
     )
     clean_rows = (
         deduped.groupBy("source")

@@ -37,6 +37,7 @@ def stream_corpus_ingest(
     text_col: str = "text",
     near_dup_threshold: float | None = None,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
     _fault_point=None,
 ) -> None:
     """foreachBatch ingest with incremental dedup + exactly-once append
@@ -61,7 +62,8 @@ def stream_corpus_ingest(
     contract asks for, so future batches band-join against stored
     8-byte buckets and verify against stored arrays without ever
     re-shingling history text. Per-batch cost stays
-    O(|batch| + |candidates|)."""
+    O(|batch| + |candidates|). ``max_bucket_size`` passes through to
+    the screen's hot-bucket cap (see ``incremental_minhash_dedup``)."""
     if near_dup_threshold is not None:
         from big_ann_spark.operators import dedup as D
 
@@ -161,6 +163,7 @@ def stream_corpus_ingest(
                     threshold=near_dup_threshold,
                     n=shingle_n,
                     mode="duplicates",
+                    max_bucket_size=max_bucket_size,
                 )
                 batch = batch.join(
                     flagged.select("doc_id").distinct(), "doc_id", "left_anti"

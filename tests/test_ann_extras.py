@@ -88,6 +88,19 @@ def test_nn_descent_recall_improves_and_converges(spark, sf_dir):
     a = sorted(map(tuple, ANN.nn_descent_knn_graph(emb, k=k, iterations=2, dim=64).collect()))
     b = sorted(map(tuple, ANN.nn_descent_knn_graph(emb, k=k, iterations=2, dim=64).collect()))
     assert a == b
+    # the single-exchange agg merge is bit-identical to the
+    # dropDuplicates+window merge (duplicate (src,dst) rows always
+    # carry the identical deterministic dist, and (dist,dst) struct
+    # order == the window order)
+    c = sorted(
+        map(
+            tuple,
+            ANN.nn_descent_knn_graph(
+                emb, k=k, iterations=2, dim=64, merge_strategy="agg"
+            ).collect(),
+        )
+    )
+    assert c == a
 
 
 def test_nn_descent_covers_every_node(spark, sf_dir):
