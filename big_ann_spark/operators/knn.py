@@ -286,6 +286,93 @@ def distance_threshold_join(
     )
 
 
+def filtered_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    *,
+    metric: str = "l2",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    base_id: str = "id",
+    base_vec: str = "vec",
+    label_col: str | None = None,
+    query_label: str | None = None,
+    tags_col: str | None = None,
+    query_tags: str | None = None,
+    dim: int | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Attribute-constrained exact k-NN — the public big-ann-benchmarks
+    "filtered" track shape (each query carries a predicate the neighbor
+    must satisfy; the reference repo targets the unfiltered tracks only,
+    so this is an extension of the same benchmark family).
+
+    Two constraint modes, both EXACT (the filter is applied before
+    ranking, so the result equals post-filtering a full kNN):
+
+    - ``label_col`` + ``query_label``: the neighbor's scalar label must
+      equal the query's. Expressed as crossJoin(broadcast(q)) + an
+      equality filter, which Catalyst rewrites into a **BroadcastHashJoin
+      keyed on the label** — the base side streams once and only
+      same-label pairs are ever scored. At 100 TB with a
+      label-partitioned base table this prunes scan partitions too.
+    - ``tags_col`` + ``query_tags``: set containment (neighbor's tag
+      array ⊇ query's tag array). Candidate generation goes through an
+      inverted index on the query batch's RAREST tag: any qualifying
+      neighbor contains every query tag, hence the rarest one, so
+      joining base postings on that single tag yields a complete
+      candidate set (exactness preserved); full containment + distance
+      are then verified on candidates only. Posting-list length of the
+      rarest tag bounds the scored volume — the standard
+      selective-predicate strategy, vs. scoring the whole base.
+
+    Returns ``(qid, neighbor_id, dist, rank)``, rank 1..k by
+    (dist, neighbor_id)."""
+    q_cols = [F.col(query_id).alias("qid"), F.col(query_vec).alias("_qvec")]
+    b_cols = [F.col(base_id).alias("neighbor_id"), F.col(base_vec).alias("_bvec")]
+    order = [F.col("dist").asc(), F.col("neighbor_id").asc()]
+    if label_col is not None:
+        q = queries.select(*q_cols, F.col(query_label or label_col).alias("_qlab"))
+        b = base.select(*b_cols, F.col(label_col).alias("_blab"))
+        joined = b.crossJoin(F.broadcast(q)).filter(F.col("_blab") == F.col("_qlab"))
+    elif tags_col is not None:
+        q = queries.select(*q_cols, F.col(query_tags or tags_col).alias("_qtags"))
+        b = base.select(*b_cols, F.col(tags_col).alias("_btags"))
+        # df per tag over the base, computed once; each query probes the
+        # postings of its least-frequent tag (ties: smallest tag id)
+        postings = b.select("neighbor_id", F.explode("_btags").alias("_tag"))
+        tag_df = postings.groupBy("_tag").agg(F.count("*").alias("_df"))
+        q_rare = (
+            q.select("qid", F.explode("_qtags").alias("_tag"))
+            .join(tag_df, "_tag", "left")
+            .groupBy("qid")
+            .agg(
+                F.min(
+                    F.struct(F.coalesce("_df", F.lit(0)).alias("_df"), "_tag")
+                )["_tag"].alias("_tag")
+            )
+        )
+        cand = postings.join(
+            F.broadcast(q_rare), "_tag"
+        ).select("qid", "neighbor_id")
+        joined = (
+            cand.join(b, "neighbor_id")
+            .join(F.broadcast(q), "qid")
+            .filter(
+                F.size(F.array_except(F.col("_qtags"), F.col("_btags"))) == 0
+            )
+        )
+    else:
+        raise ValueError("provide label_col or tags_col")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("qid"))
+    scored = joined.select(
+        "qid", "neighbor_id", _dist_expr(metric, "_qvec", "_bvec", dim).alias("dist")
+    )
+    return top_k_per_group(scored, ["qid"], order, k)
+
+
 def pairwise_distances(
     df: DataFrame,
     *,

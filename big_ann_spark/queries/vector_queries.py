@@ -150,6 +150,7 @@ def knn_cosine_top5(spark, sf_dir):
     sql=f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+-- dense: unconstrained L2 top-3 (the original RAG retrieval shape)
 d AS (
   SELECT q.qid, e.vec_id AS neighbor_id,
          {_L2_SQL.format(a="q.qv", b="e.v")} AS dist
@@ -157,41 +158,122 @@ d AS (
 ),
 r AS (SELECT qid, neighbor_id, dist,
              row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
-      FROM d)
-SELECT r.qid, r.neighbor_id, ROUND(r.dist, 6) AS dist, rk::INTEGER AS rank,
+      FROM d),
+-- filtered: neighbor must share the query doc's lang (big-ann
+-- "filtered" track shape: vector + attribute predicate, exact)
+qf AS (SELECT q.qid, q.qv, dq.lang AS qlang
+       FROM q JOIN documents dq ON dq.doc_id = q.qid),
+df AS (
+  SELECT qf.qid, e.vec_id AS neighbor_id,
+         {_L2_SQL.format(a="qf.qv", b="e.v")} AS dist
+  FROM emb e JOIN documents db ON db.doc_id = e.vec_id
+  JOIN qf ON db.lang = qf.qlang
+  WHERE e.vec_id <> qf.qid
+),
+rf AS (SELECT qid, neighbor_id, dist,
+              row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+       FROM df),
+-- sparse: threshold-sparsified postings, inverted-index MIPS top-3
+-- (big-ann "sparse" track shape)
+spx AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS dim, v FROM emb),
+sp AS (SELECT vec_id AS id, dim, v[dim] AS val FROM spx WHERE v[dim] > 0.15),
+hits AS (
+  SELECT sq.id AS qid, sb.id AS neighbor_id, sum(sq.val * sb.val) AS score
+  FROM sp sb JOIN sp sq USING (dim)
+  WHERE sq.id < 5 AND sb.id <> sq.id
+  GROUP BY 1, 2
+),
+rs AS (SELECT qid, neighbor_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rk
+       FROM hits),
+u AS (
+  SELECT 'dense' AS variant, qid, neighbor_id, ROUND(dist, 6) AS score, rk
+  FROM r WHERE rk <= 3
+  UNION ALL
+  SELECT 'filtered', qid, neighbor_id, ROUND(dist, 6), rk FROM rf WHERE rk <= 3
+  UNION ALL
+  SELECT 'sparse', qid, neighbor_id, ROUND(score, 6), rk FROM rs WHERE rk <= 3
+)
+SELECT u.variant, u.qid, u.neighbor_id, u.score, u.rk::INTEGER AS rank,
        doc.lang, doc.source, doc.n_chars
-FROM r JOIN documents doc ON doc.doc_id = r.neighbor_id
-WHERE rk <= 3
+FROM u JOIN documents doc ON doc.doc_id = u.neighbor_id
 """,
 )
 def doc_retrieval_top3(spark, sf_dir):
-    """Cross-modal retrieval shape: vector top-k over embeddings joined
-    back to the documents table (vec_id ≡ doc_id in the fixture) — the
-    query a RAG-style pipeline runs: ANN ids → hydrate metadata. The
-    hydration join is id-equi (broadcast of the tiny top-k side)."""
+    """Retrieval tagged union — three search modes over the same corpus,
+    each hydrating neighbor metadata from ``documents`` (vec_id ≡ doc_id
+    in the fixture), the query shape a RAG-style pipeline runs:
+
+    - ``dense``: unconstrained exact L2 top-3 (cross join on the
+      broadcast query batch + WindowGroupLimit);
+    - ``filtered``: the big-ann-benchmarks "filtered"-track shape —
+      neighbor must share the query document's ``lang``. Catalyst turns
+      the crossJoin+equality into a BroadcastHashJoin keyed on the
+      label, so only same-lang pairs are ever scored (and a
+      lang-partitioned base would prune scans at 100 TB);
+    - ``sparse``: the "sparse"-track shape — embeddings sparsified at
+      tau=0.15 into COO postings, inverted-index equi-join on dim,
+      map-side-combined sum of products, MIPS top-3. Scored volume is
+      bounded by query-term posting lists, independent of corpus width.
+
+    The reference targets only the dense unfiltered tracks
+    (``shard_by_distance.py``); filtered/sparse are the companion
+    public-benchmark tracks, carried as first-class extensions."""
+    from big_ann_spark.functions.vector import l2_distance
+    from big_ann_spark.operators.knn import filtered_knn
+    from big_ann_spark.operators.sparse import sparse_mips_topk, sparsify_dense
+    from big_ann_spark.operators.topk import top_k_per_group
+
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("_qv")
     )
     b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_bv"))
-    from big_ann_spark.functions.vector import l2_distance
-    from big_ann_spark.operators.topk import top_k_per_group
 
     scored = (
         b.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("qid"))
         .select("qid", "neighbor_id", l2_distance("_qv", "_bv").alias("dist"))
     )
-    topk = top_k_per_group(
+    dense = top_k_per_group(
         scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 3
+    ).select("qid", "neighbor_id", F.col("dist").alias("score"), "rank")
+
+    labeled = emb.join(docs.select("doc_id", "lang"), emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "lang"
     )
-    return (
-        topk.join(docs, topk.neighbor_id == docs.doc_id)
-        .select(
-            "qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank",
-            "lang", "source", "n_chars",
+    filtered = filtered_knn(
+        labeled.filter(F.col("vec_id") < 5),
+        labeled,
+        k=3,
+        query_id="vec_id",
+        query_vec="embedding",
+        base_id="vec_id",
+        base_vec="embedding",
+        label_col="lang",
+        exclude_self=True,
+    ).select("qid", "neighbor_id", F.col("dist").alias("score"), "rank")
+
+    postings = sparsify_dense(emb, id_col="vec_id", vec_col="embedding", tau=0.15)
+    sparse = sparse_mips_topk(
+        postings.filter(F.col("id") < 5), postings, k=3, exclude_self=True
+    ).select("qid", "neighbor_id", "score", "rank")
+
+    def _tag(df, v):
+        return df.select(
+            F.lit(v).alias("variant"), "qid", "neighbor_id",
+            F.round("score", 6).alias("score"), "rank",
         )
+
+    u = (
+        _tag(dense, "dense")
+        .unionByName(_tag(filtered, "filtered"))
+        .unionByName(_tag(sparse, "sparse"))
+    )
+    return u.join(docs, u.neighbor_id == docs.doc_id).select(
+        "variant", "qid", "neighbor_id", "score", "rank",
+        "lang", "source", "n_chars",
     )
 
 
