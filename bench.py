@@ -26,6 +26,9 @@ HEADLINE = [
     "centroid_assignment_stats",
     "ivf_search_top5",
     "ann_recall_at_10",
+    # dense / filtered (label hash-join) / sparse (inverted-index MIPS)
+    # retrieval union — the r7 benchmark-track extensions
+    "doc_retrieval_top3",
     "ngram_jaccard_top_pairs",
     "dedup_exact",
     "minhash_lsh_near_dup",

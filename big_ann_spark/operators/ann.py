@@ -221,6 +221,7 @@ def nn_descent_knn_graph(
     init_memberships: int = 2,
     seed: int = 1,
     merge_strategy: str = "window",
+    sample_rate: float = 1.0,
 ) -> DataFrame:
     """Approximate kNN-graph construction by NN-Descent (Dong, Moses &
     Li, WWW 2011) — the build stage behind graph-ANN indexes
@@ -333,10 +334,35 @@ def nn_descent_knn_graph(
         .localCheckpoint()
     )
     rcap = reverse_cap if reverse_cap is not None else kb
-    for _ in range(iterations):
+    for it in range(iterations):
         rev = graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "dist")
         rev = top_k_per_group(rev, ["src"], order, rcap).drop("rank")
         both = graph.select("src", "dst").union(rev.select("src", "dst")).distinct()
+        if sample_rate < 1.0:
+            # the paper's ρ-sampling (Dong et al. §2.3), coarse form:
+            # thin each adjacency list to an expected ρ fraction
+            # BEFORE the pivot self-join, cutting candidate volume by
+            # ρ² per iteration. Deterministic Bernoulli via an edge
+            # hash keyed on the iteration index (different edges each
+            # round, reproducible across runs) — a pure filter, no
+            # extra shuffle, unlike exact per-list ρ·K sampling which
+            # would cost another per-src window. The merge below still
+            # unions the FULL previous graph, so sampling only skips
+            # pivots this round — no edge is ever dropped from the
+            # graph state, matching the paper (sampling affects
+            # candidate generation only). Measured honestly in
+            # SCALE.md: on a single node this coarse row-level variant
+            # slows convergence faster than it cuts cost (a pair needs
+            # both endpoints to survive on a shared pivot, ρ²/round);
+            # the paper's per-list + new/old-flag refinement is the
+            # unimplemented remainder.
+            both = both.filter(
+                F.pmod(
+                    F.xxhash64("src", "dst", F.lit(seed), F.lit(1000 + it)),
+                    F.lit(1_000_000),
+                )
+                < int(sample_rate * 1_000_000)
+            )
         # carry each neighbor's VECTOR through one self-join on the
         # pivot: the candidate pairs (the biggest stream by far,
         # n·deg² rows) materialize with both vectors already in-task,

@@ -1,0 +1,152 @@
+"""Streaming vector-index maintenance — the public big-ann-benchmarks
+"streaming" track shape (a runbook of insert / delete / search steps
+against one evolving index), re-expressed on Structured Streaming.
+
+Reference context: the reference repo builds its KANNDI/IVF shard
+layout once, offline (``shard_by_distance.py``); the streaming track is
+the companion benchmark the same family defines for indexes that must
+absorb updates. This module composes pieces that already exist:
+
+- **assignment** is the zero-Exchange broadcast-argmin projection from
+  ``operators/sharding.assign_to_centroids`` (centroids are the fixed,
+  contractually-small routing table — same contract as batch IVF);
+- **landing** is the engine-wide exactly-once foreachBatch protocol
+  (``streaming/sink.run_exactly_once_sink``: batch-scoped dynamic
+  overwrite + commit markers), partitioned by ``(shard_id,
+  _batch_id)`` so replayed batches overwrite only themselves and
+  search scans only probed shards;
+- **search** is batch ``operators/ann.ivf_search`` over the live view.
+
+Deletes are first-class: a batch row with ``op='delete'`` lands as a
+tombstone (vector column nulled — an 8-byte row, not a rewrite of the
+insert's partition). The live view resolves each ``vec_id`` to its
+LATEST committed operation (delete wins inside a tie batch), so
+insert → delete → re-insert sequences behave like the runbook says they
+should. Resolution is one ``max_by`` aggregate keyed on
+``(_batch_id, op-rank)`` — map-side combinable, no window.
+
+At 100 TB: compaction (folding tombstones into their shard files) is a
+periodic batch rewrite of one shard partition at a time — the same
+dynamic-overwrite primitive the sink uses; not scheduled here."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_ann_spark.streaming.sink import committed_batch_ids, run_exactly_once_sink
+
+OP_INSERT = "insert"
+OP_DELETE = "delete"
+
+
+def stream_vector_index_ingest(
+    stream_df: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str | None = None,
+    dim: int | None = None,
+    _fault_point=None,
+) -> None:
+    """Drive a vector stream into the index at ``path`` (availableNow).
+
+    ``stream_df`` carries ``(id_col, vec_col[, op_col])``; without
+    ``op_col`` every row is an insert. ``centroids`` is the fixed
+    ``(shard_id, centroid)`` routing table (train it once with
+    ``operators/sharding.kmeans_shard`` — mid-stream re-clustering is a
+    rebuild, not an ingest). Inserts are shard-assigned per batch via
+    the broadcast argmin; deletes are routed to a reserved tombstone
+    shard (-1) so they never touch a data shard's partitions."""
+    from big_ann_spark.operators.sharding import assign_to_centroids
+
+    cent = centroids.select("shard_id", "centroid").localCheckpoint()
+
+    def prepare(batch: DataFrame, batch_id: int) -> DataFrame:
+        b = batch.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            (F.col(op_col) if op_col is not None else F.lit(OP_INSERT)).alias("op"),
+        )
+        ins = b.filter(F.col("op") == OP_INSERT)
+        asg = assign_to_centroids(
+            ins, cent, id_col="vec_id", vec_col="embedding", dim=dim
+        ).select("vec_id", "shard_id")
+        ins = ins.join(asg, "vec_id").select("vec_id", "embedding", "op", "shard_id")
+        dels = b.filter(F.col("op") == OP_DELETE).select(
+            "vec_id",
+            F.lit(None).cast(b.schema["embedding"].dataType).alias("embedding"),
+            "op",
+            F.lit(-1).alias("shard_id"),
+        )
+        return (
+            ins.unionByName(dels)
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+
+    run_exactly_once_sink(
+        stream_df,
+        path,
+        prepare,
+        ["shard_id", "_batch_id"],
+        _fault_point=_fault_point,
+    )
+
+
+def live_vectors(spark: SparkSession, path: str) -> DataFrame:
+    """The index's current live view: per ``vec_id``, the latest
+    committed operation wins (delete beats insert within the same
+    batch); deleted ids are absent. Returns ``(vec_id, embedding,
+    shard_id)`` — directly searchable by ``operators/ann.ivf_search``.
+
+    One hash aggregate on vec_id; tombstones are 8-byte rows from the
+    reserved shard so the "latest op" resolution never reads data-shard
+    bytes for them (column pruning keeps vectors out of the shuffle
+    until the winning row is selected — max_by ships only the winner
+    per map-side group)."""
+    committed = committed_batch_ids(path)
+    raw = spark.read.parquet(f"{path}/data").filter(
+        F.col("_batch_id").isin(committed)
+    )
+    rank = F.when(F.col("op") == OP_DELETE, F.lit(1)).otherwise(F.lit(0))
+    latest = raw.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("op", "embedding", "shard_id"),
+            F.struct(F.col("_batch_id"), rank.alias("_r")),
+        ).alias("_w")
+    )
+    return latest.filter(F.col("_w.op") == OP_INSERT).select(
+        "vec_id",
+        F.col("_w.embedding").alias("embedding"),
+        F.col("_w.shard_id").alias("shard_id"),
+    )
+
+
+def search_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    *,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF search over the index's live view — identical semantics to
+    batch ``ivf_search`` on a table holding exactly the live rows."""
+    from big_ann_spark.operators.ann import ivf_search
+
+    return ivf_search(
+        queries,
+        live_vectors(spark, path),
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        query_id=query_id,
+        query_vec=query_vec,
+        dim=dim,
+    )

@@ -85,6 +85,30 @@ def test_nn_descent_recall_improves_and_converges(spark, sf_dir):
     assert r0 < r2 <= r4, (r0, r2, r4)
     assert r4 >= 0.9, r4
 
+    # ρ-sampling (the paper's candidate trim): at ρ=0.5 each iteration
+    # scores ~25% of the full candidate volume, so convergence slows
+    # but must still beat the unsampled iteration count below it and
+    # stay deterministic (hash-Bernoulli, seeded)
+    g5 = ANN.nn_descent_knn_graph(
+        emb, k=k, iterations=4, dim=64, sample_rate=0.5
+    )
+    pred5 = g5.select(F.col("src").alias("qid"), F.col("dst").alias("neighbor_id"))
+    from big_ann_spark.operators.knn import recall_at_k as _r
+
+    r4s = _r(pred5, exact, k).collect()[0].recall_at_k
+    assert r0 < r4s, (r0, r4s)
+    assert r4s >= 0.6, r4s
+    s1 = sorted(map(tuple, g5.collect()))
+    s2 = sorted(
+        map(
+            tuple,
+            ANN.nn_descent_knn_graph(
+                emb, k=k, iterations=4, dim=64, sample_rate=0.5
+            ).collect(),
+        )
+    )
+    assert s1 == s2
+
     a = sorted(map(tuple, ANN.nn_descent_knn_graph(emb, k=k, iterations=2, dim=64).collect()))
     b = sorted(map(tuple, ANN.nn_descent_knn_graph(emb, k=k, iterations=2, dim=64).collect()))
     assert a == b

@@ -1,0 +1,172 @@
+"""Streaming vector-index maintenance (insert/delete runbook + search),
+the big-ann-benchmarks streaming-track shape: live-view semantics,
+equivalence with a batch-built IVF index, and crash-restart
+exactly-once at both fault windows."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_ann_spark.streaming import vector_index as VI
+
+_SCHEMA = "vec_id long, embedding array<float>, op string"
+
+
+def _vec(seedling: int) -> list[float]:
+    # deterministic 4-d points; id 0..3 cluster near e_0, 100.. near e_1
+    base = [0.0, 0.0, 0.0, 0.0]
+    base[(seedling // 100) % 4] = 10.0
+    base[(seedling % 4)] += 0.1 * (seedling % 7)
+    return [float(x) for x in base]
+
+
+def _rows(ids, op="insert"):
+    return [(i, _vec(i) if op == "insert" else None, op) for i in ids]
+
+
+def _write_batches(spark, src, batches):
+    for rows in batches:
+        (
+            spark.createDataFrame(rows, _SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+
+
+def _centroids(spark):
+    rows = [(s, [10.0 if d == s else 0.0 for d in range(4)]) for s in range(4)]
+    return spark.createDataFrame(rows, "shard_id int, centroid array<float>")
+
+
+def test_live_view_insert_delete_reinsert(spark):
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    _write_batches(
+        spark,
+        src,
+        [
+            _rows([1, 2, 3, 101, 102]),                 # batch 0: inserts
+            _rows([2, 102], op="delete") + _rows([201]),  # batch 1: deletes + insert
+            _rows([2]),                                  # batch 2: re-insert
+        ],
+    )
+    path = tempfile.mkdtemp(prefix="vi_idx_")
+    VI.stream_vector_index_ingest(
+        _stream(spark, src), path, _centroids(spark), op_col="op", dim=4
+    )
+    live = {r.vec_id for r in VI.live_vectors(spark, path).collect()}
+    assert live == {1, 2, 3, 101, 201}  # 102 deleted, 2 revived
+
+    # delete-wins inside one batch: insert+delete of the same id
+    _write_batches(spark, src, [_rows([301]) + _rows([301], op="delete")])
+    VI.stream_vector_index_ingest(
+        _stream(spark, src), path, _centroids(spark), op_col="op", dim=4
+    )
+    live = {r.vec_id for r in VI.live_vectors(spark, path).collect()}
+    assert 301 not in live
+
+    # shard routing: tombstones live in shard -1 only, data rows in 0..3
+    raw = spark.read.parquet(f"{path}/data")
+    by_op = {r.op: r.s for r in raw.groupBy("op").agg(F.collect_set("shard_id").alias("s")).collect()}
+    assert by_op["delete"] == [-1]
+    assert -1 not in by_op["insert"]
+
+
+def test_search_matches_batch_ivf_on_live_rows(spark):
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    ids = list(range(8)) + list(range(100, 108)) + list(range(200, 208))
+    _write_batches(
+        spark,
+        src,
+        [_rows(ids[:12]), _rows(ids[12:]), _rows([3, 103, 203], op="delete")],
+    )
+    path = tempfile.mkdtemp(prefix="vi_idx_")
+    cents = _centroids(spark)
+    VI.stream_vector_index_ingest(_stream(spark, src), path, cents, op_col="op", dim=4)
+
+    queries = spark.createDataFrame(
+        [(0, _vec(1)), (1, _vec(101))], "qid long, qvec array<float>"
+    )
+    got = sorted(
+        map(
+            tuple,
+            VI.search_index(spark, path, queries, cents, k=3, nprobe=2, dim=4)
+            .select("qid", "neighbor_id", F.round("dist", 6).alias("d"), "rank")
+            .collect(),
+        )
+    )
+
+    # batch-equivalent: ivf_search over a table holding exactly the live rows
+    from big_ann_spark.operators.ann import ivf_search
+    from big_ann_spark.operators.sharding import assign_to_centroids
+
+    live_ids = set(ids) - {3, 103, 203}
+    batch = spark.createDataFrame(
+        [(i, _vec(i), "insert") for i in sorted(live_ids)], _SCHEMA
+    ).drop("op")
+    asg = assign_to_centroids(batch, cents, dim=4).select("vec_id", "shard_id")
+    sharded = batch.join(asg, "vec_id")
+    want = sorted(
+        map(
+            tuple,
+            ivf_search(queries, sharded, cents, k=3, nprobe=2, dim=4)
+            .select("qid", "neighbor_id", F.round("dist", 6).alias("d"), "rank")
+            .collect(),
+        )
+    )
+    assert got == want
+    deleted_hits = {t[1] for t in got} & {3, 103, 203}
+    assert not deleted_hits
+
+
+@pytest.mark.parametrize("crash_point", ["pre-marker", "post-marker"])
+def test_crash_restart_exactly_once(spark, crash_point):
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    _write_batches(
+        spark,
+        src,
+        [_rows([1, 2]), _rows([2], op="delete") + _rows([10]), _rows([20])],
+    )
+    path = tempfile.mkdtemp(prefix="vi_idx_")
+    cents = _centroids(spark)
+
+    class Boom(RuntimeError):
+        pass
+
+    def fault(point, batch_id):
+        if point == crash_point and batch_id == 1:
+            raise Boom(point)
+
+    try:
+        VI.stream_vector_index_ingest(
+            _stream(spark, src), path, cents, op_col="op", dim=4, _fault_point=fault
+        )
+    except Exception:
+        pass  # the injected crash surfaces through the stream
+
+    VI.stream_vector_index_ingest(
+        _stream(spark, src), path, cents, op_col="op", dim=4
+    )
+    live = {r.vec_id for r in VI.live_vectors(spark, path).collect()}
+    assert live == {1, 10, 20}
+    # no duplicate rows for any id+batch (replay overwrote, not appended)
+    raw = spark.read.parquet(f"{path}/data")
+    dupes = (
+        raw.groupBy("vec_id", "_batch_id", "op")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    assert dupes == 0
