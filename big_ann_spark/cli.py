@@ -95,6 +95,48 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out", default=None)
     s.add_argument("--show", type=int, default=20)
 
+    vi = sub.add_parser(
+        "vindex-ingest",
+        help="stream a vector directory (insert/delete runbook) into an "
+        "evolving IVF index (exactly-once, shard-partitioned)",
+    )
+    vi.add_argument("src", help="directory of parquet files: (id, vector[, op])")
+    vi.add_argument("dst", help="index dir (data/ + checkpoint/ incl. commit markers)")
+    vi.add_argument(
+        "--centroids",
+        required=True,
+        help="centroids parquet (shard_id, centroid), or a build-index "
+        "dir containing centroids.parquet",
+    )
+    vi.add_argument("--id-col", default="vec_id")
+    vi.add_argument("--vec-col", default="embedding")
+    vi.add_argument(
+        "--op-col",
+        default=None,
+        help="column holding 'insert'/'delete'; omitted = all inserts",
+    )
+
+    vs = sub.add_parser(
+        "vindex-search", help="IVF search over a streamed index's live view"
+    )
+    vs.add_argument("index", help="dir produced by vindex-ingest")
+    vs.add_argument("queries", help="parquet with (id, vector) query columns")
+    vs.add_argument("--centroids", required=True)
+    vs.add_argument("--k", type=int, default=10)
+    vs.add_argument("--nprobe", type=int, default=2)
+    vs.add_argument("--id-col", default="vec_id")
+    vs.add_argument("--vec-col", default="embedding")
+    vs.add_argument("--out", default=None)
+    vs.add_argument("--show", type=int, default=20)
+
+    vc = sub.add_parser(
+        "vindex-compact",
+        help="copy-on-write compaction: fold tombstones, land the live "
+        "view as the base epoch of a fresh index dir",
+    )
+    vc.add_argument("src", help="dir produced by vindex-ingest")
+    vc.add_argument("dst", help="fresh index dir")
+
     f2p = sub.add_parser("fbin-to-parquet", help="distributed fbin/ibin/u8bin -> parquet")
     f2p.add_argument("src")
     f2p.add_argument("dst")
@@ -269,6 +311,49 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{out.count()} rows -> {args.out}")
         else:
             out.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd in ("vindex-ingest", "vindex-search"):
+        import os
+
+        from big_ann_spark.streaming import vector_index as VI
+
+        cpath = args.centroids
+        if os.path.isdir(cpath) and os.path.isdir(f"{cpath}/centroids.parquet"):
+            cpath = f"{cpath}/centroids.parquet"
+        cents = spark.read.parquet(cpath)
+        if args.cmd == "vindex-ingest":
+            cols = f"{args.id_col} long, {args.vec_col} array<float>"
+            if args.op_col:
+                cols += f", {args.op_col} string"
+            stream = (
+                spark.readStream.schema(cols).format("parquet").load(args.src)
+            )
+            VI.stream_vector_index_ingest(
+                stream, args.dst, cents,
+                id_col=args.id_col, vec_col=args.vec_col, op_col=args.op_col,
+            )
+            n = VI.live_vectors(spark, args.dst).count()
+            print(f"index at {args.dst}: {n} live vectors")
+            return 0
+        q = spark.read.parquet(args.queries).select(
+            F.col(args.id_col).alias("qid"), F.col(args.vec_col).alias("qvec")
+        )
+        out = VI.search_index(
+            spark, args.index, q, cents, k=args.k, nprobe=args.nprobe
+        )
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"{out.count()} rows -> {args.out}")
+        else:
+            out.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "vindex-compact":
+        from big_ann_spark.streaming import vector_index as VI
+
+        n = VI.compact_index(spark, args.src, args.dst)
+        print(f"compacted {args.src} -> {args.dst}: {n} live vectors")
         return 0
 
     from big_ann_spark.sources import fbin as FB

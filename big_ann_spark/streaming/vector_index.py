@@ -124,6 +124,39 @@ def live_vectors(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def compact_index(spark: SparkSession, src_path: str, dst_path: str) -> int:
+    """Copy-on-write compaction: land ``src``'s live view as the base
+    epoch of a FRESH index at ``dst`` — tombstones folded away, one file
+    set per shard, history partitions gone. Returns the live row count.
+
+    The compacted rows land under ``_batch_id = -1`` with a ``-1``
+    commit marker: streaming batch ids start at 0 with a fresh
+    checkpoint, so the epoch base can never collide with (and be
+    skip-replayed as) the first post-compaction ingest batch — landing
+    it as batch 0 would make the sink silently skip that batch's write.
+    Compacting in place is deliberately unsupported: a crash mid-rewrite
+    of a shared ``data/`` dir has no replay story, while copy-on-write
+    keeps ``src`` valid until the caller atomically switches readers.
+
+    At 100 TB, run per shard (the live view is shard-partitioned, the
+    write is ``partitionBy(shard_id)``) on whatever cadence the
+    tombstone ratio warrants."""
+    import os
+
+    live = live_vectors(spark, src_path).withColumn("op", F.lit(OP_INSERT))
+    out = live.withColumn("_batch_id", F.lit(-1))
+    (
+        out.write.partitionBy("shard_id", "_batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{dst_path}/data")
+    )
+    marker_dir = f"{dst_path}/checkpoint/_committed"
+    os.makedirs(marker_dir, exist_ok=True)
+    open(f"{marker_dir}/-1", "w").close()
+    return spark.read.parquet(f"{dst_path}/data").count()
+
+
 def search_index(
     spark: SparkSession,
     path: str,

@@ -131,6 +131,62 @@ def test_search_matches_batch_ivf_on_live_rows(spark):
     assert not deleted_hits
 
 
+def test_compact_folds_tombstones_and_preserves_live_view(spark):
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    _write_batches(
+        spark,
+        src,
+        [_rows([1, 2, 3, 101]), _rows([2], op="delete"), _rows([2]) + _rows([3], op="delete")],
+    )
+    path = tempfile.mkdtemp(prefix="vi_idx_")
+    cents = _centroids(spark)
+    VI.stream_vector_index_ingest(_stream(spark, src), path, cents, op_col="op", dim=4)
+    before = sorted(map(tuple, VI.live_vectors(spark, path).collect()))
+
+    dst = tempfile.mkdtemp(prefix="vi_cmp_") + "/idx"
+    n = VI.compact_index(spark, path, dst)
+    after = sorted(map(tuple, VI.live_vectors(spark, dst).collect()))
+    assert after == before
+    assert n == len(before)
+    raw = spark.read.parquet(f"{dst}/data")
+    # tombstones folded away, single base epoch at _batch_id = -1
+    assert raw.filter(F.col("op") == "delete").count() == 0
+    assert {r._batch_id for r in raw.select("_batch_id").distinct().collect()} == {-1}
+
+    # post-compaction ingest resumes at batch 0 with a fresh checkpoint
+    # and must NOT be skip-replayed as the epoch base
+    src2 = tempfile.mkdtemp(prefix="vi_src_")
+    _write_batches(spark, src2, [_rows([301]) + _rows([1], op="delete")])
+    VI.stream_vector_index_ingest(_stream(spark, src2), dst, cents, op_col="op", dim=4)
+    live = {r.vec_id for r in VI.live_vectors(spark, dst).collect()}
+    assert live == ({t[0] for t in before} - {1}) | {301}
+
+
+def test_cli_vindex_lifecycle(spark, tmp_path):
+    from big_ann_spark.cli import main
+
+    cents = _centroids(spark)
+    cpath = str(tmp_path / "cents.parquet")
+    cents.write.parquet(cpath)
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, [_rows([1, 2, 101]), _rows([2], op="delete")])
+    qpath = str(tmp_path / "queries.parquet")
+    spark.createDataFrame(
+        [(0, _vec(1))], "vec_id long, embedding array<float>"
+    ).write.parquet(qpath)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    assert main(["vindex-ingest", src, idx, "--centroids", cpath, "--op-col", "op"]) == 0
+    assert main(
+        ["vindex-search", idx, qpath, "--centroids", cpath, "--k", "2", "--out", out]
+    ) == 0
+    hits = {r.neighbor_id for r in spark.read.parquet(out).collect()}
+    assert 1 in hits and 2 not in hits
+    cmp_dir = str(tmp_path / "cmp")
+    assert main(["vindex-compact", idx, cmp_dir]) == 0
+    assert {r.vec_id for r in VI.live_vectors(spark, cmp_dir).collect()} == {1, 101}
+
+
 @pytest.mark.parametrize("crash_point", ["pre-marker", "post-marker"])
 def test_crash_restart_exactly_once(spark, crash_point):
     src = tempfile.mkdtemp(prefix="vi_src_")
