@@ -186,6 +186,18 @@ hits AS (
 rs AS (SELECT qid, neighbor_id, score,
               row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rk
        FROM hits),
+-- hybrid: reciprocal-rank fusion (Cormack et al. 2009) of the dense
+-- and sparse top-10 runs; absent-from-run contributes 0
+hy AS (
+  SELECT qid, neighbor_id, sum(1.0 / (60 + rk)) AS rrf
+  FROM (SELECT qid, neighbor_id, rk FROM r WHERE rk <= 10
+        UNION ALL
+        SELECT qid, neighbor_id, rk FROM rs WHERE rk <= 10)
+  GROUP BY 1, 2
+),
+rh AS (SELECT qid, neighbor_id, rrf,
+              row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, neighbor_id) AS rk
+       FROM hy),
 u AS (
   SELECT 'dense' AS variant, qid, neighbor_id, ROUND(dist, 6) AS score, rk
   FROM r WHERE rk <= 3
@@ -193,6 +205,8 @@ u AS (
   SELECT 'filtered', qid, neighbor_id, ROUND(dist, 6), rk FROM rf WHERE rk <= 3
   UNION ALL
   SELECT 'sparse', qid, neighbor_id, ROUND(score, 6), rk FROM rs WHERE rk <= 3
+  UNION ALL
+  SELECT 'hybrid', qid, neighbor_id, ROUND(rrf, 6), rk FROM rh WHERE rk <= 3
 )
 SELECT u.variant, u.qid, u.neighbor_id, u.score, u.rk::INTEGER AS rank,
        doc.lang, doc.source, doc.n_chars
@@ -214,7 +228,12 @@ def doc_retrieval_top3(spark, sf_dir):
     - ``sparse``: the "sparse"-track shape — embeddings sparsified at
       tau=0.15 into COO postings, inverted-index equi-join on dim,
       map-side-combined sum of products, MIPS top-3. Scored volume is
-      bounded by query-term posting lists, independent of corpus width.
+      bounded by query-term posting lists, independent of corpus width;
+    - ``hybrid``: reciprocal-rank fusion (Cormack et al. SIGIR 2009,
+      c=60) of the dense and sparse top-10 runs — the standard hybrid
+      search pattern; fusion cost is O(Q·k) per run by construction
+      (operators/fusion.rrf_fuse), and the runs are shared with the
+      dense/sparse variants, not recomputed.
 
     The reference targets only the dense unfiltered tracks
     (``shard_by_distance.py``); filtered/sparse are the companion
@@ -236,9 +255,14 @@ def doc_retrieval_top3(spark, sf_dir):
         .filter(F.col("neighbor_id") != F.col("qid"))
         .select("qid", "neighbor_id", l2_distance("_qv", "_bv").alias("dist"))
     )
-    dense = top_k_per_group(
-        scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 3
-    ).select("qid", "neighbor_id", F.col("dist").alias("score"), "rank")
+    # one top-10 pass feeds both the dense variant (rank <= 3) and the
+    # hybrid fusion run — the RRF inputs are never recomputed
+    dense10 = top_k_per_group(
+        scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 10
+    )
+    dense = dense10.filter(F.col("rank") <= 3).select(
+        "qid", "neighbor_id", F.col("dist").alias("score"), "rank"
+    )
 
     labeled = emb.join(docs.select("doc_id", "lang"), emb.vec_id == docs.doc_id).select(
         "vec_id", "embedding", "lang"
@@ -256,9 +280,22 @@ def doc_retrieval_top3(spark, sf_dir):
     ).select("qid", "neighbor_id", F.col("dist").alias("score"), "rank")
 
     postings = sparsify_dense(emb, id_col="vec_id", vec_col="embedding", tau=0.15)
-    sparse = sparse_mips_topk(
-        postings.filter(F.col("id") < 5), postings, k=3, exclude_self=True
-    ).select("qid", "neighbor_id", "score", "rank")
+    sparse10 = sparse_mips_topk(
+        postings.filter(F.col("id") < 5), postings, k=10, exclude_self=True
+    )
+    sparse = sparse10.filter(F.col("rank") <= 3).select(
+        "qid", "neighbor_id", "score", "rank"
+    )
+
+    from big_ann_spark.operators.fusion import rrf_fuse
+
+    hybrid = rrf_fuse(
+        [
+            dense10.select("qid", "neighbor_id", "rank"),
+            sparse10.select("qid", "neighbor_id", "rank"),
+        ],
+        k=3,
+    ).select("qid", "neighbor_id", F.col("rrf").alias("score"), "rank")
 
     def _tag(df, v):
         return df.select(
@@ -270,6 +307,7 @@ def doc_retrieval_top3(spark, sf_dir):
         _tag(dense, "dense")
         .unionByName(_tag(filtered, "filtered"))
         .unionByName(_tag(sparse, "sparse"))
+        .unionByName(_tag(hybrid, "hybrid"))
     )
     return u.join(docs, u.neighbor_id == docs.doc_id).select(
         "variant", "qid", "neighbor_id", "score", "rank",

@@ -136,6 +136,35 @@ def test_sparse_mips_matches_dense_dot(spark, emb):
             assert abs(gs - cs) < 1e-9
 
 
+def test_rrf_fuse_matches_paper_formula(spark):
+    from big_ann_spark.operators.fusion import rrf_fuse
+
+    run_a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "qid long, neighbor_id long, rank int"
+    )
+    run_b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "qid long, neighbor_id long, rank int"
+    )
+    got = {
+        r.neighbor_id: (r.rrf, r.rank)
+        for r in rrf_fuse([run_a, run_b], k=10).collect()
+    }
+    want = {
+        10: 1 / 61,            # run_a only
+        11: 1 / 62 + 1 / 61,   # both runs
+        12: 1 / 63,
+        13: 1 / 62,            # run_b only — absence contributes 0
+    }
+    assert set(got) == set(want)
+    for nid, w in want.items():
+        assert abs(got[nid][0] - w) < 1e-12, nid
+    order = [nid for nid, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    assert order == [11, 10, 13, 12]
+    # damping constant shifts scores but (here) not the order
+    got_c5 = {r.neighbor_id: r.rrf for r in rrf_fuse([run_a, run_b], k=10, c=5).collect()}
+    assert abs(got_c5[11] - (1 / 7 + 1 / 6)) < 1e-12
+
+
 def test_sparse_mips_max_df_caps_hot_dims(spark, emb):
     postings = sparsify_dense(emb, id_col="vec_id", vec_col="embedding", tau=TAU)
     df_by_dim = {
