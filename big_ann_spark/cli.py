@@ -146,6 +146,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p2f.add_argument("dst")
     p2f.add_argument("--id-col", default="vec_id")
     p2f.add_argument("--vec-col", default="embedding")
+    p2f.add_argument(
+        "--max-rows",
+        type=int,
+        default=1_000_000,
+        help="driver-collect guard for this interop sink (it builds one "
+        "local file on the driver); raise for a bigger single-file "
+        "export, use parquet for at-scale sinks",
+    )
 
     ing = sub.add_parser(
         "ingest",
@@ -388,7 +396,7 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.read.parquet(args.src).select(
             F.col(args.id_col).alias("id"), F.col(args.vec_col).alias("vec")
         )
-        FB.write_fbin_from_df(df, args.dst)
+        FB.write_fbin_from_df(df, args.dst, max_rows=args.max_rows)
         nvecs, dim = FB.read_header(args.dst)
         print(f"{nvecs} x {dim} -> {args.dst}")
         return 0

@@ -727,6 +727,12 @@ def min_label_components(
     exact-components oracle). ``"warn"`` (default) raises a
     RuntimeWarning; ``"raise"`` raises RuntimeError — the right choice
     for oracle-checked or correctness-critical pipelines (ADVICE r6)."""
+    if on_nonconverge not in ("warn", "raise"):
+        # a typo ("Raise", "error") must not silently degrade the
+        # correctness-critical hard-fail to a warning
+        raise ValueError(
+            f"on_nonconverge must be 'warn' or 'raise', got {on_nonconverge!r}"
+        )
     e = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     if nodes is not None:
@@ -1539,6 +1545,20 @@ def embedding_dedup_clusters(
     )
 
 
+def _stable_hash(id_col: str, salt: int, a: int, mod: int):
+    """The ONE multiplicative-hash column all content-stable selection
+    ops share (hash_sample / cap_per_source / token_budget_mix) — their
+    documented bit-identical-selection and nesting contracts depend on
+    every caller using this exact mixing, so it exists once. The salt
+    is mixed BEFORE the multiply (different salts select unrelated
+    subsets) and re-reduced mod p so the product stays under 2^63 for
+    any salt, including negative ones."""
+    salted = F.pmod(
+        F.pmod(F.col(id_col), F.lit(mod)) + F.lit(salt % mod), F.lit(mod)
+    )
+    return (salted * F.lit(a)) % F.lit(mod)
+
+
 def hash_sample(
     docs: DataFrame,
     fraction: float,
@@ -1562,9 +1582,7 @@ def hash_sample(
     for ANY salt (including negative ones, where Spark's signed ``%``
     would otherwise have made the predicate silently always-true)."""
     thresh = int(fraction * mod)
-    salted = F.pmod(F.pmod(F.col(id_col), F.lit(mod)) + F.lit(salt % mod), F.lit(mod))
-    keep = ((salted * a) % mod) < thresh
-    return docs.filter(keep)
+    return docs.filter(_stable_hash(id_col, salt, a, mod) < thresh)
 
 
 def cap_per_source(
@@ -1590,10 +1608,7 @@ def cap_per_source(
     ``max_per_source`` before the shuffle; per-task state is the cap,
     not the source's row count, which is exactly what makes a
     100M-page domain affordable."""
-    salted = F.pmod(
-        F.pmod(F.col(id_col), F.lit(mod)) + F.lit(salt % mod), F.lit(mod)
-    )
-    hashed = (salted * a) % mod
+    hashed = _stable_hash(id_col, salt, a, mod)
     w = Window.partitionBy(source_col).orderBy(hashed.asc(), F.col(id_col).asc())
     return (
         docs.withColumn("_rk", F.row_number().over(w))
@@ -1652,12 +1667,8 @@ def token_budget_mix(
     mix = docs.sparkSession.createDataFrame(
         mix_rows, f"{source_col} string, _thresh long, target_tokens long"
     )
-    salted = F.pmod(
-        F.pmod(F.col(id_col), F.lit(mod)) + F.lit(salt % mod), F.lit(mod)
-    )
-    hashed = (salted * F.lit(a)) % F.lit(mod)
     return (
         sized.join(F.broadcast(mix), source_col)
-        .filter(hashed < F.col("_thresh"))
+        .filter(_stable_hash(id_col, salt, a, mod) < F.col("_thresh"))
         .select(*docs.columns, "target_tokens")
     )

@@ -338,10 +338,31 @@ def filtered_knn(
         joined = b.crossJoin(F.broadcast(q)).filter(F.col("_blab") == F.col("_qlab"))
     elif tags_col is not None:
         q = queries.select(*q_cols, F.col(query_tags or tags_col).alias("_qtags"))
+        # an empty/null tag set means "no constraint" (⊇ ∅ holds for
+        # every neighbor) — but such a query has no rarest tag to probe,
+        # so the posting-list plan would silently drop it. The query
+        # batch is the contractual small side (the arrow kNN impl
+        # collects it outright), so an eager emptiness probe is cheap;
+        # routing those queries through the unconstrained dense plan
+        # would double-scan the base for everyone else, so reject loudly
+        # instead and point at exact_knn.
+        n_empty = (
+            q.filter(F.size(F.coalesce("_qtags", F.array())) == 0).limit(1).count()
+        )
+        if n_empty:
+            raise ValueError(
+                "filtered_knn(tags_col=...): query with an empty tag set "
+                "is unconstrained — use exact_knn for those queries"
+            )
         b = base.select(*b_cols, F.col(tags_col).alias("_btags"))
         # df per tag over the base, computed once; each query probes the
-        # postings of its least-frequent tag (ties: smallest tag id)
-        postings = b.select("neighbor_id", F.explode("_btags").alias("_tag"))
+        # postings of its least-frequent tag (ties: smallest tag id).
+        # distinct: a repeated tag value inside one doc's array must not
+        # produce duplicate postings (they would survive the candidate
+        # join as duplicate (qid, neighbor) rows and occupy two ranks)
+        postings = b.select(
+            "neighbor_id", F.explode("_btags").alias("_tag")
+        ).distinct()
         tag_df = postings.groupBy("_tag").agg(F.count("*").alias("_df"))
         q_rare = (
             q.select("qid", F.explode("_qtags").alias("_tag"))

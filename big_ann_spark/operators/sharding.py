@@ -65,13 +65,18 @@ def assign_to_centroids(
     centroid_id: str = "shard_id",
     centroid_vec: str = "centroid",
     dim: int | None = None,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """J2: nearest-centroid assignment — broadcast the (tiny) centroid
     table collapsed to ONE array row, then the per-point argmin is a
     pure projection: ``array_min`` over ``struct(dist, shard_id)``
     (struct comparison is field-ordered, so ties break on the lower
     shard id — identical semantics to a (dist, id)-ordered rank-1
-    window). Returns (id, shard_id, dist). This is ``kmeans.predict`` +
+    window). Returns (id, shard_id, dist) — plus ``extra_cols``
+    carried through the projection, which is how callers keep payload
+    columns aligned with their row's assignment WITHOUT a join-back on
+    a possibly-non-unique id (a join-back cross-multiplies duplicate
+    ids and can pair a row with the OTHER duplicate's shard). This is ``kmeans.predict`` +
     the per-point distance loop of ``shard.py:117-131`` with ZERO
     exchanges: the previous window formulation hash-partitioned the
     N×M scored rows by point id before WindowGroupLimit could trim
@@ -83,7 +88,8 @@ def assign_to_centroids(
             )
         ).alias("_cents")
     )
-    joined = points.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+    carry = [c for c in (extra_cols or []) if c not in (id_col, vec_col)]
+    joined = points.select(id_col, vec_col, *carry).crossJoin(F.broadcast(cents))
     best = F.array_min(
         F.transform(
             F.col("_cents"),
@@ -97,6 +103,7 @@ def assign_to_centroids(
         F.col(id_col),
         best["_sid"].alias(centroid_id),
         best["dist"].alias("dist"),
+        *(extra_cols or []),
     )
 
 

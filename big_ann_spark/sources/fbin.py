@@ -126,15 +126,17 @@ def write_fbin_from_df(
     file (interop sink — driver-side BY CONTRACT; the at-scale sink is
     parquet). ``max_rows`` guards the driver collect: exceeding it
     raises instead of OOMing — raise the cap explicitly if you really
-    want a bigger single-file export."""
-    n = df.count()
-    if n > max_rows:
+    want a bigger single-file export. The guard and the export share
+    ONE execution: collecting ``limit(max_rows + 1)`` both bounds
+    driver memory and detects overflow without a separate count() pass
+    re-running the full upstream lineage."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
-            f"write_fbin_from_df collects to the driver: {n} rows > "
-            f"max_rows={max_rows}. Use parquet for at-scale sinks, or "
-            "raise max_rows explicitly."
+            f"write_fbin_from_df collects to the driver: > "
+            f"max_rows={max_rows} rows. Use parquet for at-scale sinks, "
+            "or raise max_rows explicitly."
         )
-    rows = df.select(id_col, vec_col).orderBy(id_col).collect()
     mat = np.array([r[1] for r in rows])
     write_vectors_local(path, mat)
 

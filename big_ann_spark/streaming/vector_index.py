@@ -70,11 +70,25 @@ def stream_vector_index_ingest(
             F.col(vec_col).alias("embedding"),
             (F.col(op_col) if op_col is not None else F.lit(OP_INSERT)).alias("op"),
         )
+        # an exactly-once sink must not be silently lossy: an op value
+        # outside the contract (typo, casing, 'upsert') fails the batch
+        # loudly instead of vanishing. The probe is one tiny job over
+        # the already-materialized micro-batch.
+        bad = b.filter(~F.col("op").isin(OP_INSERT, OP_DELETE)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"batch {batch_id}: unknown op {bad[0].op!r} "
+                f"(expected {OP_INSERT!r} or {OP_DELETE!r})"
+            )
         ins = b.filter(F.col("op") == OP_INSERT)
-        asg = assign_to_centroids(
-            ins, cent, id_col="vec_id", vec_col="embedding", dim=dim
-        ).select("vec_id", "shard_id")
-        ins = ins.join(asg, "vec_id").select("vec_id", "embedding", "op", "shard_id")
+        # extra_cols keeps embedding/op aligned with THEIR row's argmin
+        # inside one projection — a join-back on vec_id would
+        # cross-multiply duplicate same-batch inserts and could land a
+        # vector under the other duplicate's shard
+        ins = assign_to_centroids(
+            ins, cent, id_col="vec_id", vec_col="embedding", dim=dim,
+            extra_cols=["embedding", "op"],
+        ).select("vec_id", "embedding", "op", "shard_id")
         dels = b.filter(F.col("op") == OP_DELETE).select(
             "vec_id",
             F.lit(None).cast(b.schema["embedding"].dataType).alias("embedding"),
@@ -106,7 +120,16 @@ def live_vectors(spark: SparkSession, path: str) -> DataFrame:
     bytes for them (column pruning keeps vectors out of the shuffle
     until the winning row is selected — max_by ships only the winner
     per map-side group)."""
+    import os
+
     committed = committed_batch_ids(path)
+    if not committed or not os.path.isdir(f"{path}/data"):
+        # an index that never landed a batch (empty runbook source, or
+        # every batch still uncommitted) is EMPTY, not an error — the
+        # canonical ingest schema (long id, float vectors) applies
+        return spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, shard_id int"
+        )
     raw = spark.read.parquet(f"{path}/data").filter(
         F.col("_batch_id").isin(committed)
     )
@@ -143,18 +166,29 @@ def compact_index(spark: SparkSession, src_path: str, dst_path: str) -> int:
     tombstone ratio warrants."""
     import os
 
-    live = live_vectors(spark, src_path).withColumn("op", F.lit(OP_INSERT))
-    out = live.withColumn("_batch_id", F.lit(-1))
-    (
-        out.write.partitionBy("shard_id", "_batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(f"{dst_path}/data")
+    live = (
+        live_vectors(spark, src_path)
+        .withColumn("op", F.lit(OP_INSERT))
+        .withColumn("_batch_id", F.lit(-1))
+        .localCheckpoint()  # count + write share one computation
     )
-    marker_dir = f"{dst_path}/checkpoint/_committed"
-    os.makedirs(marker_dir, exist_ok=True)
-    open(f"{marker_dir}/-1", "w").close()
-    return spark.read.parquet(f"{dst_path}/data").count()
+    n = live.count()
+    # a fully-deleted index compacts to an EMPTY base epoch: a
+    # partitioned write of zero rows leaves no parquet footer (the dir
+    # would be unreadable), so land nothing and let live_vectors'
+    # no-committed-batches path report the empty view. The marker lands
+    # only AFTER a successful write, never ahead of it.
+    if n:
+        (
+            live.write.partitionBy("shard_id", "_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{dst_path}/data")
+        )
+        marker_dir = f"{dst_path}/checkpoint/_committed"
+        os.makedirs(marker_dir, exist_ok=True)
+        open(f"{marker_dir}/-1", "w").close()
+    return n
 
 
 def search_index(

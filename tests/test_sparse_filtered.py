@@ -115,6 +115,48 @@ def test_filtered_knn_tags_containment(spark, emb):
         assert [i for _, i in got] == [i for _, i in cands], qid
 
 
+def test_filtered_knn_tags_duplicate_tag_and_empty_tag(spark, emb):
+    # a repeated tag value inside one doc's array must not let that doc
+    # occupy two ranks via duplicate postings
+    tagged = emb.withColumn(
+        "tags", F.array(F.lit(1), F.lit(1), (F.col("vec_id") % 2).cast("int"))
+    )
+    out = filtered_knn(
+        tagged.filter(F.col("vec_id") < 2),
+        tagged,
+        k=K,
+        query_id="vec_id",
+        query_vec="embedding",
+        base_id="vec_id",
+        base_vec="embedding",
+        tags_col="tags",
+        exclude_self=True,
+    ).collect()
+    for qid in (0, 1):
+        neighbors = [r.neighbor_id for r in out if r.qid == qid]
+        assert len(neighbors) == len(set(neighbors)), qid
+
+    # an empty tag set is unconstrained — rejected loudly, not silently
+    # dropped from the result
+    empties = emb.withColumn(
+        "tags",
+        F.when(F.col("vec_id") == 0, F.array().cast("array<int>")).otherwise(
+            F.array((F.col("vec_id") % 2).cast("int"))
+        ),
+    )
+    with pytest.raises(ValueError, match="empty tag set"):
+        filtered_knn(
+            empties.filter(F.col("vec_id") < 2),
+            empties,
+            k=K,
+            query_id="vec_id",
+            query_vec="embedding",
+            base_id="vec_id",
+            base_vec="embedding",
+            tags_col="tags",
+        )
+
+
 def test_sparse_mips_matches_dense_dot(spark, emb):
     postings = sparsify_dense(emb, id_col="vec_id", vec_col="embedding", tau=TAU)
     out = sparse_mips_topk(

@@ -131,6 +131,59 @@ def test_search_matches_batch_ivf_on_live_rows(spark):
     assert not deleted_hits
 
 
+def test_duplicate_same_batch_insert_keeps_vector_shard_consistent(spark):
+    """Two same-batch inserts of one id with DIFFERENT vectors: whichever
+    row the live view resolves to, its shard must be the argmin of ITS
+    OWN embedding (a join-back on the non-unique id used to be able to
+    pair a vector with the other duplicate's shard — an unfindable row)."""
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    v_shard0 = [10.0, 0.0, 0.0, 0.0]
+    v_shard2 = [0.0, 0.0, 10.0, 0.0]
+    _write_batches(
+        spark,
+        src,
+        [[(7, v_shard0, "insert"), (7, v_shard2, "insert"), (8, v_shard0, "insert")]],
+    )
+    path = tempfile.mkdtemp(prefix="vi_idx_")
+    VI.stream_vector_index_ingest(
+        _stream(spark, src), path, _centroids(spark), op_col="op", dim=4
+    )
+    raw = spark.read.parquet(f"{path}/data").filter(F.col("vec_id") == 7).collect()
+    assert len(raw) == 2
+    for r in raw:
+        expect = 0 if list(r.embedding) == v_shard0 else 2
+        assert r.shard_id == expect, (list(r.embedding), r.shard_id)
+
+
+def test_empty_index_and_unknown_op(spark):
+    # an index that never landed a batch reads as empty, not as an error
+    fresh = tempfile.mkdtemp(prefix="vi_idx_")
+    empty = VI.live_vectors(spark, fresh)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"vec_id", "embedding", "shard_id"}
+
+    # an op outside the contract fails the batch loudly (exactly-once
+    # sinks must not be silently lossy)
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    _write_batches(spark, src, [[(1, _vec(1), "Insert")]])
+    with pytest.raises(Exception, match="unknown op"):
+        VI.stream_vector_index_ingest(
+            _stream(spark, src), fresh, _centroids(spark), op_col="op", dim=4
+        )
+
+
+def test_compact_fully_deleted_index_is_empty_not_broken(spark):
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    _write_batches(spark, src, [_rows([1, 2]), _rows([1, 2], op="delete")])
+    path = tempfile.mkdtemp(prefix="vi_idx_")
+    VI.stream_vector_index_ingest(
+        _stream(spark, src), path, _centroids(spark), op_col="op", dim=4
+    )
+    dst = tempfile.mkdtemp(prefix="vi_cmp_") + "/idx"
+    assert VI.compact_index(spark, path, dst) == 0
+    assert VI.live_vectors(spark, dst).count() == 0
+
+
 def test_compact_folds_tombstones_and_preserves_live_view(spark):
     src = tempfile.mkdtemp(prefix="vi_src_")
     _write_batches(
