@@ -222,6 +222,7 @@ def nn_descent_knn_graph(
     seed: int = 1,
     merge_strategy: str = "window",
     sample_rate: float = 1.0,
+    local_join: str = "full",
 ) -> DataFrame:
     """Approximate kNN-graph construction by NN-Descent (Dong, Moses &
     Li, WWW 2011) — the build stage behind graph-ANN indexes
@@ -334,10 +335,40 @@ def nn_descent_knn_graph(
         .localCheckpoint()
     )
     rcap = reverse_cap if reverse_cap is not None else kb
+    # new/old flags (Dong et al. §2.2, the paper's actual candidate
+    # trim): a co-neighbor pair needs scoring only in a round where at
+    # least one endpoint is NEWLY arrived in the shared pivot's
+    # adjacency — a both-old pair was generated in the round the later
+    # endpoint arrived, and re-scoring it is pure waste (the duplicate
+    # collapses in the merge anyway). After round 1 most adjacency is
+    # old, so candidate volume per round drops toward the churn rate
+    # instead of staying at Σdeg². NOT guaranteed bit-identical to the
+    # full local join when reverse_cap truncates: an edge can persist
+    # in the graph while bouncing in and out of the capped reverse
+    # list, re-surfacing as "old" in a round the full join would have
+    # paired it — equality holds on the test fixtures, and recall is
+    # pinned either way. flags_new holds last round's graph additions
+    # (round 0: everything is new).
+    flags_new = None
+    if local_join == "new_old":
+        flags_new = graph.select("src", "dst")
     for it in range(iterations):
-        rev = graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "dist")
+        if local_join == "new_old":
+            g_ann = graph.join(
+                flags_new.withColumn("_new", F.lit(True)), ["src", "dst"], "left"
+            ).withColumn("_new", F.coalesce("_new", F.lit(False)))
+        else:
+            g_ann = graph.withColumn("_new", F.lit(True))
+        rev = g_ann.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "dist", "_new"
+        )
         rev = top_k_per_group(rev, ["src"], order, rcap).drop("rank")
-        both = graph.select("src", "dst").union(rev.select("src", "dst")).distinct()
+        both = (
+            g_ann.select("src", "dst", "_new")
+            .union(rev.select("src", "dst", "_new"))
+            .groupBy("src", "dst")
+            .agg(F.max("_new").alias("_new"))
+        )
         if sample_rate < 1.0:
             # the paper's ρ-sampling (Dong et al. §2.3), coarse form:
             # thin each adjacency list to an expected ρ fraction
@@ -373,12 +404,15 @@ def nn_descent_knn_graph(
         # joins). Duplicate pairs from shared pivots are rescored
         # (cheap codegen) and collapse in the dropDuplicates below.
         both_v = both.join(vt, both["dst"] == vt["_nid"]).select(
-            "src", "dst", F.col("_nvec").alias("_dv")
+            "src", "dst", "_new", F.col("_nvec").alias("_dv")
         )
+        pair_pred = F.col("a.dst") < F.col("b.dst")
+        if local_join == "new_old":
+            pair_pred = pair_pred & (F.col("a._new") | F.col("b._new"))
         pairs = (
             both_v.alias("a")
             .join(both_v.alias("b"), "src")
-            .filter(F.col("a.dst") < F.col("b.dst"))
+            .filter(pair_pred)
             .select(
                 F.col("a.dst").alias("u"),
                 F.col("b.dst").alias("v"),
@@ -410,18 +444,26 @@ def nn_descent_knn_graph(
                     kb,
                 ).alias("_nn")
             )
-            graph = (
+            graph_next = (
                 agg.select("src", F.explode("_nn").alias("_e"))
                 .select("src", F.col("_e.dst").alias("dst"), F.col("_e.dist").alias("dist"))
                 .localCheckpoint()
             )
         else:
             merged = merged.dropDuplicates(["src", "dst"])
-            graph = (
+            graph_next = (
                 top_k_per_group(merged, ["src"], order, kb)
                 .drop("rank")
                 .localCheckpoint()
             )
+        if local_join == "new_old":
+            # next round's "new" set = edges the merge just added
+            flags_new = (
+                graph_next.select("src", "dst")
+                .join(graph.select("src", "dst"), ["src", "dst"], "left_anti")
+                .localCheckpoint()
+            )
+        graph = graph_next
     return top_k_per_group(graph, ["src"], order, k)
 
 

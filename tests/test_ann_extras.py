@@ -125,6 +125,20 @@ def test_nn_descent_recall_improves_and_converges(spark, sf_dir):
         )
     )
     assert c == a
+    # new/old-flag local join (the paper's candidate trim): identical
+    # output on the fixture — a both-old co-neighbor pair was already
+    # scored in the round its later endpoint arrived (see the rcap
+    # caveat in the operator comment; equality is fixture-verified, the
+    # invariant argued, not guaranteed under reverse-cap churn)
+    d = sorted(
+        map(
+            tuple,
+            ANN.nn_descent_knn_graph(
+                emb, k=k, iterations=2, dim=64, local_join="new_old"
+            ).collect(),
+        )
+    )
+    assert d == a
 
 
 def test_nn_descent_covers_every_node(spark, sf_dir):
