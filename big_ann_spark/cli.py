@@ -129,6 +129,36 @@ def _build_parser() -> argparse.ArgumentParser:
     vs.add_argument("--out", default=None)
     vs.add_argument("--show", type=int, default=20)
 
+    pr = sub.add_parser(
+        "prep",
+        help="one-call pretraining prep: C4 -> PII -> quality -> exact "
+        "dedup -> near-dup reps -> per-source cap -> sample -> pack, "
+        "any subset, canonical order",
+    )
+    pr.add_argument("src", help="parquet/jsonl document directory")
+    pr.add_argument("dst", help="output dir: docs.parquet (+ pack.parquet)")
+    pr.add_argument("--format", default="parquet", choices=["json", "parquet"])
+    pr.add_argument(
+        "--steps",
+        default="c4,pii,quality,dedup,neardup",
+        help="comma list from c4,pii,quality,dedup,neardup,cap,sample,pack",
+    )
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--source-col", default="source")
+    pr.add_argument("--quality-min", type=float, default=0.5)
+    pr.add_argument("--neardup-threshold", type=float, default=0.8)
+    pr.add_argument("--shingle-n", type=int, default=3)
+    pr.add_argument("--max-per-source", type=int, default=None)
+    pr.add_argument("--sample-fraction", type=float, default=None)
+    pr.add_argument("--pack-ctx", type=int, default=None)
+    pr.add_argument(
+        "--counts",
+        action="store_true",
+        help="print surviving doc count after every step (one extra job "
+        "per step — a debugging aid)",
+    )
+
     vc = sub.add_parser(
         "vindex-compact",
         help="copy-on-write compaction: fold tombstones, land the live "
@@ -355,6 +385,37 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{out.count()} rows -> {args.out}")
         else:
             out.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "prep":
+        from big_ann_spark.pipeline import prep_corpus
+
+        reader = spark.read
+        docs = (
+            reader.json(args.src) if args.format == "json" else reader.parquet(args.src)
+        )
+        cleaned, placements, tally = prep_corpus(
+            docs,
+            [s for s in args.steps.split(",") if s],
+            id_col=args.id_col,
+            text_col=args.text_col,
+            source_col=args.source_col,
+            quality_min=args.quality_min,
+            neardup_threshold=args.neardup_threshold,
+            shingle_n=args.shingle_n,
+            max_per_source=args.max_per_source,
+            sample_fraction=args.sample_fraction,
+            pack_ctx=args.pack_ctx,
+            counts=args.counts,
+        )
+        cleaned.write.mode("overwrite").parquet(f"{args.dst}/docs.parquet")
+        for step, n in tally.items():
+            print(f"after {step}: {n} docs")
+        if placements is not None:
+            placements.write.mode("overwrite").parquet(f"{args.dst}/pack.parquet")
+        n = spark.read.parquet(f"{args.dst}/docs.parquet").count()
+        print(f"prep: {n} docs -> {args.dst}/docs.parquet"
+              + (" (+ pack.parquet)" if placements is not None else ""))
         return 0
 
     if args.cmd == "vindex-compact":

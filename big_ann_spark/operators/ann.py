@@ -223,6 +223,7 @@ def nn_descent_knn_graph(
     merge_strategy: str = "window",
     sample_rate: float = 1.0,
     local_join: str = "full",
+    converge_churn: float | None = None,
 ) -> DataFrame:
     """Approximate kNN-graph construction by NN-Descent (Dong, Moses &
     Li, WWW 2011) — the build stage behind graph-ANN indexes
@@ -252,6 +253,13 @@ def nn_descent_knn_graph(
     then truncating to k lifts recall from ~0.79 to ~0.99 on the 64-d
     gaussian fixtures (measured at n=300) because the wider frontier
     escapes local optima that a k-degree descent converges into.
+
+    ``converge_churn`` (requires ``local_join="new_old"``): stop as
+    soon as a round changes ≤ that fraction of the n·build_k graph
+    edges — the paper's delta stopping rule; ``iterations`` then acts
+    as the safety cap. Pair it with the new/old trim: converged rounds
+    are exactly the ones where the trim makes candidates ~10% of the
+    full join (SCALE.md).
 
     Returns ``(src, dst, dist, rank)``, rank 1..k by (dist, dst).
     """
@@ -350,8 +358,15 @@ def nn_descent_knn_graph(
     # pinned either way. flags_new holds last round's graph additions
     # (round 0: everything is new).
     flags_new = None
+    if converge_churn is not None and local_join != "new_old":
+        # churn is a by-product of the flags machinery; requiring the
+        # flag mode also means a convergence-driven build automatically
+        # runs the candidate trim that makes its late rounds ~10% cost
+        # (SCALE.md) — the regime the stop rule exists for
+        raise ValueError('converge_churn requires local_join="new_old"')
     if local_join == "new_old":
         flags_new = graph.select("src", "dst")
+    n_nodes = None
     for it in range(iterations):
         if local_join == "new_old":
             g_ann = graph.join(
@@ -464,6 +479,17 @@ def nn_descent_knn_graph(
                 .localCheckpoint()
             )
         graph = graph_next
+        if converge_churn is not None:
+            # stop when the merge changed ≤ converge_churn of the n·kb
+            # graph edges — run-to-convergence is NN-Descent's natural
+            # stopping rule (the paper's delta parameter), and
+            # `iterations` becomes the safety CAP, not the schedule.
+            # The count is on the already-checkpointed flags (no extra
+            # lineage), one tiny job per round.
+            if n_nodes is None:
+                n_nodes = n  # counted once at init
+            if flags_new.count() <= converge_churn * n_nodes * kb:
+                break
     return top_k_per_group(graph, ["src"], order, k)
 
 

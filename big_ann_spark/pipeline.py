@@ -1,0 +1,122 @@
+"""One-call pretraining-prep pipeline — the cleaning lifecycle the
+query registry certifies piecewise (pipeline_clean_corpus variants),
+packaged as a composable batch job a corpus owner actually runs:
+
+    C4 heuristics → PII redaction → quality floor → exact dedup →
+    near-dup (MinHash cluster reps) → per-source cap → hash sample →
+    sequence packing
+
+Every stage is one of the engine's oracle-checked operators applied in
+a FIXED canonical order (the order the public pipelines use: cheap
+page-local filters first so the expensive dedup joins see the smallest
+corpus; near-dup after exact so clusters are not inflated by byte
+clones; capping/sampling after dedup so caps count unique docs; packing
+last because it assigns offsets in final corpus order). ``steps``
+selects a subset; order is never caller-defined, so two runs with the
+same step set are always the same pipeline.
+
+100 TB posture is inherited from the pieces: page-local stages are pure
+column expressions in one scan; exact dedup shuffles 8-byte hashes;
+near-dup is the banded LSH family (hot-key caps available); cap/sample
+are content-stable hashes (WindowGroupLimit / filter); packing is the
+ranged two-pass prefix sum. Nothing here adds a driver-side loop."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STEP_ORDER = ["c4", "pii", "quality", "dedup", "neardup", "cap", "sample", "pack"]
+
+
+def prep_corpus(
+    docs: DataFrame,
+    steps: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    quality_min: float = 0.5,
+    neardup_threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_per_source: int | None = None,
+    sample_fraction: float | None = None,
+    pack_ctx: int | None = None,
+    counts: bool = False,
+) -> tuple[DataFrame, DataFrame | None, dict[str, int]]:
+    """Run the selected ``steps`` (any subset of ``STEP_ORDER``; applied
+    in canonical order regardless of the order given) over ``docs``.
+
+    Returns ``(cleaned_docs, pack_placements_or_None, step_counts)``.
+    ``step_counts`` maps step → surviving row count and is only
+    populated when ``counts=True`` (each count is an extra job — a
+    debugging aid, not the production path)."""
+    unknown = set(steps) - set(STEP_ORDER)
+    if unknown:
+        raise ValueError(f"unknown steps {sorted(unknown)}; choose from {STEP_ORDER}")
+    todo = [s for s in STEP_ORDER if s in set(steps)]
+    if "cap" in todo and max_per_source is None:
+        raise ValueError("step 'cap' needs max_per_source")
+    if "sample" in todo and sample_fraction is None:
+        raise ValueError("step 'sample' needs sample_fraction")
+    if "pack" in todo and pack_ctx is None:
+        raise ValueError("step 'pack' needs pack_ctx")
+
+    from big_ann_spark.functions import text as T
+    from big_ann_spark.operators import dedup as D
+
+    out = docs
+    placements = None
+    tally: dict[str, int] = {}
+    for step in todo:
+        if step == "c4":
+            c4 = T.c4_clean(text_col)
+            out = (
+                out.withColumn("_kept", c4["kept_text"])
+                .withColumn("_drop", c4["drop_page"])
+                .filter(~F.col("_drop"))
+                .withColumn(text_col, F.col("_kept"))
+                .drop("_kept", "_drop")
+            )
+        elif step == "pii":
+            out = out.withColumn(text_col, T.redact_pii(text_col))
+        elif step == "quality":
+            out = out.filter(T.quality_score(text_col) >= quality_min)
+        elif step == "dedup":
+            kept = D.exact_dedup(out, id_col=id_col, text_col=text_col).select(
+                F.col("kept_doc_id").alias(id_col)
+            )
+            out = out.join(kept, id_col, "leftsemi")
+        elif step == "neardup":
+            reps = D.minhash_dedup_clusters(
+                out,
+                id_col=id_col,
+                text_col=text_col,
+                n=shingle_n,
+                threshold=neardup_threshold,
+            )
+            out = out.join(
+                reps.filter(F.col("doc_id") == F.col("cluster_rep")).select(
+                    F.col("doc_id").alias(id_col)
+                ),
+                id_col,
+                "leftsemi",
+            )
+        elif step == "cap":
+            out = D.cap_per_source(
+                out, max_per_source, id_col=id_col, source_col=source_col
+            )
+        elif step == "sample":
+            out = D.hash_sample(out, sample_fraction, id_col=id_col)
+        elif step == "pack":
+            from big_ann_spark.operators.packing import pack_sequences
+
+            placements = pack_sequences(
+                out, pack_ctx, id_col=id_col, text_col=text_col
+            )
+        if counts and step != "pack":
+            # checkpoint each counted stage so the tally does not
+            # re-execute the whole prefix per step
+            out = out.localCheckpoint()
+            tally[step] = out.count()
+    return out, placements, tally

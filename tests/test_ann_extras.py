@@ -140,6 +140,24 @@ def test_nn_descent_recall_improves_and_converges(spark, sf_dir):
     )
     assert d == a
 
+    # delta stopping rule: with a generous churn bound the build stops
+    # early but still matches a fixed-2-iteration result (the bound is
+    # only reached after real progress), and converge_churn without the
+    # flags machinery is rejected
+    e = ANN.nn_descent_knn_graph(
+        emb, k=k, iterations=10, dim=64,
+        local_join="new_old", converge_churn=0.01,
+    )
+    pred_e = e.select(F.col("src").alias("qid"), F.col("dst").alias("neighbor_id"))
+    from big_ann_spark.operators.knn import recall_at_k as _rk
+
+    r_conv = _rk(pred_e, exact, k).collect()[0].recall_at_k
+    assert r_conv >= 0.9, r_conv
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="new_old"):
+        ANN.nn_descent_knn_graph(emb, k=k, iterations=2, dim=64, converge_churn=0.1)
+
 
 def test_nn_descent_covers_every_node(spark, sf_dir):
     """ADVICE r6: a node whose init buckets are all singletons used to
