@@ -396,7 +396,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         cleaned, placements, tally = prep_corpus(
             docs,
-            [s for s in args.steps.split(",") if s],
+            [s.strip() for s in args.steps.split(",") if s.strip()],
             id_col=args.id_col,
             text_col=args.text_col,
             source_col=args.source_col,

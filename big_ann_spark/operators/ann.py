@@ -244,9 +244,9 @@ def nn_descent_knn_graph(
     all-pairs graph build); every stage is an equi-join on node/pair
     keys or a WindowGroupLimit top-k, the graph state is exactly n·k
     rows, and ``localCheckpoint`` truncates per-round lineage (the
-    min_label_components pattern). This is the simple bounded-degree
-    full-local-join variant; the paper's new/old flag sampling only
-    trims constant factors.
+    min_label_components pattern). The default is the simple
+    bounded-degree full-local-join variant; ``local_join="new_old"``
+    enables the paper's new/old-flag trim (see below).
 
     ``build_k`` (default 2·k) is the internal graph degree — the
     standard search-amplification trick: descending on a 2× wider graph
@@ -358,6 +358,16 @@ def nn_descent_knn_graph(
     # pinned either way. flags_new holds last round's graph additions
     # (round 0: everything is new).
     flags_new = None
+    if sample_rate < 1.0 and local_join == "new_old":
+        # an edge Bernoulli-sampled out of its ONLY "new" round becomes
+        # old forever, so its co-neighbor pairs are never generated in
+        # any later round — the combination silently loses recall far
+        # beyond either knob's documented cost. The knobs also serve
+        # opposite regimes (volume-capped early rounds vs converged
+        # late rounds), so combining them is rejected, not repaired.
+        raise ValueError(
+            'sample_rate < 1.0 cannot combine with local_join="new_old"'
+        )
     if converge_churn is not None and local_join != "new_old":
         # churn is a by-product of the flags machinery; requiring the
         # flag mode also means a convergence-driven build automatically
@@ -366,7 +376,6 @@ def nn_descent_knn_graph(
         raise ValueError('converge_churn requires local_join="new_old"')
     if local_join == "new_old":
         flags_new = graph.select("src", "dst")
-    n_nodes = None
     for it in range(iterations):
         if local_join == "new_old":
             g_ann = graph.join(
@@ -400,8 +409,9 @@ def nn_descent_knn_graph(
             # SCALE.md: on a single node this coarse row-level variant
             # slows convergence faster than it cuts cost (a pair needs
             # both endpoints to survive on a shared pivot, ρ²/round);
-            # the paper's per-list + new/old-flag refinement is the
-            # unimplemented remainder.
+            # the new/old-flag refinement (local_join="new_old") is the
+            # principled alternative — mutually exclusive with this
+            # knob, see the guard above.
             both = both.filter(
                 F.pmod(
                     F.xxhash64("src", "dst", F.lit(seed), F.lit(1000 + it)),
@@ -471,8 +481,11 @@ def nn_descent_knn_graph(
                 .drop("rank")
                 .localCheckpoint()
             )
-        if local_join == "new_old":
-            # next round's "new" set = edges the merge just added
+        last_round = it == iterations - 1
+        if local_join == "new_old" and (converge_churn is not None or not last_round):
+            # next round's "new" set = edges the merge just added (on
+            # the final round the flags are only read by the churn
+            # stopping rule — skip the job entirely otherwise)
             flags_new = (
                 graph_next.select("src", "dst")
                 .join(graph.select("src", "dst"), ["src", "dst"], "left_anti")
@@ -486,9 +499,7 @@ def nn_descent_knn_graph(
             # `iterations` becomes the safety CAP, not the schedule.
             # The count is on the already-checkpointed flags (no extra
             # lineage), one tiny job per round.
-            if n_nodes is None:
-                n_nodes = n  # counted once at init
-            if flags_new.count() <= converge_churn * n_nodes * kb:
+            if flags_new.count() <= converge_churn * n * kb:
                 break
     return top_k_per_group(graph, ["src"], order, k)
 

@@ -99,11 +99,14 @@ def assign_to_centroids(
             ),
         )
     )
+    out_extra = [
+        c for c in (extra_cols or []) if c not in (id_col, centroid_id, "dist")
+    ]
     return joined.select(
         F.col(id_col),
         best["_sid"].alias(centroid_id),
         best["dist"].alias("dist"),
-        *(extra_cols or []),
+        *out_extra,
     )
 
 

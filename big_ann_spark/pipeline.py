@@ -61,6 +61,18 @@ def prep_corpus(
         raise ValueError("step 'sample' needs sample_fraction")
     if "pack" in todo and pack_ctx is None:
         raise ValueError("step 'pack' needs pack_ctx")
+    if {"cap", "sample"} & set(todo):
+        from pyspark.sql.types import IntegralType
+
+        if not isinstance(docs.schema[id_col].dataType, IntegralType):
+            # the content-stable hash is arithmetic mod p: a string id
+            # would cast to null and silently drop EVERY row
+            raise ValueError(
+                f"steps cap/sample hash the id column; {id_col!r} is "
+                f"{docs.schema[id_col].dataType.simpleString()}, need an "
+                "integer type (hash string ids to int64 first, e.g. "
+                "xxhash64)"
+            )
 
     from big_ann_spark.functions import text as T
     from big_ann_spark.operators import dedup as D
@@ -111,6 +123,10 @@ def prep_corpus(
         elif step == "pack":
             from big_ann_spark.operators.packing import pack_sequences
 
+            # pack_sequences runs eager bin/carry jobs and the caller
+            # writes BOTH outputs — checkpoint so the (possibly
+            # dedup-join-heavy) cleaning lineage executes once, not 3x
+            out = out.localCheckpoint()
             placements = pack_sequences(
                 out, pack_ctx, id_col=id_col, text_col=text_col
             )

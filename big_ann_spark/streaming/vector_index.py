@@ -123,16 +123,20 @@ def live_vectors(spark: SparkSession, path: str) -> DataFrame:
     import os
 
     committed = committed_batch_ids(path)
-    if not committed or not os.path.isdir(f"{path}/data"):
-        # an index that never landed a batch (empty runbook source, or
-        # every batch still uncommitted) is EMPTY, not an error — the
-        # canonical ingest schema (long id, float vectors) applies
+    if not os.path.isdir(f"{path}/data"):
+        # an index that never landed a batch (empty runbook source) is
+        # EMPTY, not an error — only here is there no on-disk schema to
+        # preserve, so the canonical ingest schema applies
         return spark.createDataFrame(
             [], "vec_id long, embedding array<float>, shard_id int"
         )
-    raw = spark.read.parquet(f"{path}/data").filter(
-        F.col("_batch_id").isin(committed)
-    )
+    raw = spark.read.parquet(f"{path}/data")
+    if not committed:
+        # data landed but nothing committed yet: empty view, but with
+        # the SOURCE's schema (an ingested array<double> corpus must not
+        # suddenly read as array<float> just because the view is empty)
+        return raw.select("vec_id", "embedding", "shard_id").limit(0)
+    raw = raw.filter(F.col("_batch_id").isin(committed))
     rank = F.when(F.col("op") == OP_DELETE, F.lit(1)).otherwise(F.lit(0))
     latest = raw.groupBy("vec_id").agg(
         F.max_by(

@@ -157,6 +157,13 @@ def test_nn_descent_recall_improves_and_converges(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="new_old"):
         ANN.nn_descent_knn_graph(emb, k=k, iterations=2, dim=64, converge_churn=0.1)
+    # sampling an edge out of its only "new" round would lose its pairs
+    # forever — the knob combination is rejected
+    with _pytest.raises(ValueError, match="cannot combine"):
+        ANN.nn_descent_knn_graph(
+            emb, k=k, iterations=2, dim=64,
+            sample_rate=0.5, local_join="new_old",
+        )
 
 
 def test_nn_descent_covers_every_node(spark, sf_dir):

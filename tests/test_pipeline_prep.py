@@ -41,6 +41,10 @@ def test_unknown_step_and_missing_params_rejected(spark, corpus):
         prep_corpus(corpus, ["sample"])
     with pytest.raises(ValueError, match="pack_ctx"):
         prep_corpus(corpus, ["pack"])
+    # string ids would hash to null and silently drop everything
+    s = corpus.withColumn("doc_id", F.col("doc_id").cast("string"))
+    with pytest.raises(ValueError, match="integer type"):
+        prep_corpus(s, ["sample"], sample_fraction=0.5)
 
 
 def test_steps_apply_in_canonical_order_regardless_of_input_order(spark, corpus):
