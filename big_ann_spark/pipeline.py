@@ -2,9 +2,9 @@
 query registry certifies piecewise (pipeline_clean_corpus variants),
 packaged as a composable batch job a corpus owner actually runs:
 
-    C4 heuristics → PII redaction → quality floor → exact dedup →
-    near-dup (MinHash cluster reps) → per-source cap → hash sample →
-    sequence packing
+    C4 heuristics → PII redaction → quality floor → model-based
+    quality (optional classifier) → exact dedup → near-dup (MinHash
+    cluster reps) → per-source cap → hash sample → sequence packing
 
 Every stage is one of the engine's oracle-checked operators applied in
 a FIXED canonical order (the order the public pipelines use: cheap
@@ -26,7 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-STEP_ORDER = ["c4", "pii", "quality", "dedup", "neardup", "cap", "sample", "pack"]
+STEP_ORDER = [
+    "c4", "pii", "quality", "mlquality", "dedup", "neardup", "cap", "sample", "pack",
+]
 
 
 def prep_corpus(
@@ -37,6 +39,8 @@ def prep_corpus(
     text_col: str = "text",
     source_col: str = "source",
     quality_min: float = 0.5,
+    quality_model=None,
+    mlquality_min: float = 0.5,
     neardup_threshold: float = 0.8,
     shingle_n: int = 3,
     max_per_source: int | None = None,
@@ -61,6 +65,11 @@ def prep_corpus(
         raise ValueError("step 'sample' needs sample_fraction")
     if "pack" in todo and pack_ctx is None:
         raise ValueError("step 'pack' needs pack_ctx")
+    if "mlquality" in todo and quality_model is None:
+        raise ValueError(
+            "step 'mlquality' needs quality_model (a PipelineModel from "
+            "operators.quality_model.train_quality_classifier)"
+        )
     if {"cap", "sample"} & set(todo):
         from pyspark.sql.types import IntegralType
 
@@ -94,6 +103,14 @@ def prep_corpus(
             out = out.withColumn(text_col, T.redact_pii(text_col))
         elif step == "quality":
             out = out.filter(T.quality_score(text_col) >= quality_min)
+        elif step == "mlquality":
+            from big_ann_spark.operators.quality_model import score_quality
+
+            out = (
+                score_quality(out, quality_model, text_col=text_col)
+                .filter(F.col("q_prob") >= mlquality_min)
+                .drop("q_prob")
+            )
         elif step == "dedup":
             kept = D.exact_dedup(out, id_col=id_col, text_col=text_col).select(
                 F.col("kept_doc_id").alias(id_col)
