@@ -128,6 +128,46 @@ def poly_hash(
     )
 
 
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL for URL-keyed dedup — the cheap pre-pass crawl
+    pipelines run BEFORE content dedup (two fetches of one page differ
+    only in tracking params / scheme / case / trailing slash far more
+    often than in bytes). Pure regexp column expressions, one scan:
+
+    1. strip the scheme (http/https) and a leading ``www.``;
+    2. lowercase the host (path case is significant per RFC 3986 and is
+       preserved);
+    3. drop known tracking query params (utm_*, gclid, fbclid, ref) and
+       then an emptied ``?``;
+    4. drop the fragment and any trailing slash.
+
+    Deliberately conservative: no param re-ordering, no percent-decode
+    — those change semantics on real sites; this removes only noise
+    that provably does not address different content."""
+    c = F.col(url) if isinstance(url, str) else url
+    c = F.regexp_replace(c, r"^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    c = F.regexp_replace(c, r"^[Ww]{3}\.", "")
+    # lowercase ONLY the host part (up to the first / ? or #)
+    host = F.lower(F.regexp_extract(c, r"^([^/?#]*)", 1))
+    rest = F.regexp_replace(c, r"^[^/?#]*", "")
+    c = F.concat(host, rest)
+    c = F.regexp_replace(c, r"#.*$", "")
+    # rebuild the query from its surviving params (array ops, not
+    # positional regex surgery — dropping the FIRST param must not
+    # leave a dangling '&' where the '?' belongs)
+    base = F.regexp_extract(c, r"^([^?]*)", 1)
+    params = F.split(F.regexp_extract(c, r"\?(.*)$", 1), "&")
+    kept_params = F.filter(
+        params,
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="),
+    )
+    newq = F.array_join(kept_params, "&")
+    c = F.when(newq == "", base).otherwise(F.concat(base, F.lit("?"), newq))
+    c = F.regexp_replace(c, r"/+$", "")
+    return c
+
+
 def char_fingerprint(text: Column | str) -> Column:
     """Polynomial rolling hash over characters, mod 1e9+7 — the
     document-fingerprinting primitive."""

@@ -835,3 +835,33 @@ def test_cap_per_source(spark):
         rows[:10], "doc_id long, text string, source string"
     )
     assert D.cap_per_source(tiny, 50).count() == 10
+
+
+def test_normalize_url_and_url_dedup(spark):
+    from big_ann_spark.functions import text as T
+
+    cases = [
+        # (raw, canonical)
+        ("https://WWW.Example.COM/Path/Page/", "example.com/Path/Page"),
+        ("http://example.com/Path/Page", "example.com/Path/Page"),
+        ("https://example.com/a?utm_source=x&utm_medium=y", "example.com/a"),
+        ("https://example.com/a?id=7&utm_source=x", "example.com/a?id=7"),
+        ("https://example.com/a?utm_source=x&id=7", "example.com/a?id=7"),
+        ("https://example.com/a#frag", "example.com/a"),
+        ("example.com/a/", "example.com/a"),
+        # path case is SIGNIFICANT and must survive; host case must not
+        ("HTTP://EXAMPLE.com/CaseSensitivePath", "example.com/CaseSensitivePath"),
+        ("https://example.com/b?gclid=123&fbclid=9", "example.com/b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {r.i: r.n for r in df.select("i", T.normalize_url("url").alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+    # URL-keyed dedup: all variants of /Path/Page collapse to one key
+    keys = df.select(T.normalize_url("url").alias("n")).filter(
+        F.col("n") == "example.com/Path/Page"
+    )
+    assert keys.count() == 2
