@@ -167,6 +167,19 @@ def _build_parser() -> argparse.ArgumentParser:
     vc.add_argument("src", help="dir produced by vindex-ingest")
     vc.add_argument("dst", help="fresh index dir")
 
+    ev = sub.add_parser(
+        "evaluate",
+        help="recall@k of a built IVF index against a big-ann ground-"
+        "truth file (nq/k header + int32 ids + float32 dists)",
+    )
+    ev.add_argument("index", help="dir produced by build-index")
+    ev.add_argument("queries", help="parquet OR fbin/u8bin/i8bin query vectors")
+    ev.add_argument("gt", help="ground-truth file (big-ann GT format)")
+    ev.add_argument("--k", type=int, default=10)
+    ev.add_argument("--nprobe", type=int, default=2)
+    ev.add_argument("--id-col", default="vec_id")
+    ev.add_argument("--vec-col", default="embedding")
+
     f2p = sub.add_parser("fbin-to-parquet", help="distributed fbin/ibin/u8bin -> parquet")
     f2p.add_argument("src")
     f2p.add_argument("dst")
@@ -426,6 +439,31 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from big_ann_spark.sources import fbin as FB
+
+    if args.cmd == "evaluate":
+        from big_ann_spark.operators import ann as ANN
+        from big_ann_spark.operators.knn import recall_at_k
+
+        cents = spark.read.parquet(f"{args.index}/centroids.parquet")
+        shards = spark.read.parquet(f"{args.index}/shards")
+        if args.queries.endswith(".parquet") or args.queries.rstrip("/").endswith(
+            ".parquet"
+        ):
+            q = spark.read.parquet(args.queries).select(
+                F.col(args.id_col).alias("qid"), F.col(args.vec_col).alias("qvec")
+            )
+        else:
+            q = FB.read_fbin_spark(spark, args.queries).select(
+                F.col("id").alias("qid"), F.col("vec").alias("qvec")
+            )
+        pred = ANN.ivf_search(
+            q, shards, cents, k=args.k, nprobe=args.nprobe,
+            id_col=args.id_col, vec_col=args.vec_col,
+        ).select("qid", "neighbor_id", "rank")
+        gt = FB.ground_truth_df(spark, args.gt, k=args.k)
+        r = recall_at_k(pred, gt, args.k).collect()[0].recall_at_k
+        print(f"recall@{args.k} (nprobe={args.nprobe}): {r:.4f}")
+        return 0
 
     if args.cmd == "fbin-to-parquet":
         df = FB.read_fbin_spark(spark, args.src)

@@ -76,6 +76,50 @@ def write_vectors_local(path: str, mat: np.ndarray) -> None:
         f.write(np.ascontiguousarray(mat, dtype=dtype).tobytes())
 
 
+def read_ground_truth_local(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read a big-ann-benchmarks ground-truth file: 8-byte
+    ``(nq:int32, k:int32)`` header, then ``nq·k`` int32 neighbor ids,
+    then ``nq·k`` float32 distances (the public GT format shipped with
+    every track dataset the reference targets; the reference itself
+    computes recall only against its own brute force, ``recall.py:34``,
+    so this reader out-covers it). Returns ``(ids (nq,k) int32,
+    dists (nq,k) float32)``."""
+    nq, k = read_header(path)
+    with open(path, "rb") as f:
+        f.seek(8)
+        ids = np.frombuffer(f.read(nq * k * 4), dtype=np.int32).reshape(nq, k)
+        dists = np.frombuffer(f.read(nq * k * 4), dtype=np.float32).reshape(nq, k)
+    return ids, dists
+
+
+def write_ground_truth_local(path: str, ids: np.ndarray, dists: np.ndarray) -> None:
+    """Write the big-ann GT format (see ``read_ground_truth_local``)."""
+    if ids.shape != dists.shape or ids.ndim != 2:
+        raise ValueError("ids and dists must be identically-shaped (nq, k)")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", ids.shape[0], ids.shape[1]))
+        f.write(np.ascontiguousarray(ids, dtype=np.int32).tobytes())
+        f.write(np.ascontiguousarray(dists, dtype=np.float32).tobytes())
+
+
+def ground_truth_df(
+    spark: SparkSession, path: str, k: int | None = None
+) -> DataFrame:
+    """GT file → ``(qid, neighbor_id, rank)`` DataFrame, truncated to
+    the first ``k`` columns — the shape ``operators/knn.recall_at_k``
+    expects for its exact side. GT files are small by contract (nq ≤
+    10k in every public track), so a driver-side parse is the honest
+    path; the searchable BASE is the big side, never the GT."""
+    ids, _ = read_ground_truth_local(path)
+    kk = ids.shape[1] if k is None else min(k, ids.shape[1])
+    rows = [
+        (int(q), int(ids[q, r]), r + 1)
+        for q in range(ids.shape[0])
+        for r in range(kk)
+    ]
+    return spark.createDataFrame(rows, "qid long, neighbor_id long, rank int")
+
+
 def read_fbin_spark(spark: SparkSession, path_glob: str) -> DataFrame:
     """Distributed fbin/u8bin/ibin → DataFrame(id long, vec
     array<float>) ingest. Ids are file-row ordinals offset by the

@@ -135,3 +135,60 @@ def test_cli_float_rebuild_over_sq8_index(spark, sf_dir, tmp_path):
     assert main(["search", idx, src, "--k", "5", "--nprobe", "2", "--out", out]) == 0
     n_q = load_table(spark, sf_dir, "embeddings").count()
     assert spark.read.parquet(out).count() == 5 * n_q
+
+
+def test_gt_round_trip_and_cli_evaluate(spark, sf_dir, tmp_path):
+    """Ground-truth file round-trip (big-ann GT format) and the
+    `evaluate` CLI closing the benchmark loop: at nprobe == m the IVF
+    search is exhaustive, so recall vs an exact-kNN-derived GT is 1.0."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_ann_spark.cli import main
+    from big_ann_spark.operators.knn import exact_knn
+    from big_ann_spark.sources import fbin as FB
+
+    ids = np.arange(12, dtype=np.int32).reshape(3, 4)
+    dists = (ids * 0.5).astype(np.float32)
+    gt_path = str(tmp_path / "gt.ibin")
+    FB.write_ground_truth_local(gt_path, ids, dists)
+    r_ids, r_dists = FB.read_ground_truth_local(gt_path)
+    assert (r_ids == ids).all() and np.allclose(r_dists, dists)
+    gdf = FB.ground_truth_df(spark, gt_path, k=2)
+    assert gdf.count() == 6  # 3 queries x first-2 columns
+
+    # end-to-end: build a small index, GT from exact kNN, evaluate
+    src = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(src).filter(F.col("vec_id") < 300)
+    emb_path = str(tmp_path / "emb.parquet")
+    emb.write.parquet(emb_path)
+    q = emb.filter(F.col("vec_id") < 8)
+    q_path = str(tmp_path / "q.parquet")
+    q.write.parquet(q_path)
+    exact = exact_knn(
+        q, emb, k=5,
+        query_id="vec_id", query_vec="embedding",
+        base_id="vec_id", base_vec="embedding", impl="sql",
+    ).collect()
+    nq, k = 8, 5
+    gids = np.zeros((nq, k), dtype=np.int32)
+    gd = np.zeros((nq, k), dtype=np.float32)
+    for r in exact:
+        gids[r.qid, r.rank - 1] = r.neighbor_id
+        gd[r.qid, r.rank - 1] = r.dist
+    gt2 = str(tmp_path / "gt2.ibin")
+    FB.write_ground_truth_local(gt2, gids, gd)
+
+    idx = str(tmp_path / "idx")
+    assert main(["build-index", emb_path, idx, "--m", "4"]) == 0
+    # exhaustive probe of every shard -> identical to exact -> recall 1.0
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(
+            ["evaluate", idx, q_path, gt2, "--k", "5", "--nprobe", "4"]
+        ) == 0
+    out = buf.getvalue()
+    assert "recall@5" in out and "1.0000" in out, out
