@@ -141,12 +141,20 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument(
         "--steps",
         default="c4,pii,quality,dedup,neardup",
-        help="comma list from c4,pii,quality,dedup,neardup,cap,sample,pack",
+        help="comma list from c4,pii,quality,mlquality,dedup,neardup,"
+        "cap,sample,pack",
     )
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument("--text-col", default="text")
     pr.add_argument("--source-col", default="source")
     pr.add_argument("--quality-min", type=float, default=0.5)
+    pr.add_argument(
+        "--quality-model",
+        default=None,
+        help="saved PipelineModel dir (operators.quality_model) for the "
+        "mlquality step",
+    )
+    pr.add_argument("--mlquality-min", type=float, default=0.5)
     pr.add_argument("--neardup-threshold", type=float, default=0.8)
     pr.add_argument("--shingle-n", type=int, default=3)
     pr.add_argument("--max-per-source", type=int, default=None)
@@ -177,8 +185,18 @@ def _build_parser() -> argparse.ArgumentParser:
     ev.add_argument("gt", help="ground-truth file (big-ann GT format)")
     ev.add_argument("--k", type=int, default=10)
     ev.add_argument("--nprobe", type=int, default=2)
-    ev.add_argument("--id-col", default="vec_id")
-    ev.add_argument("--vec-col", default="embedding")
+    ev.add_argument("--id-col", default="vec_id", help="index shard id column")
+    ev.add_argument("--vec-col", default="embedding", help="index shard vector column")
+    ev.add_argument(
+        "--query-id-col",
+        default=None,
+        help="query parquet id column (default: --id-col). GT qids are "
+        "POSITIONAL (row 0..nq-1 of the GT file), so query ids must be "
+        "exactly 0..nq-1 — validated before searching.",
+    )
+    ev.add_argument(
+        "--query-vec-col", default=None, help="query parquet vector column (default: --vec-col)"
+    )
 
     f2p = sub.add_parser("fbin-to-parquet", help="distributed fbin/ibin/u8bin -> parquet")
     f2p.add_argument("src")
@@ -225,6 +243,38 @@ def _build_parser() -> argparse.ArgumentParser:
         "with their signature/shingle stores)",
     )
     return p
+
+
+def _load_index_shards(spark, index: str, id_col: str, vec_col: str):
+    """Read a build-index dir's shards, decoding SQ8 codes when present.
+    SQ8 auto-detect keys off the DATA ('codes' column present), not off
+    the sidecar file: a float rebuild into a dir that previously held an
+    --sq8 index overwrites shards/ but leaves the stale
+    sq8_ranges.parquet behind, and sidecar-keyed detection would then
+    reference a nonexistent codes column. The decode is a pure
+    projection placed above the pruned scan, so only probed shards
+    decode."""
+    from pyspark.sql import functions as F
+
+    shards = spark.read.parquet(f"{index}/shards")
+    if "codes" in shards.columns:
+        rows = spark.read.parquet(f"{index}/sq8_ranges.parquet").collect()
+        if not rows:
+            raise SystemExit(
+                f"{index}: shards carry sq8 codes but sq8_ranges.parquet "
+                "is empty — rebuild the index"
+            )
+        rng = rows[0]
+        from big_ann_spark.operators import pq as PQ
+
+        shards = shards.select(
+            id_col,
+            "shard_id",
+            PQ.sq8_decode_col(
+                F.col("codes"), list(rng.mins), list(rng.maxs)
+            ).alias(vec_col),
+        )
+    return shards
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -323,33 +373,7 @@ def main(argv: list[str] | None = None) -> int:
         from big_ann_spark.operators import ann as ANN
 
         cents = spark.read.parquet(f"{args.index}/centroids.parquet")
-        shards = spark.read.parquet(f"{args.index}/shards")
-        # SQ8 auto-detect keys off the DATA ('codes' column present),
-        # not off the sidecar file: a float rebuild into a dir that
-        # previously held an --sq8 index overwrites shards/ but leaves
-        # the stale sq8_ranges.parquet behind, and sidecar-keyed
-        # detection would then reference a nonexistent codes column.
-        # The decode is a pure projection placed above the pruned scan,
-        # so only probed shards decode.
-        if "codes" in shards.columns:
-            rows = spark.read.parquet(
-                f"{args.index}/sq8_ranges.parquet"
-            ).collect()
-            if not rows:
-                raise SystemExit(
-                    f"{args.index}: shards carry sq8 codes but "
-                    "sq8_ranges.parquet is empty — rebuild the index"
-                )
-            rng = rows[0]
-            from big_ann_spark.operators import pq as PQ
-
-            shards = shards.select(
-                args.id_col,
-                "shard_id",
-                PQ.sq8_decode_col(
-                    F.col("codes"), list(rng.mins), list(rng.maxs)
-                ).alias(args.vec_col),
-            )
+        shards = _load_index_shards(spark, args.index, args.id_col, args.vec_col)
         q = spark.read.parquet(args.queries).select(
             F.col(args.id_col).alias("qid"), F.col(args.vec_col).alias("qvec")
         )
@@ -407,6 +431,11 @@ def main(argv: list[str] | None = None) -> int:
         docs = (
             reader.json(args.src) if args.format == "json" else reader.parquet(args.src)
         )
+        qmodel = None
+        if args.quality_model:
+            from pyspark.ml import PipelineModel
+
+            qmodel = PipelineModel.load(args.quality_model)
         cleaned, placements, tally = prep_corpus(
             docs,
             [s.strip() for s in args.steps.split(",") if s.strip()],
@@ -414,6 +443,8 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
             source_col=args.source_col,
             quality_min=args.quality_min,
+            quality_model=qmodel,
+            mlquality_min=args.mlquality_min,
             neardup_threshold=args.neardup_threshold,
             shingle_n=args.shingle_n,
             max_per_source=args.max_per_source,
@@ -444,17 +475,35 @@ def main(argv: list[str] | None = None) -> int:
         from big_ann_spark.operators import ann as ANN
         from big_ann_spark.operators.knn import recall_at_k
 
+        nq, gt_k = FB.read_header(args.gt)
+        if args.k > gt_k:
+            raise SystemExit(
+                f"--k {args.k} exceeds the GT file's k={gt_k}: recall@"
+                f"{args.k} cannot be computed from {args.gt} (it would "
+                "silently cap below 1.0)"
+            )
         cents = spark.read.parquet(f"{args.index}/centroids.parquet")
-        shards = spark.read.parquet(f"{args.index}/shards")
-        if args.queries.endswith(".parquet") or args.queries.rstrip("/").endswith(
-            ".parquet"
-        ):
+        shards = _load_index_shards(spark, args.index, args.id_col, args.vec_col)
+        if args.queries.rstrip("/").endswith(".parquet"):
+            qic = args.query_id_col or args.id_col
+            qvc = args.query_vec_col or args.vec_col
             q = spark.read.parquet(args.queries).select(
-                F.col(args.id_col).alias("qid"), F.col(args.vec_col).alias("qvec")
+                F.col(qic).alias("qid"), F.col(qvc).alias("qvec")
             )
         else:
             q = FB.read_fbin_spark(spark, args.queries).select(
                 F.col("id").alias("qid"), F.col("vec").alias("qvec")
+            )
+        # GT qids are positional by format; a query id set that is not
+        # exactly 0..nq-1 would inner-join to nothing and print a
+        # silent recall 0 — fail loudly instead (query batches are
+        # small by the GT contract, so the collect is bounded)
+        qids = sorted(r.qid for r in q.select("qid").collect())
+        if qids != list(range(nq)):
+            raise SystemExit(
+                f"query ids must be the GT row ordinals 0..{nq - 1} "
+                f"(got {len(qids)} ids, first/last "
+                f"{qids[0] if qids else None}/{qids[-1] if qids else None})"
             )
         pred = ANN.ivf_search(
             q, shards, cents, k=args.k, nprobe=args.nprobe,

@@ -139,7 +139,8 @@ def normalize_url(url: Column | str) -> Column:
        preserved);
     3. drop known tracking query params (utm_*, gclid, fbclid, ref) and
        then an emptied ``?``;
-    4. drop the fragment and any trailing slash.
+    4. drop the fragment and the PATH's trailing slash (a slash ending
+       a query-parameter value is content-addressing and survives).
 
     Deliberately conservative: no param re-ordering, no percent-decode
     — those change semantics on real sites; this removes only noise
@@ -163,9 +164,11 @@ def normalize_url(url: Column | str) -> Column:
         & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="),
     )
     newq = F.array_join(kept_params, "&")
-    c = F.when(newq == "", base).otherwise(F.concat(base, F.lit("?"), newq))
-    c = F.regexp_replace(c, r"/+$", "")
-    return c
+    # trailing-slash strip applies to the PATH only — a query-parameter
+    # value ending in '/' (?next=/admin/) addresses different content
+    # and must survive
+    base = F.regexp_replace(base, r"/+$", "")
+    return F.when(newq == "", base).otherwise(F.concat(base, F.lit("?"), newq))
 
 
 def char_fingerprint(text: Column | str) -> Column:

@@ -73,7 +73,15 @@ def score_quality(
     quality exactly like the FineWeb-Edu threshold."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(docs)
+    inp = model.stages[0].getInputCol()
+    feed = docs
+    if text_col != inp:
+        # rebind the scoring column to the model's trained input name —
+        # without this the parameter would silently score a stale
+        # column (or fail) whenever the caller's text column differs
+        # from the training-time name
+        feed = docs.withColumn(inp, F.col(text_col))
+    scored = model.transform(feed)
     return scored.select(
         *docs.columns,
         vector_to_array("probability").getItem(1).alias(prob_col),

@@ -852,6 +852,9 @@ def test_normalize_url_and_url_dedup(spark):
         # path case is SIGNIFICANT and must survive; host case must not
         ("HTTP://EXAMPLE.com/CaseSensitivePath", "example.com/CaseSensitivePath"),
         ("https://example.com/b?gclid=123&fbclid=9", "example.com/b"),
+        # a slash ending a query VALUE is content-addressing: preserved
+        ("https://example.com/login?next=/admin/", "example.com/login?next=/admin/"),
+        ("https://example.com/login/?next=/admin/", "example.com/login?next=/admin/"),
     ]
     df = spark.createDataFrame(
         [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, url string"

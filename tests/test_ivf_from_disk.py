@@ -192,3 +192,41 @@ def test_gt_round_trip_and_cli_evaluate(spark, sf_dir, tmp_path):
         ) == 0
     out = buf.getvalue()
     assert "recall@5" in out and "1.0000" in out, out
+
+
+def test_cli_evaluate_guards_and_sq8(spark, sf_dir, tmp_path):
+    """evaluate must work on --sq8 indexes (shared shard loader) and
+    fail LOUDLY — not print recall 0 — on non-ordinal query ids or a
+    --k the GT file cannot support."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_ann_spark.cli import main
+    from big_ann_spark.sources import fbin as FB
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    emb_path = str(tmp_path / "emb.parquet")
+    emb.write.parquet(emb_path)
+    q_path = str(tmp_path / "q.parquet")
+    emb.filter(F.col("vec_id") < 4).write.parquet(q_path)
+    gt = str(tmp_path / "gt.ibin")
+    FB.write_ground_truth_local(
+        gt,
+        np.arange(12, dtype=np.int32).reshape(4, 3),
+        np.zeros((4, 3), dtype=np.float32),
+    )
+    idx = str(tmp_path / "idx8")
+    assert main(["build-index", emb_path, idx, "--m", "4", "--sq8"]) == 0
+    # sq8 index evaluates (decode path shared with `search`)
+    assert main(["evaluate", idx, q_path, gt, "--k", "3", "--nprobe", "4"]) == 0
+    # --k beyond the GT file's k is an error, not a silently-capped metric
+    with pytest.raises(SystemExit, match="exceeds the GT file"):
+        main(["evaluate", idx, q_path, gt, "--k", "5"])
+    # non-ordinal query ids are an error, not recall 0
+    bad_q = str(tmp_path / "badq.parquet")
+    emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 104)).write.parquet(bad_q)
+    with pytest.raises(SystemExit, match="row ordinals"):
+        main(["evaluate", idx, bad_q, gt, "--k", "3"])

@@ -85,6 +85,19 @@ def test_prep_mlquality_step(spark):
     assert set(out.columns) == {"doc_id", "text", "source"}  # q_prob dropped
 
 
+def test_score_quality_rebinds_text_col(spark):
+    docs = _corpus(spark, n=15)
+    model = train_quality_classifier(
+        heuristic_labels(docs), num_features=1 << 12, max_iter=10
+    )
+    renamed = docs.withColumnRenamed("text", "body")
+    scored = score_quality(renamed, model, text_col="body")
+    assert set(scored.columns) == {"doc_id", "body", "q_prob"}
+    base = {r.doc_id: round(r.q_prob, 9) for r in score_quality(docs, model).collect()}
+    got = {r.doc_id: round(r.q_prob, 9) for r in scored.collect()}
+    assert got == base
+
+
 def test_model_persistence_round_trip(spark, tmp_path):
     from pyspark.ml import PipelineModel
 
@@ -98,3 +111,20 @@ def test_model_persistence_round_trip(spark, tmp_path):
     a = {(r.doc_id, round(r.q_prob, 9)) for r in score_quality(docs, model).collect()}
     b = {(r.doc_id, round(r.q_prob, 9)) for r in score_quality(docs, reloaded).collect()}
     assert a == b
+
+    # the saved model is reachable from the prep CLI (--quality-model)
+    import tempfile
+
+    from big_ann_spark.cli import main
+
+    src = tempfile.mkdtemp(prefix="qm_src_")
+    docs.withColumn("source", __import__("pyspark").sql.functions.lit("s")) \
+        .write.mode("overwrite").parquet(src)
+    dst = str(tmp_path / "prep_out")
+    assert main([
+        "prep", src, dst, "--steps", "mlquality",
+        "--quality-model", path, "--mlquality-min", "0.5",
+    ]) == 0
+    out = spark.read.parquet(f"{dst}/docs.parquet")
+    assert out.count() > 0
+    assert all(r.doc_id < 1000 for r in out.collect())
