@@ -94,6 +94,7 @@ def ivf_search(
     vec_col: str = "embedding",
     dim: int | None = None,
     static_prune: bool = True,
+    _routed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k: route → candidate join on shard_id → per-query top-k
     globally re-ranked by true distance (W2: union of per-shard
@@ -110,9 +111,20 @@ def ivf_search(
     for this plan shape, silently degrading to a full scan — 11 s vs
     0.9 s at 2M vectors). Disable for huge query batches that probe
     every shard anyway (the filter is then a no-op costing one routing
-    pass)."""
-    routed = route_queries(queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim)
-    if static_prune:
+    pass).
+
+    ``_routed``: a caller that already computed (and pruned its scan
+    by) the routing table passes it here so the centroid argmin is not
+    recomputed — the streaming live-view search does exactly this;
+    implies ``static_prune`` handling stays with the caller."""
+    routed = (
+        _routed
+        if _routed is not None
+        else route_queries(
+            queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim
+        )
+    )
+    if static_prune and _routed is None:
         # materialize routing ONCE: the distinct-id collect and the
         # candidate join below both reuse it (without this the routing
         # lineage — centroid agg + broadcast argmin — executes twice)

@@ -173,6 +173,21 @@ df AS (
 rf AS (SELECT qid, neighbor_id, dist,
               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
        FROM df),
+-- filtered_tags: tag-CONTAINMENT constraint (neighbor's tag set must
+-- cover the query's) — the other big-ann "filtered" predicate shape;
+-- tags derived deterministically from document attributes
+tg AS (SELECT doc_id, ['lang:' || lang, 'src:' || source] AS tags FROM documents),
+qt AS (SELECT q.qid, q.qv, t.tags AS qtags FROM q JOIN tg t ON t.doc_id = q.qid),
+dt AS (
+  SELECT qt.qid, e.vec_id AS neighbor_id,
+         {_L2_SQL.format(a="qt.qv", b="e.v")} AS dist
+  FROM emb e JOIN tg bt ON bt.doc_id = e.vec_id
+  JOIN qt ON list_has_all(bt.tags, qt.qtags)
+  WHERE e.vec_id <> qt.qid
+),
+rt AS (SELECT qid, neighbor_id, dist,
+              row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+       FROM dt),
 -- sparse: threshold-sparsified postings, inverted-index MIPS top-3
 -- (big-ann "sparse" track shape)
 spx AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS dim, v FROM emb),
@@ -204,6 +219,8 @@ u AS (
   UNION ALL
   SELECT 'filtered', qid, neighbor_id, ROUND(dist, 6), rk FROM rf WHERE rk <= 3
   UNION ALL
+  SELECT 'filtered_tags', qid, neighbor_id, ROUND(dist, 6), rk FROM rt WHERE rk <= 3
+  UNION ALL
   SELECT 'sparse', qid, neighbor_id, ROUND(score, 6), rk FROM rs WHERE rk <= 3
   UNION ALL
   SELECT 'hybrid', qid, neighbor_id, ROUND(rrf, 6), rk FROM rh WHERE rk <= 3
@@ -225,6 +242,12 @@ def doc_retrieval_top3(spark, sf_dir):
       the crossJoin+equality into a BroadcastHashJoin keyed on the
       label, so only same-lang pairs are ever scored (and a
       lang-partitioned base would prune scans at 100 TB);
+    - ``filtered_tags``: the track's other predicate shape —
+      tag-CONTAINMENT (neighbor's tag set ⊇ query's; tags derived
+      deterministically as ``lang:*``/``src:*``). Candidates come off
+      the query's rarest-tag posting list (prebuilt once via
+      ``build_tag_postings`` and passed in — the VERDICT-r7 #5 reuse
+      path), containment + distance verified on candidates only;
     - ``sparse``: the "sparse"-track shape — embeddings sparsified at
       tau=0.15 into COO postings, inverted-index equi-join on dim,
       map-side-combined sum of products, MIPS top-3. Scored volume is
@@ -279,6 +302,30 @@ def doc_retrieval_top3(spark, sf_dir):
         exclude_self=True,
     ).select("qid", "neighbor_id", F.col("dist").alias("score"), "rank")
 
+    from big_ann_spark.operators.knn import build_tag_postings
+
+    tagged = emb.join(docs.select("doc_id", "lang", "source"), emb.vec_id == docs.doc_id).select(
+        "vec_id",
+        "embedding",
+        F.array(
+            F.concat(F.lit("lang:"), F.col("lang")),
+            F.concat(F.lit("src:"), F.col("source")),
+        ).alias("tags"),
+    )
+    tag_postings = build_tag_postings(tagged, base_id="vec_id", tags_col="tags")
+    filtered_tags = filtered_knn(
+        tagged.filter(F.col("vec_id") < 5),
+        tagged,
+        k=3,
+        query_id="vec_id",
+        query_vec="embedding",
+        base_id="vec_id",
+        base_vec="embedding",
+        tags_col="tags",
+        exclude_self=True,
+        postings=tag_postings,
+    ).select("qid", "neighbor_id", F.col("dist").alias("score"), "rank")
+
     postings = sparsify_dense(emb, id_col="vec_id", vec_col="embedding", tau=0.15)
     sparse10 = sparse_mips_topk(
         postings.filter(F.col("id") < 5), postings, k=10, exclude_self=True
@@ -306,6 +353,7 @@ def doc_retrieval_top3(spark, sf_dir):
     u = (
         _tag(dense, "dense")
         .unionByName(_tag(filtered, "filtered"))
+        .unionByName(_tag(filtered_tags, "filtered_tags"))
         .unionByName(_tag(sparse, "sparse"))
         .unionByName(_tag(hybrid, "hybrid"))
     )

@@ -15,7 +15,9 @@ absorb updates. This module composes pieces that already exist:
   overwrite + commit markers), partitioned by ``(shard_id,
   _batch_id)`` so replayed batches overwrite only themselves and
   search scans only probed shards;
-- **search** is batch ``operators/ann.ivf_search`` over the live view.
+- **search** is batch ``operators/ann.ivf_search`` over a
+  partition-pruned live view: uncontested rows straight off the probed
+  shards, max_by resolution only for the (small) contested id set.
 
 Deletes are first-class: a batch row with ``op='delete'`` lands as a
 tombstone (vector column nulled — an 8-byte row, not a rewrite of the
@@ -34,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_ann_spark.streaming.sink import committed_batch_ids, run_exactly_once_sink
+from big_ann_spark.streaming.sink import (
+    committed_batch_ids,
+    run_exactly_once_sink,
+    uncommitted_batch_ids,
+)
 
 OP_INSERT = "insert"
 OP_DELETE = "delete"
@@ -109,34 +115,33 @@ def stream_vector_index_ingest(
     )
 
 
-def live_vectors(spark: SparkSession, path: str) -> DataFrame:
-    """The index's current live view: per ``vec_id``, the latest
-    committed operation wins (delete beats insert within the same
-    batch); deleted ids are absent. Returns ``(vec_id, embedding,
-    shard_id)`` — directly searchable by ``operators/ann.ivf_search``.
-
-    One hash aggregate on vec_id; tombstones are 8-byte rows from the
-    reserved shard so the "latest op" resolution never reads data-shard
-    bytes for them (column pruning keeps vectors out of the shuffle
-    until the winning row is selected — max_by ships only the winner
-    per map-side group)."""
+def _committed_scan(spark: SparkSession, path: str) -> DataFrame | None:
+    """Scan of every committed row of the index, or None for an index
+    with no data directory at all. Crashed/in-flight batches are
+    excluded by a NOT-IN over the (tiny, O(in-flight)) uncommitted id
+    set — NOT an ``isin(committed)`` whose literal list grows one entry
+    per batch between compactions (VERDICT r7 #6); both are partition
+    predicates on ``_batch_id``, but this one stays O(1)-sized over
+    arbitrarily long uncompacted runs."""
     import os
 
-    committed = committed_batch_ids(path)
     if not os.path.isdir(f"{path}/data"):
-        # an index that never landed a batch (empty runbook source) is
-        # EMPTY, not an error — only here is there no on-disk schema to
-        # preserve, so the canonical ingest schema applies
-        return spark.createDataFrame(
-            [], "vec_id long, embedding array<float>, shard_id int"
-        )
+        return None
     raw = spark.read.parquet(f"{path}/data")
-    if not committed:
+    if not committed_batch_ids(path):
         # data landed but nothing committed yet: empty view, but with
         # the SOURCE's schema (an ingested array<double> corpus must not
         # suddenly read as array<float> just because the view is empty)
-        return raw.select("vec_id", "embedding", "shard_id").limit(0)
-    raw = raw.filter(F.col("_batch_id").isin(committed))
+        return raw.limit(0)
+    uncommitted = uncommitted_batch_ids(path)
+    if uncommitted:
+        raw = raw.filter(~F.col("_batch_id").isin(uncommitted))
+    return raw
+
+
+def _resolve_latest(raw: DataFrame) -> DataFrame:
+    """Latest-op-wins resolution: one ``max_by`` aggregate keyed on
+    (batch, delete-beats-insert) per ``vec_id``; live rows only."""
     rank = F.when(F.col("op") == OP_DELETE, F.lit(1)).otherwise(F.lit(0))
     latest = raw.groupBy("vec_id").agg(
         F.max_by(
@@ -149,6 +154,93 @@ def live_vectors(spark: SparkSession, path: str) -> DataFrame:
         F.col("_w.embedding").alias("embedding"),
         F.col("_w.shard_id").alias("shard_id"),
     )
+
+
+def live_vectors(spark: SparkSession, path: str) -> DataFrame:
+    """The index's current live view: per ``vec_id``, the latest
+    committed operation wins (delete beats insert within the same
+    batch); deleted ids are absent. Returns ``(vec_id, embedding,
+    shard_id)`` — directly searchable by ``operators/ann.ivf_search``.
+
+    One hash aggregate on vec_id; tombstones are 8-byte rows from the
+    reserved shard so the "latest op" resolution never reads data-shard
+    bytes for them (column pruning keeps vectors out of the shuffle
+    until the winning row is selected — max_by ships only the winner
+    per map-side group).
+
+    This FULL resolution scans every shard — right for compaction and
+    full-view exports. Search must not pay it per query batch:
+    ``search_index`` resolves only the contested subset and keeps the
+    probed-shard scan partition-pruned (VERDICT r7 #1)."""
+    raw = _committed_scan(spark, path)
+    if raw is None:
+        # an index that never landed a batch (empty runbook source) is
+        # EMPTY, not an error — only here is there no on-disk schema to
+        # preserve, so the canonical ingest schema applies
+        return spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, shard_id int"
+        )
+    return _resolve_latest(raw.select("vec_id", "embedding", "shard_id", "op", "_batch_id"))
+
+
+def contested_vec_ids(spark: SparkSession, path: str) -> DataFrame:
+    """Vec_ids whose live state CANNOT be read off a single row: ids
+    with more than one committed operation (re-inserts, deletes of
+    existing rows, same-batch duplicates). Between compactions this set
+    is small by construction — one entry per delete/re-insert since the
+    last compaction, zero for an append-only stream — and compaction
+    resets it to empty (single base epoch, one row per id).
+
+    Cost: a column-pruned scan of the 8-byte ``vec_id`` column + a
+    map-side-combinable count — no vector bytes move. Returned as a
+    small materialized (localCheckpoint) single-column DataFrame meant
+    to be BROADCAST into semi/anti-joins — a driver-collected literal
+    ``isin`` list measurably does not survive realistic sizes (20k
+    literals: 18-44 s per scan at 2M vectors vs 1.7-8 s for the
+    broadcast join — SCALE.md).
+
+    A bare tombstone (delete of a never-inserted id) has one row and is
+    deliberately NOT contested: its only row lives in the reserved
+    shard -1, which query routing never probes, so it can never appear
+    as an uncontested "live" candidate."""
+    raw = _committed_scan(spark, path)
+    if raw is None:
+        return spark.createDataFrame([], "vec_id long")
+    return (
+        raw.groupBy("vec_id")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+
+
+def prepare_search(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """The per-epoch search state ``(contested, resolved)``:
+    ``contested`` = ``contested_vec_ids`` output; ``resolved`` = the
+    LIVE rows of exactly those ids (max_by resolution run on the
+    contested subset only, materialized small).
+
+    Compute once per index epoch (it changes only when a batch commits)
+    and pass to ``search_index(state=...)``: every subsequent query
+    batch then touches ONLY probed shard partitions — the full index is
+    never rescanned per search. Cost of this call: one id-column scan
+    (contested detection) + one scan filtered by the broadcast
+    contested set (resolution); vectors of uncontested rows are never
+    shuffled."""
+    contested = contested_vec_ids(spark, path)
+    raw = _committed_scan(spark, path)
+    if raw is None or not contested.head(1):
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, shard_id int"
+        )
+        return contested, empty
+    resolved = _resolve_latest(
+        raw.join(F.broadcast(contested), "vec_id", "left_semi").select(
+            "vec_id", "embedding", "shard_id", "op", "_batch_id"
+        )
+    ).localCheckpoint()
+    return contested, resolved
 
 
 def compact_index(spark: SparkSession, src_path: str, dst_path: str) -> int:
@@ -206,18 +298,62 @@ def search_index(
     query_id: str = "qid",
     query_vec: str = "qvec",
     dim: int | None = None,
+    state: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF search over the index's live view — identical semantics to
-    batch ``ivf_search`` on a table holding exactly the live rows."""
-    from big_ann_spark.operators.ann import ivf_search
+    batch ``ivf_search`` on a table holding exactly the live rows, but
+    PARTITION-PRUNED like batch IVF (VERDICT r7 #1).
 
+    The r7 form fed ``live_vectors``' global max_by into ``ivf_search``:
+    the shard filter landed on the aggregate's output field and could
+    not push below it, so every search scanned and shuffled the whole
+    index. The fix exploits what the live view actually is:
+
+    - an id with ONE committed row in a data shard is live as-is — its
+      single op is that row's insert; no resolution needed. These rows
+      are read straight off the probed shards with a static
+      ``shard_id.isin`` filter → PartitionFilters, same N-independent
+      IO as batch IVF (the reference reads 1 of M shards per query,
+      ``kanndi_search.py:46-52`` — this keeps that property) — minus a
+      broadcast anti-join against the small contested id set;
+    - only the CONTESTED ids (>1 committed op — deletes, re-inserts;
+      small by construction between compactions) need the max_by
+      resolution; their already-resolved live rows come from the
+      ``prepare_search`` state and just get shard-filtered in.
+
+    ``state``: pass a precomputed ``prepare_search`` result to amortize
+    the contested detection + resolution across every query batch of
+    one index epoch — searches then scan ONLY probed shard partitions
+    (measured at 2M/64 shards: 2.1 s vs 10.8 s full-resolution;
+    SCALE.md). Without it the state is computed per call, which still
+    never shuffles uncontested vectors but does rescan the index (about
+    the r7 cost) — right only for one-shot searches."""
+    from big_ann_spark.operators.ann import ivf_search, route_queries
+
+    raw = _committed_scan(spark, path)
+    if raw is None:
+        return ivf_search(
+            queries, live_vectors(spark, path), centroids, k=k, nprobe=nprobe,
+            query_id=query_id, query_vec=query_vec, dim=dim,
+        )
+    contested, resolved = state if state is not None else prepare_search(spark, path)
+    # materialized once: the distinct-shard collect and the candidate
+    # join inside ivf_search both reuse it (same contract as batch
+    # ivf_search's static_prune path)
+    routed = route_queries(
+        queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim
+    ).localCheckpoint()
+    probe_ids = [
+        r["shard_id"] for r in routed.select("shard_id").distinct().collect()
+    ]
+    pruned = raw.filter(F.col("shard_id").isin(probe_ids))
+    live = (
+        pruned.join(F.broadcast(contested), "vec_id", "left_anti")
+        .select("vec_id", "embedding", "shard_id")
+        .unionByName(resolved.filter(F.col("shard_id").isin(probe_ids)))
+    )
     return ivf_search(
-        queries,
-        live_vectors(spark, path),
-        centroids,
-        k=k,
-        nprobe=nprobe,
-        query_id=query_id,
-        query_vec=query_vec,
-        dim=dim,
+        queries, live, centroids, k=k, nprobe=nprobe,
+        query_id=query_id, query_vec=query_vec, dim=dim,
+        static_prune=False, _routed=routed,
     )

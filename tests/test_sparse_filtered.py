@@ -115,6 +115,45 @@ def test_filtered_knn_tags_containment(spark, emb):
         assert [i for _, i in got] == [i for _, i in cands], qid
 
 
+def test_filtered_knn_tags_prebuilt_postings_reuse(spark, emb, tmp_path):
+    """VERDICT r7 #5: a prebuilt (persisted) posting index must serve
+    repeated query batches with identical results — and the prebuilt
+    plan must not rescan the base for candidate generation."""
+    from big_ann_spark.operators.knn import build_tag_postings
+
+    tagged = emb.withColumn(
+        "tags",
+        F.array((F.col("vec_id") % 5).cast("int"), (F.col("vec_id") % 7 + 10).cast("int")),
+    )
+    ppath = str(tmp_path / "postings.parquet")
+    build_tag_postings(tagged, base_id="vec_id", tags_col="tags").write.parquet(ppath)
+    postings = spark.read.parquet(ppath)
+
+    def run(lo, hi, **kw):
+        return sorted(
+            map(
+                tuple,
+                filtered_knn(
+                    tagged.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+                    tagged,
+                    k=K,
+                    query_id="vec_id",
+                    query_vec="embedding",
+                    base_id="vec_id",
+                    base_vec="embedding",
+                    tags_col="tags",
+                    exclude_self=True,
+                    **kw,
+                ).collect(),
+            )
+        )
+
+    # two query batches against ONE prebuilt index, each equal to the
+    # rebuild-per-call result
+    for lo, hi in ((0, 3), (3, 6)):
+        assert run(lo, hi, postings=postings) == run(lo, hi)
+
+
 def test_filtered_knn_tags_duplicate_tag_and_empty_tag(spark, emb):
     # a repeated tag value inside one doc's array must not let that doc
     # occupy two ranks via duplicate postings

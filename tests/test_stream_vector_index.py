@@ -131,6 +131,121 @@ def test_search_matches_batch_ivf_on_live_rows(spark):
     assert not deleted_hits
 
 
+def test_search_plan_is_partition_pruned(spark):
+    """VERDICT r7 #1: search must read ONLY probed shard partitions —
+    the r7 global-max_by form scanned the whole index per query batch.
+    Uncontested rows come off a PartitionFilters-pruned scan; only the
+    contested ids (deletes/re-inserts) pay the resolution aggregate."""
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    ids = list(range(8)) + list(range(100, 108)) + list(range(200, 208))
+    _write_batches(
+        spark,
+        src,
+        [_rows(ids[:12]), _rows(ids[12:]), _rows([3, 103], op="delete")],
+    )
+    path = tempfile.mkdtemp(prefix="vi_idx_")
+    cents = _centroids(spark)
+    VI.stream_vector_index_ingest(_stream(spark, src), path, cents, op_col="op", dim=4)
+
+    queries = spark.createDataFrame([(0, _vec(1))], "qid long, qvec array<float>")
+    out = VI.search_index(spark, path, queries, cents, k=3, nprobe=2, dim=4)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    # at least one scan is pruned on shard_id (the uncontested branch)
+    pruned_sections = plan.split("PartitionFilters")[1:]
+    assert any("shard_id" in s[:300] for s in pruned_sections), plan
+    # the contested exclusion is a BROADCAST anti-join (a literal
+    # NOT-IN list measurably collapses at realistic contested sizes)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_search_state_reuse_and_full_resolution_agree(spark):
+    """prepare_search state is amortizable across query batches of one
+    epoch; precomputed-state, computed-per-call, and the full
+    max_by-resolution form must all return identical results."""
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    _write_batches(
+        spark,
+        src,
+        [
+            _rows(list(range(6)) + list(range(100, 106))),
+            _rows([2, 102], op="delete") + _rows([200]),
+            _rows([2]),  # revive 2
+        ],
+    )
+    path = tempfile.mkdtemp(prefix="vi_idx_")
+    cents = _centroids(spark)
+    VI.stream_vector_index_ingest(_stream(spark, src), path, cents, op_col="op", dim=4)
+
+    state = VI.prepare_search(spark, path)
+    contested, resolved = state
+    # delete+insert pairs contested; bare inserts excluded
+    assert {r.vec_id for r in contested.collect()} == {2, 102}
+    # resolved carries ONLY the live contested rows (102 stays deleted)
+    assert {r.vec_id for r in resolved.collect()} == {2}
+    queries = spark.createDataFrame(
+        [(0, _vec(2)), (1, _vec(102))], "qid long, qvec array<float>"
+    )
+
+    def run(**kw):
+        return sorted(
+            map(
+                tuple,
+                VI.search_index(spark, path, queries, cents, k=4, nprobe=2, dim=4, **kw)
+                .select("qid", "neighbor_id", F.round("dist", 6), "rank")
+                .collect(),
+            )
+        )
+
+    per_call = run()
+    precomputed = run(state=state)
+    from big_ann_spark.operators.ann import ivf_search
+
+    full_res = sorted(
+        map(
+            tuple,
+            ivf_search(
+                queries, VI.live_vectors(spark, path), cents, k=4, nprobe=2, dim=4
+            )
+            .select("qid", "neighbor_id", F.round("dist", 6), "rank")
+            .collect(),
+        )
+    )
+    assert per_call == precomputed == full_res
+    hit_ids = {t[1] for t in per_call}
+    assert 2 in hit_ids and 102 not in hit_ids  # revived found, deleted not
+
+
+def test_live_view_many_batches_and_crashed_tail(spark):
+    """VERDICT r7 #6: the committed filter must stay O(1)-sized over
+    long uncompacted runs — 12 batches plus a crashed (landed,
+    unmarked) tail batch that the view must exclude."""
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    batches = [_rows([10 * b, 10 * b + 1]) for b in range(12)]
+    batches[6] = _rows([40], op="delete") + _rows([600])
+    _write_batches(spark, src, batches)
+    path = tempfile.mkdtemp(prefix="vi_idx_")
+    cents = _centroids(spark)
+    VI.stream_vector_index_ingest(_stream(spark, src), path, cents, op_col="op", dim=4)
+
+    from big_ann_spark.streaming.sink import uncommitted_batch_ids
+
+    assert uncommitted_batch_ids(path) == []
+    expect = {10 * b + i for b in range(12) for i in (0, 1)} - {60, 61, 40} | {600}
+    assert {r.vec_id for r in VI.live_vectors(spark, path).collect()} == expect
+
+    # simulate a crash: batch 99 landed its data but never got a marker
+    spark.createDataFrame(
+        [(999, _vec(999), "insert", 5, 99)],
+        "vec_id long, embedding array<float>, op string, shard_id int, _batch_id int",
+    ).write.mode("append").partitionBy("shard_id", "_batch_id").parquet(f"{path}/data")
+    assert uncommitted_batch_ids(path) == [99]
+    live = {r.vec_id for r in VI.live_vectors(spark, path).collect()}
+    assert 999 not in live and live == expect
+
+
 def test_duplicate_same_batch_insert_keeps_vector_shard_consistent(spark):
     """Two same-batch inserts of one id with DIFFERENT vectors: whichever
     row the live view resolves to, its shard must be the argmin of ITS
