@@ -178,8 +178,27 @@ funnel AS (
          COUNT(*) AS n, NULL::DOUBLE AS v1, NULL::DOUBLE AS v2
   FROM seq WHERE next_type IS NOT NULL
   GROUP BY event_type, next_type
+),
+-- live_view: the streaming vector index's latest-op-wins resolution
+-- (insert -> delete -> re-insert runbook derived deterministically
+-- from event user ids; the Spark side runs the REAL streaming ingest
+-- + live view, the oracle replays the runbook with arg_max)
+vusers AS (SELECT DISTINCT user_id AS u FROM events WHERE user_id < 40),
+vops AS (
+  SELECT u, 0 AS b, 'insert' AS op FROM vusers
+  UNION ALL SELECT u, 1, 'delete' FROM vusers WHERE u % 3 = 0
+  UNION ALL SELECT u, 2, 'insert' FROM vusers WHERE u % 6 = 0
+),
+vlast AS (SELECT u, arg_max(op, b) AS op, max(b) AS b FROM vops GROUP BY u),
+live_view AS (
+  SELECT 'live_view' AS variant, u::VARCHAR AS k1, NULL::VARCHAR AS k2,
+         1::BIGINT AS n,
+         ROUND((u + b)::DOUBLE, 4) AS v1,
+         ROUND((u * 0.5 - b)::DOUBLE, 4) AS v2
+  FROM vlast WHERE op = 'insert'
 )
-SELECT * FROM json_props UNION ALL SELECT * FROM monthly UNION ALL SELECT * FROM funnel
+SELECT * FROM json_props UNION ALL SELECT * FROM monthly
+UNION ALL SELECT * FROM funnel UNION ALL SELECT * FROM live_view
 """,
 )
 def event_analytics(spark, sf_dir):
@@ -189,7 +208,18 @@ def event_analytics(spark, sf_dir):
       typed aggregation);
     - ``monthly``: date-function surface — month truncation + revenue
       rollup over orders;
-    - ``funnel``: event-transition funnel (lead window per user)."""
+    - ``funnel``: event-transition funnel (lead window per user);
+    - ``live_view``: the streaming vector index's latest-op-wins
+      resolution, driver-certified (VERDICT r7 #2). A deterministic
+      insert → delete → re-insert runbook is derived from event user
+      ids (u<40: all inserted in batch 0; u%3==0 deleted in batch 1;
+      u%6==0 re-inserted in batch 2, with the batch number encoded in
+      the vector), ingested through the REAL machinery —
+      ``stream_vector_index_ingest``'s exactly-once sink, one
+      availableNow run per batch so batch order is guaranteed — and
+      read back via ``live_vectors``. The oracle replays the runbook
+      in SQL with ``arg_max(op, batch)``: deleted ids must be absent,
+      revived ids must carry the batch-2 vector."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -233,4 +263,69 @@ def event_analytics(spark, sf_dir):
             F.lit(None).cast("double").alias("v2"),
         )
     )
-    return json_props.unionByName(monthly).unionByName(funnel)
+    live_view = _live_view_variant(spark, e)
+    return (
+        json_props.unionByName(monthly).unionByName(funnel).unionByName(live_view)
+    )
+
+
+def _live_view_variant(spark, events):
+    """Run the streaming vector index's insert→delete→re-insert runbook
+    (see event_analytics docstring) and project the live view into the
+    tagged-union schema. Values are exact in float32 (u < 40, b ≤ 2:
+    u+b and u/2-b are dyadic), so the ROUND(·,4) on both engines can
+    never straddle a representation difference."""
+    import tempfile
+
+    from big_ann_spark.streaming import vector_index as VI
+
+    users = (
+        events.filter(F.col("user_id") < 40)
+        .select(F.col("user_id").alias("vec_id"))
+        .distinct()
+    )
+
+    def vec(b: int):
+        return F.array(
+            (F.col("vec_id") + F.lit(b)).cast("float"),
+            (F.col("vec_id") * 0.5 - F.lit(b)).cast("float"),
+        )
+
+    batches = [
+        users.select("vec_id", vec(0).alias("embedding"), F.lit("insert").alias("op")),
+        users.filter(F.col("vec_id") % 3 == 0).select(
+            "vec_id",
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit("delete").alias("op"),
+        ),
+        users.filter(F.col("vec_id") % 6 == 0).select(
+            "vec_id", vec(2).alias("embedding"), F.lit("insert").alias("op")
+        ),
+    ]
+    src = tempfile.mkdtemp(prefix="ea_vi_src_")
+    idx = tempfile.mkdtemp(prefix="ea_vi_idx_")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [100.0, 100.0])], "shard_id int, centroid array<float>"
+    )
+    # one availableNow ingest per landed file: batch ORDER is guaranteed
+    # by the checkpoint (each run processes exactly the new file), not
+    # by file-mtime luck
+    for bdf in batches:
+        bdf.coalesce(1).write.mode("append").parquet(src)
+        VI.stream_vector_index_ingest(
+            spark.readStream.schema("vec_id long, embedding array<float>, op string")
+            .format("parquet")
+            .load(src),
+            idx,
+            cents,
+            op_col="op",
+            dim=2,
+        )
+    return VI.live_vectors(spark, idx).select(
+        F.lit("live_view").alias("variant"),
+        F.col("vec_id").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(1).cast("long").alias("n"),
+        F.round(F.col("embedding")[0].cast("double"), 4).alias("v1"),
+        F.round(F.col("embedding")[1].cast("double"), 4).alias("v2"),
+    )
