@@ -43,6 +43,37 @@ HEADLINE = [
 ]
 
 
+# Idle-host min of the canary below, measured on this box (min of 8:
+# 0.199-0.207 s, +-2%) — the denominator for canary-normalized totals.
+# Re-calibrate if the canary workload changes.
+CANARY_REF_SEC = 0.20
+
+
+def run_canary() -> float:
+    """Fixed single-thread sha256 over 256 MB as a host-capacity probe:
+    the r7 loadavg gate passed at 0.93 yet identical code drifted
+    21.8→32 s across one day (VERDICT r7 #4), so loadavg alone cannot
+    attribute deltas. Chosen over JVM/BLAS probes on measurement: a
+    Spark codegen sum keeps dropping with JIT depth across a session
+    (0.95 s fresh → 0.30 s post-suite — conflates JVM warmth with host
+    state) and multithreaded BLAS/sha jitter ±20% under scheduler
+    noise, while this probe holds ±2% and inflates directly with CPU
+    steal / frequency drift. min-of-3; suite_total /
+    (canary/CANARY_REF_SEC) is the host-normalized number comparable
+    across rounds."""
+    import hashlib
+    import time as _t
+
+    data = b"\xab" * (256 * 1024 * 1024)
+
+    def once() -> float:
+        t0 = _t.perf_counter()
+        hashlib.sha256(data).hexdigest()
+        return _t.perf_counter() - t0
+
+    return round(min(once() for _ in range(3)), 3)
+
+
 def wait_for_idle_host(max_wait_sec: float, load_target: float) -> float:
     """Bounded wait for host loadavg to drop below ``load_target``
     (VERDICT r6 #4: contended runs faked 2-5x regressions in r4/r6 —
@@ -94,6 +125,7 @@ def main() -> None:
         float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_TARGET", "1.0")),
     )
     load_before = [round(v, 2) for v in os.getloadavg()]
+    canary_before = run_canary()
     suite_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -118,6 +150,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
+    canary_after = run_canary()
+    # normalize by the SLOWDOWN the canary saw (before/after min: the
+    # suite may itself have heated the host; min is the fairer probe)
+    slowdown = max(min(canary_before, canary_after) / CANARY_REF_SEC, 1e-6)
+    total_normalized = round(total / slowdown, 3)
     # A14: the reference's QPS metric (MAXIMUM_QUERIES / elapsed,
     # kanndi_search.py:64-66) — ours over the arrow kNN batch.
     # Reported from BOTH the warm min and the cold first run (VERDICT
@@ -146,6 +183,11 @@ def main() -> None:
                 "knn_qps_cold": knn_qps_cold,
                 "runs_per_query": n_runs,
                 "cold_total": cold_total,
+                "canary_sec": min(canary_before, canary_after),
+                "canary_before": canary_before,
+                "canary_after": canary_after,
+                "canary_ref_sec": CANARY_REF_SEC,
+                "total_canary_normalized": total_normalized,
                 "loadavg_before": load_before,
                 "loadavg_after": [round(v, 2) for v in os.getloadavg()],
                 "idle_wait_sec": idle_wait,
