@@ -398,11 +398,25 @@ def main(argv: list[str] | None = None) -> int:
             cpath = f"{cpath}/centroids.parquet"
         cents = spark.read.parquet(cpath)
         if args.cmd == "vindex-ingest":
-            cols = f"{args.id_col} long, {args.vec_col} array<float>"
-            if args.op_col:
-                cols += f", {args.op_col} string"
+            # infer the stream schema from a batch read of the source
+            # (ADVICE r7: a hardcoded array<float> silently mismatched
+            # array<double> corpora); fail naming any missing column
+            from pyspark.sql.types import StructType
+
+            src_schema = spark.read.parquet(args.src).schema
+            want = [args.id_col, args.vec_col] + (
+                [args.op_col] if args.op_col else []
+            )
+            missing = [c for c in want if c not in src_schema.names]
+            if missing:
+                raise SystemExit(
+                    f"vindex-ingest: {args.src} lacks column(s) {missing} "
+                    f"(found: {src_schema.names})"
+                )
             stream = (
-                spark.readStream.schema(cols).format("parquet").load(args.src)
+                spark.readStream.schema(StructType([src_schema[c] for c in want]))
+                .format("parquet")
+                .load(args.src)
             )
             VI.stream_vector_index_ingest(
                 stream, args.dst, cents,
@@ -484,14 +498,30 @@ def main(argv: list[str] | None = None) -> int:
             )
         cents = spark.read.parquet(f"{args.index}/centroids.parquet")
         shards = _load_index_shards(spark, args.index, args.id_col, args.vec_col)
-        if args.queries.rstrip("/").endswith(".parquet"):
+        # sniff the queries input instead of routing purely on the
+        # .parquet suffix (ADVICE r7: a parquet DIRECTORY not named
+        # *.parquet went down the fbin reader and died on a garbage
+        # header): any directory is a parquet layout, a file must carry
+        # a known vector suffix — anything else fails with the contract
+        import os as _os
+
+        qpath = args.queries
+        if qpath.rstrip("/").endswith(".parquet") or _os.path.isdir(qpath):
             qic = args.query_id_col or args.id_col
             qvc = args.query_vec_col or args.vec_col
-            q = spark.read.parquet(args.queries).select(
+            q = spark.read.parquet(qpath).select(
                 F.col(qic).alias("qid"), F.col(qvc).alias("qvec")
             )
         else:
-            q = FB.read_fbin_spark(spark, args.queries).select(
+            try:
+                FB._suffix_of(qpath)
+            except ValueError:
+                raise SystemExit(
+                    f"evaluate: cannot tell the queries format of {qpath!r} — "
+                    "expected a parquet directory/*.parquet path or a binary "
+                    f"vector file ending in one of {sorted(FB._DTYPES)}"
+                )
+            q = FB.read_fbin_spark(spark, qpath).select(
                 F.col("id").alias("qid"), F.col("vec").alias("qvec")
             )
         # GT qids are positional by format; a query id set that is not

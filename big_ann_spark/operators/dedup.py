@@ -1664,8 +1664,12 @@ def token_budget_mix(
         target = total_tokens * (w / w_sum)
         frac = min(1.0, target / totals[src])
         mix_rows.append((src, int(frac * mod), int(target)))
+    # the mix table's source column must carry the CORPUS's source
+    # type (ADVICE r7: hardcoding string broke int-sourced corpora at
+    # createDataFrame where the old per-source loop handled any type)
+    src_type = docs.schema[source_col].dataType.simpleString()
     mix = docs.sparkSession.createDataFrame(
-        mix_rows, f"{source_col} string, _thresh long, target_tokens long"
+        mix_rows, f"{source_col} {src_type}, _thresh long, target_tokens long"
     )
     return (
         sized.join(F.broadcast(mix), source_col)

@@ -73,7 +73,18 @@ def score_quality(
     quality exactly like the FineWeb-Edu threshold."""
     from pyspark.ml.functions import vector_to_array
 
-    inp = model.stages[0].getInputCol()
+    try:
+        inp = model.stages[0].getInputCol()
+    except (AttributeError, IndexError) as e:
+        # an arbitrary PipelineModel whose first stage is not an
+        # input-col transformer must fail with the CONTRACT, not an
+        # AttributeError deep in a transform (ADVICE r7)
+        raise ValueError(
+            "score_quality expects a train_quality_classifier-shaped "
+            "PipelineModel: stage 0 must be the text-input transformer "
+            "(RegexTokenizer) exposing getInputCol(); got "
+            f"{type(model.stages[0]).__name__ if getattr(model, 'stages', None) else model!r}"
+        ) from e
     feed = docs
     if text_col != inp:
         # rebind the scoring column to the model's trained input name —

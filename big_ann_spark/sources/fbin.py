@@ -82,23 +82,36 @@ def read_ground_truth_local(path: str) -> tuple[np.ndarray, np.ndarray]:
     then ``nq·k`` float32 distances (the public GT format shipped with
     every track dataset the reference targets; the reference itself
     computes recall only against its own brute force, ``recall.py:34``,
-    so this reader out-covers it). Returns ``(ids (nq,k) int32,
-    dists (nq,k) float32)``."""
+    so this reader out-covers it). Returns ``(ids (nq,k) int64,
+    dists (nq,k) float32)``.
+
+    Ids are stored UNSIGNED 32-bit in the public format and widened to
+    int64 here (ADVICE r7): an int32 read would wrap ids >= 2^31
+    negative and silently never match predictions — latent until a
+    >2B-point track, but a correctness cliff when it lands."""
     nq, k = read_header(path)
     with open(path, "rb") as f:
         f.seek(8)
-        ids = np.frombuffer(f.read(nq * k * 4), dtype=np.int32).reshape(nq, k)
+        ids = (
+            np.frombuffer(f.read(nq * k * 4), dtype=np.uint32)
+            .reshape(nq, k)
+            .astype(np.int64)
+        )
         dists = np.frombuffer(f.read(nq * k * 4), dtype=np.float32).reshape(nq, k)
     return ids, dists
 
 
 def write_ground_truth_local(path: str, ids: np.ndarray, dists: np.ndarray) -> None:
-    """Write the big-ann GT format (see ``read_ground_truth_local``)."""
+    """Write the big-ann GT format (see ``read_ground_truth_local``) —
+    ids land as the format's uint32 (negatives rejected: they have no
+    representation and would round-trip as huge positives)."""
     if ids.shape != dists.shape or ids.ndim != 2:
         raise ValueError("ids and dists must be identically-shaped (nq, k)")
+    if ids.size and int(ids.min()) < 0:
+        raise ValueError("GT neighbor ids must be non-negative (uint32 format)")
     with open(path, "wb") as f:
         f.write(struct.pack("<ii", ids.shape[0], ids.shape[1]))
-        f.write(np.ascontiguousarray(ids, dtype=np.int32).tobytes())
+        f.write(np.ascontiguousarray(ids, dtype=np.uint32).tobytes())
         f.write(np.ascontiguousarray(dists, dtype=np.float32).tobytes())
 
 

@@ -592,6 +592,16 @@ def test_token_budget_mix(spark):
     first = {r.doc_id for r in out.select("doc_id").collect()}
     assert first == again
 
+    # non-string source columns work: the mix table derives the corpus
+    # column's type (ADVICE r7 — hardcoded string broke int sources)
+    int_docs = spark.createDataFrame(
+        [(i, "w " * 9 + "w", i % 2) for i in range(200)],
+        "doc_id long, text string, source int",
+    )
+    int_out = D.token_budget_mix(int_docs, {0: 1.0, 1: 1.0}, total_tokens=1000)
+    assert int_out.count() > 0
+    assert {r.source for r in int_out.select("source").distinct().collect()} <= {0, 1}
+
 
 def test_benchmark_contamination_brute_force(spark):
     """Census equals a pure-Python distinct-n-gram overlap, zero-gram

@@ -154,6 +154,23 @@ def test_gt_round_trip_and_cli_evaluate(spark, sf_dir, tmp_path):
     FB.write_ground_truth_local(gt_path, ids, dists)
     r_ids, r_dists = FB.read_ground_truth_local(gt_path)
     assert (r_ids == ids).all() and np.allclose(r_dists, dists)
+
+    # the public format stores UNSIGNED ids: >=2^31 must round-trip
+    # positive (ADVICE r7: an int32 read wrapped them negative and they
+    # silently never matched), negatives have no representation
+    big = np.array([[2**31 + 5, 2**32 - 1, 7, 0]], dtype=np.int64)
+    gt_big = str(tmp_path / "gt_big.ibin")
+    FB.write_ground_truth_local(gt_big, big, np.zeros((1, 4), np.float32))
+    rb, _ = FB.read_ground_truth_local(gt_big)
+    assert (rb == big).all() and rb.min() >= 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-negative"):
+        FB.write_ground_truth_local(
+            str(tmp_path / "gt_neg.ibin"),
+            np.array([[-1]], dtype=np.int64),
+            np.zeros((1, 1), np.float32),
+        )
     gdf = FB.ground_truth_df(spark, gt_path, k=2)
     assert gdf.count() == 6  # 3 queries x first-2 columns
 
@@ -230,3 +247,13 @@ def test_cli_evaluate_guards_and_sq8(spark, sf_dir, tmp_path):
     emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 104)).write.parquet(bad_q)
     with pytest.raises(SystemExit, match="row ordinals"):
         main(["evaluate", idx, bad_q, gt, "--k", "3"])
+    # a parquet DIRECTORY not named *.parquet is sniffed as parquet
+    # (ADVICE r7: it used to hit the fbin reader and die on a garbage
+    # header); an unrecognizable FILE fails with the format contract
+    q_dir = str(tmp_path / "queries_dir")
+    emb.filter(F.col("vec_id") < 4).write.parquet(q_dir)
+    assert main(["evaluate", idx, q_dir, gt, "--k", "3", "--nprobe", "4"]) == 0
+    bogus = str(tmp_path / "queries.bin_xyz")
+    open(bogus, "wb").write(b"\x00" * 16)
+    with pytest.raises(SystemExit, match="queries format"):
+        main(["evaluate", idx, bogus, gt, "--k", "3"])

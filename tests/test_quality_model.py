@@ -98,6 +98,20 @@ def test_score_quality_rebinds_text_col(spark):
     assert got == base
 
 
+def test_score_quality_rejects_wrong_pipeline_shape(spark):
+    """A PipelineModel whose first stage is not an input-col transformer
+    must fail with the contract, not an AttributeError (ADVICE r7)."""
+    import pytest
+
+    docs = _corpus(spark, n=5)
+
+    class NotAPipeline:
+        stages = [object()]
+
+    with pytest.raises(ValueError, match="train_quality_classifier"):
+        score_quality(docs, NotAPipeline())
+
+
 def test_model_persistence_round_trip(spark, tmp_path):
     from pyspark.ml import PipelineModel
 

@@ -355,6 +355,30 @@ def test_cli_vindex_lifecycle(spark, tmp_path):
     assert {r.vec_id for r in VI.live_vectors(spark, cmp_dir).collect()} == {1, 101}
 
 
+def test_cli_vindex_ingest_infers_vector_element_type(spark, tmp_path):
+    """ADVICE r7: the CLI hardcoded array<float>; an array<double>
+    source must ingest with its own type, and a missing column must
+    fail naming it."""
+    from big_ann_spark.cli import main
+
+    cents = _centroids(spark)
+    cpath = str(tmp_path / "cents.parquet")
+    cents.write.parquet(cpath)
+    src = str(tmp_path / "src_dbl")
+    spark.createDataFrame(
+        [(1, [float(x) for x in _vec(1)]), (101, [float(x) for x in _vec(101)])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(src)
+    idx = str(tmp_path / "idx_dbl")
+    assert main(["vindex-ingest", src, idx, "--centroids", cpath]) == 0
+    live = VI.live_vectors(spark, idx)
+    assert dict(live.dtypes)["embedding"] == "array<double>"
+    assert {r.vec_id for r in live.collect()} == {1, 101}
+
+    with pytest.raises(SystemExit, match="lacks column"):
+        main(["vindex-ingest", src, idx, "--centroids", cpath, "--op-col", "op"])
+
+
 @pytest.mark.parametrize("crash_point", ["pre-marker", "post-marker"])
 def test_crash_restart_exactly_once(spark, crash_point):
     src = tempfile.mkdtemp(prefix="vi_src_")
