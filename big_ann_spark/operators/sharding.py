@@ -66,6 +66,7 @@ def assign_to_centroids(
     centroid_vec: str = "centroid",
     dim: int | None = None,
     extra_cols: list[str] | None = None,
+    impl: str = "fold",
 ) -> DataFrame:
     """J2: nearest-centroid assignment — broadcast the (tiny) centroid
     table collapsed to ONE array row, then the per-point argmin is a
@@ -80,7 +81,28 @@ def assign_to_centroids(
     the per-point distance loop of ``shard.py:117-131`` with ZERO
     exchanges: the previous window formulation hash-partitioned the
     N×M scored rows by point id before WindowGroupLimit could trim
-    them; at 100 TB that exchange is the whole cost."""
+    them; at 100 TB that exchange is the whole cost.
+
+    ``impl``: ``"fold"`` (default) is the codegen projection above —
+    O(m·d) scalar work per row, the right plan for routing tables up
+    to m ≈ 10³. ``"arrow"`` is the large-m scale path (the exact-kNN
+    arrow pattern): mapInPandas scores each Arrow batch against the
+    broadcast centroid matrix with one blocked float64 GEMM — at
+    m = 10⁴/d = 64 the fold's 640k-op per-row expression is
+    CPU-bound while BLAS does the same work at memory bandwidth
+    (measured: the 20M×10⁴ assignment in SCALE.md). Same tie-break
+    (argmin first occurrence over sid-sorted centroids == struct
+    ordering); distances in float64 like the fold, so assignments
+    agree except on exact-tie float noise the fixtures pin."""
+    if impl == "arrow":
+        return _assign_arrow(
+            points, centroids,
+            id_col=id_col, vec_col=vec_col,
+            centroid_id=centroid_id, centroid_vec=centroid_vec,
+            extra_cols=extra_cols,
+        )
+    if impl != "fold":
+        raise ValueError(f"impl must be 'fold' or 'arrow', got {impl!r}")
     cents = centroids.agg(
         F.collect_list(
             F.struct(
@@ -108,6 +130,71 @@ def assign_to_centroids(
         best["dist"].alias("dist"),
         *out_extra,
     )
+
+
+def _assign_arrow(
+    points: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroid_id: str,
+    centroid_vec: str,
+    extra_cols: list[str] | None,
+    row_block: int = 1024,
+) -> DataFrame:
+    """BLAS argmin assignment (see ``assign_to_centroids(impl="arrow")``).
+    Row blocks bound the (block × m) distance matrix (~80 MB at
+    m = 10⁴), so per-task memory is independent of batch size."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(
+        ((r[centroid_id], r[centroid_vec]) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    sids = np.array([t[0] for t in crows], dtype=np.int64)
+    C = np.array([t[1] for t in crows], dtype=np.float64)  # (m, d)
+    c_sq = (C * C).sum(axis=1)  # (m,)
+
+    carry = [c for c in (extra_cols or []) if c not in (id_col, vec_col)]
+    out_extra = [
+        c for c in (extra_cols or []) if c not in (id_col, centroid_id, "dist")
+    ]
+    src = points.select(id_col, vec_col, *carry)
+    id_type = src.schema[id_col].dataType.simpleString()
+    extra_ddl = "".join(
+        f", {c} {src.schema[c].dataType.simpleString()}" for c in out_extra
+    )
+    out_schema = f"{id_col} {id_type}, {centroid_id} int, dist double{extra_ddl}"
+
+    def part(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, d)
+            best_i = np.empty(n, dtype=np.int64)
+            best_d = np.empty(n, dtype=np.float64)
+            for lo in range(0, n, row_block):
+                hi = min(lo + row_block, n)
+                blk = V[lo:hi]
+                # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin first
+                # occurrence == smallest sid (C is sid-sorted)
+                d2 = (blk * blk).sum(axis=1)[:, None] - 2.0 * (blk @ C.T) + c_sq[None, :]
+                idx = np.argmin(d2, axis=1)
+                best_i[lo:hi] = idx
+                best_d[lo:hi] = np.sqrt(np.maximum(d2[np.arange(hi - lo), idx], 0.0))
+            out = {
+                id_col: pdf[id_col],
+                centroid_id: pd.Series(sids[best_i], dtype="int32"),
+                "dist": best_d,
+            }
+            for c in out_extra:
+                out[c] = pdf[c] if c in pdf.columns else None
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(part, schema=out_schema)
 
 
 def shard_histogram(assignments: DataFrame) -> DataFrame:
@@ -170,14 +257,34 @@ def write_sharded(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    repartition_to: int | None = None,
 ) -> None:
     """S7/S9 analog: persist the sharded layout —
     ``partitionBy(shard_id)`` parquet of (id, vec, dist) plus the
     assignment histogram. Partition pruning then makes a probe of T
     shards read only T directories, the Spark-native replacement for
-    per-shard HNSW files."""
+    per-shard HNSW files.
+
+    ``assignments`` that already carry ``vec_col`` (the
+    ``extra_cols=[vec_col]`` pattern) skip the join-back on ``emb`` —
+    at 20M rows that join is a full self-shuffle for data the
+    assignment projection already had in hand.
+
+    ``repartition_to``: hash-cluster rows by shard before the
+    partitioned write. Without it, every scan task writes a file into
+    every shard directory it sees — fine at m ≈ 10¹-10³, but at
+    m = 10⁴ and hundreds of tasks that is millions of tiny files (the
+    classic dynamic-partition-write explosion); clustering first caps
+    file count at ~m while keeping ~m/repartition_to shards per task."""
+    with_vec = (
+        assignments
+        if vec_col in assignments.columns
+        else assignments.join(emb.select(id_col, vec_col), id_col)
+    )
+    if repartition_to:
+        with_vec = with_vec.repartition(repartition_to, "shard_id")
     (
-        assignments.join(emb.select(id_col, vec_col), id_col)
+        with_vec
         # sorted-by-distance within each shard file: scans that re-rank
         # candidates read them best-first, and parquet row-group stats
         # on dist enable range pruning — the "pre-partitioned + sorted

@@ -287,6 +287,38 @@ def compact_index(spark: SparkSession, src_path: str, dst_path: str) -> int:
     return n
 
 
+def compact_if_needed(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    max_contested_ratio: float = 0.05,
+) -> int | None:
+    """Compact when the contested fraction of the index warrants it —
+    the maintenance policy the search-path design implies: search cost
+    degrades with the contested set's size (it is broadcast into every
+    probe), and compaction is what resets that set to empty. Returns
+    the live row count if compaction ran, None if the index is still
+    healthy.
+
+    Ratio = contested ids / total committed rows, both off the same
+    id-column scan — no vector bytes read to decide. The threshold is
+    the knob an operator schedules against (a runbook with heavy
+    deletes compacts often; append-only never does)."""
+    raw = _committed_scan(spark, src_path)
+    if raw is None:
+        return None
+    counts = raw.groupBy("vec_id").agg(F.count("*").alias("_c"))
+    agg = counts.agg(
+        F.sum("_c").alias("_rows"),
+        F.sum(F.when(F.col("_c") > 1, F.lit(1)).otherwise(F.lit(0))).alias("_cont"),
+    ).collect()[0]
+    total, contested = agg["_rows"] or 0, agg["_cont"] or 0
+    if total == 0 or contested / total <= max_contested_ratio:
+        return None
+    return compact_index(spark, src_path, dst_path)
+
+
 def search_index(
     spark: SparkSession,
     path: str,

@@ -33,6 +33,25 @@ def test_assignment_matches_numpy_argmin(spark, emb):
         assert abs(r["dist"] - dists[best]) < 1e-9
 
 
+def test_assignment_arrow_matches_fold(spark, emb):
+    """The BLAS arrow assignment (large-m scale path) must agree with
+    the codegen fold on shards, distances, and carried payload."""
+    cents = SH.label_centroids(emb)
+
+    def norm(df):
+        return sorted(
+            (r["vec_id"], r["shard_id"], round(r["dist"], 9), r["lab"])
+            for r in df.collect()
+        )
+
+    pts = emb.withColumn("lab", (F.col("vec_id") % 5).cast("int"))
+    fold = SH.assign_to_centroids(pts, cents, extra_cols=["lab"])
+    arrow = SH.assign_to_centroids(pts, cents, extra_cols=["lab"], impl="arrow")
+    assert norm(fold) == norm(arrow)
+    with pytest.raises(ValueError, match="impl"):
+        SH.assign_to_centroids(pts, cents, impl="nope")
+
+
 def test_kmeans_shard_shapes(spark, emb):
     assign, cents, model = SH.kmeans_shard(emb, m=10)
     n = emb.count()

@@ -355,6 +355,32 @@ def test_cli_vindex_lifecycle(spark, tmp_path):
     assert {r.vec_id for r in VI.live_vectors(spark, cmp_dir).collect()} == {1, 101}
 
 
+def test_compact_if_needed_threshold(spark, tmp_path):
+    """Compaction fires only past the contested-ratio threshold, and a
+    fresh index / healthy index returns None untouched."""
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    _write_batches(
+        spark,
+        src,
+        [_rows(list(range(10))), _rows([0, 1, 2], op="delete")],
+    )
+    path = tempfile.mkdtemp(prefix="vi_idx_")
+    cents = _centroids(spark)
+    VI.stream_vector_index_ingest(_stream(spark, src), path, cents, op_col="op", dim=4)
+
+    # 3 contested of 13 committed rows (~23%): healthy at a 0.5
+    # threshold, compacts at 0.05
+    assert VI.compact_if_needed(spark, path, str(tmp_path / "a"), max_contested_ratio=0.5) is None
+    n = VI.compact_if_needed(spark, path, str(tmp_path / "b"), max_contested_ratio=0.05)
+    assert n == 7
+    compacted = str(tmp_path / "b")
+    assert {r.vec_id for r in VI.live_vectors(spark, compacted).collect()} == set(range(3, 10))
+    # post-compaction: contested set empty -> never re-compacts
+    assert VI.compact_if_needed(spark, compacted, str(tmp_path / "c"), max_contested_ratio=0.0) is None
+    # an index that never landed anything is healthy, not an error
+    assert VI.compact_if_needed(spark, tempfile.mkdtemp(prefix="vi_x_"), str(tmp_path / "d")) is None
+
+
 def test_cli_vindex_ingest_infers_vector_element_type(spark, tmp_path):
     """ADVICE r7: the CLI hardcoded array<float>; an array<double>
     source must ingest with its own type, and a missing column must
