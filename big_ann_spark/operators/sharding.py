@@ -154,8 +154,10 @@ def _assign_arrow(
         key=lambda t: t[0],
     )
     sids = np.array([t[0] for t in crows], dtype=np.int64)
-    C = np.array([t[1] for t in crows], dtype=np.float64)  # (m, d)
-    c_sq = (C * C).sum(axis=1)  # (m,)
+    C64 = np.array([t[1] for t in crows], dtype=np.float64)  # (m, d)
+    C32 = C64.astype(np.float32)
+    c_sq32 = (C32 * C32).sum(axis=1)
+    n_cand = min(8, len(crows))
 
     carry = [c for c in (extra_cols or []) if c not in (id_col, vec_col)]
     out_extra = [
@@ -173,25 +175,50 @@ def _assign_arrow(
             n = len(pdf)
             if not n:
                 continue
-            V = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, d)
+            # f64 is the source of truth (an array<double> input must
+            # not round-trip through f32); the f32 copy only nominates
+            V64 = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, d)
+            V32 = V64.astype(np.float32)
             best_i = np.empty(n, dtype=np.int64)
             best_d = np.empty(n, dtype=np.float64)
+            rng_cand = np.arange(n_cand)
             for lo in range(0, n, row_block):
                 hi = min(lo + row_block, n)
-                blk = V[lo:hi]
-                # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin first
-                # occurrence == smallest sid (C is sid-sorted)
-                d2 = (blk * blk).sum(axis=1)[:, None] - 2.0 * (blk @ C.T) + c_sq[None, :]
-                idx = np.argmin(d2, axis=1)
-                best_i[lo:hi] = idx
-                best_d[lo:hi] = np.sqrt(np.maximum(d2[np.arange(hi - lo), idx], 0.0))
+                b = hi - lo
+                blk = V32[lo:hi]
+                # float32 sgemm NOMINATES a candidate superset (the
+                # exact-kNN arrow pattern: dgemm measures 8 GFLOP/s
+                # where sgemm does 31 on this box — the f32 pass is the
+                # whole GEMM cost, exactness comes from the f64 rerank
+                # below; a top-8 superset absorbs any f32 ordering
+                # noise, which sits ~1e-4 relative vs the O(1)
+                # inter-centroid gaps of a meaningful clustering)
+                d2 = (
+                    (blk * blk).sum(axis=1)[:, None]
+                    - 2.0 * (blk @ C32.T)
+                    + c_sq32[None, :]
+                )
+                if n_cand < d2.shape[1]:
+                    cand = np.argpartition(d2, n_cand - 1, axis=1)[:, :n_cand]
+                else:
+                    cand = np.broadcast_to(rng_cand, (b, n_cand)).copy()
+                # exact f64 rerank of the candidates; winner by
+                # (dist, sid) — identical tie-break to the fold's
+                # struct ordering (cand rows sorted by sid first)
+                cand.sort(axis=1)
+                diff = V64[lo:hi][:, None, :] - C64[cand]  # (b, n_cand, d)
+                d64 = (diff * diff).sum(axis=2)
+                pos = np.argmin(d64, axis=1)  # first occurrence = min sid
+                rows = np.arange(b)
+                best_i[lo:hi] = cand[rows, pos]
+                best_d[lo:hi] = np.sqrt(np.maximum(d64[rows, pos], 0.0))
             out = {
                 id_col: pdf[id_col],
                 centroid_id: pd.Series(sids[best_i], dtype="int32"),
                 "dist": best_d,
             }
             for c in out_extra:
-                out[c] = pdf[c] if c in pdf.columns else None
+                out[c] = pdf[c]
             yield pd.DataFrame(out)
 
     return src.mapInPandas(part, schema=out_schema)
