@@ -157,7 +157,7 @@ def _assign_arrow(
     C64 = np.array([t[1] for t in crows], dtype=np.float64)  # (m, d)
     C32 = C64.astype(np.float32)
     c_sq32 = (C32 * C32).sum(axis=1)
-    n_cand = min(8, len(crows))
+    c_sq32_max = float(c_sq32.max()) if len(crows) else 0.0
 
     carry = [c for c in (extra_cols or []) if c not in (id_col, vec_col)]
     out_extra = [
@@ -179,39 +179,48 @@ def _assign_arrow(
             # not round-trip through f32); the f32 copy only nominates
             V64 = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, d)
             V32 = V64.astype(np.float32)
+            v_sq32 = (V32 * V32).sum(axis=1)
             best_i = np.empty(n, dtype=np.int64)
             best_d = np.empty(n, dtype=np.float64)
-            rng_cand = np.arange(n_cand)
             for lo in range(0, n, row_block):
                 hi = min(lo + row_block, n)
                 b = hi - lo
                 blk = V32[lo:hi]
-                # float32 sgemm NOMINATES a candidate superset (the
-                # exact-kNN arrow pattern: dgemm measures 8 GFLOP/s
-                # where sgemm does 31 on this box — the f32 pass is the
-                # whole GEMM cost, exactness comes from the f64 rerank
-                # below; a top-8 superset absorbs any f32 ordering
-                # noise, which sits ~1e-4 relative vs the O(1)
-                # inter-centroid gaps of a meaningful clustering)
+                # float32 sgemm NOMINATES candidates; exactness comes
+                # from the f64 rerank below. Selection is min + an
+                # epsilon band, NOT a fixed top-k argpartition: the
+                # per-row partition of the (block × m) matrix measured
+                # 10× the sgemm itself at m = 10⁴, while min + compare
+                # are single cheap passes. The band provably contains
+                # the true f64 argmin: f32 rounding of the inputs plus
+                # d-term f32 accumulation perturb d² by at most
+                # ~d·ε₃₂·2(‖v‖²+max‖c‖²) ≈ 8e-6·(v_sq+c_sq_max); the
+                # 1e-3 band is a 100× margin, and any centroid inside
+                # it gets the exact rerank anyway (typically 1 row).
                 d2 = (
                     (blk * blk).sum(axis=1)[:, None]
                     - 2.0 * (blk @ C32.T)
                     + c_sq32[None, :]
                 )
-                if n_cand < d2.shape[1]:
-                    cand = np.argpartition(d2, n_cand - 1, axis=1)[:, :n_cand]
-                else:
-                    cand = np.broadcast_to(rng_cand, (b, n_cand)).copy()
-                # exact f64 rerank of the candidates; winner by
-                # (dist, sid) — identical tie-break to the fold's
-                # struct ordering (cand rows sorted by sid first)
-                cand.sort(axis=1)
-                diff = V64[lo:hi][:, None, :] - C64[cand]  # (b, n_cand, d)
-                d64 = (diff * diff).sum(axis=2)
-                pos = np.argmin(d64, axis=1)  # first occurrence = min sid
-                rows = np.arange(b)
-                best_i[lo:hi] = cand[rows, pos]
-                best_d[lo:hi] = np.sqrt(np.maximum(d64[rows, pos], 0.0))
+                thr = d2.min(axis=1) + (
+                    1e-3 * (v_sq32[lo:hi] + c_sq32_max) + 1e-6
+                )
+                rows, cols = np.nonzero(d2 <= thr[:, None])
+                # exact f64 rerank of the band; winner by (dist, sid) —
+                # identical tie-break to the fold's struct ordering
+                diff = V64[lo:hi][rows] - C64[cols]
+                d64 = (diff * diff).sum(axis=1)
+                order = np.lexsort((cols, d64, rows))
+                uniq, first = np.unique(rows[order], return_index=True)
+                if len(uniq) != b:
+                    raise ValueError(
+                        "assign_to_centroids(impl='arrow'): non-finite "
+                        "distance for some rows (NaN/Inf embedding or "
+                        "centroid?)"
+                    )
+                win = order[first]
+                best_i[lo:hi] = cols[win]
+                best_d[lo:hi] = np.sqrt(np.maximum(d64[win], 0.0))
             out = {
                 id_col: pdf[id_col],
                 centroid_id: pd.Series(sids[best_i], dtype="int32"),
@@ -324,9 +333,17 @@ def write_sharded(
         .mode("overwrite")
         .parquet(f"{path}/shards")
     )
-    shard_histogram(assignments).write.mode("overwrite").csv(
-        f"{path}/distribution", header=True
-    )
+    # histogram from the JUST-WRITTEN layout, not the assignment
+    # lineage: `assignments` is typically an uncached mapInPandas /
+    # KMeans plan, and re-collecting it here silently re-ran the whole
+    # assignment a second time (measured: a full extra 20M-row BLAS
+    # pass at m = 10⁴). Reading back shard_id+dist is a 2-column
+    # pruned scan of what actually landed.
+    shard_histogram(
+        assignments.sparkSession.read.parquet(f"{path}/shards").select(
+            "shard_id", "dist"
+        )
+    ).write.mode("overwrite").csv(f"{path}/distribution", header=True)
 
 
 # --------------------------------------------------------------- KANNDI
