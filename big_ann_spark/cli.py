@@ -245,7 +245,9 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _load_index_shards(spark, index: str, id_col: str, vec_col: str):
+def _load_index_shards(
+    spark, index: str, id_col: str, vec_col: str, shard_ids: list[int] | None = None
+):
     """Read a build-index dir's shards, decoding SQ8 codes when present.
     SQ8 auto-detect keys off the DATA ('codes' column present), not off
     the sidecar file: a float rebuild into a dir that previously held an
@@ -253,10 +255,17 @@ def _load_index_shards(spark, index: str, id_col: str, vec_col: str):
     sq8_ranges.parquet behind, and sidecar-keyed detection would then
     reference a nonexistent codes column. The decode is a pure
     projection placed above the pruned scan, so only probed shards
-    decode."""
+    decode. ``shard_ids``: open only those shard directories by
+    explicit path (no full-layout listing walk — see
+    ``ann.open_probed_shards``)."""
     from pyspark.sql import functions as F
 
-    shards = spark.read.parquet(f"{index}/shards")
+    if shard_ids is not None:
+        from big_ann_spark.operators.ann import open_probed_shards
+
+        shards = open_probed_shards(spark, index, shard_ids)
+    else:
+        shards = spark.read.parquet(f"{index}/shards")
     if "codes" in shards.columns:
         rows = spark.read.parquet(f"{index}/sq8_ranges.parquet").collect()
         if not rows:
@@ -373,13 +382,21 @@ def main(argv: list[str] | None = None) -> int:
         from big_ann_spark.operators import ann as ANN
 
         cents = spark.read.parquet(f"{args.index}/centroids.parquet")
-        shards = _load_index_shards(spark, args.index, args.id_col, args.vec_col)
         q = spark.read.parquet(args.queries).select(
             F.col(args.id_col).alias("qid"), F.col(args.vec_col).alias("qvec")
         )
+        # route first, then open ONLY the probed shard directories —
+        # a fresh CLI session skips the full-layout listing walk
+        routed = ANN.route_queries(q, cents, args.nprobe).localCheckpoint()
+        probe_ids = [
+            r["shard_id"] for r in routed.select("shard_id").distinct().collect()
+        ]
+        shards = _load_index_shards(
+            spark, args.index, args.id_col, args.vec_col, shard_ids=probe_ids
+        )
         out = ANN.ivf_search(
             q, shards, cents, k=args.k, nprobe=args.nprobe,
-            id_col=args.id_col, vec_col=args.vec_col,
+            id_col=args.id_col, vec_col=args.vec_col, _routed=routed,
         )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
@@ -497,7 +514,6 @@ def main(argv: list[str] | None = None) -> int:
                 "silently cap below 1.0)"
             )
         cents = spark.read.parquet(f"{args.index}/centroids.parquet")
-        shards = _load_index_shards(spark, args.index, args.id_col, args.vec_col)
         # sniff the queries input instead of routing purely on the
         # .parquet suffix (ADVICE r7: a parquet DIRECTORY not named
         # *.parquet went down the fbin reader and died on a garbage
@@ -535,9 +551,23 @@ def main(argv: list[str] | None = None) -> int:
                 f"(got {len(qids)} ids, first/last "
                 f"{qids[0] if qids else None}/{qids[-1] if qids else None})"
             )
+        # probed-directory read only when it actually prunes: an
+        # exhaustive evaluate (nprobe = m) touches every shard, and a
+        # full-layout listing beats handing the reader m explicit roots
+        routed = ANN.route_queries(q, cents, args.nprobe).localCheckpoint()
+        probe_ids = [
+            r["shard_id"] for r in routed.select("shard_id").distinct().collect()
+        ]
+        probed = len(probe_ids) < cents.count() / 2
+        shards = _load_index_shards(
+            spark, args.index, args.id_col, args.vec_col,
+            shard_ids=probe_ids if probed else None,
+        )
+        if not probed:
+            shards = shards.filter(F.col("shard_id").isin(probe_ids))
         pred = ANN.ivf_search(
             q, shards, cents, k=args.k, nprobe=args.nprobe,
-            id_col=args.id_col, vec_col=args.vec_col,
+            id_col=args.id_col, vec_col=args.vec_col, _routed=routed,
         ).select("qid", "neighbor_id", "rank")
         gt = FB.ground_truth_df(spark, args.gt, k=args.k)
         r = recall_at_k(pred, gt, args.k).collect()[0].recall_at_k

@@ -37,6 +37,35 @@ def test_ivf_from_disk_equals_in_memory(spark, sf_dir):
     assert a == b and len(a) == 100
 
 
+def test_ivf_search_from_disk_skips_listing(spark, sf_dir):
+    """ivf_search_from_disk (explicit probed-directory read, no
+    full-layout listing walk) must equal ivf_search over the fully
+    listed table; open_probed_shards must tolerate probed ids whose
+    shard never landed a directory (empty clusters)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SH.label_centroids(emb)
+    assign = SH.assign_to_centroids(emb, cents)
+    path = tempfile.mkdtemp(prefix="big_ann_ivf_probed_")
+    SH.write_sharded(assign, emb, path)
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    full = ANN.ivf_search(
+        queries, spark.read.parquet(f"{path}/shards"), cents, k=10, nprobe=3
+    )
+    probed = ANN.ivf_search_from_disk(queries, path, cents, k=10, nprobe=3)
+    a = sorted(map(tuple, full.select("qid", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, probed.select("qid", "neighbor_id", "rank").collect()))
+    assert a == b and len(a) == 100
+
+    real = [r.shard_id for r in assign.select("shard_id").distinct().collect()]
+    some = ANN.open_probed_shards(spark, path, [real[0], 999_999])
+    assert some.select("shard_id").distinct().count() == 1
+    empty = ANN.open_probed_shards(spark, path, [999_999])
+    assert empty.count() == 0 and "shard_id" in empty.columns
+
+
 def test_cli_build_index_and_search(spark, sf_dir, tmp_path):
     """The reference's main workflow as two CLI calls: build-index
     (K-Means shard -> partitioned parquet + centroids) then search;

@@ -140,6 +140,35 @@ def main() -> None:
         )
         return
 
+    if phase == "coldsearch":
+        # first-search-on-a-fresh-session cost: full-layout listing vs
+        # explicit probed-directory read (run each in its OWN process
+        # so no InMemoryFileIndex cache carries over)
+        import pandas as pd
+
+        from big_ann_spark.operators.ann import ivf_search, ivf_search_from_disk
+
+        C = centroids_np(m)
+        rng = np.random.default_rng(3)
+        nq = 20
+        qv = C[rng.integers(0, m, nq)] + rng.normal(size=(nq, D)).astype("float32")
+        queries = spark.createDataFrame(
+            pd.DataFrame(
+                {"qid": np.arange(nq, dtype="int64"), "qvec": list(qv.astype("float32"))}
+            )
+        ).localCheckpoint()
+        mode = sys.argv[3] if len(sys.argv) > 3 else "probed"
+        t = time.perf_counter()
+        if mode == "listing":
+            res = ivf_search(
+                queries, spark.read.parquet(f"{idx_path}/shards"), cents, k=10, nprobe=2
+            )
+        else:
+            res = ivf_search_from_disk(queries, idx_path, cents, k=10, nprobe=2)
+        rows = res.count()
+        print(f"coldsearch[{mode}] n={n} m={m}: {time.perf_counter()-t:.2f}s rows={rows}")
+        return
+
     raise SystemExit(f"unknown phase {phase!r}")
 
 
