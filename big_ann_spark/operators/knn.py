@@ -22,7 +22,7 @@ native array-expression distance + ``WindowGroupLimit`` top-k. 100%
 JVM-side, Catalyst-optimizable, bit-reproducible against the DuckDB
 oracle.
 
-``impl="arrow"`` — ``mapInPandas`` partial top-k: each base partition
+``impl="arrow"`` — ``mapInArrow`` partial top-k: each base partition
 computes a numpy BLAS distance block against the broadcast query matrix
 and emits only its local top-k (Q×k rows per partition), then a final
 windowed top-k merges partials. The shuffle carries O(partitions × Q ×
@@ -35,9 +35,6 @@ neighbor id).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,7 +77,7 @@ def exact_knn(
 
     ``exact_fold_rerank`` (arrow impl only): re-score the BLAS-nominated
     candidates with the exact left-to-right float64 fold the sql impl /
-    DuckDB oracle use, INSIDE the same mapInPandas pass — output is then
+    DuckDB oracle use, INSIDE the same mapInArrow pass — output is then
     bit-identical to ``impl="sql"`` with no extra join or shuffle.
     ``rerank_margin`` is how many candidates beyond k each partition
     nominates for that re-score: bit-parity needs every true fold-top-k
@@ -177,7 +174,7 @@ def _exact_knn_arrow(
     exact_fold_rerank: bool = False,
     rerank_margin: int = 5,
 ) -> DataFrame:
-    """mapInPandas partial top-k (see module docstring). Queries are
+    """mapInArrow partial top-k (see module docstring). Queries are
     collected to the driver (they are the small side by contract) and
     shipped to executors as an explicit ``sc.broadcast`` variable —
     torrent-distributed once per executor, NOT re-pickled into every
@@ -200,13 +197,17 @@ def _exact_knn_arrow(
 
     schema = "qid long, neighbor_id long, dist double"
 
-    def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def part_topk(batches):
+        import pyarrow as pa
+
+        from big_ann_spark.functions.arrowio import int_col, list_col_matrix
+
         qids, qmat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            ids = pdf[base_id].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf[base_vec]), dtype=np.float64)
+            ids = int_col(rb, base_id)
+            mat = list_col_matrix(rb, base_vec, np.float64)
             if metric in ("l2", "sq_l2"):
                 # (q - b)^2 = |q|^2 + |b|^2 - 2 q.b  via BLAS matmul
                 d2 = (
@@ -246,15 +247,19 @@ def _exact_knn_arrow(
                 out_q_list.append(np.full(len(sel), qids[qi], dtype=np.int64))
                 out_n_list.append(ids[sel])
                 out_d_list.append(dists)
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(out_q_list),
-                    "neighbor_id": np.concatenate(out_n_list),
-                    "dist": np.concatenate(out_d_list),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q_list), type=pa.int64()),
+                    pa.array(np.concatenate(out_n_list), type=pa.int64()),
+                    pa.array(
+                        np.concatenate(out_d_list).astype(np.float64),
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["qid", "neighbor_id", "dist"],
             )
 
-    partial = base.select(base_id, base_vec).mapInPandas(part_topk, schema=schema)
+    partial = base.select(base_id, base_vec).mapInArrow(part_topk, schema=schema)
     # final merge: at most partitions × Q × (k+margin) rows reach this
     # window; with exact_fold_rerank the dists are already fold-exact so
     # the global top-k is bit-identical to impl="sql"

@@ -145,9 +145,14 @@ def _assign_arrow(
 ) -> DataFrame:
     """BLAS argmin assignment (see ``assign_to_centroids(impl="arrow")``).
     Row blocks bound the (block × m) distance matrix (~80 MB at
-    m = 10⁴), so per-task memory is independent of batch size."""
+    m = 10⁴), so per-task memory is independent of batch size.
+    ``mapInArrow``, not ``mapInPandas``: id and carry columns (often
+    the vector itself, for ``write_sharded``) pass through as raw
+    Arrow buffers and the matrix is one ``flatten().reshape`` — see
+    ``functions/arrowio.py`` for the measured boundary tax."""
     import numpy as np
-    import pandas as pd
+
+    from big_ann_spark.functions.arrowio import list_col_matrix
 
     crows = sorted(
         ((r[centroid_id], r[centroid_vec]) for r in centroids.collect()),
@@ -171,13 +176,15 @@ def _assign_arrow(
     out_schema = f"{id_col} {id_type}, {centroid_id} int, dist double{extra_ddl}"
 
     def part(batches):
-        for pdf in batches:
-            n = len(pdf)
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
             if not n:
                 continue
             # f64 is the source of truth (an array<double> input must
             # not round-trip through f32); the f32 copy only nominates
-            V64 = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, d)
+            V64 = list_col_matrix(rb, vec_col, np.float64)  # (n, d)
             V32 = V64.astype(np.float32)
             v_sq32 = (V32 * V32).sum(axis=1)
             best_i = np.empty(n, dtype=np.int64)
@@ -221,16 +228,18 @@ def _assign_arrow(
                 win = order[first]
                 best_i[lo:hi] = cols[win]
                 best_d[lo:hi] = np.sqrt(np.maximum(d64[win], 0.0))
-            out = {
-                id_col: pdf[id_col],
-                centroid_id: pd.Series(sids[best_i], dtype="int32"),
-                "dist": best_d,
-            }
+            arrays = [
+                rb.column(id_col),  # pass-through, original type
+                pa.array(sids[best_i].astype(np.int32), type=pa.int32()),
+                pa.array(best_d, type=pa.float64()),
+            ]
+            names = [id_col, centroid_id, "dist"]
             for c in out_extra:
-                out[c] = pdf[c]
-            yield pd.DataFrame(out)
+                arrays.append(rb.column(c))  # zero-copy pass-through
+                names.append(c)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return src.mapInPandas(part, schema=out_schema)
+    return src.mapInArrow(part, schema=out_schema)
 
 
 def shard_histogram(assignments: DataFrame) -> DataFrame:
