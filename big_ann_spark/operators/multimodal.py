@@ -2,13 +2,16 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 stages (decode → feature-extract → resize / frame-sample).
 
-Codecs (round 5): PNG decodes/encodes with the engine's OWN stdlib
-codec (sources/png.py — zlib + the full filter set) and WAV PCM16 with
-stdlib ``wave`` — REAL, container-testable, oracle-checked
+Codecs: PNG decodes/encodes with the engine's OWN stdlib codec
+(sources/png.py — zlib + the full filter set), baseline JPEG with the
+engine's own numpy codec (sources/jpeg.py — full T.81 baseline:
+Huffman, 4:4:4/4:2:0, restart markers), and WAV PCM16 with stdlib
+``wave`` — all REAL, container-testable, oracle-checked
 (multimodal_codec_roundtrip proves encode→decode identity). Only
-non-PNG image formats still gate on Pillow with a clearly-marked
-NotImplementedError; the deterministic fake decoder remains for
-pipeline-shape tests that want format-independent bytes.
+exotic formats (progressive JPEG, GIF/WebP/TIFF) gate on Pillow (the
+``images`` extra) with a clearly-marked error; the deterministic fake
+decoder remains for pipeline-shape tests that want format-independent
+bytes.
 
 At scale: binaries stay columnar in parquet (or are pointers into an
 object store resolved inside the batch fn); each mapInPandas batch is
@@ -91,10 +94,12 @@ def extract_features(
 
 
 def decode_image(media_df: DataFrame, *, media_col: str = "media") -> DataFrame:
-    """Real image decode (width/height/mode metadata). PNG payloads
-    decode with the engine's own stdlib codec (sources/png.py) — no
-    Pillow needed; other formats use Pillow when installed and raise
-    the environment gate otherwise."""
+    """Real image decode (width/height/mode metadata). PNG and JPEG
+    payloads decode with the engine's own codecs (sources/png.py,
+    sources/jpeg.py) — no Pillow needed (JPEG metadata parses off the
+    frame header, so even progressive files identify here); other
+    formats use Pillow when installed and raise the environment gate
+    otherwise."""
     try:
         import PIL.Image  # noqa: F401
 
@@ -105,6 +110,7 @@ def decode_image(media_df: DataFrame, *, media_col: str = "media") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
+        from big_ann_spark.sources.jpeg import jpeg_meta
         from big_ann_spark.sources.png import png_meta
 
         for pdf in batches:
@@ -113,6 +119,9 @@ def decode_image(media_df: DataFrame, *, media_col: str = "media") -> DataFrame:
                 m = bytes(m)
                 if m[:8] == b"\x89PNG\r\n\x1a\n":
                     out.append(png_meta(m))
+                elif m[:2] == b"\xff\xd8":
+                    w, h, mode = jpeg_meta(m)
+                    out.append((w, h, mode))
                 elif have_pil:  # pragma: no cover - environment-dependent
                     import PIL.Image as Image
 
@@ -120,10 +129,11 @@ def decode_image(media_df: DataFrame, *, media_col: str = "media") -> DataFrame:
                     out.append((img.width, img.height, img.mode))
                 else:
                     raise NotImplementedError(
-                        "non-PNG image decode requires Pillow, which is not "
-                        "installed in this environment; PNG decodes natively "
-                        "(sources/png.py), or use extract_features for "
-                        "pipeline testing"
+                        "image format not supported by the native codecs "
+                        "(PNG: sources/png.py, baseline JPEG: "
+                        "sources/jpeg.py) — install the images extra "
+                        "(Pillow) for other formats, or use "
+                        "extract_features for pipeline testing"
                     )
             w, h, mode = zip(*out)
             yield pd.DataFrame(

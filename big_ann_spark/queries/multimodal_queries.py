@@ -93,8 +93,19 @@ png AS (SELECT 'png' AS variant, vec_id AS id, 8 AS d1, 8 AS d2,
         FROM q GROUP BY vec_id),
 wav AS (SELECT 'wav' AS variant, vec_id AS id, 8000 AS d1, 64 AS d2,
                SUM(smp)::BIGINT AS v_sum, MIN(smp) AS v_min, MAX(smp) AS v_max
-        FROM q GROUP BY vec_id)
-SELECT * FROM png UNION ALL SELECT * FROM wav
+        FROM q GROUP BY vec_id),
+-- jpeg: block-uniform even-valued 16x16 images are EXACT through the
+-- lossy baseline codec at quality 50 (DC-only blocks; quant step 16
+-- divides 8*(v-128)), so the oracle certifies the real decode output
+jq AS (SELECT vec_id, i,
+              b - (b % 2) AS b
+       FROM (SELECT vec_id, i,
+                    least(greatest(floor(v[i] * 40 + 128), 0), 254)::BIGINT AS b
+             FROM e, range(1, 5) t(i))),
+jpg AS (SELECT 'jpeg' AS variant, vec_id AS id, 16 AS d1, 16 AS d2,
+               (64 * SUM(b))::BIGINT AS v_sum, MIN(b) AS v_min, MAX(b) AS v_max
+        FROM jq GROUP BY vec_id)
+SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM jpg
 """,
 )
 def multimodal_codec_roundtrip(spark, sf_dir):
@@ -108,7 +119,17 @@ def multimodal_codec_roundtrip(spark, sf_dir):
     - ``wav``: the same values quantized to int16 PCM, WAV-encoded
       (stdlib wave) and decoded; d1/d2 carry the decoded sample rate
       and frame count.
-    Both run in ONE mapInPandas pass over the embeddings — the decode→
+    - ``jpeg``: the engine's own baseline JPEG codec (sources/jpeg.py
+      — Huffman entropy coding, DCT, restart markers; no Pillow).
+      JPEG is lossy, so the oracle-exact construction picks the
+      subspace where it is NOT: a 16×16 image of four uniform 8×8
+      blocks with even pixel values round-trips bit-exactly at
+      quality 50 (each block is DC-only and the luminance DC quant
+      step 16 divides 8·(v−128)). Encoded with restart_interval=1 so
+      the oracle also certifies the decoder's restart-resync path.
+      Stats come from the DECODED pixels — a codec bug anywhere in
+      the marker/Huffman/DCT chain breaks the hash.
+    All run in ONE mapInPandas pass over the embeddings — the decode→
     feature shape every multimodal training pipeline uses, with real
     bytes instead of the deterministic fake."""
     import numpy as np
@@ -118,6 +139,7 @@ def multimodal_codec_roundtrip(spark, sf_dir):
         decode_wav,
         encode_wav_pcm16,
     )
+    from big_ann_spark.sources.jpeg import decode_jpeg, encode_jpeg
     from big_ann_spark.sources.png import decode_png, encode_png
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
@@ -140,6 +162,18 @@ def multimodal_codec_roundtrip(spark, sf_dir):
                 ds = ds.astype(np.int64)
                 rows.append(
                     ("wav", vid, rate, n, int(ds.sum()), int(ds.min()), int(ds.max()))
+                )
+                b = np.clip(np.floor(arr[:4] * 40 + 128), 0, 254).astype(np.int64)
+                b -= b % 2
+                img = np.zeros((16, 16), dtype=np.uint8)
+                img[:8, :8], img[:8, 8:] = b[0], b[1]
+                img[8:, :8], img[8:, 8:] = b[2], b[3]
+                jd = decode_jpeg(
+                    encode_jpeg(img, quality=50, restart_interval=1)
+                ).astype(np.int64)
+                rows.append(
+                    ("jpeg", vid, jd.shape[1], jd.shape[0],
+                     int(jd.sum()), int(jd.min()), int(jd.max()))
                 )
             yield pd.DataFrame(
                 rows,
