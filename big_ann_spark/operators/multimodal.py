@@ -179,6 +179,171 @@ def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
         )
 
 
+def decode_pixels(media: bytes) -> np.ndarray:
+    """Any supported image payload → uint8 (h, w, c) pixels via the
+    native codecs (PNG: sources/png.py, baseline JPEG:
+    sources/jpeg.py); Pillow only for formats neither covers.
+    Grayscale comes back as c=1 so downstream kernels see one layout."""
+    m = bytes(media)
+    if m[:8] == b"\x89PNG\r\n\x1a\n":
+        from big_ann_spark.sources.png import decode_png
+
+        return decode_png(m)
+    if m[:2] == b"\xff\xd8":
+        from big_ann_spark.sources.jpeg import decode_jpeg
+
+        arr = decode_jpeg(m)
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    try:  # pragma: no cover - environment-dependent
+        import io
+
+        import PIL.Image as Image
+
+        arr = np.asarray(Image.open(io.BytesIO(m)).convert("RGB"))
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    except ImportError:
+        raise NotImplementedError(
+            "image format not supported by the native codecs (PNG, "
+            "baseline JPEG) — install the images extra (Pillow)"
+        )
+
+
+def resize_area(pixels: np.ndarray, factor: int) -> np.ndarray:
+    """Integer-factor box downsample (area average) of (h, w, c) uint8:
+    each output pixel is the exact mean of a factor×factor box — the
+    thumbnailing kernel whose arithmetic is simple enough for the
+    DuckDB oracle to reproduce (multimodal_codec_roundtrip `thumb`).
+    Trailing rows/cols that do not fill a box are dropped (standard
+    area-pooling semantics)."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    a = np.asarray(pixels)
+    h, w = a.shape[0] - a.shape[0] % factor, a.shape[1] - a.shape[1] % factor
+    if h == 0 or w == 0:
+        raise ValueError(f"image {a.shape[:2]} smaller than factor {factor}")
+    a = a[:h, :w].astype(np.float64)
+    a = a.reshape(h // factor, factor, w // factor, factor, -1).mean(axis=(1, 3))
+    return np.clip(np.round(a), 0, 255).astype(np.uint8)
+
+
+def resize_bilinear(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resample of (h, w, c) uint8 to (out_h, out_w, c) —
+    half-pixel-centered sample grid (the OpenCV/`align_corners=False`
+    convention), fully vectorized."""
+    a = np.asarray(pixels, dtype=np.float64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w = a.shape[:2]
+    if out_h < 1 or out_w < 1:
+        raise ValueError("output dims must be >= 1")
+    ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    top = a[y0][:, x0] * (1 - fx) + a[y0][:, x1] * fx
+    bot = a[y1][:, x0] * (1 - fx) + a[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    media_df: DataFrame,
+    *,
+    out_w: int,
+    out_h: int,
+    media_col: str = "media",
+    method: str = "bilinear",
+) -> DataFrame:
+    """Decode → resize → re-encode (lossless PNG) thumbnailing over a
+    binary image column — the standard vision-pipeline prep stage, now
+    on real codecs end to end. ``method``: ``bilinear`` hits any target
+    size; ``area`` is the exact box downsample and requires the source
+    dims to be integer multiples of the target. Arrow-batched
+    mapInPandas, one image at a time inside the batch — embarrassingly
+    parallel, no shuffle; at 100 TB the per-image kernel swaps for
+    libjpeg-turbo/OpenCV via the images extra with the identical plan."""
+    if method not in ("bilinear", "area"):
+        raise ValueError(f"method must be 'bilinear' or 'area', got {method!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from big_ann_spark.sources.png import encode_png
+
+        for pdf in batches:
+            ids, thumbs = [], []
+            for doc_id, m in zip(pdf["doc_id"], pdf[media_col]):
+                px = decode_pixels(m)
+                if method == "area":
+                    fy, fx = px.shape[0] // out_h, px.shape[1] // out_w
+                    if fy != fx or fy * out_h != px.shape[0] or fx * out_w != px.shape[1]:
+                        raise ValueError(
+                            f"area resize needs integer uniform factor: "
+                            f"{px.shape[:2]} -> ({out_h}, {out_w})"
+                        )
+                    small = resize_area(px, fy)
+                else:
+                    small = resize_bilinear(px, out_h, out_w)
+                ids.append(doc_id)
+                thumbs.append(encode_png(small))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "thumb": thumbs,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    return media_df.mapInPandas(
+        run, schema="doc_id long, thumb binary, width int, height int"
+    )
+
+
+def image_features(
+    media_df: DataFrame, *, media_col: str = "media", hist_bins: int = 8
+) -> DataFrame:
+    """REAL image featurization (vs the deterministic fake): decode via
+    the native codecs, emit per-channel mean/std plus a luminance
+    histogram — the classic pre-embedding screen (brightness/contrast
+    cuts, near-black frame drops) a vision corpus pipeline runs before
+    paying for model inference. Features: [mean_c0..2, std_c0..2,
+    hist_0..n-1] with single-channel images broadcast across the three
+    channel slots and the histogram L1-normalized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats, ws, hs = [], [], [], []
+            for doc_id, m in zip(pdf["doc_id"], pdf[media_col]):
+                px = decode_pixels(m).astype(np.float64)
+                h, w, c = px.shape
+                chans = px if c == 3 else np.repeat(px[:, :, :1], 3, axis=2)
+                mean = chans.mean(axis=(0, 1))
+                std = chans.std(axis=(0, 1))
+                luma = (
+                    0.299 * chans[:, :, 0]
+                    + 0.587 * chans[:, :, 1]
+                    + 0.114 * chans[:, :, 2]
+                )
+                hist, _ = np.histogram(luma, bins=hist_bins, range=(0, 256))
+                hist = hist / max(int(hist.sum()), 1)
+                ids.append(doc_id)
+                feats.append(
+                    np.concatenate([mean, std, hist]).astype(np.float32)
+                )
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "features": feats, "width": ws, "height": hs}
+            )
+
+    return media_df.mapInPandas(
+        run, schema="doc_id long, features array<float>, width int, height int"
+    )
+
+
 def decode_audio(media_df: DataFrame, *, media_col: str = "media") -> DataFrame:
     """Real audio decode over a WAV binary column: (doc_id,
     sample_rate, n_channels, n_frames, rms). Arrow-batched mapInPandas

@@ -1,14 +1,12 @@
 """Multimodal-column queries.
 
-The media pipeline runs on binary payloads built deterministically from
-the documents table (no image libs in the container — the codec is a
-deterministic fake; the Spark plumbing is real, see
-operators.multimodal). Both mapInPandas stages — the 64-byte frame
-sampler and the Arrow feature extractor — are folded into ONE
-oracle-checked query: the fake codec's byte-bucket histogram is kept
-as raw integer counts (exact in float32), so DuckDB reproduces the
-whole Arrow path from the text bytes. The fbin round-trip check lives
-in sharding_queries.pipeline_invariants.
+multimodal_pipeline runs binary payloads built deterministically from
+the documents table through the frame sampler and the (deterministic
+fake) feature extractor — the Spark plumbing under test, byte-exact
+against DuckDB. multimodal_codec_roundtrip runs the REAL codecs (PNG,
+baseline JPEG, WAV — all the engine's own, no Pillow/librosa) plus the
+area-resize kernel, oracle-exact by construction. The fbin round-trip
+check lives in sharding_queries.pipeline_invariants.
 """
 
 from __future__ import annotations
@@ -104,8 +102,14 @@ jq AS (SELECT vec_id, i,
              FROM e, range(1, 5) t(i))),
 jpg AS (SELECT 'jpeg' AS variant, vec_id AS id, 16 AS d1, 16 AS d2,
                (64 * SUM(b))::BIGINT AS v_sum, MIN(b) AS v_min, MAX(b) AS v_max
-        FROM jq GROUP BY vec_id)
+        FROM jq GROUP BY vec_id),
+-- thumb: the same image through decode -> 2x2 area resize -> PNG
+-- re-encode -> decode; box means of uniform quadrants are exact
+thumb AS (SELECT 'thumb' AS variant, vec_id AS id, 8 AS d1, 8 AS d2,
+                 (16 * SUM(b))::BIGINT AS v_sum, MIN(b) AS v_min, MAX(b) AS v_max
+          FROM jq GROUP BY vec_id)
 SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM jpg
+UNION ALL SELECT * FROM thumb
 """,
 )
 def multimodal_codec_roundtrip(spark, sf_dir):
@@ -129,6 +133,10 @@ def multimodal_codec_roundtrip(spark, sf_dir):
       the oracle also certifies the decoder's restart-resync path.
       Stats come from the DECODED pixels — a codec bug anywhere in
       the marker/Huffman/DCT chain breaks the hash.
+    - ``thumb``: decode → 2×2 area resize (operators/multimodal.
+      resize_area) → PNG re-encode → decode, chaining all four image
+      codec stages plus the thumbnailing kernel through one oracle
+      row (box means of uniform quadrants stay exact).
     All run in ONE mapInPandas pass over the embeddings — the decode→
     feature shape every multimodal training pipeline uses, with real
     bytes instead of the deterministic fake."""
@@ -139,6 +147,7 @@ def multimodal_codec_roundtrip(spark, sf_dir):
         decode_wav,
         encode_wav_pcm16,
     )
+    from big_ann_spark.operators.multimodal import resize_area
     from big_ann_spark.sources.jpeg import decode_jpeg, encode_jpeg
     from big_ann_spark.sources.png import decode_png, encode_png
 
@@ -174,6 +183,13 @@ def multimodal_codec_roundtrip(spark, sf_dir):
                 rows.append(
                     ("jpeg", vid, jd.shape[1], jd.shape[0],
                      int(jd.sum()), int(jd.min()), int(jd.max()))
+                )
+                td = decode_png(
+                    encode_png(resize_area(jd.astype(np.uint8), 2))
+                )[:, :, 0].astype(np.int64)
+                rows.append(
+                    ("thumb", vid, td.shape[1], td.shape[0],
+                     int(td.sum()), int(td.min()), int(td.max()))
                 )
             yield pd.DataFrame(
                 rows,

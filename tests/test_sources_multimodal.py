@@ -286,3 +286,85 @@ def test_cli_list_run_and_fbin(spark, sf_dir, tmp_path, capsys):
     from big_ann_spark.catalog import load_table
 
     assert back.count() == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_resize_area_exact_box_means():
+    img = np.zeros((16, 16, 1), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 40, 80, 120, 200
+    out = MM.resize_area(img, 2)
+    assert out.shape == (8, 8, 1)
+    assert out[0, 0, 0] == 40 and out[0, 7, 0] == 80
+    assert out[7, 0, 0] == 120 and out[7, 7, 0] == 200
+    # non-multiple trailing rows/cols drop (standard area pooling)
+    assert MM.resize_area(np.full((17, 18, 1), 9, np.uint8), 4).shape == (4, 4, 1)
+    # a 2x2 box average is the exact integer mean
+    quad = np.array([[10, 20], [30, 44]], dtype=np.uint8)[:, :, None]
+    assert MM.resize_area(quad, 2)[0, 0, 0] == 26  # round(104/4)
+
+
+def test_resize_bilinear_identity_and_uniform():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    assert np.array_equal(MM.resize_bilinear(img, 8, 8), img)  # identity
+    uni = np.full((12, 20, 3), 77, np.uint8)
+    out = MM.resize_bilinear(uni, 5, 9)
+    assert out.shape == (5, 9, 3) and np.all(out == 77)
+    # upsample of a horizontal gradient stays monotone per row
+    grad = np.tile(np.arange(0, 250, 50, dtype=np.uint8), (4, 1))[:, :, None]
+    up = MM.resize_bilinear(grad, 4, 10)[0, :, 0].astype(int)
+    assert all(a <= b for a, b in zip(up, up[1:]))
+
+
+def test_resize_images_end_to_end(spark):
+    """decode (JPEG + PNG payloads) -> resize -> PNG thumbs, through
+    the Spark operator; thumb decodes back to the requested size."""
+    from big_ann_spark.sources.jpeg import encode_jpeg
+    from big_ann_spark.sources.png import decode_png, encode_png
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    gray = ((xx * 5 + yy * 3) % 230).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_jpeg(gray, 90))),
+            (2, bytearray(encode_png(np.stack([gray] * 3, axis=-1)))),
+        ],
+        "doc_id long, media binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in MM.resize_images(media, out_w=6, out_h=6, method="bilinear").collect()
+    }
+    for doc_id in (1, 2):
+        thumb = decode_png(bytes(rows[doc_id].thumb))
+        assert thumb.shape[:2] == (6, 6)
+    # area mode demands an integer factor
+    with pytest.raises(Exception, match="integer uniform factor"):
+        MM.resize_images(media, out_w=7, out_h=6, method="area").collect()
+
+
+def test_image_features_real_decode(spark):
+    """Real featurization: a mid-gray image pins mean~128/std~0 and a
+    one-hot luminance histogram; a black/white split pins the two end
+    bins at 0.5 each."""
+    from big_ann_spark.sources.jpeg import encode_jpeg
+    from big_ann_spark.sources.png import encode_png
+
+    flat = np.full((16, 16), 128, np.uint8)
+    split = np.zeros((16, 16), np.uint8)
+    split[:, 8:] = 255
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_jpeg(flat, 50))),  # exact: even uniform
+            (2, bytearray(encode_png(split))),
+        ],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: r for r in MM.image_features(media, hist_bins=8).collect()}
+    f1 = rows[1].features
+    assert rows[1].width == 16 and rows[1].height == 16
+    assert all(abs(m - 128.0) < 1e-6 for m in f1[:3])  # means
+    assert all(abs(s) < 1e-6 for s in f1[3:6])  # stds
+    # luma(128) = 128*(0.299+0.587+0.114) = 127.999... in float —
+    # exactly the bin-3/4 edge; all mass in one of the two
+    assert abs(f1[6 + 3] + f1[6 + 4] - 1.0) < 1e-6
+    f2 = rows[2].features
+    assert abs(f2[6 + 0] - 0.5) < 1e-6 and abs(f2[6 + 7] - 0.5) < 1e-6
