@@ -5,8 +5,10 @@ stages (decode → feature-extract → resize / frame-sample).
 Codecs: PNG decodes/encodes with the engine's OWN stdlib codec
 (sources/png.py — zlib + the full filter set), baseline JPEG with the
 engine's own numpy codec (sources/jpeg.py — full T.81 baseline:
-Huffman, 4:4:4/4:2:0, restart markers), and WAV PCM16 with stdlib
-``wave`` — all REAL, container-testable, oracle-checked
+Huffman, 4:4:4/4:2:0, restart markers), WAV PCM16 with stdlib
+``wave``, and AVI/MJPEG video containers (sources/avi.py — RIFF mux/
+demux feeding the JPEG codec per frame) — all REAL,
+container-testable, oracle-checked
 (multimodal_codec_roundtrip proves encode→decode identity). Only
 exotic formats (progressive JPEG, GIF/WebP/TIFF) gate on Pillow (the
 ``images`` extra) with a clearly-marked error; the deterministic fake
@@ -386,4 +388,62 @@ def frame_sample(
 
     return media_df.mapInPandas(
         run, schema="doc_id long, frame_idx int, frame binary"
+    )
+
+
+def sample_video_frames(
+    media_df: DataFrame,
+    *,
+    every_nth: int = 1,
+    max_frames: int | None = None,
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL video frame sampling: demux AVI/MJPEG payloads
+    (sources/avi.py) and emit every n-th JPEG frame — the
+    container-aware counterpart of the byte-stride ``frame_sample``
+    stub. Output: (doc_id, frame_idx, frame binary, width, height,
+    fps, n_frames) where ``frame_idx`` is the frame's position in the
+    SOURCE video (so stride/cap provenance survives sampling) and the
+    ``frame`` bytes feed directly into ``decode_pixels`` /
+    ``image_features`` / ``resize_images``.
+
+    ``every_nth`` keeps frames 0, n, 2n, …; ``max_frames`` caps the
+    kept frames per video AFTER striding (both are what a
+    pretraining frame sampler actually runs: dense video, sparse
+    supervision). Arrow-batched mapInPandas, embarrassingly parallel,
+    no shuffle; at 100 TB the unit of parallelism is the video row, so
+    skew follows video length — repartition long-video corpora by a
+    salt of doc_id before this stage if one clip dominates a task."""
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+    if max_frames is not None and max_frames < 1:
+        raise ValueError(f"max_frames must be >= 1, got {max_frames}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from big_ann_spark.sources.avi import demux_avi
+
+        for pdf in batches:
+            rows = []
+            for doc_id, m in zip(pdf["doc_id"], pdf[media_col]):
+                vid = demux_avi(m)
+                kept = list(enumerate(vid.frames))[::every_nth]
+                if max_frames is not None:
+                    kept = kept[:max_frames]
+                for idx, f in kept:
+                    rows.append(
+                        (doc_id, idx, f, vid.width, vid.height,
+                         vid.fps, len(vid.frames))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame", "width",
+                         "height", "fps", "n_frames"],
+            )
+
+    return media_df.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, frame_idx int, frame binary, width int, "
+            "height int, fps double, n_frames int"
+        ),
     )

@@ -4,8 +4,9 @@ multimodal_pipeline runs binary payloads built deterministically from
 the documents table through the frame sampler and the (deterministic
 fake) feature extractor — the Spark plumbing under test, byte-exact
 against DuckDB. multimodal_codec_roundtrip runs the REAL codecs (PNG,
-baseline JPEG, WAV — all the engine's own, no Pillow/librosa) plus the
-area-resize kernel, oracle-exact by construction. The fbin round-trip
+baseline JPEG, WAV, AVI/MJPEG — all the engine's own, no
+Pillow/librosa/ffmpeg) plus the area-resize kernel, oracle-exact by
+construction. The fbin round-trip
 check lives in sharding_queries.pipeline_invariants.
 """
 
@@ -107,9 +108,16 @@ jpg AS (SELECT 'jpeg' AS variant, vec_id AS id, 16 AS d1, 16 AS d2,
 -- re-encode -> decode; box means of uniform quadrants are exact
 thumb AS (SELECT 'thumb' AS variant, vec_id AS id, 8 AS d1, 8 AS d2,
                  (16 * SUM(b))::BIGINT AS v_sum, MIN(b) AS v_min, MAX(b) AS v_max
+          FROM jq GROUP BY vec_id),
+-- video: two lossless-subspace frames muxed into an AVI/MJPEG
+-- container, demuxed, and decoded per frame: d1 = demuxed frame
+-- count, pixel stats summed over both frames (frame 1 reverses the
+-- block order, which leaves sum/min/max invariant)
+video AS (SELECT 'video' AS variant, vec_id AS id, 2 AS d1, 16 AS d2,
+                 (2 * 64 * SUM(b))::BIGINT AS v_sum, MIN(b) AS v_min, MAX(b) AS v_max
           FROM jq GROUP BY vec_id)
 SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM jpg
-UNION ALL SELECT * FROM thumb
+UNION ALL SELECT * FROM thumb UNION ALL SELECT * FROM video
 """,
 )
 def multimodal_codec_roundtrip(spark, sf_dir):
@@ -137,6 +145,11 @@ def multimodal_codec_roundtrip(spark, sf_dir):
       resize_area) → PNG re-encode → decode, chaining all four image
       codec stages plus the thumbnailing kernel through one oracle
       row (box means of uniform quadrants stay exact).
+    - ``video``: the same lossless-subspace image and its
+      block-reversed twin JPEG-encoded, muxed into an AVI/MJPEG
+      container (sources/avi.py), demuxed, and decoded frame by
+      frame — container walk + per-frame codec certified in one row
+      (d1 carries the demuxed frame count; stats sum over frames).
     All run in ONE mapInPandas pass over the embeddings — the decode→
     feature shape every multimodal training pipeline uses, with real
     bytes instead of the deterministic fake."""
@@ -148,6 +161,7 @@ def multimodal_codec_roundtrip(spark, sf_dir):
         encode_wav_pcm16,
     )
     from big_ann_spark.operators.multimodal import resize_area
+    from big_ann_spark.sources.avi import demux_avi, encode_avi_mjpeg
     from big_ann_spark.sources.jpeg import decode_jpeg, encode_jpeg
     from big_ann_spark.sources.png import decode_png, encode_png
 
@@ -190,6 +204,19 @@ def multimodal_codec_roundtrip(spark, sf_dir):
                 rows.append(
                     ("thumb", vid, td.shape[1], td.shape[0],
                      int(td.sum()), int(td.min()), int(td.max()))
+                )
+                img2 = np.zeros((16, 16), dtype=np.uint8)
+                img2[:8, :8], img2[:8, 8:] = b[3], b[2]
+                img2[8:, :8], img2[8:, 8:] = b[1], b[0]
+                clip = demux_avi(encode_avi_mjpeg(
+                    [encode_jpeg(fr, quality=50, restart_interval=1)
+                     for fr in (img, img2)],
+                    16, 16, fps=25,
+                ))
+                fd = np.stack([decode_jpeg(f) for f in clip.frames]).astype(np.int64)
+                rows.append(
+                    ("video", vid, len(clip.frames), clip.height,
+                     int(fd.sum()), int(fd.min()), int(fd.max()))
                 )
             yield pd.DataFrame(
                 rows,
