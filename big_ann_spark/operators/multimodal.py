@@ -369,6 +369,76 @@ def decode_audio(media_df: DataFrame, *, media_col: str = "media") -> DataFrame:
     )
 
 
+def audio_feature_vector(samples: np.ndarray, rate: int) -> dict:
+    """Per-clip audio features from int16 PCM — the audio analog of
+    ``image_features``' pre-embedding screen (silence/clipping cuts,
+    tone detection) run before paying for model inference.
+
+    Integer-exact (certifiable against a SQL oracle): ``zcr`` counts
+    strict sign changes (products of adjacent samples < 0 — zeros break
+    a run, matching the lag-product SQL form), ``energy`` is the int64
+    sum of squares, ``peak`` the absolute maximum. Float (numpy-parity
+    tested, no SQL form): ``spectral_centroid``/``spectral_rolloff``
+    from the one-sided rFFT magnitude spectrum (rolloff at 85% of
+    spectral mass, the standard MIR default)."""
+    s = np.asarray(samples, dtype=np.int64)
+    n = int(s.size)
+    if n == 0:
+        return {"zcr": 0, "energy": 0, "peak": 0,
+                "spectral_centroid": 0.0, "spectral_rolloff": 0.0}
+    zcr = int(np.count_nonzero(s[:-1] * s[1:] < 0))
+    energy = int(np.sum(s * s))
+    peak = int(np.abs(s).max())
+    mag = np.abs(np.fft.rfft(s.astype(np.float64)))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    total = float(mag.sum())
+    if total > 0.0:
+        centroid = float((freqs * mag).sum() / total)
+        rolloff = float(freqs[np.searchsorted(np.cumsum(mag), 0.85 * total)])
+    else:
+        centroid = rolloff = 0.0
+    return {"zcr": zcr, "energy": energy, "peak": peak,
+            "spectral_centroid": centroid, "spectral_rolloff": rolloff}
+
+
+def audio_features(media_df: DataFrame, *, media_col: str = "media") -> DataFrame:
+    """REAL audio featurization over a WAV binary column: decode via
+    the stdlib codec, emit (doc_id, sample_rate, n_frames, zcr, energy,
+    peak, spectral_centroid, spectral_rolloff). Arrow-batched
+    mapInPandas, shuffle-free, one clip per row — same parallelism
+    contract as ``image_features``. The integer features are
+    oracle-certified by multimodal_codec_roundtrip's ``audio_feat``
+    variant; the spectral pair is numpy-parity tested (DuckDB has no
+    FFT)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, m in zip(pdf["doc_id"], pdf[media_col]):
+                rate, _ch, n, samples = decode_wav(m)
+                f = audio_feature_vector(samples, rate)
+                rows.append(
+                    (doc_id, rate, n, f["zcr"], f["energy"], f["peak"],
+                     round(f["spectral_centroid"], 6),
+                     round(f["spectral_rolloff"], 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_frames", "zcr",
+                         "energy", "peak", "spectral_centroid",
+                         "spectral_rolloff"],
+            )
+
+    return media_df.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, sample_rate int, n_frames int, zcr int, "
+            "energy long, peak int, spectral_centroid double, "
+            "spectral_rolloff double"
+        ),
+    )
+
+
 def frame_sample(
     media_df: DataFrame, *, every_n_bytes: int = 64, media_col: str = "media"
 ) -> DataFrame:

@@ -115,9 +115,23 @@ thumb AS (SELECT 'thumb' AS variant, vec_id AS id, 8 AS d1, 8 AS d2,
 -- block order, which leaves sum/min/max invariant)
 video AS (SELECT 'video' AS variant, vec_id AS id, 2 AS d1, 16 AS d2,
                  (2 * 64 * SUM(b))::BIGINT AS v_sum, MIN(b) AS v_min, MAX(b) AS v_max
-          FROM jq GROUP BY vec_id)
+          FROM jq GROUP BY vec_id),
+-- audio_feat: integer-exact audio features of the decoded PCM —
+-- zero-crossing rate as a lag-product sign test, energy as the
+-- int64 sum of squares (the FFT features have no SQL form and are
+-- numpy-parity tested instead)
+afeat AS (SELECT 'audio_feat' AS variant, vec_id AS id,
+                 COALESCE(SUM(CASE WHEN smp * prev < 0 THEN 1 END), 0)::INT AS d1,
+                 64 AS d2,
+                 SUM(smp * smp)::BIGINT AS v_sum,
+                 MIN(smp) AS v_min, MAX(smp) AS v_max
+          FROM (SELECT vec_id, smp,
+                       lag(smp) OVER (PARTITION BY vec_id ORDER BY i) AS prev
+                FROM q)
+          GROUP BY vec_id)
 SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM jpg
 UNION ALL SELECT * FROM thumb UNION ALL SELECT * FROM video
+UNION ALL SELECT * FROM afeat
 """,
 )
 def multimodal_codec_roundtrip(spark, sf_dir):
@@ -150,6 +164,12 @@ def multimodal_codec_roundtrip(spark, sf_dir):
       container (sources/avi.py), demuxed, and decoded frame by
       frame — container walk + per-frame codec certified in one row
       (d1 carries the demuxed frame count; stats sum over frames).
+    - ``audio_feat``: the integer-exact half of
+      ``operators/multimodal.audio_feature_vector`` run on the
+      DECODED WAV samples — zero-crossing count (d1) and sum-of-
+      squares energy (v_sum) against DuckDB's lag-product/sum forms;
+      a decoder bug that shifted, dropped, or re-scaled one sample
+      breaks the hash.
     All run in ONE mapInPandas pass over the embeddings — the decode→
     feature shape every multimodal training pipeline uses, with real
     bytes instead of the deterministic fake."""
@@ -157,6 +177,7 @@ def multimodal_codec_roundtrip(spark, sf_dir):
     import pandas as pd
 
     from big_ann_spark.operators.multimodal import (
+        audio_feature_vector,
         decode_wav,
         encode_wav_pcm16,
     )
@@ -217,6 +238,11 @@ def multimodal_codec_roundtrip(spark, sf_dir):
                 rows.append(
                     ("video", vid, len(clip.frames), clip.height,
                      int(fd.sum()), int(fd.min()), int(fd.max()))
+                )
+                af = audio_feature_vector(ds, rate)
+                rows.append(
+                    ("audio_feat", vid, af["zcr"], n, af["energy"],
+                     int(ds.min()), int(ds.max()))
                 )
             yield pd.DataFrame(
                 rows,
