@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_ann_spark.functions.text import token_count
+from big_ann_spark.operators.dedup import MINHASH_P, _stable_hash
 from big_ann_spark.operators.ranged import add_value_bins, bin_prefix_table
 
 
@@ -84,4 +85,74 @@ def pack_sequences(
         "offset",
         f"offset div {ctx} as window_start",
         f"_last div {ctx} as window_end",
+    )
+
+
+def assign_training_shards(
+    docs: DataFrame,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """``docs`` plus (``shard``, ``shard_order``): the deterministic
+    global-shuffle layout for training output. ``shard`` is the
+    content-stable multiplicative hash (the exact hash_sample mixing)
+    mod ``n_shards`` — a pseudo-random, ≈equal-count assignment that is
+    reproducible across runs/engines/partitionings; ``shard_order`` is
+    the same hash, the within-shard read order (so concatenating shards
+    0..n-1 in shard_order IS the corpus in one global pseudo-random
+    permutation — what a training run wants instead of crawl order).
+    Pure column arithmetic, no shuffle here; the shuffle happens once,
+    in the writer."""
+    h = _stable_hash(id_col, salt, 2654435761, MINHASH_P)
+    return docs.withColumn("_h", h).select(
+        *docs.columns,
+        (F.col("_h") % n_shards).cast("int").alias("shard"),
+        F.col("_h").alias("shard_order"),
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    salt: int = 0,
+) -> DataFrame:
+    """Write the corpus as ``n_shards`` shard=K/ parquet partitions in
+    deterministic pseudo-random order and return the audit manifest
+    (shard, n_docs, n_tokens) read back FROM the written layout — the
+    manifest certifies what landed on disk, not what the plan intended.
+
+    Plan shape: ONE shuffle — ``repartition(n_shards, shard)`` routes
+    each shard to exactly one task, ``sortWithinPartitions(shard_order,
+    id)`` fixes the in-file row order (a local sort, no exchange), and
+    the partitionBy(shard) write emits one file per shard. At 100 TB
+    pick n_shards so a shard ≈ executor-memory-sized (e.g. 100k shards
+    of ~1 GB); the hash assignment is balanced by construction, so no
+    shard straggles. Training jobs then stream shard files in shard
+    order and get a reshuffled corpus with zero runtime shuffle."""
+    tok = (
+        F.col(token_col) if token_col is not None else token_count(text_col)
+    ).cast("long")
+    assigned = assign_training_shards(
+        docs, n_shards, id_col=id_col, salt=salt
+    ).withColumn("n_tokens_out", tok)
+    # the sort leads with `shard`: the partitioned write REQUIRES an
+    # ordering on its partition column and would otherwise insert its
+    # own (unstable) Sort(shard), destroying the shard_order layout
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_order", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    written = docs.sparkSession.read.parquet(path)
+    return written.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens_out").alias("n_tokens")
     )

@@ -352,6 +352,42 @@ capped AS (
     FROM deduped)
   WHERE rk <= 100
 ),
+dsw AS MATERIALIZED (
+  SELECT doc_id, source, n_tokens,
+         list_transform(string_split(red, ' '),
+           w -> list_reduce(list_prepend(0::BIGINT,
+                  list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                  (a, b) -> (a * 31 + b) % 1000000007) % 256) AS bs
+  FROM deduped
+),
+drc AS (SELECT b, count(*)::BIGINT AS cr
+        FROM (SELECT unnest(bs) AS b FROM dsw) GROUP BY b),
+dtc AS (SELECT b, count(*)::BIGINT AS ct
+        FROM (SELECT unnest(bs) AS b FROM dsw WHERE source = 'src0') GROUP BY b),
+dtot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM dtc) AS tt,
+                (SELECT coalesce(sum(cr), 0) FROM drc) AS tr),
+dlam AS (
+  SELECT g.b AS b,
+         ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + 256))
+           - ln((coalesce(cr, 0) + 1)::DOUBLE / (tr + 256)) AS lam
+  FROM (SELECT unnest(generate_series(0, 255))::BIGINT AS b) g
+  LEFT JOIN dtc USING (b) LEFT JOIN drc USING (b) CROSS JOIN dtot
+),
+dlarr AS (SELECT list(lam ORDER BY b) AS lam_arr FROM dlam),
+dscore AS (
+  SELECT doc_id, n_tokens,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(bs, b -> lam_arr[b + 1])), (a, x) -> a + x) AS logw
+  FROM dsw CROSS JOIN dlarr
+),
+dsel AS (
+  SELECT doc_id, n_tokens, logw,
+         logw + (-ln(-ln(
+           (((doc_id % {_HP} + 4) % {_HP} * {_HA}) % {_HP} + 0.5) / {_HP}
+         ))) AS gk
+  FROM dscore
+  ORDER BY gk DESC, doc_id LIMIT 40
+),
 bpe_docs AS (
   SELECT source,
          coalesce(list_sum(list_transform(
@@ -387,6 +423,14 @@ UNION ALL
 SELECT 'cap', source, COUNT(*)::BIGINT, SUM(doc_id)::DOUBLE, SUM(n_tokens)::DOUBLE
 FROM capped GROUP BY source
 UNION ALL
+SELECT 'dsir', doc_id::VARCHAR, n_tokens::BIGINT, ROUND(logw, 6), ROUND(gk, 6)
+FROM dsel
+UNION ALL
+SELECT 'shards',
+       ((((doc_id % {_HP} + 5) % {_HP} * {_HA}) % {_HP}) % 8)::VARCHAR,
+       COUNT(*)::BIGINT, SUM(n_tokens)::DOUBLE, SUM(doc_id)::DOUBLE
+FROM deduped GROUP BY 2
+UNION ALL
 {c4_row}
 UNION ALL
 {train_rows_sql}
@@ -420,7 +464,14 @@ def pipeline_clean_corpus(spark, sf_dir):
     ipsum', '{{', pinned bad words — per-source kept-page counts, kept
     lines and token-retention ratio as the ``c4`` variant; the corpus
     gets deterministic sentence structure injected so every rule has
-    real work).
+    real work), DSIR importance resampling
+    (operators.importance.dsir_resample: hashed-unigram importance
+    weights toward the src0 slice + deterministic Gumbel top-k — the
+    ``dsir`` variant's per-doc weight/key rows certify the exact
+    selected set), and the deterministic training-shard layout
+    (operators.packing.assign_training_shards: content-stable hash mod
+    8 — the ``shards`` variant's per-shard doc/token/id sums certify
+    the exact membership).
     All stages are column expressions; the only driver-side pieces are
     token_budget_mix's per-source fraction map and the collected
     distinct-word vocab, both contractually tiny."""
@@ -532,6 +583,46 @@ def pipeline_clean_corpus(spark, sf_dir):
         .select(
             F.lit("cap").alias("variant"),
             F.col("source").alias("key"),
+            "n",
+            "v1",
+            "v2",
+        )
+    )
+
+    from big_ann_spark.operators.importance import dsir_resample
+    from big_ann_spark.operators.packing import assign_training_shards
+
+    # DSIR importance resampling: select the 40 deduped docs that look
+    # most like the src0 slice under hashed-unigram (256-bucket)
+    # importance weights + deterministic Gumbel top-k (salt 4)
+    dsir_rows = dsir_resample(
+        deduped,
+        deduped.filter(F.col("source") == "src0"),
+        40,
+        text_col="red",
+        n_buckets=256,
+        salt=4,
+    ).select(
+        F.lit("dsir").alias("variant"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_tokens").alias("n"),
+        F.round("log_weight", 6).alias("v1"),
+        F.round("gumbel_key", 6).alias("v2"),
+    )
+
+    # deterministic global-shuffle shard assignment (salt 5, 8 shards):
+    # per-shard doc/token/id sums certify the exact membership
+    shard_rows = (
+        assign_training_shards(deduped, 8, salt=5)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_tokens").cast("double").alias("v1"),
+            F.sum("doc_id").cast("double").alias("v2"),
+        )
+        .select(
+            F.lit("shards").alias("variant"),
+            F.col("shard").cast("string").alias("key"),
             "n",
             "v1",
             "v2",
@@ -683,6 +774,8 @@ def pipeline_clean_corpus(spark, sf_dir):
         .unionByName(bpe_rows)
         .unionByName(pack_rows)
         .unionByName(cap_rows)
+        .unionByName(dsir_rows)
+        .unionByName(shard_rows)
         .unionByName(c4_rows)
         .unionByName(train_rows)
     )
