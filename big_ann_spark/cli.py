@@ -132,8 +132,9 @@ def _build_parser() -> argparse.ArgumentParser:
     pr = sub.add_parser(
         "prep",
         help="one-call pretraining prep: C4 -> PII -> quality -> exact "
-        "dedup -> near-dup reps -> per-source cap -> sample -> pack, "
-        "any subset, canonical order",
+        "dedup -> near-dup reps -> per-source cap -> sample -> dsir -> "
+        "pack, any subset, canonical order; --shards adds the "
+        "deterministic training-shard layout",
     )
     pr.add_argument("src", help="parquet/jsonl document directory")
     pr.add_argument("dst", help="output dir: docs.parquet (+ pack.parquet)")
@@ -142,7 +143,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "--steps",
         default="c4,pii,quality,dedup,neardup",
         help="comma list from c4,pii,quality,mlquality,dedup,neardup,"
-        "cap,sample,pack",
+        "cap,sample,dsir,pack",
     )
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument("--text-col", default="text")
@@ -159,7 +160,22 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--shingle-n", type=int, default=3)
     pr.add_argument("--max-per-source", type=int, default=None)
     pr.add_argument("--sample-fraction", type=float, default=None)
+    pr.add_argument(
+        "--dsir-target",
+        default=None,
+        help="parquet dir of target-domain docs for the dsir step "
+        "(importance resampling toward this corpus)",
+    )
+    pr.add_argument("--dsir-n", type=int, default=None)
+    pr.add_argument("--dsir-buckets", type=int, default=1024)
     pr.add_argument("--pack-ctx", type=int, default=None)
+    pr.add_argument(
+        "--shards",
+        type=int,
+        default=None,
+        help="also write dst/shards/: N hash-assigned parquet shards in "
+        "deterministic pseudo-random training order",
+    )
     pr.add_argument(
         "--counts",
         action="store_true",
@@ -467,6 +483,9 @@ def main(argv: list[str] | None = None) -> int:
             from pyspark.ml import PipelineModel
 
             qmodel = PipelineModel.load(args.quality_model)
+        dsir_target = (
+            spark.read.parquet(args.dsir_target) if args.dsir_target else None
+        )
         cleaned, placements, tally = prep_corpus(
             docs,
             [s.strip() for s in args.steps.split(",") if s.strip()],
@@ -480,6 +499,9 @@ def main(argv: list[str] | None = None) -> int:
             shingle_n=args.shingle_n,
             max_per_source=args.max_per_source,
             sample_fraction=args.sample_fraction,
+            dsir_target=dsir_target,
+            dsir_n=args.dsir_n,
+            dsir_buckets=args.dsir_buckets,
             pack_ctx=args.pack_ctx,
             counts=args.counts,
         )
@@ -488,9 +510,22 @@ def main(argv: list[str] | None = None) -> int:
             print(f"after {step}: {n} docs")
         if placements is not None:
             placements.write.mode("overwrite").parquet(f"{args.dst}/pack.parquet")
+        if args.shards:
+            from big_ann_spark.operators.packing import write_training_shards
+
+            manifest = write_training_shards(
+                spark.read.parquet(f"{args.dst}/docs.parquet"),
+                f"{args.dst}/shards",
+                args.shards,
+                id_col=args.id_col,
+                text_col=args.text_col,
+            )
+            for r in manifest.orderBy("shard").collect():
+                print(f"shard {r['shard']}: {r['n_docs']} docs, {r['n_tokens']} tokens")
         n = spark.read.parquet(f"{args.dst}/docs.parquet").count()
         print(f"prep: {n} docs -> {args.dst}/docs.parquet"
-              + (" (+ pack.parquet)" if placements is not None else ""))
+              + (" (+ pack.parquet)" if placements is not None else "")
+              + (f" (+ shards/ x{args.shards})" if args.shards else ""))
         return 0
 
     if args.cmd == "vindex-compact":

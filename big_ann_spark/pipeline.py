@@ -4,7 +4,8 @@ packaged as a composable batch job a corpus owner actually runs:
 
     C4 heuristics → PII redaction → quality floor → model-based
     quality (optional classifier) → exact dedup → near-dup (MinHash
-    cluster reps) → per-source cap → hash sample → sequence packing
+    cluster reps) → per-source cap → hash sample → DSIR selection
+    (optional, toward a target corpus) → sequence packing
 
 Every stage is one of the engine's oracle-checked operators applied in
 a FIXED canonical order (the order the public pipelines use: cheap
@@ -27,7 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 STEP_ORDER = [
-    "c4", "pii", "quality", "mlquality", "dedup", "neardup", "cap", "sample", "pack",
+    "c4", "pii", "quality", "mlquality", "dedup", "neardup", "cap", "sample",
+    "dsir", "pack",
 ]
 
 
@@ -45,6 +47,9 @@ def prep_corpus(
     shingle_n: int = 3,
     max_per_source: int | None = None,
     sample_fraction: float | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_n: int | None = None,
+    dsir_buckets: int = 1024,
     pack_ctx: int | None = None,
     counts: bool = False,
 ) -> tuple[DataFrame, DataFrame | None, dict[str, int]]:
@@ -70,7 +75,12 @@ def prep_corpus(
             "step 'mlquality' needs quality_model (a PipelineModel from "
             "operators.quality_model.train_quality_classifier)"
         )
-    if {"cap", "sample"} & set(todo):
+    if "dsir" in todo and (dsir_target is None or dsir_n is None):
+        raise ValueError(
+            "step 'dsir' needs dsir_target (a DataFrame of target-domain "
+            "docs) and dsir_n (how many docs to select)"
+        )
+    if {"cap", "sample", "dsir"} & set(todo):
         from pyspark.sql.types import IntegralType
 
         if not isinstance(docs.schema[id_col].dataType, IntegralType):
@@ -137,6 +147,20 @@ def prep_corpus(
             )
         elif step == "sample":
             out = D.hash_sample(out, sample_fraction, id_col=id_col)
+        elif step == "dsir":
+            from big_ann_spark.operators.importance import dsir_resample
+
+            # selection toward the target domain runs AFTER the
+            # mechanical caps/samples (those bound volume; DSIR then
+            # spends its budget on the best-matching survivors)
+            out = dsir_resample(
+                out,
+                dsir_target,
+                dsir_n,
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=dsir_buckets,
+            ).drop("log_weight", "gumbel_key")
         elif step == "pack":
             from big_ann_spark.operators.packing import pack_sequences
 

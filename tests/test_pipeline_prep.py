@@ -120,3 +120,38 @@ def test_cli_prep(spark, tmp_path):
     docs = spark.read.parquet(f"{dst}/docs.parquet")
     assert docs.count() == 6  # 99 deduped against 0... (same text, min id 0 kept)
     assert spark.read.parquet(f"{dst}/pack.parquet").count() == 6
+
+
+def test_dsir_step_selects_target_lookalikes(spark, corpus):
+    # target: docs resembling source-a prose (use the 'a' slice itself)
+    target = corpus.filter(F.col("source") == "a")
+    with pytest.raises(ValueError, match="dsir_target"):
+        prep_corpus(corpus, ["dsir"])
+    out, _, _ = prep_corpus(
+        corpus, ["quality", "dedup", "dsir"],
+        dsir_target=target, dsir_n=3, dsir_buckets=64,
+    )
+    assert out.count() == 3
+    # selection columns are internal — the cleaned schema is unchanged
+    assert out.columns == corpus.columns
+
+
+def test_cli_prep_with_shards(spark, tmp_path):
+    from big_ann_spark.cli import main
+
+    src = str(tmp_path / "src")
+    good = (
+        "this is a perfectly reasonable sentence about the data and "
+        "the system works fine today. " * 8
+    )
+    spark.createDataFrame(
+        [(i, good + f"tail {i}.", "s") for i in range(20)], _SCHEMA
+    ).write.parquet(src)
+    dst = str(tmp_path / "out")
+    assert (
+        main(["prep", src, dst, "--steps", "quality,dedup", "--shards", "4"])
+        == 0
+    )
+    shards = spark.read.parquet(f"{dst}/shards")
+    assert shards.count() == 20
+    assert shards.select("shard").distinct().count() == 4
