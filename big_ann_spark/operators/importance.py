@@ -58,39 +58,80 @@ def _words(text_col: Column | str) -> Column:
     return F.split(c, " ")
 
 
-def _bucket_counts(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
+def doc_buckets(
+    text_col: Column | str, n_buckets: int = DSIR_BUCKETS
+) -> Column:
+    """The per-doc feature array: every word mapped to its bucket.
+    Precompute this ONCE into a column (ideally on an already-
+    materialized table) and pass it as ``bucket_col`` — the character-
+    level polynomial hash is the dominant cost of the whole DSIR
+    computation, and without the precompute it runs once per consumer
+    (raw counts, target counts, scoring = 3 full hash passes)."""
+    return F.transform(_words(text_col), lambda w: word_bucket(w, n_buckets))
+
+
+def _bucket_arr(
+    docs: DataFrame, text_col: str, n_buckets: int, bucket_col: str | None
+) -> Column:
     return (
-        docs.select(F.explode(_words(text_col)).alias("_w"))
-        .select(word_bucket(F.col("_w"), n_buckets).alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").alias("c"))
+        F.col(bucket_col)
+        if bucket_col is not None
+        else doc_buckets(text_col, n_buckets)
     )
 
 
 def dsir_lambda_table(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     *,
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
+    bucket_col: str | None = None,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """ONE-row DataFrame holding the per-bucket log-likelihood-ratio
     array ``lam`` (position b = ``ln p_t(b) - ln p_r(b)``, add-one
     smoothed) plus the totals it was built from. Kept lazy — the
     bucket counts stay aggregates (n_buckets rows) folded into a map,
     never a driver collect — so callers broadcast-join it and the
-    whole weight computation is a single plan."""
-    tc = _bucket_counts(target, text_col, n_buckets)
-    rc = _bucket_counts(raw, text_col, n_buckets)
-    joined = (
-        tc.withColumnRenamed("c", "ct")
-        .join(rc.withColumnRenamed("c", "cr"), "b", "full_outer")
-        .select(
+    whole weight computation is a single plan.
+
+    Pass EITHER ``target`` (a separate DataFrame — two count scans) or
+    ``target_pred`` (a boolean Column over ``raw`` marking the target
+    slice — ONE scan computes both models: per bucket, count(*) is the
+    raw count and the predicate-conditional count is the target
+    count). ``bucket_col`` names a precomputed ``doc_buckets`` array
+    column to skip re-hashing."""
+    bs = _bucket_arr(raw, text_col, n_buckets, bucket_col)
+    if (target is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target / target_pred")
+    if target_pred is not None:
+        joined = (
+            raw.select(F.explode(bs).alias("b"), target_pred.alias("_t"))
+            .groupBy("b")
+            .agg(
+                F.count(F.when(F.col("_t"), 1)).alias("ct"),
+                F.count("*").alias("cr"),
+            )
+            .select(F.col("b").cast("long").alias("b"), "ct", "cr")
+        )
+    else:
+        tbs = _bucket_arr(target, text_col, n_buckets, bucket_col)
+        tc = (
+            target.select(F.explode(tbs).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("ct"))
+        )
+        rc = (
+            raw.select(F.explode(bs).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("cr"))
+        )
+        joined = tc.join(rc, "b", "full_outer").select(
             F.col("b").cast("long").alias("b"),
             F.coalesce("ct", F.lit(0)).alias("ct"),
             F.coalesce("cr", F.lit(0)).alias("cr"),
         )
-    )
     one = joined.agg(
         F.sum("ct").alias("t_total"),
         F.sum("cr").alias("r_total"),
@@ -119,11 +160,13 @@ def dsir_lambda_table(
 
 def dsir_log_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     *,
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
     weight_col: str = "log_weight",
+    bucket_col: str | None = None,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """``docs`` plus a ``log_weight`` column: the DSIR log importance
     weight of each document under hashed-unigram models of ``target``
@@ -133,15 +176,23 @@ def dsir_log_weights(
     The per-doc sum is a LEFT FOLD over the doc's words in document
     order (F.aggregate over the broadcast lambda array) — zero
     shuffle, deterministic summation, oracle-reproducible via DuckDB's
-    list_reduce."""
-    lam_row = dsir_lambda_table(docs, target, text_col=text_col, n_buckets=n_buckets)
+    list_reduce. ``bucket_col``/``target_pred`` are the two plan-level
+    levers (see dsir_lambda_table): with both, the whole computation
+    is ONE count scan + ONE scoring scan with the word hashing done
+    once, wherever ``bucket_col`` was materialized."""
+    lam_row = dsir_lambda_table(
+        docs,
+        target,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        bucket_col=bucket_col,
+        target_pred=target_pred,
+    )
     with_lam = docs.crossJoin(F.broadcast(lam_row.select("lam")))
+    bs = _bucket_arr(docs, text_col, n_buckets, bucket_col)
     logw = F.aggregate(
         F.transform(
-            _words(text_col),
-            lambda w: F.element_at(
-                F.col("lam"), (word_bucket(w, n_buckets) + 1).cast("int")
-            ),
+            bs, lambda b: F.element_at(F.col("lam"), (b + 1).cast("int"))
         ),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
@@ -171,13 +222,15 @@ def gumbel_key(
 
 def dsir_resample(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     n_out: int,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
     salt: int = 0,
+    bucket_col: str | None = None,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Select ``n_out`` documents from ``docs`` by DSIR importance
     resampling toward ``target``: Gumbel top-k over the log importance
@@ -189,7 +242,12 @@ def dsir_resample(
     oracle. The limit executes as TakeOrdered (per-partition top-k,
     then a driver merge of k-sized heads), not a global sort."""
     weighted = dsir_log_weights(
-        docs, target, text_col=text_col, n_buckets=n_buckets
+        docs,
+        target,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        bucket_col=bucket_col,
+        target_pred=target_pred,
     )
     keyed = weighted.withColumn(
         "gumbel_key", gumbel_key(F.col("log_weight"), id_col, salt=salt)

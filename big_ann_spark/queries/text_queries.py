@@ -533,6 +533,12 @@ def pipeline_clean_corpus(spark, sf_dir):
     # this table: checkpoint it so the regex-heavy redact -> score ->
     # dedup lineage runs ONCE instead of once per branch (the regexes
     # dominate the composite's wall; measured ~2x on the bench entry)
+    from big_ann_spark.operators.importance import doc_buckets
+
+    # _bs: the DSIR feature array, hashed ONCE here (the char-level
+    # poly hash is dsir's dominant cost; materializing it in the same
+    # checkpoint turns 3 hash passes — raw counts, target counts,
+    # scoring — into 1)
     deduped = (
         scored.filter(F.col("quality") >= 0.5)
         .groupBy("red")
@@ -542,6 +548,7 @@ def pipeline_clean_corpus(spark, sf_dir):
             F.min("n_tokens").alias("n_tokens"),
             F.min("quality").alias("quality"),
         )
+        .withColumn("_bs", doc_buckets("red", 256))
         .localCheckpoint()
     )
     clean_rows = (
@@ -597,11 +604,13 @@ def pipeline_clean_corpus(spark, sf_dir):
     # importance weights + deterministic Gumbel top-k (salt 4)
     dsir_rows = dsir_resample(
         deduped,
-        deduped.filter(F.col("source") == "src0"),
+        None,
         40,
         text_col="red",
         n_buckets=256,
         salt=4,
+        bucket_col="_bs",
+        target_pred=F.col("source") == "src0",
     ).select(
         F.lit("dsir").alias("variant"),
         F.col("doc_id").cast("string").alias("key"),

@@ -148,3 +148,39 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         t = pq.read_table(f, columns=["shard_order", "doc_id"]).to_pandas()
         key = list(zip(t.shard_order, t.doc_id))
         assert key == sorted(key)
+
+
+def test_target_pred_and_bucket_col_match_default_path(spark):
+    """The two plan-level levers (single-scan dual-model aggregate,
+    precomputed bucket array) must be value-identical to the plain
+    two-DataFrame path."""
+    from big_ann_spark.operators.importance import doc_buckets
+
+    docs = _corpus(spark)
+    base = dsir_log_weights(
+        docs, docs.filter(F.col("kind") == "prose"), n_buckets=64
+    ).toPandas()
+    fast = (
+        dsir_log_weights(
+            docs.withColumn("_bs", doc_buckets("text", 64)),
+            None,
+            n_buckets=64,
+            bucket_col="_bs",
+            target_pred=F.col("kind") == "prose",
+        )
+        .drop("_bs")
+        .toPandas()
+    )
+    a = dict(zip(base.doc_id, base.log_weight))
+    b = dict(zip(fast.doc_id, fast.log_weight))
+    assert a == b
+
+
+def test_lambda_table_requires_exactly_one_target_form(spark):
+    import pytest
+
+    docs = _corpus(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_lambda_table(docs, None)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_lambda_table(docs, docs, target_pred=F.lit(True))
