@@ -56,7 +56,54 @@ lm AS (
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
   JOIN cnt USING (w) CROSS JOIN tot
   GROUP BY doc_id
-)
+),
+-- Stupid Backoff trigram LM trained on the src0 slice, scored over
+-- the whole corpus (CCNet's KenLM filter shape): per position the
+-- cascade S3 = c3/cc3 | 0.4*(c2/cc2) | 0.16*(c1+1)/(T+V)
+tr AS (SELECT list_concat(['<s>', '<s>'], string_split(text, ' ')) AS p
+       FROM documents WHERE source = 'src0'),
+trp AS (SELECT array_to_string(p[u.i-2:u.i], ' ') AS g3,
+               array_to_string(p[u.i-1:u.i], ' ') AS g2,
+               p[u.i] AS g1,
+               array_to_string(p[u.i-2:u.i-1], ' ') AS x3,
+               p[u.i-1] AS x2
+        FROM tr, LATERAL unnest(generate_series(3, len(p))) AS u(i)),
+c3 AS (SELECT g3 AS g, COUNT(*) AS c FROM trp GROUP BY 1),
+c2 AS (SELECT g2 AS g, COUNT(*) AS c FROM trp GROUP BY 1),
+c1 AS (SELECT g1 AS g, COUNT(*) AS c FROM trp GROUP BY 1),
+x3c AS (SELECT x3 AS x, COUNT(*) AS cc FROM trp GROUP BY 1),
+x2c AS (SELECT x2 AS x, COUNT(*) AS cc FROM trp GROUP BY 1),
+sbtot AS (SELECT SUM(c) AS T, COUNT(*) AS V FROM c1),
+ap AS (SELECT doc_id, list_concat(['<s>', '<s>'], string_split(text, ' ')) AS p
+       FROM documents),
+app AS (SELECT doc_id,
+               array_to_string(p[u.i-2:u.i], ' ') AS g3,
+               array_to_string(p[u.i-1:u.i], ' ') AS g2,
+               p[u.i] AS g1,
+               array_to_string(p[u.i-2:u.i-1], ' ') AS x3,
+               p[u.i-1] AS x2
+        FROM ap, LATERAL unnest(generate_series(3, len(p))) AS u(i)),
+sbsc AS (
+  SELECT app.doc_id, ln(
+    CASE WHEN c3.c IS NOT NULL THEN c3.c::DOUBLE / x3c.cc
+         WHEN c2.c IS NOT NULL THEN 0.4 * (c2.c::DOUBLE / x2c.cc)
+         ELSE 0.4 * 0.4 * (COALESCE(c1.c, 0) + 1)::DOUBLE / (T + V) END) AS lp
+  FROM app
+  LEFT JOIN c3 ON app.g3 = c3.g
+  LEFT JOIN c2 ON app.g2 = c2.g
+  LEFT JOIN c1 ON app.g1 = c1.g
+  LEFT JOIN x3c ON app.x3 = x3c.x
+  LEFT JOIN x2c ON app.x2 = x2c.x
+  CROSS JOIN sbtot
+),
+lmsb AS (SELECT doc_id, ROUND(AVG(lp), 6) AS lp_sb FROM sbsc GROUP BY 1),
+sbthr AS (SELECT quantile_cont(lp_sb, 0.7) AS hi, quantile_cont(lp_sb, 0.3) AS lo
+          FROM lmsb),
+lmb AS (SELECT doc_id, lp_sb,
+               CASE WHEN lp_sb >= hi THEN 'head'
+                    WHEN lp_sb < lo THEN 'tail'
+                    ELSE 'middle' END AS ppl_bucket
+        FROM lmsb CROSS JOIN sbthr)
 SELECT s.doc_id,
        len(toks) AS n_tokens,
        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
@@ -66,10 +113,13 @@ SELECT s.doc_id,
            + 0.3 * greatest(0.0, 1.0 - abs(sw - 0.4) / 0.4), 6) AS quality,
        ROUND(wf.max_word_frac, 6) AS max_word_frac,
        ROUND(COALESCE(bf.top_bigram_frac, 0.0), 6) AS top_bigram_frac,
-       ROUND(lm.lp, 6) AS lp_per_token
+       ROUND(lm.lp, 6) AS lp_per_token,
+       lmb.lp_sb,
+       lmb.ppl_bucket
 FROM s JOIN wf ON s.doc_id = wf.doc_id
 LEFT JOIN bf ON s.doc_id = bf.doc_id
 JOIN lm ON s.doc_id = lm.doc_id
+JOIN lmb ON s.doc_id = lmb.doc_id
 """,
 )
 def text_metrics(spark, sf_dir):
@@ -81,9 +131,20 @@ def text_metrics(spark, sf_dir):
     top_bigram_frac — functions.text.repetition_metrics: explode →
     two-level hash agg, linear in tokens), and the CCNet-style
     unigram-LM score (lp_per_token — functions.text.unigram_logprob:
-    vocabulary-sized LM aggregate broadcast to the scoring join). The
-    scalar columns stay one scan of pure column expressions; the
+    vocabulary-sized LM aggregate broadcast to the scoring join), plus
+    the real CCNet filter shape: a Stupid-Backoff trigram LM trained
+    on the src0 slice scoring every document (lp_sb) and the
+    head/middle/tail perplexity bucket (ppl_bucket) cut at exact
+    30/70 percentiles (operators.ngram_lm — one corpus shuffle to
+    train, vocabulary-sized broadcast joins to score). The scalar
+    columns stay one scan of pure column expressions; the
     repetition/LM joins key on doc_id."""
+    from big_ann_spark.operators.ngram_lm import (
+        ccnet_buckets,
+        score_stupid_backoff,
+        train_ngram_lm,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -94,14 +155,23 @@ def text_metrics(spark, sf_dir):
     )
     rep = T.repetition_metrics(d)
     lm = T.unigram_logprob(d)
+    sb_lm = train_ngram_lm(d.filter(F.col("source") == "src0"), order=3)
+    sb = ccnet_buckets(
+        score_stupid_backoff(d, sb_lm).withColumn("lp_sb", F.round("lp_sb", 6)),
+        head_frac=0.3,
+        tail_frac=0.3,
+    )
     return (
         base.join(rep, "doc_id", "left")
         .join(lm, "doc_id", "left")
+        .join(sb, "doc_id", "left")
         .select(
             base["*"],
             F.round("max_word_frac", 6).alias("max_word_frac"),
             F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
             F.round("lp_per_token", 6).alias("lp_per_token"),
+            "lp_sb",
+            "ppl_bucket",
         )
     )
 
