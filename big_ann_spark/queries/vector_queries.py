@@ -36,6 +36,15 @@ _L2_SQL = (
     "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))))"
 )
 
+# BM25 constants for the doc_retrieval_top3 oracle: computed in Python
+# and injected as repr + e-notation so DuckDB parses the exact DOUBLEs
+# Spark evaluates with (a plain 2.2 literal would be DECIMAL-typed).
+from big_ann_spark.operators.bm25 import B as _BM25_B  # noqa: E402
+from big_ann_spark.operators.bm25 import K1 as _BM25_K1  # noqa: E402
+
+_BM25_K1P1 = _BM25_K1 + 1
+_BM25_1MB = 1 - _BM25_B
+
 _KNN_EXACT_SQL = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < {N_QUERIES}),
@@ -201,6 +210,32 @@ hits AS (
 rs AS (SELECT qid, neighbor_id, score,
               row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rk
        FROM hits),
+-- bm25: lexical more-like-this over the documents text (Lucene idf
+-- variant; query = the query doc's terms, k1=1.2 b=0.75). Constants
+-- are written in e-notation so DuckDB parses them as the same DOUBLE
+-- Python/Spark use, and the per-pair sum is ROUNDed before ranking so
+-- exact-duplicate docs tie and break by id in both engines.
+btf AS (SELECT doc_id, w, COUNT(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1, 2),
+bdl AS (SELECT doc_id, SUM(tf) AS dl FROM btf GROUP BY 1),
+bst AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM bdl),
+bdf AS (SELECT w, COUNT(*)::DOUBLE AS df FROM btf GROUP BY 1),
+bq AS (SELECT doc_id AS qid, w, tf AS qtf FROM btf WHERE doc_id < 5),
+bsc AS (
+  SELECT bq.qid, btf.doc_id AS neighbor_id,
+         ROUND(SUM((bq.qtf * ln(1e0 + ((bst.n - bdf.df + 0.5e0) / (bdf.df + 0.5e0))))
+               * (btf.tf * {_BM25_K1P1!r}e0
+                  / (btf.tf + {_BM25_K1!r}e0 * ({_BM25_1MB!r}e0
+                     + ({_BM25_B!r}e0 * bdl.dl) / bst.avgdl)))), 6) AS score
+  FROM bq JOIN btf USING (w) JOIN bdf USING (w)
+  JOIN bdl ON bdl.doc_id = btf.doc_id CROSS JOIN bst
+  WHERE btf.doc_id <> bq.qid
+  GROUP BY 1, 2
+),
+rb AS (SELECT qid, neighbor_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rk
+       FROM bsc),
 -- hybrid: reciprocal-rank fusion (Cormack et al. 2009) of the dense
 -- and sparse top-10 runs; absent-from-run contributes 0
 hy AS (
@@ -222,6 +257,8 @@ u AS (
   SELECT 'filtered_tags', qid, neighbor_id, ROUND(dist, 6), rk FROM rt WHERE rk <= 3
   UNION ALL
   SELECT 'sparse', qid, neighbor_id, ROUND(score, 6), rk FROM rs WHERE rk <= 3
+  UNION ALL
+  SELECT 'bm25', qid, neighbor_id, score, rk FROM rb WHERE rk <= 3
   UNION ALL
   SELECT 'hybrid', qid, neighbor_id, ROUND(rrf, 6), rk FROM rh WHERE rk <= 3
 )
@@ -252,6 +289,11 @@ def doc_retrieval_top3(spark, sf_dir):
       tau=0.15 into COO postings, inverted-index equi-join on dim,
       map-side-combined sum of products, MIPS top-3. Scored volume is
       bounded by query-term posting lists, independent of corpus width;
+    - ``bm25``: lexical more-like-this over the documents text
+      (operators/bm25.py — inverted-index postings join, Lucene idf,
+      k1=1.2 b=0.75), the BM25 side a Solr/ES deployment of the
+      reference's encoders would rank with; scores ROUNDed before
+      ranking so exact-duplicate docs tie deterministically;
     - ``hybrid``: reciprocal-rank fusion (Cormack et al. SIGIR 2009,
       c=60) of the dense and sparse top-10 runs — the standard hybrid
       search pattern; fusion cost is O(Q·k) per run by construction
@@ -334,6 +376,17 @@ def doc_retrieval_top3(spark, sf_dir):
         "qid", "neighbor_id", "score", "rank"
     )
 
+    from big_ann_spark.operators.bm25 import bm25_index, bm25_topk
+
+    bidx = bm25_index(docs)
+    bm25 = bm25_topk(
+        docs.filter(F.col("doc_id") < 5),
+        bidx,
+        k=3,
+        exclude_self=True,
+        score_round=6,
+    ).select("qid", "neighbor_id", "score", "rank")
+
     from big_ann_spark.operators.fusion import rrf_fuse
 
     hybrid = rrf_fuse(
@@ -355,6 +408,7 @@ def doc_retrieval_top3(spark, sf_dir):
         .unionByName(_tag(filtered, "filtered"))
         .unionByName(_tag(filtered_tags, "filtered_tags"))
         .unionByName(_tag(sparse, "sparse"))
+        .unionByName(_tag(bm25, "bm25"))
         .unionByName(_tag(hybrid, "hybrid"))
     )
     return u.join(docs, u.neighbor_id == docs.doc_id).select(
