@@ -78,18 +78,26 @@ def bm25_index(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> Bm25Index:
     """Build the three index tables from a corpus. ONE corpus-sized
-    shuffle (the (doc, term) aggregate); dl rides along as the sum of
-    tfs per doc re-joined onto postings; df and the stats row derive
-    from the postings (vocabulary-/unit-sized)."""
-    tf = terms(docs, id_col=id_col, text_col=text_col)
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
-    postings = tf.join(dl, "id").select(
-        F.col("id").alias("doc"), "term", "tf", "dl"
+    shuffle total: dl is just the doc's token count, computed BEFORE
+    the explode and carried through it, so the (doc, dl, term)
+    aggregate needs no corpus-sized dl re-join (grouping by the
+    functionally-dependent dl is free); df and the stats row derive
+    from postings / the raw scan (vocabulary-/unit-sized)."""
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
     )
-    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = dl.agg(
+    postings = base.groupBy("doc", "dl", "term").agg(
+        F.count("*").alias("tf")
+    ).select("doc", "term", "tf", "dl")
+    dfs = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # null-text docs produce no postings (explode drops them) — keep
+    # the corpus statistics consistent with that universe
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    stats = docs.filter(c.isNotNull()).agg(
         F.count("*").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        F.avg(F.size(tokens(text_col)).cast("double")).alias("avgdl"),
     )
     return Bm25Index(postings=postings, dfs=dfs, stats=stats)
 

@@ -115,9 +115,23 @@ def train_ngram_lm(
     them at scoring time; persist with plain ``.write.parquet``."""
     if order < 1:
         raise ValueError(f"order must be >= 1, got {order}")
-    pos = docs.select(
-        F.explode(_position_features(text_col, order)).alias("_f")
-    ).select(F.col(f"_f.g{order}").alias("gram"))
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    padded = F.concat(F.array_repeat(F.lit(BOS), order - 1), tokens(c))
+    # train needs only the order-n gram per position — a plain string
+    # array, not the full 2n-1-field scoring struct
+    grams = bind_once(
+        padded,
+        lambda p: F.when(
+            F.size(p) >= order,
+            F.transform(
+                F.sequence(F.lit(order), F.size(p)),
+                lambda i: F.array_join(
+                    F.slice(p, i - F.lit(order - 1), order), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    pos = docs.select(F.explode(grams).alias("gram"))
     top = pos.groupBy("gram").agg(F.count("*").alias("c"))
     # suffix_k(gram): last k space-delimited tokens; prefix via the
     # positive count. substring_index is a JVM scalar — no UDF.

@@ -241,3 +241,41 @@ def test_gram_keys_word_hash_not_reinlined(spark, sf_dir):
         "split(text"
     )
     assert n_ws < 8, n_ws
+
+
+def test_bm25_query_side_broadcasts_no_smj(spark, sf_dir):
+    """BM25 scoring: the query-term and df joins must be broadcast hash
+    joins (the postings side never shuffles before the map-side-combined
+    score aggregate), and the index build must not re-join a dl table —
+    dl rides the explode, so the whole topk plan carries no
+    SortMergeJoin at all."""
+    from big_ann_spark.operators.bm25 import bm25_index, bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = bm25_index(docs)
+    out = bm25_topk(
+        docs.filter(F.col("doc_id") < 5), idx, k=3,
+        exclude_self=True, score_round=6,
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "NestedLoop" not in plan or "BroadcastNestedLoopJoin" in plan
+    # top-k must run as the group-limit pushdown
+    assert "WindowGroupLimit" in plan
+
+
+def test_ngram_lm_scoring_broadcasts_no_smj(spark, sf_dir):
+    """Stupid-Backoff scoring: all 2n-1 count-table lookups broadcast
+    (vocabulary-sized tables); the only corpus shuffle is the final
+    per-doc mean."""
+    from big_ann_spark.operators.ngram_lm import (
+        score_stupid_backoff,
+        train_ngram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_ngram_lm(docs.filter(F.col("source") == "src0"), order=3)
+    plan = _plan(score_stupid_backoff(docs, lm))
+    assert plan.count("BroadcastHashJoin") >= 5  # c1..c3 + x2..x3
+    assert "SortMergeJoin" not in plan, plan
