@@ -911,7 +911,28 @@ m AS (SELECT doc_id, s, e,
 isl AS (SELECT doc_id, s, e,
                SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        FROM m)
+        FROM m),
+-- line-level dedup fixture: 10-token windows of the raw docs as
+-- synthetic "lines" (the fixture is single-line); lns/ltot shared by
+-- the line_strip (CCNet boilerplate cap) and line_first (RefinedWeb
+-- keep-first paragraph dedup) variants below
+lin AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+lns AS (SELECT doc_id, u.i AS ln,
+               array_to_string(toks[(u.i-1)*10+1 : u.i*10], ' ') AS line
+        FROM lin, LATERAL unnest(generate_series(1, (len(toks)+9)//10)) AS u(i)),
+ltot AS (SELECT doc_id, COUNT(*) AS nl FROM lns GROUP BY 1),
+lcnt AS (SELECT line, COUNT(*) AS c FROM lns GROUP BY 1),
+lkeep AS (SELECT l.doc_id, l.ln, l.line
+          FROM lns l JOIN lcnt c USING (line) WHERE c.c <= 3),
+lreb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS t,
+                COUNT(*) AS nk
+         FROM lkeep GROUP BY 1),
+lrk AS (SELECT doc_id, ln, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rn
+        FROM lns),
+lreb2 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS t,
+                 COUNT(*) AS nk
+          FROM lrk WHERE rn = 1 GROUP BY 1)
 SELECT 'dup_span' AS variant, doc_id, MIN(s)::BIGINT AS v1, MAX(e)::BIGINT AS v2
 FROM isl GROUP BY doc_id, island
 UNION ALL
@@ -984,6 +1005,26 @@ SELECT 'strip', doc_id, v1, v2 FROM (
          (len(string_split(c0.text, ' ')) - COALESCE(cl.nk, 0))::BIGINT AS v2
   FROM corpus c0 LEFT JOIN cleant cl USING (doc_id)
 )
+UNION ALL
+-- line_strip: CCNet boilerplate cap — drop lines seen > 3 times
+-- corpus-wide; v1 certifies the exact rebuilt text, v2 = lines removed
+SELECT 'line_strip', ltot.doc_id,
+       list_reduce(list_prepend(0::BIGINT,
+         list_transform(string_split('#' || COALESCE(lreb.t, ''), ''),
+                        ch -> ascii(ch)::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007),
+       (ltot.nl - COALESCE(lreb.nk, 0))::BIGINT
+FROM ltot LEFT JOIN lreb USING (doc_id)
+UNION ALL
+-- line_first: keep-first paragraph dedup — each distinct line survives
+-- only at its globally-first (doc_id, ln) occurrence
+SELECT 'line_first', ltot.doc_id,
+       list_reduce(list_prepend(0::BIGINT,
+         list_transform(string_split('#' || COALESCE(lreb2.t, ''), ''),
+                        ch -> ascii(ch)::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007),
+       (ltot.nl - COALESCE(lreb2.nk, 0))::BIGINT
+FROM ltot LEFT JOIN lreb2 USING (doc_id)
 """
 
 
@@ -1010,7 +1051,12 @@ def doc_fingerprint(spark, sf_dir):
       (operators.dedup.strip_duplicate_spans) — all but the
       globally-first occurrence of each duplicated 8-gram masked out;
       v1 = char fingerprint of '#'+cleaned text (the hash certifies
-      the exact surviving text), v2 = tokens removed."""
+      the exact surviving text), v2 = tokens removed.
+    - ``line_strip`` / ``line_first``: line-level dedup
+      (operators/lines.py — CCNet's stage-1 boilerplate cap at
+      count > 3, and RefinedWeb keep-first paragraph dedup), over
+      10-token windowed "lines" (the fixture is single-line); v1 =
+      char fingerprint of '#'+rebuilt text, v2 = lines removed."""
     d = load_table(spark, sf_dir, "documents")
     fp = d.filter(F.col("doc_id") < 100).select(
         F.lit("char_fp").alias("variant"),
@@ -1052,4 +1098,30 @@ def doc_fingerprint(spark, sf_dir):
         T.char_fingerprint(F.concat(F.lit("#"), F.col("text"))).alias("v1"),
         F.col("n_removed").alias("v2"),
     )
-    return spans.unionByName(fp).unionByName(contam).unionByName(strip_rows)
+    from big_ann_spark.operators.lines import (
+        dedup_lines_keep_first,
+        strip_boilerplate_lines,
+        windowed_lines,
+    )
+
+    wl = windowed_lines(d, words_per_line=10)
+
+    def _line_rows(rebuilt, tag):
+        return rebuilt.select(
+            F.lit(tag).alias("variant"),
+            F.col("id").alias("doc_id"),
+            T.char_fingerprint(F.concat(F.lit("#"), F.col("text"))).alias("v1"),
+            F.col("n_removed").cast("long").alias("v2"),
+        )
+
+    line_strip = _line_rows(
+        strip_boilerplate_lines(wl, max_count=3), "line_strip"
+    )
+    line_first = _line_rows(dedup_lines_keep_first(wl), "line_first")
+    return (
+        spans.unionByName(fp)
+        .unionByName(contam)
+        .unionByName(strip_rows)
+        .unionByName(line_strip)
+        .unionByName(line_first)
+    )
