@@ -131,10 +131,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     pr = sub.add_parser(
         "prep",
-        help="one-call pretraining prep: C4 -> PII -> quality -> exact "
-        "dedup -> near-dup reps -> per-source cap -> sample -> dsir -> "
-        "pack, any subset, canonical order; --shards adds the "
-        "deterministic training-shard layout",
+        help="one-call pretraining prep: line-dedup -> C4 -> PII -> "
+        "quality -> LM perplexity filter -> exact dedup -> near-dup "
+        "reps -> per-source cap -> sample -> dsir -> pack, any subset, "
+        "canonical order; --shards adds the deterministic "
+        "training-shard layout",
     )
     pr.add_argument("src", help="parquet/jsonl document directory")
     pr.add_argument("dst", help="output dir: docs.parquet (+ pack.parquet)")
@@ -142,8 +143,8 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument(
         "--steps",
         default="c4,pii,quality,dedup,neardup",
-        help="comma list from c4,pii,quality,mlquality,dedup,neardup,"
-        "cap,sample,dsir,pack",
+        help="comma list from linededup,c4,pii,quality,mlquality,"
+        "lmfilter,dedup,neardup,cap,sample,dsir,pack",
     )
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument("--text-col", default="text")
@@ -169,6 +170,32 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--dsir-n", type=int, default=None)
     pr.add_argument("--dsir-buckets", type=int, default=1024)
     pr.add_argument("--pack-ctx", type=int, default=None)
+    pr.add_argument(
+        "--line-max-count",
+        type=int,
+        default=3,
+        help="linededup: drop lines seen more than this many times",
+    )
+    pr.add_argument(
+        "--line-words-per-line",
+        type=int,
+        default=None,
+        help="linededup: treat fixed N-token windows as lines (for "
+        "single-line corpora); default splits on newlines",
+    )
+    pr.add_argument(
+        "--lm-docs",
+        default=None,
+        help="lmfilter: parquet dir of high-quality docs to train the "
+        "Stupid-Backoff LM on (the CCNet Wikipedia role); default "
+        "self-trained on the corpus",
+    )
+    pr.add_argument("--lm-order", type=int, default=3)
+    pr.add_argument(
+        "--lm-keep",
+        default="head,middle",
+        help="lmfilter: perplexity buckets to keep (from head,middle,tail)",
+    )
     pr.add_argument(
         "--shards",
         type=int,
@@ -503,6 +530,15 @@ def main(argv: list[str] | None = None) -> int:
             dsir_n=args.dsir_n,
             dsir_buckets=args.dsir_buckets,
             pack_ctx=args.pack_ctx,
+            line_max_count=args.line_max_count,
+            line_words_per_line=args.line_words_per_line,
+            lm_docs=(
+                spark.read.parquet(args.lm_docs) if args.lm_docs else None
+            ),
+            lm_order=args.lm_order,
+            lm_keep=tuple(
+                s.strip() for s in args.lm_keep.split(",") if s.strip()
+            ),
             counts=args.counts,
         )
         cleaned.write.mode("overwrite").parquet(f"{args.dst}/docs.parquet")

@@ -2,10 +2,12 @@
 query registry certifies piecewise (pipeline_clean_corpus variants),
 packaged as a composable batch job a corpus owner actually runs:
 
-    C4 heuristics → PII redaction → quality floor → model-based
-    quality (optional classifier) → exact dedup → near-dup (MinHash
-    cluster reps) → per-source cap → hash sample → DSIR selection
-    (optional, toward a target corpus) → sequence packing
+    line dedup (CCNet boilerplate cap) → C4 heuristics → PII
+    redaction → quality floor → model-based quality (optional
+    classifier) → LM perplexity filter (optional Stupid-Backoff
+    head/middle keep) → exact dedup → near-dup (MinHash cluster
+    reps) → per-source cap → hash sample → DSIR selection (optional,
+    toward a target corpus) → sequence packing
 
 Every stage is one of the engine's oracle-checked operators applied in
 a FIXED canonical order (the order the public pipelines use: cheap
@@ -28,8 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 STEP_ORDER = [
-    "c4", "pii", "quality", "mlquality", "dedup", "neardup", "cap", "sample",
-    "dsir", "pack",
+    "linededup", "c4", "pii", "quality", "mlquality", "lmfilter", "dedup",
+    "neardup", "cap", "sample", "dsir", "pack",
 ]
 
 
@@ -51,6 +53,14 @@ def prep_corpus(
     dsir_n: int | None = None,
     dsir_buckets: int = 1024,
     pack_ctx: int | None = None,
+    line_max_count: int = 3,
+    line_sep: str = "\n",
+    line_words_per_line: int | None = None,
+    lm_docs: DataFrame | None = None,
+    lm_order: int = 3,
+    lm_keep: tuple[str, ...] = ("head", "middle"),
+    lm_head_frac: float = 0.3,
+    lm_tail_frac: float = 0.3,
     counts: bool = False,
 ) -> tuple[DataFrame, DataFrame | None, dict[str, int]]:
     """Run the selected ``steps`` (any subset of ``STEP_ORDER``; applied
@@ -100,7 +110,66 @@ def prep_corpus(
     placements = None
     tally: dict[str, int] = {}
     for step in todo:
-        if step == "c4":
+        if step == "linededup":
+            # CCNet stage 1: strip corpus-frequent (boilerplate) lines
+            # and rebuild the text; runs FIRST so boilerplate never
+            # distorts the page-local quality signals or dedup keys.
+            # One line-keyed count shuffle + broadcast anti-join + one
+            # doc-keyed rebuild shuffle (operators/lines.py).
+            from big_ann_spark.operators.lines import (
+                docs_to_lines,
+                strip_boilerplate_lines,
+                windowed_lines,
+            )
+
+            lines = (
+                windowed_lines(
+                    out,
+                    id_col=id_col,
+                    text_col=text_col,
+                    words_per_line=line_words_per_line,
+                )
+                if line_words_per_line is not None
+                else docs_to_lines(
+                    out, id_col=id_col, text_col=text_col, sep=line_sep
+                )
+            )
+            sep = " " if line_words_per_line is not None else line_sep
+            reb = strip_boilerplate_lines(
+                lines, max_count=line_max_count, sep=sep
+            ).select(F.col("id").alias(id_col), F.col("text").alias("_lt"))
+            out = (
+                out.join(reb, id_col)
+                .withColumn(text_col, F.col("_lt"))
+                .drop("_lt")
+            )
+        elif step == "lmfilter":
+            # CCNet's LM filter: score under a Stupid-Backoff n-gram
+            # model (trained on lm_docs — the Wikipedia role — or
+            # self-trained) and keep the lm_keep perplexity buckets.
+            from big_ann_spark.operators.ngram_lm import (
+                ccnet_buckets,
+                score_stupid_backoff,
+                train_ngram_lm,
+            )
+
+            lm = train_ngram_lm(
+                lm_docs if lm_docs is not None else out,
+                order=lm_order,
+                text_col=text_col,
+            )
+            scored = score_stupid_backoff(
+                out, lm, id_col=id_col, text_col=text_col
+            ).withColumn("lp_sb", F.round("lp_sb", 6))
+            keep_ids = (
+                ccnet_buckets(
+                    scored, head_frac=lm_head_frac, tail_frac=lm_tail_frac
+                )
+                .filter(F.col("ppl_bucket").isin(list(lm_keep)))
+                .select(id_col)
+            )
+            out = out.join(keep_ids, id_col, "leftsemi")
+        elif step == "c4":
             c4 = T.c4_clean(text_col)
             out = (
                 out.withColumn("_kept", c4["kept_text"])

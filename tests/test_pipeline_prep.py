@@ -155,3 +155,120 @@ def test_cli_prep_with_shards(spark, tmp_path):
     shards = spark.read.parquet(f"{dst}/shards")
     assert shards.count() == 20
     assert shards.select("shard").distinct().count() == 4
+
+
+def test_linededup_step_strips_boilerplate(spark):
+    # a cookie-banner line shared by every doc plus a unique body line:
+    # linededup (max_count=3 default, 5 occurrences) must strip the
+    # banner from ALL docs but keep each unique body line.
+    banner = "accept all cookies to continue"
+    rows = [(i, banner + "\n" + f"unique body line number {i}", "s")
+            for i in range(5)]
+    docs = spark.createDataFrame(rows, _SCHEMA)
+    out, _, _ = prep_corpus(docs, ["linededup"])
+    texts = {r.doc_id: r.text for r in out.collect()}
+    assert len(texts) == 5
+    for i, t in texts.items():
+        assert banner not in t
+        assert f"unique body line number {i}" == t
+    # schema unchanged — the stage rebuilds text in place
+    assert out.columns == docs.columns
+
+
+def test_linededup_windowed_mode_for_single_line_corpora(spark):
+    # no newlines at all: --line-words-per-line treats fixed token
+    # windows as lines; a 4-token boilerplate phrase repeated across
+    # docs is stripped when windows align on it.
+    bp = "subscribe to our newsletter"
+    rows = [(i, bp + f" article text piece {i}", "s") for i in range(6)]
+    docs = spark.createDataFrame(rows, _SCHEMA)
+    out, _, _ = prep_corpus(docs, ["linededup"], line_words_per_line=4)
+    for r in out.collect():
+        assert bp not in r.text
+        assert f"article text piece {r.doc_id}" == r.text
+
+
+def test_lmfilter_step_drops_perplexity_tail(spark):
+    # LM trained on clean prose (lm_docs); gibberish docs land in the
+    # tail bucket and are dropped by the default head+middle keep.
+    prose = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while the sun sets slowly behind the tall green hills "
+    )
+    lm_docs = spark.createDataFrame(
+        [(100 + i, prose, "wiki") for i in range(4)], _SCHEMA
+    )
+    rows = [(i, prose, "s") for i in range(7)] + [
+        (7, "zxq vplk wfjd qqrm xxzz kpwl jjdf mmvv", "s"),
+        (8, "qpzm wvxk dlfj rrqm zzxx lwpk fdjj vvmm", "s"),
+        (9, "mzpq kxvw jfld mqrr xzzx klwp jfdj mvvm", "s"),
+    ]
+    docs = spark.createDataFrame(rows, _SCHEMA)
+    out, _, _ = prep_corpus(
+        docs, ["lmfilter"], lm_docs=lm_docs, lm_order=2, lm_tail_frac=0.3,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == set(range(7))  # the 3 gibberish docs are the tail
+    assert out.columns == docs.columns
+
+
+def test_linededup_and_lmfilter_run_before_page_level_stages(spark):
+    # canonical order: linededup < c4/quality < lmfilter < dedup.
+    # Two docs identical except for a boilerplate line: after
+    # linededup their texts converge, so exact dedup collapses them —
+    # proof the line stage ran first regardless of requested order.
+    body = (
+        "this is a perfectly reasonable sentence about the data and "
+        "the system works fine today and tomorrow as well for sure."
+    )
+    rows = [
+        (1, "accept cookies now please\n" + body, "a"),
+        (2, "accept cookies now please\n" + body, "a"),
+        (3, "accept cookies now please\n" + body, "a"),
+        (4, "accept cookies now please\n" + body, "a"),
+        (5, body, "a"),
+    ]
+    docs = spark.createDataFrame(rows, _SCHEMA)
+    out, _, tally = prep_corpus(
+        docs, ["dedup", "linededup"], line_max_count=3, counts=True
+    )
+    assert {r.doc_id for r in out.collect()} == {1}
+    assert list(tally) == ["linededup", "dedup"]  # canonical order
+    assert tally["linededup"] == 5 and tally["dedup"] == 1
+
+
+def test_cli_prep_line_and_lm_flags(spark, tmp_path):
+    from big_ann_spark.cli import main
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while the sun sets slowly behind the tall green hills "
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, "accept all cookies\n" + prose + f"tail {i}", "s")
+         for i in range(5)]
+        + [(9, "zxq vplk wfjd qqrm xxzz kpwl jjdf mmvv", "s")],
+        _SCHEMA,
+    ).write.parquet(src)
+    lm_src = str(tmp_path / "wiki")
+    spark.createDataFrame(
+        [(100 + i, prose, "wiki") for i in range(3)], _SCHEMA
+    ).write.parquet(lm_src)
+    dst = str(tmp_path / "out")
+    assert (
+        main(
+            [
+                "prep", src, dst,
+                "--steps", "linededup,lmfilter",
+                "--line-max-count", "3",
+                "--lm-docs", lm_src, "--lm-order", "2",
+                "--lm-keep", "head,middle",
+            ]
+        )
+        == 0
+    )
+    docs = spark.read.parquet(f"{dst}/docs.parquet")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(texts) == set(range(5))        # gibberish doc 9 dropped
+    assert all("accept all cookies" not in t for t in texts.values())
