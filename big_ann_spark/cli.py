@@ -116,6 +116,42 @@ def _build_parser() -> argparse.ArgumentParser:
         help="column holding 'insert'/'delete'; omitted = all inserts",
     )
 
+    bb = sub.add_parser(
+        "bm25-build",
+        help="build a persisted term-bucketed BM25 index from a "
+        "document corpus (partition-pruned queries + incremental merge)",
+    )
+    bb.add_argument("src", help="parquet document directory")
+    bb.add_argument("dst", help="index dir (postings/dfs/stats/meta parquet)")
+    bb.add_argument("--id-col", default="doc_id")
+    bb.add_argument("--text-col", default="text")
+    bb.add_argument("--term-buckets", type=int, default=256)
+
+    bs = sub.add_parser(
+        "bm25-search",
+        help="BM25 top-k against a bm25-build index, reading only the "
+        "query batch's term buckets",
+    )
+    bs.add_argument("index", help="dir produced by bm25-build")
+    bs.add_argument("queries", help="parquet with (id, text) query docs")
+    bs.add_argument("--k", type=int, default=10)
+    bs.add_argument("--id-col", default="doc_id")
+    bs.add_argument("--text-col", default="text")
+    bs.add_argument("--max-df", type=int, default=None)
+    bs.add_argument("--out", default=None)
+    bs.add_argument("--show", type=int, default=20)
+
+    bm = sub.add_parser(
+        "bm25-merge",
+        help="fold a NEW document batch into a bm25-build index "
+        "(delta-sized postings append + vocabulary-sized dfs rewrite; "
+        "batch ids must not already be indexed)",
+    )
+    bm.add_argument("index", help="dir produced by bm25-build")
+    bm.add_argument("src", help="parquet directory of new documents")
+    bm.add_argument("--id-col", default="doc_id")
+    bm.add_argument("--text-col", default="text")
+
     vs = sub.add_parser(
         "vindex-search", help="IVF search over a streamed index's live view"
     )
@@ -446,6 +482,48 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{out.count()} rows -> {args.out}")
         else:
             out.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "bm25-build":
+        from big_ann_spark.operators import bm25 as BM
+
+        docs = spark.read.parquet(args.src)
+        BM.write_bm25_index(
+            BM.bm25_index(docs, id_col=args.id_col, text_col=args.text_col),
+            args.dst,
+            n_term_buckets=args.term_buckets,
+        )
+        n = spark.read.parquet(f"{args.dst}/stats.parquet").collect()[0]
+        print(
+            f"indexed {n.n_docs} docs (avgdl {n.avgdl:.1f}, "
+            f"{args.term_buckets} term buckets) -> {args.dst}"
+        )
+        return 0
+
+    if args.cmd == "bm25-search":
+        from big_ann_spark.operators import bm25 as BM
+
+        q = spark.read.parquet(args.queries)
+        out = BM.bm25_topk_from_disk(
+            spark, args.index, q, k=args.k,
+            id_col=args.id_col, text_col=args.text_col, max_df=args.max_df,
+        )
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"{out.count()} rows -> {args.out}")
+        else:
+            out.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "bm25-merge":
+        from big_ann_spark.operators import bm25 as BM
+
+        BM.merge_bm25_index(
+            spark, args.index, spark.read.parquet(args.src),
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        n = spark.read.parquet(f"{args.index}/stats.parquet").collect()[0]
+        print(f"merged; index now {n.n_docs} docs (avgdl {n.avgdl:.1f})")
         return 0
 
     if args.cmd in ("vindex-ingest", "vindex-search"):

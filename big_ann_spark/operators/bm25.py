@@ -124,14 +124,33 @@ def bm25_topk(
     q = terms(queries, id_col=id_col, text_col=text_col).select(
         F.col("id").alias("qid"), "term", F.col("tf").alias("qtf")
     )
-    p = index.postings
-    dfs = index.dfs
+    hits = index.postings.join(F.broadcast(q), "term")
+    return _score_and_rank(
+        hits, index.dfs, index.stats, k=k, k1=k1, b=b, max_df=max_df,
+        exclude_self=exclude_self, score_round=score_round,
+    )
+
+
+def _score_and_rank(
+    hits: DataFrame,
+    dfs: DataFrame,
+    stats: DataFrame,
+    *,
+    k: int,
+    k1: float,
+    b: float,
+    max_df: int | None,
+    exclude_self: bool,
+    score_round: int | None,
+) -> DataFrame:
+    """Rank pre-joined hits ``(qid, qtf, doc, term, tf, dl)`` — shared
+    by the in-memory and partition-pruned from-disk query paths."""
     if max_df is not None:
         dfs = dfs.filter(F.col("df") <= max_df)
-    hits = p.join(F.broadcast(q), "term").join(F.broadcast(dfs), "term")
+    hits = hits.join(F.broadcast(dfs), "term")
     if exclude_self:
         hits = hits.filter(F.col("doc") != F.col("qid"))
-    hits = hits.crossJoin(F.broadcast(index.stats))
+    hits = hits.crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -154,3 +173,148 @@ def bm25_topk(
     return top_k_per_group(
         scored, ["qid"], [F.col("score").desc(), F.col("neighbor_id").asc()], k
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted index: term-bucketed layout, partition-pruned queries,
+# history-size-independent incremental merge.
+#
+# At 100 TB the index is built once and queried/merged forever after —
+# rebuilding the postings per query batch (a full corpus scan) is the
+# anti-pattern. The layout mirrors the sharded-vector (S7) and binned-
+# interval layouts: postings land under partitionBy(_tb) where
+# _tb = pmod(xxhash64(term), n_term_buckets), so a query batch — whose
+# distinct terms map to a small bucket set — joins on the raw partition
+# attribute and Spark's dynamic partition pruning reads ONLY those
+# bucket directories. dfs stays vocabulary-sized and stats is one row;
+# both rewrite in full on merge (cheap at any corpus size), while the
+# postings merge is a pure APPEND of delta-sized files into the same
+# bucket scheme — history is never read, let alone rewritten.
+# ---------------------------------------------------------------------------
+
+
+def _term_bucket(term, n_buckets: int):
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets))
+
+
+def write_bm25_index(
+    index: Bm25Index, path: str, *, n_term_buckets: int = 256
+) -> None:
+    """Persist the index: ``postings.parquet`` partitioned by the term
+    bucket (the partition-pruned query/merge layout), ``dfs.parquet``,
+    ``stats.parquet`` and a one-row ``meta.parquet`` carrying the
+    bucket count (the layout contract merges must reproduce)."""
+    p = index.postings.withColumn("_tb", _term_bucket(F.col("term"), n_term_buckets))
+    p.write.mode("overwrite").partitionBy("_tb").parquet(f"{path}/postings.parquet")
+    index.dfs.write.mode("overwrite").parquet(f"{path}/dfs.parquet")
+    index.stats.write.mode("overwrite").parquet(f"{path}/stats.parquet")
+    spark = index.dfs.sparkSession
+    spark.createDataFrame(
+        [(n_term_buckets,)], "n_term_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+
+
+def read_bm25_index(spark, path: str) -> Bm25Index:
+    """Lazy scans over a :func:`write_bm25_index` layout (postings keep
+    the ``_tb`` partition column — :func:`bm25_topk_from_disk` needs
+    it; in-memory :func:`bm25_topk` ignores it)."""
+    return Bm25Index(
+        postings=spark.read.parquet(f"{path}/postings.parquet"),
+        dfs=spark.read.parquet(f"{path}/dfs.parquet"),
+        stats=spark.read.parquet(f"{path}/stats.parquet"),
+    )
+
+
+def _read_n_buckets(spark, path: str) -> int:
+    return spark.read.parquet(f"{path}/meta.parquet").collect()[0][0]
+
+
+def bm25_topk_from_disk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    max_df: int | None = None,
+    exclude_self: bool = False,
+    score_round: int | None = None,
+) -> DataFrame:
+    """BM25 top-k against a persisted index reading ONLY the term
+    buckets the query batch touches: the broadcast query side carries
+    ``_tb`` typed as the raw partition attribute, so the equi-join on
+    ``(_tb, term)`` gets a dynamic-partition-pruning subquery on the
+    postings scan (plan-pinned in tests/test_bm25.py) — the from-disk
+    read is O(query vocabulary), not O(index)."""
+    postings = spark.read.parquet(f"{path}/postings.parquet")
+    n_buckets = _read_n_buckets(spark, path)
+    # type the probe-side bucket as the READ-BACK partition dtype — a
+    # cast on the partition side would defeat DPP's scan-lineage match
+    tb_t = dict(postings.dtypes)["_tb"]
+    q = terms(queries, id_col=id_col, text_col=text_col).select(
+        F.col("id").alias("qid"), "term", F.col("tf").alias("qtf"),
+        _term_bucket(F.col("term"), n_buckets).cast(tb_t).alias("_tb"),
+    )
+    hits = postings.join(F.broadcast(q), ["_tb", "term"]).drop("_tb")
+    dfs = spark.read.parquet(f"{path}/dfs.parquet")
+    stats = spark.read.parquet(f"{path}/stats.parquet")
+    return _score_and_rank(
+        hits, dfs, stats, k=k, k1=k1, b=b, max_df=max_df,
+        exclude_self=exclude_self, score_round=score_round,
+    )
+
+
+def merge_bm25_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold a new document batch into a persisted index WITHOUT reading
+    the postings history: delta postings append into the same bucket
+    scheme (delta-sized write), merged dfs is ``old ∪ delta`` summed
+    per term (vocabulary-sized rewrite at ANY corpus size), stats is
+    the exact weighted combination (one row). The incremental cost is
+    O(batch) + O(vocabulary) — history-size-independent, the same
+    contract as incremental_exact_dedup.
+
+    Contract: ``new_docs`` ids must be NEW (a re-ingested id would
+    double-count its postings and df — screen the batch first with
+    incremental_exact_dedup, the streaming corpus pattern). Deletes
+    need a postings rewrite by design; use copy-on-write compaction
+    (streaming/vector_index.py is the template) at that point. The
+    three-table update is not atomic — orchestrate merges serially
+    (foreachBatch, or the ingestion pipeline's exactly-once sink)."""
+    n_buckets = _read_n_buckets(spark, path)
+    delta = bm25_index(new_docs, id_col=id_col, text_col=text_col)
+    delta.postings.withColumn(
+        "_tb", _term_bucket(F.col("term"), n_buckets)
+    ).write.mode("append").partitionBy("_tb").parquet(f"{path}/postings.parquet")
+    # dfs/stats overwrite the paths they read from: localCheckpoint
+    # materializes the merged result first (both are small — dfs is
+    # vocabulary-sized, stats one row)
+    old_dfs = spark.read.parquet(f"{path}/dfs.parquet")
+    merged_dfs = (
+        old_dfs.unionByName(delta.dfs)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .localCheckpoint()
+    )
+    merged_dfs.write.mode("overwrite").parquet(f"{path}/dfs.parquet")
+    old_stats = spark.read.parquet(f"{path}/stats.parquet")
+    merged_stats = (
+        old_stats.unionByName(delta.stats)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            (
+                F.sum(F.col("avgdl") * F.col("n_docs")) / F.sum("n_docs")
+            ).alias("avgdl"),
+        )
+        .localCheckpoint()
+    )
+    merged_stats.write.mode("overwrite").parquet(f"{path}/stats.parquet")

@@ -103,3 +103,96 @@ def test_no_overlap_doc_absent(spark, corpus):
     q = spark.createDataFrame([(7, "quick fox")], "doc_id long, text string")
     got = {r.neighbor_id for r in bm25_topk(q, idx, k=10).collect()}
     assert 5 not in got and got == {2, 4}
+
+
+def test_persisted_index_round_trip(spark, corpus, tmp_path):
+    from big_ann_spark.operators.bm25 import (
+        bm25_topk_from_disk,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_bm25_index(bm25_index(corpus), path, n_term_buckets=8)
+    # read-back index works through the in-memory query path too
+    got = bm25_topk(corpus, read_bm25_index(spark, path), k=3, score_round=6)
+    want = bm25_topk(corpus, bm25_index(corpus), k=3, score_round=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # and through the pruned from-disk path
+    got2 = bm25_topk_from_disk(spark, path, corpus, k=3, score_round=6)
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_from_disk_query_is_partition_pruned(spark, corpus, tmp_path):
+    from big_ann_spark.operators.bm25 import (
+        bm25_topk_from_disk,
+        write_bm25_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_bm25_index(bm25_index(corpus), path, n_term_buckets=64)
+    q = corpus.filter(F.col("doc_id") == 4)  # "fox and dog and fox"
+    out = bm25_topk_from_disk(spark, path, q, k=3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
+    after = plan.split("PartitionFilters", 1)[1][:300]
+    assert "dynamicpruning" in after.lower(), after
+    # results still exact vs in-memory
+    want = bm25_topk(q, bm25_index(corpus), k=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_incremental_merge_equals_full_rebuild(spark, corpus, tmp_path):
+    from big_ann_spark.operators.bm25 import (
+        bm25_topk_from_disk,
+        merge_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    old = corpus.filter(F.col("doc_id") <= 3)
+    delta = corpus.filter(F.col("doc_id") > 3)
+    path = str(tmp_path / "idx")
+    write_bm25_index(bm25_index(old), path, n_term_buckets=8)
+    merge_bm25_index(spark, path, delta)
+
+    merged = read_bm25_index(spark, path)
+    full = bm25_index(corpus)
+    assert sorted(
+        map(tuple, merged.postings.select("doc", "term", "tf", "dl").collect())
+    ) == sorted(map(tuple, full.postings.collect()))
+    assert sorted(map(tuple, merged.dfs.collect())) == sorted(
+        map(tuple, full.dfs.collect())
+    )
+    got_stats, want_stats = merged.stats.collect()[0], full.stats.collect()[0]
+    assert got_stats.n_docs == want_stats.n_docs
+    assert got_stats.avgdl == pytest.approx(want_stats.avgdl)
+    # a second merge of an empty-ish batch is a no-op on stats weights
+    got = bm25_topk_from_disk(spark, path, corpus, k=3, score_round=6)
+    want = bm25_topk(corpus, full, k=3, score_round=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_cli_bm25_build_search_merge(spark, tmp_path, capsys):
+    from big_ann_spark.cli import main
+
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+    spark.createDataFrame(DOCS[:4], "doc_id long, text string").write.parquet(src_a)
+    spark.createDataFrame(DOCS[4:], "doc_id long, text string").write.parquet(src_b)
+    idx = str(tmp_path / "idx")
+    assert main(["bm25-build", src_a, idx, "--term-buckets", "8"]) == 0
+    assert main(["bm25-merge", idx, src_b]) == 0
+    out = str(tmp_path / "res")
+    assert main(["bm25-search", idx, src_a, "--k", "3", "--out", out]) == 0
+    got = spark.read.parquet(out)
+    from big_ann_spark.operators.bm25 import bm25_index, bm25_topk
+
+    full = spark.createDataFrame(DOCS, "doc_id long, text string")
+    want = bm25_topk(
+        spark.createDataFrame(DOCS[:4], "doc_id long, text string"),
+        bm25_index(full), k=3,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
