@@ -1547,16 +1547,28 @@ def embedding_dedup_clusters(
 
 def _stable_hash(id_col: str, salt: int, a: int, mod: int):
     """The ONE multiplicative-hash column all content-stable selection
-    ops share (hash_sample / cap_per_source / token_budget_mix) — their
+    ops share (hash_sample / cap_per_source / token_budget_mix /
+    temperature_mix / shard assignment / dsir's Gumbel uniform) — their
     documented bit-identical-selection and nesting contracts depend on
-    every caller using this exact mixing, so it exists once. The salt
-    is mixed BEFORE the multiply (different salts select unrelated
-    subsets) and re-reduced mod p so the product stays under 2^63 for
-    any salt, including negative ones."""
+    every caller using this exact mixing, so it exists once.
+
+    The salt selects a DISTINCT MULTIPLIER ``a^(salt+1) mod p`` on top
+    of the additive shift. With a shared multiplier, hashes at two
+    salts differ by the CONSTANT ``(s2-s1)*a mod p`` — chained
+    selections are then translates of each other, not independent: a
+    ``hash_sample(0.5, salt=1)`` pass shifts every survivor's salt-6
+    hash into ``[Δ, p/2+Δ)``, so a later low-fraction stage at salt 6
+    can select ZERO rows (found the hard way by the tmix oracle
+    variant). Distinct multipliers make the per-salt maps different
+    rotations of Z_p — pairwise uncorrelated selections. ``salt=0``
+    keeps the historical ``a^1`` multiplier, so unsalted selections are
+    unchanged. Both factors stay < p < 2^31, product < 2^62: no int64
+    overflow in either engine, any salt, including negative ones."""
+    a_s = pow(a % mod, (salt % (mod - 1)) + 1, mod)
     salted = F.pmod(
         F.pmod(F.col(id_col), F.lit(mod)) + F.lit(salt % mod), F.lit(mod)
     )
-    return (salted * F.lit(a)) % F.lit(mod)
+    return (salted * F.lit(a_s)) % F.lit(mod)
 
 
 def hash_sample(
@@ -1650,7 +1662,6 @@ def token_budget_mix(
     ``int(frac * mod)``, the same truncation hash_sample applies."""
     from big_ann_spark.functions.text import token_count
 
-    a, mod = 2654435761, MINHASH_P
     w_sum = sum(weights.values())
     sized = docs.withColumn("_toks", token_count(text_col))
     totals = {
@@ -1663,7 +1674,23 @@ def token_budget_mix(
             continue
         target = total_tokens * (w / w_sum)
         frac = min(1.0, target / totals[src])
-        mix_rows.append((src, int(frac * mod), int(target)))
+        mix_rows.append((src, int(frac * MINHASH_P), int(target)))
+    return _apply_mix_table(docs, sized, mix_rows, source_col, id_col, salt)
+
+
+def _apply_mix_table(
+    docs: DataFrame,
+    sized: DataFrame,
+    mix_rows: list,
+    source_col: str,
+    id_col: str,
+    salt: int,
+) -> DataFrame:
+    """One-scan sampling shared by the mix family: the (source,
+    threshold, target) rows become a tiny broadcast table and a single
+    content-stable ``hash < threshold`` predicate samples every source
+    at once."""
+    a, mod = 2654435761, MINHASH_P
     # the mix table's source column must carry the CORPUS's source
     # type (ADVICE r7: hardcoding string broke int-sourced corpora at
     # createDataFrame where the old per-source loop handled any type)
@@ -1676,3 +1703,49 @@ def token_budget_mix(
         .filter(_stable_hash(id_col, salt, a, mod) < F.col("_thresh"))
         .select(*docs.columns, "target_tokens")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    total_tokens: int,
+    *,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-based data mixing (the T5 / XLM-R / UNIMAX
+    multilingual-sampling rule): source weights are DATA-DERIVED as
+    ``w_i = n_i^alpha`` over each source's token count ``n_i``, so
+    ``alpha = 1`` reproduces the corpus's natural proportions and
+    ``alpha -> 0`` flattens toward a uniform per-source budget —
+    lower temperature up-weights small (tail-language / rare-domain)
+    sources relative to their natural share. Everything downstream of
+    the weight derivation is :func:`token_budget_mix`'s single-scan,
+    content-stable machinery (broadcast mix table + one hash
+    predicate); like there, an under-budget source contributes all it
+    has (no upsampling).
+
+    Determinism contract (oracle parity): w_sum is accumulated in
+    sorted-source order and each fraction is the literal expression
+    ``min(1, (total * (w/w_sum)) / n_i)`` — the SQL oracle computes
+    the identical float sequence via pow()/least()."""
+    from big_ann_spark.functions.text import token_count
+
+    sized = docs.withColumn("_toks", token_count(text_col))
+    totals = {
+        r[source_col]: r["_n"]
+        for r in sized.groupBy(source_col).agg(F.sum("_toks").alias("_n")).collect()
+    }
+    srcs = sorted(s for s, n in totals.items() if s is not None and n)
+    w = {s: float(totals[s]) ** alpha for s in srcs}
+    w_sum = 0.0
+    for s in srcs:
+        w_sum += w[s]
+    mix_rows = []
+    for s in srcs:
+        target = total_tokens * (w[s] / w_sum)
+        frac = min(1.0, target / totals[s])
+        mix_rows.append((s, int(frac * MINHASH_P), int(target)))
+    return _apply_mix_table(docs, sized, mix_rows, source_col, id_col, salt)

@@ -225,6 +225,9 @@ def language_id_q(spark, sf_dir):
 #   clean     — redact → quality filter → exact dedup, per-source stats
 #   sample    — + deterministic hash_sample(0.5, salt=1)
 #   mix       — + token_budget_mix (pinned weights/budget, salt=2)
+#   tmix      — + temperature_mix (DATA-derived n^alpha source weights,
+#               alpha=0.5, salt=6; the T5/UNIMAX sampling rule — the
+#               oracle re-derives the weights in SQL via pow())
 #   bpe       — + BPE segmentation of the sampled set (PINNED 8-merge
 #               table applied as rank-order codegen folds — the JVM
 #               equivalent of bpe_segment, equality unit-tested)
@@ -239,6 +242,15 @@ _PIN_MERGES = [
 ]  # bpe_train(documents@sf0.01, 8, mode="driver") — pinned constant
 _MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "nosuch": 1.0}
 _MIX_TOTAL = 1500
+_TMIX_TOTAL = 1200
+_TMIX_ALPHA = 0.5
+
+
+def _ha_s(salt: int) -> int:
+    """The _stable_hash multiplier for this salt — ``_HA^(salt+1) mod
+    _HP`` (see dedup._stable_hash: per-salt multipliers are what make
+    chained salted selections independent)."""
+    return pow(_HA, salt + 1, _HP)
 _HP = 2_147_483_647  # dedup.MINHASH_P — the hash_sample modulus
 _HA = 2_654_435_761
 
@@ -397,7 +409,7 @@ deduped AS MATERIALIZED (
 ),
 sampled AS MATERIALIZED (
   SELECT * FROM deduped
-  WHERE ((doc_id % {_HP} + 1) % {_HP} * {_HA}) % {_HP} < {th_half}
+  WHERE ((doc_id % {_HP} + 1) % {_HP} * {_ha_s(1)}) % {_HP} < {th_half}
 ),
 tok_totals AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM sampled GROUP BY source),
 mixf AS (SELECT source, tot,
@@ -406,8 +418,17 @@ mixf AS (SELECT source, tot,
          FROM tok_totals WHERE source IN ({src_list})),
 mixed AS (SELECT s.*, m.frac, m.target
           FROM sampled s JOIN mixf m USING (source)
-          WHERE ((s.doc_id % {_HP} + 2) % {_HP} * {_HA}) % {_HP}
+          WHERE ((s.doc_id % {_HP} + 2) % {_HP} * {_ha_s(2)}) % {_HP}
                 < CAST(trunc(m.frac * {_HP}) AS BIGINT)),
+tmixws AS (SELECT sum(pow(tot, {_TMIX_ALPHA})) AS ws FROM tok_totals),
+tmixf AS (SELECT source, tot,
+                 least(1.0, ({_TMIX_TOTAL} * (pow(tot, {_TMIX_ALPHA}) / ws)) / tot) AS frac,
+                 CAST(trunc({_TMIX_TOTAL} * (pow(tot, {_TMIX_ALPHA}) / ws)) AS BIGINT) AS target
+          FROM tok_totals, tmixws),
+tmixed AS (SELECT s.*, m.target
+           FROM sampled s JOIN tmixf m USING (source)
+           WHERE ((s.doc_id % {_HP} + 6) % {_HP} * {_ha_s(6)}) % {_HP}
+                 < CAST(trunc(m.frac * {_HP}) AS BIGINT)),
 pack AS (
   SELECT doc_id, n_tokens,
          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -418,7 +439,7 @@ capped AS (
   SELECT source, doc_id, n_tokens FROM (
     SELECT source, doc_id, n_tokens,
            row_number() OVER (PARTITION BY source
-             ORDER BY ((doc_id % {_HP} + 3) % {_HP} * {_HA}) % {_HP}, doc_id) AS rk
+             ORDER BY ((doc_id % {_HP} + 3) % {_HP} * {_ha_s(3)}) % {_HP}, doc_id) AS rk
     FROM deduped)
   WHERE rk <= 100
 ),
@@ -453,7 +474,7 @@ dscore AS (
 dsel AS (
   SELECT doc_id, n_tokens, logw,
          logw + (-ln(-ln(
-           (((doc_id % {_HP} + 4) % {_HP} * {_HA}) % {_HP} + 0.5) / {_HP}
+           (((doc_id % {_HP} + 4) % {_HP} * {_ha_s(4)}) % {_HP} + 0.5) / {_HP}
          ))) AS gk
   FROM dscore
   ORDER BY gk DESC, doc_id LIMIT 40
@@ -482,6 +503,9 @@ UNION ALL
 SELECT 'mix', source, COUNT(*)::BIGINT, SUM(n_tokens)::DOUBLE, ANY_VALUE(target)
 FROM mixed GROUP BY source
 UNION ALL
+SELECT 'tmix', source, COUNT(*)::BIGINT, SUM(n_tokens)::DOUBLE, ANY_VALUE(target)
+FROM tmixed GROUP BY source
+UNION ALL
 SELECT 'bpe', source, COUNT(*)::BIGINT, SUM(n_bpe)::DOUBLE, ROUND(AVG(n_bpe), 6)
 FROM bpe_docs GROUP BY source
 UNION ALL
@@ -497,7 +521,7 @@ SELECT 'dsir', doc_id::VARCHAR, n_tokens::BIGINT, ROUND(logw, 6), ROUND(gk, 6)
 FROM dsel
 UNION ALL
 SELECT 'shards',
-       ((((doc_id % {_HP} + 5) % {_HP} * {_HA}) % {_HP}) % 8)::VARCHAR,
+       ((((doc_id % {_HP} + 5) % {_HP} * {_ha_s(5)}) % {_HP}) % 8)::VARCHAR,
        COUNT(*)::BIGINT, SUM(n_tokens)::DOUBLE, SUM(doc_id)::DOUBLE
 FROM deduped GROUP BY 2
 UNION ALL
@@ -743,6 +767,27 @@ def pipeline_clean_corpus(spark, sf_dir):
         )
     )
 
+    from big_ann_spark.operators.dedup import temperature_mix
+
+    tmixed = temperature_mix(
+        sampled, _TMIX_TOTAL, alpha=_TMIX_ALPHA, text_col="red", salt=6
+    )
+    tmix_rows = (
+        tmixed.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_tokens").cast("double").alias("v1"),
+            F.first("target_tokens").cast("double").alias("v2"),
+        )
+        .select(
+            F.lit("tmix").alias("variant"),
+            F.col("source").alias("key"),
+            "n",
+            "v1",
+            "v2",
+        )
+    )
+
     end_arr = F.array(F.lit(BP.END))
 
     def seg_count(w):
@@ -850,6 +895,7 @@ def pipeline_clean_corpus(spark, sf_dir):
         redact_rows.unionByName(clean_rows)
         .unionByName(sample_rows)
         .unionByName(mix_rows)
+        .unionByName(tmix_rows)
         .unionByName(bpe_rows)
         .unionByName(pack_rows)
         .unionByName(cap_rows)

@@ -878,3 +878,46 @@ def test_normalize_url_and_url_dedup(spark):
         F.col("n") == "example.com/Path/Page"
     )
     assert keys.count() == 2
+
+
+def test_temperature_mix(spark):
+    rows = []
+    for i in range(900):
+        rows.append((i, "w " * 9 + "w", "web"))        # 9000 tokens
+    for i in range(900, 1000):
+        rows.append((i, "b " * 9 + "b", "books"))      # 1000 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # alpha=1 is the natural mix: budgets proportional to size, which
+    # with total == corpus size keeps (approximately) everything
+    nat = D.temperature_mix(docs, 10_000, alpha=1.0)
+    tgt = {r.source: r.target_tokens for r in
+           nat.select("source", "target_tokens").distinct().collect()}
+    assert tgt == {"web": 9000, "books": 1000}
+
+    # alpha=0 is the uniform mix: equal budgets regardless of size
+    uni = D.temperature_mix(docs, 2000, alpha=0.0)
+    tgt0 = {r.source: r.target_tokens for r in
+            uni.select("source", "target_tokens").distinct().collect()}
+    assert tgt0 == {"web": 1000, "books": 1000}
+
+    # 0 < alpha < 1 up-weights the small source relative to natural:
+    # books' share of the budget strictly between natural 10% and 50%
+    mid = D.temperature_mix(docs, 2000, alpha=0.5)
+    tgtm = {r.source: r.target_tokens for r in
+            mid.select("source", "target_tokens").distinct().collect()}
+    assert 200 < tgtm["books"] < 1000 and tgtm["web"] + tgtm["books"] <= 2000
+
+    # content-stable: reruns select identical documents
+    a = {r.doc_id for r in mid.select("doc_id").collect()}
+    b = {r.doc_id for r in
+         D.temperature_mix(docs, 2000, alpha=0.5).select("doc_id").collect()}
+    assert a == b and len(a) > 0
+
+    # alpha=1 equals token_budget_mix with natural-share weights
+    w = {"web": 9000.0, "books": 1000.0}
+    tb = D.token_budget_mix(docs, w, 2000)
+    # same budgets -> same thresholds -> same selected ids at salt=0
+    tb_ids = {r.doc_id for r in tb.select("doc_id").collect()}
+    tm_sel = D.temperature_mix(docs, 2000, alpha=1.0)
+    assert {r.doc_id for r in tm_sel.select("doc_id").collect()} == tb_ids

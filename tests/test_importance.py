@@ -113,8 +113,9 @@ def test_shard_assignment_matches_hash_and_balances(spark):
     )
     out = assign_training_shards(docs, 16, salt=5).toPandas()
     a, p = 2654435761, MINHASH_P
+    a5 = pow(a, 6, p)  # _stable_hash's per-salt multiplier, salt=5
     for did, shard, order in zip(out.doc_id, out.shard, out.shard_order):
-        h = ((did % p + 5) % p) * a % p
+        h = ((did % p + 5) % p) * a5 % p
         assert shard == h % 16 and order == h
     counts = out.groupby("shard").size()
     assert len(counts) == 16
