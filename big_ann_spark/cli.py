@@ -180,7 +180,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "--steps",
         default="c4,pii,quality,dedup,neardup",
         help="comma list from linededup,c4,pii,quality,mlquality,"
-        "lmfilter,dedup,neardup,cap,sample,dsir,pack",
+        "lmfilter,dedup,neardup,cap,sample,tmix,dsir,pack",
     )
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument("--text-col", default="text")
@@ -203,6 +203,14 @@ def _build_parser() -> argparse.ArgumentParser:
         help="parquet dir of target-domain docs for the dsir step "
         "(importance resampling toward this corpus)",
     )
+    pr.add_argument(
+        "--tmix-total",
+        type=int,
+        default=None,
+        help="tmix: total output token budget split across sources "
+        "proportionally to token_count^alpha",
+    )
+    pr.add_argument("--tmix-alpha", type=float, default=0.5)
     pr.add_argument("--dsir-n", type=int, default=None)
     pr.add_argument("--dsir-buckets", type=int, default=1024)
     pr.add_argument("--pack-ctx", type=int, default=None)
@@ -606,6 +614,8 @@ def main(argv: list[str] | None = None) -> int:
             sample_fraction=args.sample_fraction,
             dsir_target=dsir_target,
             dsir_n=args.dsir_n,
+            tmix_total_tokens=args.tmix_total,
+            tmix_alpha=args.tmix_alpha,
             dsir_buckets=args.dsir_buckets,
             pack_ctx=args.pack_ctx,
             line_max_count=args.line_max_count,

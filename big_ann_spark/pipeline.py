@@ -6,8 +6,9 @@ packaged as a composable batch job a corpus owner actually runs:
     redaction → quality floor → model-based quality (optional
     classifier) → LM perplexity filter (optional Stupid-Backoff
     head/middle keep) → exact dedup → near-dup (MinHash cluster
-    reps) → per-source cap → hash sample → DSIR selection (optional,
-    toward a target corpus) → sequence packing
+    reps) → per-source cap → hash sample → temperature mix (optional
+    n^alpha source rebalance) → DSIR selection (optional, toward a
+    target corpus) → sequence packing
 
 Every stage is one of the engine's oracle-checked operators applied in
 a FIXED canonical order (the order the public pipelines use: cheap
@@ -31,7 +32,7 @@ from pyspark.sql import functions as F
 
 STEP_ORDER = [
     "linededup", "c4", "pii", "quality", "mlquality", "lmfilter", "dedup",
-    "neardup", "cap", "sample", "dsir", "pack",
+    "neardup", "cap", "sample", "tmix", "dsir", "pack",
 ]
 
 
@@ -61,6 +62,8 @@ def prep_corpus(
     lm_keep: tuple[str, ...] = ("head", "middle"),
     lm_head_frac: float = 0.3,
     lm_tail_frac: float = 0.3,
+    tmix_total_tokens: int | None = None,
+    tmix_alpha: float = 0.5,
     counts: bool = False,
 ) -> tuple[DataFrame, DataFrame | None, dict[str, int]]:
     """Run the selected ``steps`` (any subset of ``STEP_ORDER``; applied
@@ -80,6 +83,8 @@ def prep_corpus(
         raise ValueError("step 'sample' needs sample_fraction")
     if "pack" in todo and pack_ctx is None:
         raise ValueError("step 'pack' needs pack_ctx")
+    if "tmix" in todo and tmix_total_tokens is None:
+        raise ValueError("step 'tmix' needs tmix_total_tokens")
     if "mlquality" in todo and quality_model is None:
         raise ValueError(
             "step 'mlquality' needs quality_model (a PipelineModel from "
@@ -90,7 +95,7 @@ def prep_corpus(
             "step 'dsir' needs dsir_target (a DataFrame of target-domain "
             "docs) and dsir_n (how many docs to select)"
         )
-    if {"cap", "sample", "dsir"} & set(todo):
+    if {"cap", "sample", "tmix", "dsir"} & set(todo):
         from pyspark.sql.types import IntegralType
 
         if not isinstance(docs.schema[id_col].dataType, IntegralType):
@@ -216,6 +221,21 @@ def prep_corpus(
             )
         elif step == "sample":
             out = D.hash_sample(out, sample_fraction, id_col=id_col)
+        elif step == "tmix":
+            # temperature mixing (T5/UNIMAX): per-source token budgets
+            # proportional to token_count^alpha — rebalances toward the
+            # tail sources AFTER the mechanical caps, BEFORE dsir/pack
+            # spend the remaining budget (salt 7: unused by the other
+            # salted stages)
+            out = D.temperature_mix(
+                out,
+                tmix_total_tokens,
+                alpha=tmix_alpha,
+                id_col=id_col,
+                text_col=text_col,
+                source_col=source_col,
+                salt=7,
+            ).drop("target_tokens")
         elif step == "dsir":
             from big_ann_spark.operators.importance import dsir_resample
 

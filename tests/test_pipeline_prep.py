@@ -272,3 +272,31 @@ def test_cli_prep_line_and_lm_flags(spark, tmp_path):
     texts = {r.doc_id: r.text for r in docs.collect()}
     assert set(texts) == set(range(5))        # gibberish doc 9 dropped
     assert all("accept all cookies" not in t for t in texts.values())
+
+
+def test_tmix_step_rebalances_sources(spark):
+    rows = [(i, "w " * 9 + "w", "web") for i in range(900)]
+    rows += [(900 + i, "b " * 9 + "b", "books") for i in range(100)]
+    docs = spark.createDataFrame(rows, _SCHEMA)
+    with pytest.raises(ValueError, match="tmix_total_tokens"):
+        prep_corpus(docs, ["tmix"])
+    out, _, tally = prep_corpus(
+        docs, ["tmix", "dedup"], tmix_total_tokens=2000, tmix_alpha=0.5,
+        counts=True,
+    )
+    # canonical order: dedup (collapses each source to 1 doc) runs
+    # BEFORE tmix, so tmix budgets see the deduped corpus
+    assert list(tally) == ["dedup", "tmix"]
+    assert out.columns == docs.columns  # target_tokens is internal
+    # on the 2-doc deduped corpus both sources fit any budget
+    assert tally["dedup"] == 2 and tally["tmix"] == 2
+    # without dedup, alpha=0.5 gives books ~25% of the budget (500 of
+    # 2000 tokens) vs its natural 10% share: both sources sample down,
+    # books far less aggressively
+    out2, _, _ = prep_corpus(docs, ["tmix"], tmix_total_tokens=2000)
+    by = {r.source: r.c for r in
+          out2.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert 30 <= by["books"] <= 70     # ~50% of its 100 docs survive
+    assert 0 < by["web"] < 300         # web sampled to ~17% of 900
+    # output share of the small source beats its natural 1/9 share
+    assert by["books"] / by["web"] > 1 / 9
