@@ -9,6 +9,8 @@ from itertools import combinations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from big_ann_spark.operators import dedup as D
 
 # small vocab + short docs → shingle collisions and real near-dup pairs
@@ -205,3 +207,77 @@ def test_strip_duplicate_spans_matches_model(spark, texts, n):
         for r in D.strip_duplicate_spans(df, n=n).collect()
     }
     assert got == want
+
+
+# --- line-level dedup properties (operators/lines.py) ---
+
+_LINE_WORDS = ["x", "y", "z"]
+line_docs_strategy = st.lists(
+    st.lists(
+        st.lists(st.sampled_from(_LINE_WORDS), min_size=1, max_size=3).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ).map("\n".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(line_docs_strategy, st.sampled_from([1, 2, 3]))
+def test_strip_boilerplate_matches_python_model(spark, texts, max_count):
+    """strip_boilerplate_lines == a pure-Python corpus-count filter,
+    and with a large-enough max_count it is the identity; a second
+    application is always a no-op (surviving lines keep their counts)."""
+    from collections import Counter
+
+    from big_ann_spark.operators.lines import (
+        docs_to_lines,
+        strip_boilerplate_lines,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = Counter(ln for t in texts for ln in t.split("\n"))
+    want = {
+        i: "\n".join(ln for ln in t.split("\n") if counts[ln] <= max_count)
+        for i, t in rows
+    }
+    out = strip_boilerplate_lines(docs_to_lines(df), max_count=max_count)
+    got = {r.id: r.text for r in out.collect()}
+    assert got == want
+    # identity at max_count >= max corpus line count
+    big = strip_boilerplate_lines(docs_to_lines(df), max_count=max(counts.values()))
+    assert {r.id: r.text for r in big.collect()} == dict(rows)
+    # idempotence: re-stripping the stripped corpus changes nothing
+    df2 = out.select(F.col("id").alias("doc_id"), "text")
+    out2 = strip_boilerplate_lines(docs_to_lines(df2), max_count=max_count)
+    assert {r.id: r.text for r in out2.collect()} == got
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(line_docs_strategy)
+def test_keep_first_matches_python_model(spark, texts):
+    """dedup_lines_keep_first == a pure-Python first-occurrence scan in
+    (doc_id, line_no) order; every distinct line survives exactly once."""
+    from big_ann_spark.operators.lines import (
+        dedup_lines_keep_first,
+        docs_to_lines,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seen: set[str] = set()
+    want = {}
+    for i, t in rows:
+        kept = []
+        for ln in t.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        want[i] = "\n".join(kept)
+    out = dedup_lines_keep_first(docs_to_lines(df))
+    got = {r.id: r.text for r in out.collect()}
+    assert got == want
+    n_kept_total = sum(r.n_kept for r in out.collect())
+    assert n_kept_total == len(seen)

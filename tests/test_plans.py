@@ -83,6 +83,23 @@ def test_token_budget_mix_single_scan(spark, sf_dir):
     assert "Union" not in plan, plan
 
 
+def test_temperature_mix_single_scan(spark, sf_dir):
+    """temperature_mix shares token_budget_mix's one-scan sampling
+    plan: the data-derived n^alpha budgets become the same broadcast
+    mix table, never per-source filtered scans."""
+    from big_ann_spark.operators.dedup import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mix(docs, 1000, alpha=0.5)
+    plan = _plan(out)
+    import re
+
+    scans = len(re.findall(r"(?:File)?Scan parquet", plan))
+    assert scans == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Union" not in plan, plan
+
+
 def test_topk_uses_window_group_limit(spark, sf_dir):
     from big_ann_spark.queries.relational_queries import _top_orders_per_cust
 
