@@ -205,6 +205,11 @@ def write_bm25_index(
     ``stats.parquet`` and a one-row ``meta.parquet`` carrying the
     bucket count (the layout contract merges must reproduce)."""
     p = index.postings.withColumn("_tb", _term_bucket(F.col("term"), n_term_buckets))
+    # one file per bucket, TERM-SORTED within it: parquet row-group
+    # min/max stats on `term` then let a query's pushed term predicate
+    # skip row groups inside probed buckets (bucket dirs bound the
+    # directory read, term sorting bounds the bytes read within them)
+    p = p.repartition("_tb").sortWithinPartitions("_tb", "term")
     p.write.mode("overwrite").partitionBy("_tb").parquet(f"{path}/postings.parquet")
     index.dfs.write.mode("overwrite").parquet(f"{path}/dfs.parquet")
     index.stats.write.mode("overwrite").parquet(f"{path}/stats.parquet")
@@ -257,8 +262,22 @@ def bm25_topk_from_disk(
     q = terms(queries, id_col=id_col, text_col=text_col).select(
         F.col("id").alias("qid"), "term", F.col("tf").alias("qtf"),
         _term_bucket(F.col("term"), n_buckets).cast(tb_t).alias("_tb"),
+    ).localCheckpoint()
+    # push the query vocabulary onto the scan as an In predicate:
+    # bucket pruning bounds the DIRECTORIES read, but a wide query
+    # batch probes most buckets and the equi-join alone would still
+    # SCAN every posting in them — the pushed filter lets parquet
+    # row-group term min/max stats (the layout is term-sorted within
+    # each bucket) skip the bytes instead. The list is the query
+    # batch's distinct terms — the same contractually-small set the
+    # broadcast join ships anyway; semantically redundant with the
+    # join, so results are unchanged.
+    q_terms = [r.term for r in q.select("term").distinct().collect()]
+    hits = (
+        postings.filter(F.col("term").isin(q_terms))
+        .join(F.broadcast(q), ["_tb", "term"])
+        .drop("_tb")
     )
-    hits = postings.join(F.broadcast(q), ["_tb", "term"]).drop("_tb")
     dfs = spark.read.parquet(f"{path}/dfs.parquet")
     stats = spark.read.parquet(f"{path}/stats.parquet")
     return _score_and_rank(
@@ -292,9 +311,10 @@ def merge_bm25_index(
     (foreachBatch, or the ingestion pipeline's exactly-once sink)."""
     n_buckets = _read_n_buckets(spark, path)
     delta = bm25_index(new_docs, id_col=id_col, text_col=text_col)
-    delta.postings.withColumn(
-        "_tb", _term_bucket(F.col("term"), n_buckets)
-    ).write.mode("append").partitionBy("_tb").parquet(f"{path}/postings.parquet")
+    dp = delta.postings.withColumn("_tb", _term_bucket(F.col("term"), n_buckets))
+    # same term-sorted one-file-per-bucket layout as write_bm25_index
+    dp = dp.repartition("_tb").sortWithinPartitions("_tb", "term")
+    dp.write.mode("append").partitionBy("_tb").parquet(f"{path}/postings.parquet")
     # dfs/stats overwrite the paths they read from: localCheckpoint
     # materializes the merged result first (both are small — dfs is
     # vocabulary-sized, stats one row)
