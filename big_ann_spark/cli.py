@@ -116,6 +116,16 @@ def _build_parser() -> argparse.ArgumentParser:
         help="column holding 'insert'/'delete'; omitted = all inserts",
     )
 
+    lt = sub.add_parser(
+        "lm-train",
+        help="train a Stupid-Backoff n-gram LM on a high-quality corpus "
+        "and persist it (prep --lm-model reuses it per batch)",
+    )
+    lt.add_argument("src", help="parquet document directory")
+    lt.add_argument("dst", help="model dir (counts/contexts/totals/meta)")
+    lt.add_argument("--order", type=int, default=3)
+    lt.add_argument("--text-col", default="text")
+
     bb = sub.add_parser(
         "bm25-build",
         help="build a persisted term-bucketed BM25 index from a "
@@ -235,6 +245,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "self-trained on the corpus",
     )
     pr.add_argument("--lm-order", type=int, default=3)
+    pr.add_argument(
+        "--lm-model",
+        default=None,
+        help="lmfilter: dir saved by lm-train (takes precedence over "
+        "--lm-docs; train once, reuse per batch)",
+    )
     pr.add_argument(
         "--lm-keep",
         default="head,middle",
@@ -492,6 +508,19 @@ def main(argv: list[str] | None = None) -> int:
             out.show(args.show, truncate=False)
         return 0
 
+    if args.cmd == "lm-train":
+        from big_ann_spark.operators.ngram_lm import save_ngram_lm, train_ngram_lm
+
+        docs = spark.read.parquet(args.src)
+        lm = train_ngram_lm(docs, order=args.order, text_col=args.text_col)
+        save_ngram_lm(lm, args.dst)
+        t = spark.read.parquet(f"{args.dst}/totals.parquet").collect()[0]
+        print(
+            f"order-{args.order} LM: {t.t_tokens} tokens, "
+            f"{t.v_vocab} vocab -> {args.dst}"
+        )
+        return 0
+
     if args.cmd == "bm25-build":
         from big_ann_spark.operators import bm25 as BM
 
@@ -591,6 +620,11 @@ def main(argv: list[str] | None = None) -> int:
         docs = (
             reader.json(args.src) if args.format == "json" else reader.parquet(args.src)
         )
+        lm_model = None
+        if args.lm_model:
+            from big_ann_spark.operators.ngram_lm import load_ngram_lm
+
+            lm_model = load_ngram_lm(spark, args.lm_model)
         qmodel = None
         if args.quality_model:
             from pyspark.ml import PipelineModel
@@ -623,6 +657,7 @@ def main(argv: list[str] | None = None) -> int:
             lm_docs=(
                 spark.read.parquet(args.lm_docs) if args.lm_docs else None
             ),
+            lm_model=lm_model,
             lm_order=args.lm_order,
             lm_keep=tuple(
                 s.strip() for s in args.lm_keep.split(",") if s.strip()

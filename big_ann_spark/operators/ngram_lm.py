@@ -256,3 +256,35 @@ def ccnet_buckets(
         .when(lp < F.col("_lo"), F.lit("tail"))
         .otherwise(F.lit("middle")),
     ).drop("_hi", "_lo")
+
+
+def save_ngram_lm(lm: NgramLM, path: str) -> None:
+    """Persist the model (train once, filter every crawl batch after):
+    the three count tables as parquet — counts bucket-partitioned by k
+    so a scoring join of one order reads one directory set — plus a
+    one-row meta carrying the order. Vocabulary-sized at any corpus
+    size (language-bounded), so the write is cheap and the read side
+    can keep broadcasting."""
+    lm.counts.write.mode("overwrite").partitionBy("k").parquet(
+        f"{path}/counts.parquet"
+    )
+    lm.contexts.write.mode("overwrite").partitionBy("k").parquet(
+        f"{path}/contexts.parquet"
+    )
+    lm.totals.write.mode("overwrite").parquet(f"{path}/totals.parquet")
+    lm.totals.sparkSession.createDataFrame(
+        [(lm.order,)], "n_order int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+
+
+def load_ngram_lm(spark, path: str) -> NgramLM:
+    """Lazy scans over a :func:`save_ngram_lm` layout. The per-k
+    scoring filters (`k == i`) land as partition pruning on the
+    bucketed counts/contexts dirs."""
+    order = spark.read.parquet(f"{path}/meta.parquet").collect()[0][0]
+    return NgramLM(
+        counts=spark.read.parquet(f"{path}/counts.parquet"),
+        contexts=spark.read.parquet(f"{path}/contexts.parquet"),
+        totals=spark.read.parquet(f"{path}/totals.parquet"),
+        order=order,
+    )

@@ -58,6 +58,7 @@ def prep_corpus(
     line_sep: str = "\n",
     line_words_per_line: int | None = None,
     lm_docs: DataFrame | None = None,
+    lm_model=None,
     lm_order: int = 3,
     lm_keep: tuple[str, ...] = ("head", "middle"),
     lm_head_frac: float = 0.3,
@@ -158,10 +159,17 @@ def prep_corpus(
                 train_ngram_lm,
             )
 
-            lm = train_ngram_lm(
-                lm_docs if lm_docs is not None else out,
-                order=lm_order,
-                text_col=text_col,
+            # precedence: a pre-trained model (train once with
+            # lm-train, reuse per batch) > a training corpus (the
+            # Wikipedia role) > self-training on the corpus itself
+            lm = (
+                lm_model
+                if lm_model is not None
+                else train_ngram_lm(
+                    lm_docs if lm_docs is not None else out,
+                    order=lm_order,
+                    text_col=text_col,
+                )
             )
             scored = score_stupid_backoff(
                 out, lm, id_col=id_col, text_col=text_col

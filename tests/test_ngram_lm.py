@@ -156,3 +156,58 @@ def test_model_persistence_roundtrip(spark, corpus, tmp_path):
     a = {r.doc_id: r.lp_sb for r in score_stupid_backoff(corpus, lm).collect()}
     b = {r.doc_id: r.lp_sb for r in score_stupid_backoff(corpus, lm2).collect()}
     assert a == b
+
+
+def test_save_load_ngram_lm(spark, corpus, tmp_path):
+    """save_ngram_lm/load_ngram_lm round-trip: identical scores, order
+    restored from meta, and the per-k scoring filters prune the
+    k-partitioned counts layout."""
+    from big_ann_spark.operators.ngram_lm import load_ngram_lm, save_ngram_lm
+
+    lm = train_ngram_lm(corpus.filter(F.col("split") == "train"), order=3)
+    path = str(tmp_path / "lm")
+    save_ngram_lm(lm, path)
+    lm2 = load_ngram_lm(spark, path)
+    assert lm2.order == 3
+    a = {r.doc_id: r.lp_sb for r in score_stupid_backoff(corpus, lm).collect()}
+    b = {r.doc_id: r.lp_sb for r in score_stupid_backoff(corpus, lm2).collect()}
+    assert a == b
+    # the k filter lands as partition pruning on the bucketed layout
+    sel = lm2.counts.filter(F.col("k") == 2)
+    plan = sel._sc._jvm.PythonSQLUtils.explainString(
+        sel._jdf.queryExecution(), "formatted"
+    )
+    after = plan.split("PartitionFilters", 1)[1][:120]
+    assert "k" in after, plan[:2000]
+
+
+def test_cli_lm_train_then_prep(spark, tmp_path):
+    from big_ann_spark.cli import main
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while the sun sets slowly behind the tall green hills "
+    )
+    wiki = str(tmp_path / "wiki")
+    spark.createDataFrame(
+        [(100 + i, prose, "wiki") for i in range(3)],
+        "doc_id long, text string, source string",
+    ).write.parquet(wiki)
+    lm_dir = str(tmp_path / "lm")
+    assert main(["lm-train", wiki, lm_dir, "--order", "2"]) == 0
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, prose + f"tail {i}", "s") for i in range(5)]
+        + [(9, "zxq vplk wfjd qqrm xxzz kpwl jjdf mmvv", "s")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    dst = str(tmp_path / "out")
+    assert (
+        main(
+            ["prep", src, dst, "--steps", "lmfilter", "--lm-model", lm_dir]
+        )
+        == 0
+    )
+    docs = spark.read.parquet(f"{dst}/docs.parquet")
+    assert {r.doc_id for r in docs.collect()} == set(range(5))
