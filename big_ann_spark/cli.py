@@ -476,7 +476,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
-            print(f"{out.count()} rows -> {args.out}")
+            # count the WRITTEN parquet — re-counting `out` would
+            # re-execute the whole search DAG for one integer
+            n = spark.read.parquet(args.out).count()
+            print(f"{n} rows -> {args.out}")
         else:
             out.show(args.show, truncate=False)
         return 0
@@ -503,7 +506,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
-            print(f"{out.count()} rows -> {args.out}")
+            # count the WRITTEN parquet — re-counting `out` would
+            # re-execute the whole search DAG for one integer
+            n = spark.read.parquet(args.out).count()
+            print(f"{n} rows -> {args.out}")
         else:
             out.show(args.show, truncate=False)
         return 0
@@ -547,7 +553,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
-            print(f"{out.count()} rows -> {args.out}")
+            # count the WRITTEN parquet — re-counting `out` would
+            # re-execute the whole search DAG for one integer
+            n = spark.read.parquet(args.out).count()
+            print(f"{n} rows -> {args.out}")
         else:
             out.show(args.show, truncate=False)
         return 0
@@ -608,7 +617,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
-            print(f"{out.count()} rows -> {args.out}")
+            # count the WRITTEN parquet — re-counting `out` would
+            # re-execute the whole search DAG for one integer
+            n = spark.read.parquet(args.out).count()
+            print(f"{n} rows -> {args.out}")
         else:
             out.show(args.show, truncate=False)
         return 0

@@ -308,33 +308,53 @@ def merge_bm25_index(
     need a postings rewrite by design; use copy-on-write compaction
     (streaming/vector_index.py is the template) at that point. The
     three-table update is not atomic — orchestrate merges serially
-    (foreachBatch, or the ingestion pipeline's exactly-once sink)."""
+    (foreachBatch, or the ingestion pipeline's exactly-once sink).
+    On local paths dfs/stats rewrite via write-new-then-swap, so a
+    crash mid-merge can leave the delta postings applied without the
+    stats (re-runnable state), but never a half-written or deleted
+    dfs/stats table; URI paths (no atomic local rename) fall back to
+    a materialize-then-overwrite whose crash window is metadata-only."""
     n_buckets = _read_n_buckets(spark, path)
     delta = bm25_index(new_docs, id_col=id_col, text_col=text_col)
     dp = delta.postings.withColumn("_tb", _term_bucket(F.col("term"), n_buckets))
     # same term-sorted one-file-per-bucket layout as write_bm25_index
     dp = dp.repartition("_tb").sortWithinPartitions("_tb", "term")
     dp.write.mode("append").partitionBy("_tb").parquet(f"{path}/postings.parquet")
-    # dfs/stats overwrite the paths they read from: localCheckpoint
-    # materializes the merged result first (both are small — dfs is
-    # vocabulary-sized, stats one row)
-    old_dfs = spark.read.parquet(f"{path}/dfs.parquet")
     merged_dfs = (
-        old_dfs.unionByName(delta.dfs)
+        spark.read.parquet(f"{path}/dfs.parquet")
+        .unionByName(delta.dfs)
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
-        .localCheckpoint()
     )
-    merged_dfs.write.mode("overwrite").parquet(f"{path}/dfs.parquet")
-    old_stats = spark.read.parquet(f"{path}/stats.parquet")
+    _replace_table(merged_dfs, f"{path}/dfs.parquet")
     merged_stats = (
-        old_stats.unionByName(delta.stats)
+        spark.read.parquet(f"{path}/stats.parquet")
+        .unionByName(delta.stats)
         .agg(
             F.sum("n_docs").alias("n_docs"),
             (
                 F.sum(F.col("avgdl") * F.col("n_docs")) / F.sum("n_docs")
             ).alias("avgdl"),
         )
-        .localCheckpoint()
     )
-    merged_stats.write.mode("overwrite").parquet(f"{path}/stats.parquet")
+    _replace_table(merged_stats, f"{path}/stats.parquet")
+
+
+def _replace_table(df: DataFrame, final_dir: str) -> None:
+    """Rewrite a (small) parquet table that the plan also READS: write
+    the new version to a sibling ``.new`` dir first, then swap — the
+    Spark job never overwrites its own input, and the crash window
+    shrinks from the whole write to two local-FS metadata ops. Paths
+    with a URI scheme (object stores: no atomic rename) fall back to
+    localCheckpoint + in-place overwrite."""
+    if "://" in final_dir:
+        df.localCheckpoint().write.mode("overwrite").parquet(final_dir)
+        return
+    import os
+    import shutil
+
+    new = final_dir + ".new"
+    df.write.mode("overwrite").parquet(new)
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    os.rename(new, final_dir)

@@ -1563,8 +1563,17 @@ def _stable_hash(id_col: str, salt: int, a: int, mod: int):
     rotations of Z_p — pairwise uncorrelated selections. ``salt=0``
     keeps the historical ``a^1`` multiplier, so unsalted selections are
     unchanged. Both factors stay < p < 2^31, product < 2^62: no int64
-    overflow in either engine, any salt, including negative ones."""
+    overflow in either engine, any salt, including negative ones.
+
+    Degeneracy guard: ord(a) = (p-1)/9, so nine salt residues mod p-1
+    (salt = -1 first among them) would give a^(salt+1) = 1 — a
+    non-mixing identity map. Those fall back to the salt-0 multiplier:
+    they stay well-mixed and differ from salt 0 by the additive shift
+    (the one remaining correlated PAIR, vs every pair correlated
+    before this scheme)."""
     a_s = pow(a % mod, (salt % (mod - 1)) + 1, mod)
+    if a_s == 1:
+        a_s = a % mod
     salted = F.pmod(
         F.pmod(F.col(id_col), F.lit(mod)) + F.lit(salt % mod), F.lit(mod)
     )
@@ -1581,18 +1590,16 @@ def hash_sample(
     mod: int = MINHASH_P,
 ) -> DataFrame:
     """Deterministic content-stable sampling: keep a row iff
-    ``((id mod p + salt)·a) mod p < fraction·p``. Unlike ``df.sample``
-    this is reproducible across runs/engines (the multiplicative hash
-    is plain arithmetic — a DuckDB oracle computes the identical
-    subset), stable under repartitioning, and consistent across tables
-    sharing the id; nested fractions nest (a 10% sample ⊂ the 30%
-    sample at the same salt). The salt is mixed BEFORE the multiply so
-    different salts select unrelated subsets, not a boundary-shifted
-    one. The salted value is reduced mod p again before the multiply —
-    (x+s)·a ≡ ((x+s) mod p)·a (mod p), so results are unchanged where
-    the old form was in range, but the product now stays under 2^63
-    for ANY salt (including negative ones, where Spark's signed ``%``
-    would otherwise have made the predicate silently always-true)."""
+    ``((id mod p + salt) mod p · a^(salt+1)) mod p < fraction·p``
+    (the shared :func:`_stable_hash`, which see — the per-salt
+    MULTIPLIER is what makes selections at different salts
+    independent; an additive-only salt would make them constant-
+    shifted translates). Unlike ``df.sample`` this is reproducible
+    across runs/engines (plain arithmetic — a DuckDB oracle computes
+    the identical subset once it pins the same per-salt multiplier),
+    stable under repartitioning, and consistent across tables sharing
+    the id; nested fractions nest (a 10% sample ⊂ the 30% sample at
+    the same salt)."""
     thresh = int(fraction * mod)
     return docs.filter(_stable_hash(id_col, salt, a, mod) < thresh)
 
@@ -1670,7 +1677,9 @@ def token_budget_mix(
     }
     mix_rows = []
     for src, w in weights.items():
-        if src not in totals or totals[src] == 0:
+        # totals can be NEGATIVE when every doc of a source has NULL
+        # text (size(null) = -1 per token_count) — treat like absent
+        if src not in totals or totals[src] is None or totals[src] <= 0:
             continue
         target = total_tokens * (w / w_sum)
         frac = min(1.0, target / totals[src])
@@ -1738,7 +1747,13 @@ def temperature_mix(
         r[source_col]: r["_n"]
         for r in sized.groupBy(source_col).agg(F.sum("_toks").alias("_n")).collect()
     }
-    srcs = sorted(s for s, n in totals.items() if s is not None and n)
+    # drop NULL sources (a join key of NULL never matches the mix
+    # table) and non-positive totals (all-NULL-text sources aggregate
+    # to a NEGATIVE total: size(null) = -1) — like token_budget_mix,
+    # such sources contribute nothing to the output
+    srcs = sorted(
+        s for s, n in totals.items() if s is not None and n is not None and n > 0
+    )
     w = {s: float(totals[s]) ** alpha for s in srcs}
     w_sum = 0.0
     for s in srcs:

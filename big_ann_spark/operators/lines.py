@@ -46,11 +46,16 @@ def docs_to_lines(
     text_col: str = "text",
     sep: str = "\n",
 ) -> DataFrame:
-    """(id, ln, line) — one row per line, ``ln`` the 1-based position."""
+    """(id, ln, line) — one row per line, ``ln`` the 1-based position.
+    ``sep`` is a LITERAL separator (escaped before it reaches
+    ``F.split``'s regex argument — a '.' or '|' separator must not
+    split on every character)."""
+    import re
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(c, sep, -1)).alias("_p", "line"),
+        F.posexplode(F.split(c, re.escape(sep), -1)).alias("_p", "line"),
     ).select("id", (F.col("_p") + 1).alias("ln"), "line")
 
 

@@ -144,9 +144,13 @@ def prep_corpus(
             reb = strip_boilerplate_lines(
                 lines, max_count=line_max_count, sep=sep
             ).select(F.col("id").alias(id_col), F.col("text").alias("_lt"))
+            # LEFT join: NULL-text docs produce no line rows so never
+            # reach the rebuild — they keep their NULL text here and
+            # fall to the later stages' null handling, instead of
+            # being silently deleted by an inner join
             out = (
-                out.join(reb, id_col)
-                .withColumn(text_col, F.col("_lt"))
+                out.join(reb, id_col, "left")
+                .withColumn(text_col, F.coalesce(F.col("_lt"), F.col(text_col)))
                 .drop("_lt")
             )
         elif step == "lmfilter":

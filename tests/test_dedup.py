@@ -921,3 +921,34 @@ def test_temperature_mix(spark):
     tb_ids = {r.doc_id for r in tb.select("doc_id").collect()}
     tm_sel = D.temperature_mix(docs, 2000, alpha=1.0)
     assert {r.doc_id for r in tm_sel.select("doc_id").collect()} == tb_ids
+
+
+def test_stable_hash_salt_minus_one_still_mixes(spark):
+    """salt=-1 would hit a^(p-1) ≡ 1 (Fermat) — the degeneracy guard
+    must keep it a real multiplicative hash, not the identity map."""
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), F.lit("w x").alias("text")
+    )
+    out = D.hash_sample(docs, 0.1, salt=-1)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 250 <= len(ids) <= 550            # ~10%, not 0% and not a prefix
+    # NOT the contiguous low-id prefix the identity map would keep
+    assert ids != list(range(len(ids)))
+
+
+def test_temperature_mix_null_text_and_null_source(spark):
+    """All-NULL-text sources aggregate to a NEGATIVE token total
+    (size(null) = -1) and NULL sources can't join the mix table —
+    both must be excluded cleanly, not crash with a complex-number
+    TypeError."""
+    rows = [(i, "w " * 9 + "w", "web") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string").unionByName(
+        spark.createDataFrame(
+            [(100, None, "ghost"), (101, None, "ghost"), (102, "w x y", None)],
+            "doc_id long, text string, source string",
+        )
+    )
+    out = D.temperature_mix(docs, 10_000, alpha=0.5)
+    got = {r.source for r in out.select("source").distinct().collect()}
+    assert got == {"web"}
+    assert out.count() == 50  # budget covers all of web; ghost/null dropped

@@ -118,3 +118,13 @@ def test_strip_plan_hot_set_broadcast_anti(spark, corpus):
         strip_boilerplate_lines(docs_to_lines(corpus), max_count=2)
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_docs_to_lines_sep_is_literal(spark):
+    """A '.' separator must split on periods only — F.split takes a
+    regex, so the operator escapes the separator."""
+    from big_ann_spark.operators.lines import docs_to_lines
+
+    df = spark.createDataFrame([(1, "ab.cd.ef")], "doc_id long, text string")
+    got = [r.line for r in docs_to_lines(df, sep=".").orderBy("ln").collect()]
+    assert got == ["ab", "cd", "ef"]

@@ -300,3 +300,14 @@ def test_tmix_step_rebalances_sources(spark):
     assert 0 < by["web"] < 300         # web sampled to ~17% of 900
     # output share of the small source beats its natural 1/9 share
     assert by["books"] / by["web"] > 1 / 9
+
+
+def test_linededup_keeps_null_text_docs(spark):
+    """NULL-text docs produce no line rows; the stage must keep them
+    (NULL text intact) rather than dropping them via an inner join."""
+    rows = [(1, "keep this line\nand this", "a"), (2, None, "a")]
+    docs = spark.createDataFrame(rows, _SCHEMA)
+    out, _, _ = prep_corpus(docs, ["linededup"])
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert got[2] is None and "keep this line" in got[1]
