@@ -249,8 +249,11 @@ _TMIX_ALPHA = 0.5
 def _ha_s(salt: int) -> int:
     """The _stable_hash multiplier for this salt — ``_HA^(salt+1) mod
     _HP`` (see dedup._stable_hash: per-salt multipliers are what make
-    chained salted selections independent)."""
-    return pow(_HA, salt + 1, _HP)
+    chained salted selections independent), including its degeneracy
+    fallback (a_s == 1 → the salt-0 multiplier) so the mirror stays
+    exact for every salt."""
+    a_s = pow(_HA, salt + 1, _HP)
+    return a_s if a_s != 1 else _HA % _HP
 _HP = 2_147_483_647  # dedup.MINHASH_P — the hash_sample modulus
 _HA = 2_654_435_761
 
