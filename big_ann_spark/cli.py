@@ -151,6 +151,18 @@ def _build_parser() -> argparse.ArgumentParser:
     bs.add_argument("--out", default=None)
     bs.add_argument("--show", type=int, default=20)
 
+    bsi = sub.add_parser(
+        "bm25-stream-ingest",
+        help="stream a document directory into an evolving BM25 index "
+        "(exactly-once per-batch deltas; bm25-search queries the live "
+        "view)",
+    )
+    bsi.add_argument("src", help="parquet document directory (streamed)")
+    bsi.add_argument("dst", help="index dir (data/ + checkpoint/)")
+    bsi.add_argument("--id-col", default="doc_id")
+    bsi.add_argument("--text-col", default="text")
+    bsi.add_argument("--term-buckets", type=int, default=64)
+
     bm = sub.add_parser(
         "bm25-merge",
         help="fold a NEW document batch into a bm25-build index "
@@ -543,14 +555,56 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    if args.cmd == "bm25-stream-ingest":
+        from big_ann_spark.streaming.bm25_stream import stream_bm25_ingest
+
+        src_schema = spark.read.parquet(args.src).schema
+        missing = [
+            c for c in (args.id_col, args.text_col) if c not in src_schema.names
+        ]
+        if missing:
+            print(f"source is missing column(s): {missing}", file=sys.stderr)
+            return 2
+        stream = (
+            spark.readStream.schema(src_schema).format("parquet").load(args.src)
+        )
+        stream_bm25_ingest(
+            stream, args.dst, id_col=args.id_col, text_col=args.text_col,
+            n_term_buckets=args.term_buckets,
+        )
+        from big_ann_spark.streaming.bm25_stream import live_bm25_index
+
+        live = live_bm25_index(spark, args.dst)
+        n = live.stats.collect()[0] if live is not None else None
+        print(
+            "indexed 0 docs" if n is None
+            else f"live index: {n.n_docs} docs (avgdl {n.avgdl:.1f}) -> {args.dst}"
+        )
+        return 0
+
     if args.cmd == "bm25-search":
+        import os
+
         from big_ann_spark.operators import bm25 as BM
 
         q = spark.read.parquet(args.queries)
-        out = BM.bm25_topk_from_disk(
-            spark, args.index, q, k=args.k,
-            id_col=args.id_col, text_col=args.text_col, max_df=args.max_df,
-        )
+        if os.path.isdir(f"{args.index}/checkpoint/_committed"):
+            # streamed layout (bm25-stream-ingest): query the live view
+            from big_ann_spark.streaming.bm25_stream import live_bm25_index
+
+            live = live_bm25_index(spark, args.index)
+            if live is None:
+                print("index has no committed batches", file=sys.stderr)
+                return 2
+            out = BM.bm25_topk(
+                q, live, k=args.k,
+                id_col=args.id_col, text_col=args.text_col, max_df=args.max_df,
+            )
+        else:
+            out = BM.bm25_topk_from_disk(
+                spark, args.index, q, k=args.k,
+                id_col=args.id_col, text_col=args.text_col, max_df=args.max_df,
+            )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             # count the WRITTEN parquet — re-counting `out` would
