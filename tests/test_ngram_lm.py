@@ -104,7 +104,14 @@ def test_shuffle_join_path_matches_broadcast(spark, corpus):
         r.doc_id: r.lp_sb
         for r in score_stupid_backoff(corpus, lm, broadcast_model=False).collect()
     }
-    assert a == b
+    # ULP-tolerant: the per-doc AVG sums per-position log scores in a
+    # partition-dependent order, and the shuffle-join path partitions
+    # positions differently from the broadcast path (AQE layout varies
+    # with cluster load) — the engines' oracle contract rounds scores
+    # for exactly this reason
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-12, abs=1e-12)
 
 
 def test_duplicate_docs_score_identically(spark, corpus):
