@@ -282,6 +282,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "per step — a debugging aid)",
     )
 
+    bc = sub.add_parser(
+        "bm25-stream-compact",
+        help="copy-on-write compaction of a bm25-stream-ingest index: "
+        "fold per-batch deltas into the base epoch of a fresh dir",
+    )
+    bc.add_argument("src", help="dir produced by bm25-stream-ingest")
+    bc.add_argument("dst", help="fresh index dir")
+
     vc = sub.add_parser(
         "vindex-compact",
         help="copy-on-write compaction: fold tombstones, land the live "
@@ -751,6 +759,13 @@ def main(argv: list[str] | None = None) -> int:
         print(f"prep: {n} docs -> {args.dst}/docs.parquet"
               + (" (+ pack.parquet)" if placements is not None else "")
               + (f" (+ shards/ x{args.shards})" if args.shards else ""))
+        return 0
+
+    if args.cmd == "bm25-stream-compact":
+        from big_ann_spark.streaming.bm25_stream import compact_bm25_stream
+
+        n = compact_bm25_stream(spark, args.src, args.dst)
+        print(f"compacted {args.src} -> {args.dst}: {n} live postings")
         return 0
 
     if args.cmd == "vindex-compact":

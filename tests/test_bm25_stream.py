@@ -176,3 +176,17 @@ def test_cli_stream_ingest_and_live_search(spark, tmp_path):
     want = bm25_topk(spark.read.parquet(src), full, k=3, score_round=6)
     # rounded-score contract (avgdl = sum/count vs avg differ in ULPs)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_cli_stream_compact(spark, tmp_path):
+    from big_ann_spark.cli import main
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_TEXTS, _SCHEMA).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert main(["bm25-stream-ingest", src, idx]) == 0
+    dst = str(tmp_path / "cmp")
+    assert main(["bm25-stream-compact", idx, dst]) == 0
+    live = BS.live_bm25_index(spark, dst)
+    full = bm25_index(spark.createDataFrame(_TEXTS, _SCHEMA))
+    _index_equal(live, full)
