@@ -74,6 +74,40 @@ def run_canary() -> float:
     return round(min(once() for _ in range(3)), 3)
 
 
+def run_io_canary() -> float:
+    """Disk-read probe alongside the CPU canary: the r8 end-of-day data
+    showed identical code + identical CPU canary (0.192–0.195 s) with
+    suite totals drifting 25.9 → 36.9 s — the residual driver is
+    page-cache / IO state a pure-CPU probe cannot see. This reads a
+    fixed 256 MB scratch file SEQUENTIALLY after evicting it from the
+    page cache (posix_fadvise DONTNEED), so it tracks true device read
+    throughput without touching (or evicting) the test data. min-of-2,
+    reported raw — no normalization until a round establishes its
+    reference spread."""
+    import time as _t
+
+    path = "/tmp/.bench_io_canary"
+    size = 256 * 1024 * 1024
+    if not os.path.exists(path) or os.path.getsize(path) != size:
+        with open(path, "wb") as f:
+            f.write(b"\xcd" * size)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def once() -> float:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            t0 = _t.perf_counter()
+            while os.read(fd, 8 * 1024 * 1024):
+                pass
+            return _t.perf_counter() - t0
+        finally:
+            os.close(fd)
+
+    return round(min(once() for _ in range(2)), 3)
+
+
 def wait_for_idle_host(max_wait_sec: float, load_target: float) -> float:
     """Bounded wait for host loadavg to drop below ``load_target``
     (VERDICT r6 #4: contended runs faked 2-5x regressions in r4/r6 —
@@ -126,6 +160,7 @@ def main() -> None:
     )
     load_before = [round(v, 2) for v in os.getloadavg()]
     canary_before = run_canary()
+    io_canary_before = run_io_canary()
     suite_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -151,6 +186,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     canary_after = run_canary()
+    io_canary_after = run_io_canary()
     # normalize by the SLOWDOWN the canary saw (before/after min: the
     # suite may itself have heated the host; min is the fairer probe)
     slowdown = max(min(canary_before, canary_after) / CANARY_REF_SEC, 1e-6)
@@ -187,6 +223,9 @@ def main() -> None:
                 "canary_before": canary_before,
                 "canary_after": canary_after,
                 "canary_ref_sec": CANARY_REF_SEC,
+                "canary_io_sec": min(io_canary_before, io_canary_after),
+                "canary_io_before": io_canary_before,
+                "canary_io_after": io_canary_after,
                 "total_canary_normalized": total_normalized,
                 "loadavg_before": load_before,
                 "loadavg_after": [round(v, 2) for v in os.getloadavg()],
