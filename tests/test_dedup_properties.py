@@ -281,3 +281,57 @@ def test_keep_first_matches_python_model(spark, texts):
     assert got == want
     n_kept_total = sum(r.n_kept for r in out.collect())
     assert n_kept_total == len(seen)
+
+
+# --- temperature mixing vs a pure-Python model of the exact arithmetic ---
+
+mix_corpus_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),     # doc_id
+        st.integers(min_value=1, max_value=12),          # token count
+        st.sampled_from(["a", "b", "c"]),               # source
+    ),
+    min_size=4,
+    max_size=24,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(mix_corpus_strategy, st.sampled_from([0.0, 0.3, 0.5, 1.0]),
+       st.sampled_from([50, 200, 10_000]), st.sampled_from([0, 3, 7]))
+def test_temperature_mix_matches_python_model(spark, rows, alpha, total, salt):
+    """temperature_mix's selected id set == a pure-Python mirror of its
+    exact float sequence (pow weights in sorted-source order, per-salt
+    multiplier hash, truncation threshold) on random corpora."""
+    P, A = 2_147_483_647, 2_654_435_761
+    docs = spark.createDataFrame(
+        [(i, "w " * (n - 1) + "w", s) for i, n, s in rows],
+        "doc_id long, text string, source string",
+    )
+    totals: dict[str, int] = {}
+    for _, n, s in rows:
+        totals[s] = totals.get(s, 0) + n
+    srcs = sorted(s for s, n in totals.items() if n > 0)
+    w = {s: float(totals[s]) ** alpha for s in srcs}
+    w_sum = 0.0
+    for s in srcs:
+        w_sum += w[s]
+    thresh = {}
+    for s in srcs:
+        target = total * (w[s] / w_sum)
+        thresh[s] = int(min(1.0, target / totals[s]) * P)
+    a_s = pow(A % P, (salt % (P - 1)) + 1, P)
+    if a_s == 1:
+        a_s = A % P
+    want = {
+        i for i, n, s in rows
+        if ((i % P + salt) % P) * a_s % P < thresh[s]
+    }
+    got = {
+        r.doc_id
+        for r in D.temperature_mix(docs, total, alpha=alpha, salt=salt)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
