@@ -166,13 +166,47 @@ def _build_parser() -> argparse.ArgumentParser:
     bm = sub.add_parser(
         "bm25-merge",
         help="fold a NEW document batch into a bm25-build index "
-        "(delta-sized postings append + vocabulary-sized dfs rewrite; "
-        "batch ids must not already be indexed)",
+        "(exactly-once delta partitions, history never read or "
+        "rewritten; batch ids must not already be indexed)",
     )
     bm.add_argument("index", help="dir produced by bm25-build")
     bm.add_argument("src", help="parquet directory of new documents")
     bm.add_argument("--id-col", default="doc_id")
     bm.add_argument("--text-col", default="text")
+    bm.add_argument(
+        "--op-id", type=int, default=None,
+        help="replay a specific op id (crash recovery); default: auto",
+    )
+
+    bd = sub.add_parser(
+        "bm25-delete",
+        help="tombstone a document batch out of a bm25-build index "
+        "(docs must carry the indexed id AND text; dead postings bytes "
+        "remain until bm25-compact)",
+    )
+    bd.add_argument("index", help="dir produced by bm25-build")
+    bd.add_argument("src", help="parquet directory of the docs to delete")
+    bd.add_argument("--id-col", default="doc_id")
+    bd.add_argument("--text-col", default="text")
+    bd.add_argument("--op-id", type=int, default=None)
+
+    bk = sub.add_parser(
+        "bm25-compact",
+        help="copy-on-write compaction of a bm25-build index: fold "
+        "tombstones + op deltas into a fresh base epoch",
+    )
+    bk.add_argument("src", help="dir produced by bm25-build")
+    bk.add_argument("dst", help="fresh index dir")
+
+    bx = sub.add_parser(
+        "bm25-export",
+        help="materialize a bm25-stream-ingest live index into the "
+        "bm25-build batch layout (search/merge/delete run on it "
+        "unmodified)",
+    )
+    bx.add_argument("src", help="dir produced by bm25-stream-ingest")
+    bx.add_argument("dst", help="fresh batch-layout index dir")
+    bx.add_argument("--term-buckets", type=int, default=256)
 
     vs = sub.add_parser(
         "vindex-search", help="IVF search over a streamed index's live view"
@@ -623,15 +657,40 @@ def main(argv: list[str] | None = None) -> int:
             out.show(args.show, truncate=False)
         return 0
 
-    if args.cmd == "bm25-merge":
+    if args.cmd in ("bm25-merge", "bm25-delete"):
         from big_ann_spark.operators import bm25 as BM
 
-        BM.merge_bm25_index(
-            spark, args.index, spark.read.parquet(args.src),
-            id_col=args.id_col, text_col=args.text_col,
+        fn = (
+            BM.merge_bm25_index if args.cmd == "bm25-merge"
+            else BM.delete_from_bm25_index
         )
-        n = spark.read.parquet(f"{args.index}/stats.parquet").collect()[0]
-        print(f"merged; index now {n.n_docs} docs (avgdl {n.avgdl:.1f})")
+        op = fn(
+            spark, args.index, spark.read.parquet(args.src),
+            id_col=args.id_col, text_col=args.text_col, op_id=args.op_id,
+        )
+        # the LOGICAL stats (base + committed deltas), not the base table
+        n = BM.read_bm25_index(spark, args.index).stats.collect()[0]
+        verb = "merged" if args.cmd == "bm25-merge" else "deleted"
+        print(
+            f"{verb} (op {op}); index now {n.n_docs} docs "
+            f"(avgdl {n.avgdl:.1f})"
+        )
+        return 0
+
+    if args.cmd == "bm25-compact":
+        from big_ann_spark.operators.bm25 import compact_bm25_index
+
+        n = compact_bm25_index(spark, args.src, args.dst)
+        print(f"compacted {n} postings -> {args.dst}")
+        return 0
+
+    if args.cmd == "bm25-export":
+        from big_ann_spark.streaming.bm25_stream import export_bm25_index
+
+        n = export_bm25_index(
+            spark, args.src, args.dst, n_term_buckets=args.term_buckets
+        )
+        print(f"exported {n} postings -> {args.dst} (batch layout)")
         return 0
 
     if args.cmd in ("vindex-ingest", "vindex-search"):

@@ -177,19 +177,37 @@ def _score_and_rank(
 
 # ---------------------------------------------------------------------------
 # Persisted index: term-bucketed layout, partition-pruned queries,
-# history-size-independent incremental merge.
+# idempotent history-size-independent incremental ops.
 #
 # At 100 TB the index is built once and queried/merged forever after —
 # rebuilding the postings per query batch (a full corpus scan) is the
 # anti-pattern. The layout mirrors the sharded-vector (S7) and binned-
-# interval layouts: postings land under partitionBy(_tb) where
-# _tb = pmod(xxhash64(term), n_term_buckets), so a query batch — whose
-# distinct terms map to a small bucket set — joins on the raw partition
-# attribute and Spark's dynamic partition pruning reads ONLY those
-# bucket directories. dfs stays vocabulary-sized and stats is one row;
-# both rewrite in full on merge (cheap at any corpus size), while the
-# postings merge is a pure APPEND of delta-sized files into the same
-# bucket scheme — history is never read, let alone rewritten.
+# interval layouts: postings land under partitionBy(_tb, _mb) where
+# _tb = pmod(xxhash64(term), n_term_buckets) is the term bucket a query
+# batch prunes on (dynamic partition pruning reads ONLY the touched
+# bucket directories) and _mb is the OP ID that makes every mutation
+# exactly-once (the streaming sink's protocol, imported into the batch
+# layout):
+#
+# - the base build writes everything under _mb = -1 (the streaming
+#   compaction convention — op ids start at 0, so the base can never
+#   collide with an op);
+# - each merge/delete op writes ONLY its own _mb=<id> partitions via
+#   dynamic partition overwrite, then drops a commit marker file under
+#   _ops/<id>. Re-running a crashed op with the same id overwrites
+#   exactly its own partitions — idempotent by construction — and
+#   readers exclude any on-disk op id with no marker (NOT-IN over the
+#   tiny in-flight set), so a half-written op is invisible;
+# - corpus statistics are SIGNED per-op deltas: dfs_delta rows carry
+#   +df (merge) or -df (delete), stats_delta rows carry ±(n_docs,
+#   sum_dl) — sums merge exactly across ops, so the logical dfs/stats
+#   are a vocabulary-sized / op-count-sized aggregate at ANY corpus
+#   size, and NOTHING is ever rewritten in place (no crash window at
+#   all, unlike the old global-dfs rewrite);
+# - deletes are tombstones: the op lands (doc) rows under
+#   tombstones.parquet/_mb=<id> plus the negative df/stats deltas;
+#   queries anti-join the (broadcast, tiny) tombstone set and
+#   compact_bm25_index folds them into a fresh base epoch.
 # ---------------------------------------------------------------------------
 
 
@@ -197,41 +215,236 @@ def _term_bucket(term, n_buckets: int):
     return F.pmod(F.xxhash64(term), F.lit(n_buckets))
 
 
-def write_bm25_index(
-    index: Bm25Index, path: str, *, n_term_buckets: int = 256
-) -> None:
-    """Persist the index: ``postings.parquet`` partitioned by the term
-    bucket (the partition-pruned query/merge layout), ``dfs.parquet``,
-    ``stats.parquet`` and a one-row ``meta.parquet`` carrying the
-    bucket count (the layout contract merges must reproduce)."""
-    p = index.postings.withColumn("_tb", _term_bucket(F.col("term"), n_term_buckets))
+def _fs(spark, p: str):
+    """Hadoop FileSystem + Path for ``p`` — works on local paths and
+    object-store URIs alike (the commit-marker / dir-listing ops below
+    are metadata-only, never data reads)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _glob_op_ids(spark, pattern: str) -> set[int]:
+    """Op ids named by ``_mb=<id>`` partition dirs matching a glob —
+    a directory listing, not a Spark job (ADVICE r8: never run a
+    partition-discovery job just to learn what's on disk)."""
+    fs, jp = _fs(spark, pattern)
+    out: set[int] = set()
+    for st in fs.globStatus(jp) or []:
+        name = st.getPath().getName()
+        out.add(int(name.split("=", 1)[1]))
+    return out
+
+
+def _op_ids_on_disk(spark, path: str) -> set[int]:
+    """Every op id with ANY bytes on disk (committed or in-flight)."""
+    ids = (
+        _glob_op_ids(spark, f"{path}/postings.parquet/_tb=*/_mb=*")
+        | _glob_op_ids(spark, f"{path}/dfs_delta.parquet/_mb=*")
+        | _glob_op_ids(spark, f"{path}/stats_delta.parquet/_mb=*")
+        | _glob_op_ids(spark, f"{path}/tombstones.parquet/_mb=*")
+    )
+    ids.discard(_BASE_EPOCH)
+    return ids
+
+
+def _committed_ops(spark, path: str) -> set[int]:
+    fs, jp = _fs(spark, f"{path}/_ops")
+    if not fs.exists(jp):
+        return set()
+    return {int(st.getPath().getName()) for st in fs.listStatus(jp)}
+
+
+def _mark_committed(spark, path: str, op_id: int) -> None:
+    fs, jp = _fs(spark, f"{path}/_ops/{op_id}")
+    fs.mkdirs(jp.getParent())
+    fs.create(jp, True).close()
+
+
+def uncommitted_op_ids(spark, path: str) -> list[int]:
+    """Op ids with bytes on disk but no commit marker — crashed or
+    in-flight writes, invisible to every reader. O(crashes), tiny."""
+    return sorted(_op_ids_on_disk(spark, path) - _committed_ops(spark, path))
+
+
+def _next_op_id(spark, path: str) -> int:
+    """Auto-allocate: the LOWEST uncommitted id if one exists (a
+    crashed op's partitions are purged before the new op writes, so
+    reuse is safe and reclaims the orphaned bytes), else max+1."""
+    crashed = uncommitted_op_ids(spark, path)
+    if crashed:
+        return crashed[0]
+    seen = _op_ids_on_disk(spark, path) | _committed_ops(spark, path)
+    return max(seen) + 1 if seen else 0
+
+
+def _purge_op(spark, path: str, op_id: int) -> None:
+    """Remove every ``_mb=op_id`` partition dir across the four tables
+    — metadata-only FS ops. Run before an op writes, so landing at a
+    previously-crashed id can never leave the old attempt's partitions
+    mixed under a now-committed id."""
+    jvm = spark._jvm
+    for pattern in (
+        f"{path}/postings.parquet/_tb=*/_mb={op_id}",
+        f"{path}/dfs_delta.parquet/_mb={op_id}",
+        f"{path}/stats_delta.parquet/_mb={op_id}",
+        f"{path}/tombstones.parquet/_mb={op_id}",
+    ):
+        fs, jp = _fs(spark, pattern)
+        for st in fs.globStatus(jp) or []:
+            fs.delete(st.getPath(), True)
+
+
+_BASE_EPOCH = -1
+
+
+def _write_op_partitions(df: DataFrame, target: str, cols: list[str]) -> None:
+    """Land one op's rows via DYNAMIC partition overwrite: only the
+    partitions present in ``df`` (its own ``_mb``, and ``_tb`` dirs it
+    touches) are replaced — a re-run of the same op id is a pure
+    overwrite of itself, never an append-duplicate (the idempotence
+    ADVICE r8 asked for)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*cols)
+        .parquet(target)
+    )
+
+
+def _bucketed_postings(postings: DataFrame, n_buckets: int, op_id: int) -> DataFrame:
+    p = postings.withColumn("_tb", _term_bucket(F.col("term"), n_buckets))
     # one file per bucket, TERM-SORTED within it: parquet row-group
     # min/max stats on `term` then let a query's pushed term predicate
     # skip row groups inside probed buckets (bucket dirs bound the
     # directory read, term sorting bounds the bytes read within them)
-    p = p.repartition("_tb").sortWithinPartitions("_tb", "term")
-    p.write.mode("overwrite").partitionBy("_tb").parquet(f"{path}/postings.parquet")
-    index.dfs.write.mode("overwrite").parquet(f"{path}/dfs.parquet")
-    index.stats.write.mode("overwrite").parquet(f"{path}/stats.parquet")
-    spark = index.dfs.sparkSession
-    spark.createDataFrame(
-        [(n_term_buckets,)], "n_term_buckets int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
-
-
-def read_bm25_index(spark, path: str) -> Bm25Index:
-    """Lazy scans over a :func:`write_bm25_index` layout (postings keep
-    the ``_tb`` partition column — :func:`bm25_topk_from_disk` needs
-    it; in-memory :func:`bm25_topk` ignores it)."""
-    return Bm25Index(
-        postings=spark.read.parquet(f"{path}/postings.parquet"),
-        dfs=spark.read.parquet(f"{path}/dfs.parquet"),
-        stats=spark.read.parquet(f"{path}/stats.parquet"),
+    return (
+        p.withColumn("_mb", F.lit(op_id))
+        .repartition("_tb")
+        .sortWithinPartitions("_tb", "term")
     )
 
 
-def _read_n_buckets(spark, path: str) -> int:
-    return spark.read.parquet(f"{path}/meta.parquet").collect()[0][0]
+def _stats_delta(docs: DataFrame, text_col: str, sign: int) -> DataFrame:
+    """±(n_docs, sum_dl) for one op — SUMS, not means, because sums
+    merge exactly across ops (the streaming BM25 convention)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return docs.filter(c.isNotNull()).agg(
+        (F.lit(sign) * F.count("*")).alias("n_docs"),
+        (F.lit(sign) * F.sum(F.size(tokens(text_col)).cast("double"))).alias(
+            "sum_dl"
+        ),
+    )
+
+
+def write_bm25_index(
+    index: Bm25Index, path: str, *, n_term_buckets: int = 256
+) -> None:
+    """Persist the index as the base epoch: ``postings.parquet``
+    partitioned by ``(_tb, _mb=-1)`` (the partition-pruned query/merge
+    layout), ``dfs.parquet``, ``stats.parquet`` and a one-row
+    ``meta.parquet`` carrying the bucket count (the layout contract ops
+    must reproduce). Any delta/op state from a previous index at the
+    same path is cleared — this is a full rebuild."""
+    spark = index.dfs.sparkSession
+    p = _bucketed_postings(index.postings, n_term_buckets, _BASE_EPOCH)
+    p.write.mode("overwrite").partitionBy("_tb", "_mb").parquet(
+        f"{path}/postings.parquet"
+    )
+    index.dfs.write.mode("overwrite").parquet(f"{path}/dfs.parquet")
+    index.stats.write.mode("overwrite").parquet(f"{path}/stats.parquet")
+    spark.createDataFrame(
+        [(n_term_buckets,)], "n_term_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+    fs, _ = _fs(spark, path)
+    jvm = spark._jvm
+    for stale in ("dfs_delta.parquet", "stats_delta.parquet",
+                  "tombstones.parquet", "_ops"):
+        jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{stale}")
+        if fs.exists(jp):
+            fs.delete(jp, True)
+
+
+class _DiskIndex(NamedTuple):
+    """Committed-only scans over a persisted layout: ``postings`` keeps
+    ``_tb`` (the from-disk query path joins on it) with tombstoned docs
+    NOT yet removed; ``tombstones`` is the (tiny) committed delete set
+    or None; ``dfs``/``stats`` are the logical base+deltas fold."""
+
+    postings: DataFrame
+    dfs: DataFrame
+    stats: DataFrame
+    tombstones: DataFrame | None
+    n_buckets: int
+
+
+def _open_bm25_index(spark, path: str) -> _DiskIndex:
+    n_buckets = spark.read.parquet(f"{path}/meta.parquet").collect()[0][0]
+    uncommitted = sorted(_op_ids_on_disk(spark, path) - _committed_ops(spark, path))
+
+    def _committed_only(df: DataFrame) -> DataFrame:
+        # NOT-IN over the tiny in-flight set (a static partition-column
+        # filter — pruned at planning, never isin(committed) whose
+        # literal list grows per op)
+        if uncommitted:
+            df = df.filter(~F.col("_mb").isin([int(b) for b in uncommitted]))
+        return df
+
+    postings = _committed_only(
+        spark.read.parquet(f"{path}/postings.parquet")
+    ).drop("_mb")
+
+    def _optional(sub: str) -> DataFrame | None:
+        fs, jp = _fs(spark, f"{path}/{sub}")
+        if not fs.exists(jp):
+            return None
+        return _committed_only(spark.read.parquet(f"{path}/{sub}"))
+
+    dfs = spark.read.parquet(f"{path}/dfs.parquet")
+    d_delta = _optional("dfs_delta.parquet")
+    if d_delta is not None:
+        dfs = (
+            dfs.unionByName(d_delta.select("term", "df"))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > 0)
+        )
+    stats = spark.read.parquet(f"{path}/stats.parquet")
+    s_delta = _optional("stats_delta.parquet")
+    if s_delta is not None:
+        stats = (
+            stats.select("n_docs", (F.col("avgdl") * F.col("n_docs")).alias("sum_dl"))
+            .unionByName(s_delta.select("n_docs", "sum_dl"))
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+            )
+        )
+    tomb = _optional("tombstones.parquet")
+    if tomb is not None:
+        tomb = tomb.select("doc")
+    return _DiskIndex(
+        postings=postings, dfs=dfs, stats=stats, tombstones=tomb,
+        n_buckets=n_buckets,
+    )
+
+
+def read_bm25_index(spark, path: str) -> Bm25Index:
+    """The LOGICAL index over a persisted layout — committed ops only,
+    tombstoned docs removed (a broadcast anti-join against the tiny
+    delete set), deltas folded into dfs/stats. postings keep the
+    ``_tb`` partition column (in-memory :func:`bm25_topk` ignores
+    it)."""
+    idx = _open_bm25_index(spark, path)
+    postings = idx.postings
+    if idx.tombstones is not None:
+        postings = postings.join(
+            F.broadcast(idx.tombstones), "doc", "left_anti"
+        )
+    return Bm25Index(postings=postings, dfs=idx.dfs, stats=idx.stats)
+
+
+MAX_PUSHDOWN_TERMS = 1024
 
 
 def bm25_topk_from_disk(
@@ -247,41 +460,58 @@ def bm25_topk_from_disk(
     max_df: int | None = None,
     exclude_self: bool = False,
     score_round: int | None = None,
+    max_pushdown_terms: int = MAX_PUSHDOWN_TERMS,
 ) -> DataFrame:
     """BM25 top-k against a persisted index reading ONLY the term
-    buckets the query batch touches: the broadcast query side carries
-    ``_tb`` typed as the raw partition attribute, so the equi-join on
-    ``(_tb, term)`` gets a dynamic-partition-pruning subquery on the
-    postings scan (plan-pinned in tests/test_bm25.py) — the from-disk
-    read is O(query vocabulary), not O(index)."""
-    postings = spark.read.parquet(f"{path}/postings.parquet")
-    n_buckets = _read_n_buckets(spark, path)
-    # type the probe-side bucket as the READ-BACK partition dtype — a
-    # cast on the partition side would defeat DPP's scan-lineage match
-    tb_t = dict(postings.dtypes)["_tb"]
+    buckets the query batch touches: the query batch's distinct bucket
+    set — BOUNDED by ``n_term_buckets``, a layout constant, no matter
+    how wide the query vocabulary is — is pushed as a STATIC partition
+    filter, so pruning happens at planning time with no DPP subquery
+    run (plan-pinned in tests/test_bm25.py) and the from-disk read is
+    O(query vocabulary), not O(index). Tombstoned (deleted) docs are
+    anti-joined out of the hits before scoring."""
+    idx = _open_bm25_index(spark, path)
+    tb_t = dict(idx.postings.dtypes)["_tb"]
     q = terms(queries, id_col=id_col, text_col=text_col).select(
         F.col("id").alias("qid"), "term", F.col("tf").alias("qtf"),
-        _term_bucket(F.col("term"), n_buckets).cast(tb_t).alias("_tb"),
+        _term_bucket(F.col("term"), idx.n_buckets).cast(tb_t).alias("_tb"),
     ).localCheckpoint()
-    # push the query vocabulary onto the scan as an In predicate:
-    # bucket pruning bounds the DIRECTORIES read, but a wide query
-    # batch probes most buckets and the equi-join alone would still
-    # SCAN every posting in them — the pushed filter lets parquet
-    # row-group term min/max stats (the layout is term-sorted within
-    # each bucket) skip the bytes instead. The list is the query
-    # batch's distinct terms — the same contractually-small set the
-    # broadcast join ships anyway; semantically redundant with the
-    # join, so results are unchanged.
-    q_terms = [r.term for r in q.select("term").distinct().collect()]
-    hits = (
-        postings.filter(F.col("term").isin(q_terms))
-        .join(F.broadcast(q), ["_tb", "term"])
-        .drop("_tb")
-    )
-    dfs = spark.read.parquet(f"{path}/dfs.parquet")
-    stats = spark.read.parquet(f"{path}/stats.parquet")
+    # STATIC bucket pruning: collect the query batch's distinct bucket
+    # set (≤ n_term_buckets values by construction — this literal list
+    # can never grow with the vocabulary) and push it onto the
+    # partition column. Strictly cheaper than the DPP form: pruning
+    # resolves at planning, no runtime subquery — and unlike DPP it
+    # survives a wide query batch (DPP only fires when a SELECTIVE
+    # predicate reaches the probe side, which a decontamination-shaped
+    # batch doesn't have).
+    buckets = [r._tb for r in q.select("_tb").distinct().collect()]
+    postings = idx.postings.filter(F.col("_tb").isin(buckets))
+    # push the query vocabulary onto the scan as an In predicate IF it
+    # is small: bucket pruning bounds the DIRECTORIES read, but a
+    # narrow query batch probes few buckets and the equi-join alone
+    # would still SCAN every posting in them — the pushed filter lets
+    # parquet row-group term min/max stats (the layout is term-sorted
+    # within each bucket) skip the bytes instead. Semantically
+    # redundant with the join, so results are unchanged. GATED on
+    # vocabulary size (VERDICT r8 #1): a decontamination-shaped batch
+    # has 10⁴–10⁵ distinct terms, and SCALE.md measured a 20k-literal
+    # isin costing 18–44 s per scan vs broadcast-join 1.7–8.1 s on the
+    # vector index — past the cap the broadcast join + static bucket
+    # pruning carry the plan alone. The probe collects at most cap+1
+    # rows (LIMIT), so driver memory is bounded either way.
+    if max_pushdown_terms:
+        probe = (
+            q.select("term").distinct().limit(max_pushdown_terms + 1).collect()
+        )
+        if len(probe) <= max_pushdown_terms:
+            postings = postings.filter(
+                F.col("term").isin([r.term for r in probe])
+            )
+    hits = postings.join(F.broadcast(q), ["_tb", "term"]).drop("_tb")
+    if idx.tombstones is not None:
+        hits = hits.join(F.broadcast(idx.tombstones), "doc", "left_anti")
     return _score_and_rank(
-        hits, dfs, stats, k=k, k1=k1, b=b, max_df=max_df,
+        hits, idx.dfs, idx.stats, k=k, k1=k1, b=b, max_df=max_df,
         exclude_self=exclude_self, score_round=score_round,
     )
 
@@ -293,68 +523,137 @@ def merge_bm25_index(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+    op_id: int | None = None,
+) -> int:
     """Fold a new document batch into a persisted index WITHOUT reading
-    the postings history: delta postings append into the same bucket
-    scheme (delta-sized write), merged dfs is ``old ∪ delta`` summed
-    per term (vocabulary-sized rewrite at ANY corpus size), stats is
-    the exact weighted combination (one row). The incremental cost is
-    O(batch) + O(vocabulary) — history-size-independent, the same
-    contract as incremental_exact_dedup.
+    the postings history: the op's postings land as delta-sized files
+    under its own ``(_tb, _mb=op_id)`` partitions, its per-term df and
+    (n_docs, sum_dl) land as SIGNED delta partitions, and a commit
+    marker lands last. The incremental cost is O(batch) +
+    O(batch vocabulary) — history-size-independent, the same contract
+    as incremental_exact_dedup — and nothing is rewritten in place.
+
+    EXACTLY-ONCE: every table write is a dynamic partition overwrite of
+    the op's own ``_mb`` partitions, and readers ignore op ids without
+    a marker — so a crash mid-merge leaves an invisible half-op, and
+    re-running overwrites it cleanly instead of double-counting
+    (ADVICE r8): an explicit ``op_id`` (returned) replays exactly that
+    op; an omitted one auto-reuses the lowest crashed id (its partial
+    partitions are purged before the write) else allocates max+1.
 
     Contract: ``new_docs`` ids must be NEW (a re-ingested id would
     double-count its postings and df — screen the batch first with
-    incremental_exact_dedup, the streaming corpus pattern). Deletes
-    need a postings rewrite by design; use copy-on-write compaction
-    (streaming/vector_index.py is the template) at that point. The
-    three-table update is not atomic — orchestrate merges serially
-    (foreachBatch, or the ingestion pipeline's exactly-once sink).
-    On local paths dfs/stats rewrite via write-new-then-swap, so a
-    crash mid-merge can leave the delta postings applied without the
-    stats (re-runnable state), but never a half-written or deleted
-    dfs/stats table; URI paths (no atomic local rename) fall back to
-    a materialize-then-overwrite whose crash window is metadata-only."""
-    n_buckets = _read_n_buckets(spark, path)
+    incremental_exact_dedup, the streaming corpus pattern; to replace
+    a doc, :func:`delete_from_bm25_index` it first). Concurrent ops
+    must use distinct ``op_id``s — orchestrate serially (foreachBatch,
+    or the ingestion pipeline's exactly-once sink)."""
     delta = bm25_index(new_docs, id_col=id_col, text_col=text_col)
-    dp = delta.postings.withColumn("_tb", _term_bucket(F.col("term"), n_buckets))
-    # same term-sorted one-file-per-bucket layout as write_bm25_index
-    dp = dp.repartition("_tb").sortWithinPartitions("_tb", "term")
-    dp.write.mode("append").partitionBy("_tb").parquet(f"{path}/postings.parquet")
-    merged_dfs = (
-        spark.read.parquet(f"{path}/dfs.parquet")
-        .unionByName(delta.dfs)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
+    return _land_op(
+        spark, path,
+        postings=delta.postings,
+        dfs_delta=delta.dfs.select("term", "df"),
+        stats_delta=_stats_delta(new_docs, text_col, +1),
+        tombstones=None,
+        op_id=op_id,
     )
-    _replace_table(merged_dfs, f"{path}/dfs.parquet")
-    merged_stats = (
-        spark.read.parquet(f"{path}/stats.parquet")
-        .unionByName(delta.stats)
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            (
-                F.sum(F.col("avgdl") * F.col("n_docs")) / F.sum("n_docs")
-            ).alias("avgdl"),
+
+
+def delete_from_bm25_index(
+    spark,
+    path: str,
+    deleted_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_id: int | None = None,
+) -> int:
+    """Tombstone a document batch out of a persisted index WITHOUT
+    reading the postings history (VERDICT r8 #4, the vector index's
+    op-tagged template): the op lands the deleted ids under
+    ``tombstones.parquet/_mb=op_id`` (queries broadcast-anti-join
+    them), NEGATIVE per-term df deltas and a negative (n_docs, sum_dl)
+    stats delta — so the logical corpus statistics are exact
+    immediately, at O(batch) + O(batch vocabulary) cost. The dead
+    postings bytes stay on disk (skipped at query time) until
+    :func:`compact_bm25_index` folds them away.
+
+    Same exactly-once protocol as :func:`merge_bm25_index` (dynamic
+    overwrite of the op's own partitions + commit marker last; re-run
+    a crashed op with the returned ``op_id``).
+
+    Contract: ``deleted_docs`` must carry the id AND the exact text
+    that was indexed (the corpus store has it — decontamination and
+    takedown lists are document lists). The negative deltas are
+    recomputed from that text; deleting an id that is not in the index
+    (or with different text) would corrupt df/stats the same way a
+    duplicate merge would."""
+    delta = bm25_index(deleted_docs, id_col=id_col, text_col=text_col)
+    tomb = deleted_docs.select(F.col(id_col).alias("doc")).distinct()
+    return _land_op(
+        spark, path,
+        postings=None,
+        dfs_delta=delta.dfs.select("term", (-F.col("df")).alias("df")),
+        stats_delta=_stats_delta(deleted_docs, text_col, -1),
+        tombstones=tomb,
+        op_id=op_id,
+    )
+
+
+def _land_op(
+    spark,
+    path: str,
+    *,
+    postings: DataFrame | None,
+    dfs_delta: DataFrame,
+    stats_delta: DataFrame,
+    tombstones: DataFrame | None,
+    op_id: int | None,
+) -> int:
+    n_buckets = (
+        spark.read.parquet(f"{path}/meta.parquet").collect()[0][0]
+    )
+    if op_id is None:
+        op_id = _next_op_id(spark, path)
+    if int(op_id) not in _committed_ops(spark, path):
+        # landing at a fresh or crashed id: clear any prior attempt's
+        # partitions first (a committed id is a deliberate replay of
+        # the SAME batch — dynamic overwrite alone is exact there)
+        _purge_op(spark, path, int(op_id))
+    mb = F.lit(int(op_id))
+    if postings is not None:
+        _write_op_partitions(
+            _bucketed_postings(postings, n_buckets, int(op_id)),
+            f"{path}/postings.parquet", ["_tb", "_mb"],
         )
+    _write_op_partitions(
+        dfs_delta.withColumn("_mb", mb), f"{path}/dfs_delta.parquet", ["_mb"]
     )
-    _replace_table(merged_stats, f"{path}/stats.parquet")
+    _write_op_partitions(
+        stats_delta.withColumn("_mb", mb), f"{path}/stats_delta.parquet", ["_mb"]
+    )
+    if tombstones is not None:
+        _write_op_partitions(
+            tombstones.withColumn("_mb", mb),
+            f"{path}/tombstones.parquet", ["_mb"],
+        )
+    _mark_committed(spark, path, int(op_id))
+    return int(op_id)
 
 
-def _replace_table(df: DataFrame, final_dir: str) -> None:
-    """Rewrite a (small) parquet table that the plan also READS: write
-    the new version to a sibling ``.new`` dir first, then swap — the
-    Spark job never overwrites its own input, and the crash window
-    shrinks from the whole write to two local-FS metadata ops. Paths
-    with a URI scheme (object stores: no atomic rename) fall back to
-    localCheckpoint + in-place overwrite."""
-    if "://" in final_dir:
-        df.localCheckpoint().write.mode("overwrite").parquet(final_dir)
-        return
-    import os
-    import shutil
-
-    new = final_dir + ".new"
-    df.write.mode("overwrite").parquet(new)
-    if os.path.isdir(final_dir):
-        shutil.rmtree(final_dir)
-    os.rename(new, final_dir)
+def compact_bm25_index(spark, src_path: str, dst_path: str) -> int:
+    """Copy-on-write compaction into a fresh index dir: the logical
+    index (committed ops only, tombstoned docs dropped, deltas folded)
+    becomes the new base epoch — dead postings bytes and per-op delta
+    tables disappear. Returns the live posting count. ``src`` stays
+    valid until the caller switches readers (the streaming compactors'
+    contract)."""
+    idx = read_bm25_index(spark, src_path)
+    n_buckets = _open_bm25_index(spark, src_path).n_buckets
+    live = Bm25Index(
+        postings=idx.postings.select("doc", "term", "tf", "dl").localCheckpoint(),
+        dfs=idx.dfs.localCheckpoint(),
+        stats=idx.stats.localCheckpoint(),
+    )
+    n = live.postings.count()
+    write_bm25_index(live, dst_path, n_term_buckets=n_buckets)
+    return n

@@ -53,6 +53,7 @@ from big_ann_spark.operators.bm25 import Bm25Index, _term_bucket, bm25_index
 from big_ann_spark.streaming.sink import (
     committed_batch_ids,
     run_exactly_once_sink,
+    uncommitted_batch_ids,
 )
 
 def _batch_delta(
@@ -144,10 +145,11 @@ def live_bm25_index(spark: SparkSession, path: str) -> Bm25Index | None:
     if not committed:
         return None
     data = spark.read.parquet(f"{path}/data")
-    uncommitted = sorted(
-        set(r._batch_id for r in data.select("_batch_id").distinct().collect())
-        - set(committed)
-    )
+    # the in-flight set comes from a directory LISTING (the sink
+    # helper), not a Spark distinct() job over the data — deriving
+    # "what's on disk" must never cost a partition-discovery scan
+    # (ADVICE r8; same protocol as vector_index._committed_scan)
+    uncommitted = uncommitted_batch_ids(path)
     if uncommitted:
         # NOT-IN over the tiny in-flight set, never isin(committed)
         # whose literal list grows per batch (VERDICT r7 #6 pattern)
@@ -168,6 +170,34 @@ def live_bm25_index(spark: SparkSession, path: str) -> Bm25Index | None:
         )
     )
     return Bm25Index(postings=postings, dfs=dfs, stats=stats)
+
+
+def export_bm25_index(
+    spark: SparkSession, src_path: str, dst_path: str, *, n_term_buckets: int = 256
+) -> int:
+    """Materialize the live streaming index into the BATCH persisted
+    layout (``operators/bm25.write_bm25_index``'s contract, VERDICT r8
+    #8) so ``bm25_topk_from_disk``, ``merge_bm25_index``,
+    ``delete_from_bm25_index`` and ``compact_bm25_index`` run on it
+    UNMODIFIED — the stream is the ingestion front, the batch layout
+    the serving/maintenance form. Postings re-bucket to the target
+    ``n_term_buckets`` (the stream's bucket count is its own knob);
+    dfs/stats collapse to the merged base tables. Returns the exported
+    posting count; ``src`` stays valid until readers switch
+    (copy-on-write, the compaction contract)."""
+    from big_ann_spark.operators.bm25 import write_bm25_index
+
+    live = live_bm25_index(spark, src_path)
+    if live is None:
+        return 0
+    base = Bm25Index(
+        postings=live.postings.select("doc", "term", "tf", "dl").localCheckpoint(),
+        dfs=live.dfs.localCheckpoint(),
+        stats=live.stats.localCheckpoint(),
+    )
+    n = base.postings.count()
+    write_bm25_index(base, dst_path, n_term_buckets=n_term_buckets)
+    return n
 
 
 def compact_bm25_stream(spark: SparkSession, src_path: str, dst_path: str) -> int:

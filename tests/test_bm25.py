@@ -136,9 +136,11 @@ def test_from_disk_query_is_partition_pruned(spark, corpus, tmp_path):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
     )
-    assert "dynamicpruning" in plan.lower(), plan[:4000]
+    # STATIC partition pruning: the query's bucket set (bounded by
+    # n_term_buckets, a layout constant) lands in PartitionFilters at
+    # planning time — no DPP subquery needed
     after = plan.split("PartitionFilters", 1)[1][:300]
-    assert "dynamicpruning" in after.lower(), after
+    assert "_tb" in after and " IN " in after, after
     # results still exact vs in-memory
     want = bm25_topk(q, bm25_index(corpus), k=3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
@@ -172,6 +174,203 @@ def test_incremental_merge_equals_full_rebuild(spark, corpus, tmp_path):
     # a second merge of an empty-ish batch is a no-op on stats weights
     got = bm25_topk_from_disk(spark, path, corpus, k=3, score_round=6)
     want = bm25_topk(corpus, full, k=3, score_round=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pushdown_gated_by_query_vocab_size(spark, corpus, tmp_path):
+    """VERDICT r8 #1: the term-In push is a row-group-skipping bonus
+    for NARROW query batches; a wide (decontamination-shaped) batch
+    must NOT inline its whole vocabulary as literals — the broadcast
+    join + DPP bucket pruning carry the plan alone."""
+    from big_ann_spark.operators.bm25 import (
+        bm25_topk_from_disk,
+        write_bm25_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_bm25_index(bm25_index(corpus), path, n_term_buckets=64)
+    q = corpus  # every doc as a query: vocabulary ≫ a tiny cap
+
+    wide = bm25_topk_from_disk(
+        spark, path, q, k=3, score_round=6, max_pushdown_terms=4
+    )
+    plan = _plan(wide)
+    # static bucket pruning always present (the bucket-set literal is
+    # bounded by n_term_buckets no matter how wide the vocabulary)...
+    after = plan.split("PartitionFilters", 1)[1][:300]
+    assert "_tb" in after and " IN " in after, after
+    # ...but no query term appears as a pushed literal anywhere
+    assert "engine" not in plan and "unrelated" not in plan, plan[:4000]
+
+    narrow = bm25_topk_from_disk(
+        spark, path, corpus.filter(F.col("doc_id") == 4), k=3, score_round=6
+    )
+    nplan = _plan(narrow)
+    assert "fox" in nplan  # below the cap: the In push IS applied
+
+    # the gate changes plans, never results
+    want = bm25_topk(q, bm25_index(corpus), k=3, score_round=6)
+    assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_merge_rerun_same_op_id_is_idempotent(spark, corpus, tmp_path):
+    """ADVICE r8: re-running a merge (crash recovery) must not
+    double-count tf/df — the op's dynamic-overwrite partitions make the
+    re-run a pure self-overwrite."""
+    from big_ann_spark.operators.bm25 import (
+        bm25_index,
+        merge_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    old = corpus.filter(F.col("doc_id") <= 3)
+    delta = corpus.filter(F.col("doc_id") > 3)
+    path = str(tmp_path / "idx")
+    write_bm25_index(bm25_index(old), path, n_term_buckets=8)
+    op = merge_bm25_index(spark, path, delta)
+    merge_bm25_index(spark, path, delta, op_id=op)  # replay
+
+    merged, full = read_bm25_index(spark, path), bm25_index(corpus)
+    assert sorted(
+        map(tuple, merged.postings.select("doc", "term", "tf", "dl").collect())
+    ) == sorted(map(tuple, full.postings.collect()))
+    assert sorted(map(tuple, merged.dfs.collect())) == sorted(
+        map(tuple, full.dfs.collect())
+    )
+    g, w = merged.stats.collect()[0], full.stats.collect()[0]
+    assert g.n_docs == w.n_docs and g.avgdl == pytest.approx(w.avgdl)
+
+
+def test_crashed_op_is_invisible_then_recoverable(spark, corpus, tmp_path, monkeypatch):
+    """A crash before the commit marker leaves the op's partitions on
+    disk but readers must not see them; a fresh auto-id merge re-targets
+    the crashed id and lands cleanly."""
+    from big_ann_spark.operators import bm25 as BM
+
+    old = corpus.filter(F.col("doc_id") <= 3)
+    delta = corpus.filter(F.col("doc_id") > 3)
+    path = str(tmp_path / "idx")
+    BM.write_bm25_index(BM.bm25_index(old), path, n_term_buckets=8)
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before marker")
+
+    monkeypatch.setattr(BM, "_mark_committed", boom)
+    with pytest.raises(RuntimeError):
+        BM.merge_bm25_index(spark, path, delta)
+    monkeypatch.undo()
+
+    # the half-landed op is invisible on every read path
+    got = BM.bm25_topk_from_disk(spark, path, old, k=3, score_round=6)
+    want = bm25_topk(old, BM.bm25_index(old), k=3, score_round=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    st = BM.read_bm25_index(spark, path).stats.collect()[0]
+    assert st.n_docs == old.count()
+
+    # recovery: the auto-allocated id re-targets the crashed op
+    op = BM.merge_bm25_index(spark, path, delta)
+    assert op == 0
+    got2 = BM.bm25_topk_from_disk(spark, path, corpus, k=3, score_round=6)
+    want2 = bm25_topk(corpus, BM.bm25_index(corpus), k=3, score_round=6)
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
+
+
+def test_delete_equals_from_scratch_rebuild(spark, corpus, tmp_path):
+    """VERDICT r8 #4: tombstone deletes — search over index-with-deletes
+    must equal a from-scratch index of the surviving docs, on both the
+    from-disk and read-back query paths."""
+    from big_ann_spark.operators.bm25 import (
+        bm25_index,
+        bm25_topk_from_disk,
+        delete_from_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_bm25_index(bm25_index(corpus), path, n_term_buckets=8)
+    dead = corpus.filter(F.col("doc_id").isin([1, 4]))
+    delete_from_bm25_index(spark, path, dead)
+
+    kept = corpus.filter(~F.col("doc_id").isin([1, 4]))
+    want = bm25_topk(kept, bm25_index(kept), k=4, score_round=6)
+    got_disk = bm25_topk_from_disk(spark, path, kept, k=4, score_round=6)
+    assert sorted(map(tuple, got_disk.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    logical = read_bm25_index(spark, path)
+    got_mem = bm25_topk(kept, logical, k=4, score_round=6)
+    assert sorted(map(tuple, got_mem.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # dfs/stats corrected exactly (integer df sums; avgdl to fp tolerance)
+    full_kept = bm25_index(kept)
+    assert sorted(map(tuple, logical.dfs.collect())) == sorted(
+        map(tuple, full_kept.dfs.collect())
+    )
+    g, w = logical.stats.collect()[0], full_kept.stats.collect()[0]
+    assert g.n_docs == w.n_docs and g.avgdl == pytest.approx(w.avgdl)
+
+
+def test_delete_crash_window_and_replay(spark, corpus, tmp_path, monkeypatch):
+    from big_ann_spark.operators import bm25 as BM
+
+    path = str(tmp_path / "idx")
+    BM.write_bm25_index(BM.bm25_index(corpus), path, n_term_buckets=8)
+    dead = corpus.filter(F.col("doc_id") == 4)
+
+    monkeypatch.setattr(BM, "_mark_committed", lambda *a: 1 / 0)
+    with pytest.raises(ZeroDivisionError):
+        BM.delete_from_bm25_index(spark, path, dead)
+    monkeypatch.undo()
+
+    # crashed delete invisible: doc 4 still retrievable
+    q = spark.createDataFrame([(9, "fox and dog")], "doc_id long, text string")
+    assert 4 in {
+        r.neighbor_id
+        for r in BM.bm25_topk_from_disk(spark, path, q, k=5).collect()
+    }
+    op = BM.delete_from_bm25_index(spark, path, dead)
+    BM.delete_from_bm25_index(spark, path, dead, op_id=op)  # replay, no double-count
+    kept = corpus.filter(F.col("doc_id") != 4)
+    want = bm25_topk(q, BM.bm25_index(kept), k=5, score_round=6)
+    got = BM.bm25_topk_from_disk(spark, path, q, k=5, score_round=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_compaction_folds_tombstones_and_deltas(spark, corpus, tmp_path):
+    from big_ann_spark.operators.bm25 import (
+        bm25_index,
+        bm25_topk_from_disk,
+        compact_bm25_index,
+        delete_from_bm25_index,
+        merge_bm25_index,
+        write_bm25_index,
+    )
+    import os
+
+    path, dst = str(tmp_path / "idx"), str(tmp_path / "compacted")
+    write_bm25_index(bm25_index(corpus.filter(F.col("doc_id") <= 3)), path,
+                     n_term_buckets=8)
+    merge_bm25_index(spark, path, corpus.filter(F.col("doc_id") > 3))
+    delete_from_bm25_index(spark, path, corpus.filter(F.col("doc_id") == 1))
+
+    kept = corpus.filter(F.col("doc_id") != 1)
+    n = compact_bm25_index(spark, path, dst)
+    assert n == bm25_index(kept).postings.count()
+    # fresh base epoch: no op state left
+    for sub in ("dfs_delta.parquet", "stats_delta.parquet",
+                "tombstones.parquet", "_ops"):
+        assert not os.path.exists(f"{dst}/{sub}")
+    got = bm25_topk_from_disk(spark, dst, kept, k=4, score_round=6)
+    want = bm25_topk(kept, bm25_index(kept), k=4, score_round=6)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
