@@ -9,7 +9,9 @@ Three pieces, all column expressions:
 
 - a hashed feature space: word -> ``poly_hash(word) % n_buckets`` (the
   same portable polynomial hash every fingerprint op uses, so a DuckDB
-  oracle reproduces bucket ids bit-exactly);
+  oracle reproduces bucket ids bit-exactly); ``ngram=2`` appends
+  hashed adjacent-word pairs (the paper's n-gram features — word
+  order becomes signal);
 - per-doc log importance weight ``log p_target(doc) - log p_raw(doc)``
   under add-one-smoothed bucket unigram models — a left fold over the
   doc's words of a broadcast lambda-table lookup (deterministic
@@ -59,24 +61,44 @@ def _words(text_col: Column | str) -> Column:
 
 
 def doc_buckets(
-    text_col: Column | str, n_buckets: int = DSIR_BUCKETS
+    text_col: Column | str, n_buckets: int = DSIR_BUCKETS, *, ngram: int = 1
 ) -> Column:
-    """The per-doc feature array: every word mapped to its bucket.
+    """The per-doc feature array: every word mapped to its bucket; with
+    ``ngram=2`` (the paper's hashed n-gram feature space, Xie et al.
+    2023 §3) the unigram buckets are followed by the buckets of every
+    adjacent word PAIR hashed as the space-joined string — word order
+    becomes signal, which pure bag-of-words can't see. Still one
+    column expression over the words array (the pair list is a
+    zip_with of two slices — no explode, no shuffle).
+
     Precompute this ONCE into a column (ideally on an already-
     materialized table) and pass it as ``bucket_col`` — the character-
     level polynomial hash is the dominant cost of the whole DSIR
     computation, and without the precompute it runs once per consumer
     (raw counts, target counts, scoring = 3 full hash passes)."""
-    return F.transform(_words(text_col), lambda w: word_bucket(w, n_buckets))
+    if ngram not in (1, 2):
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    ws = _words(text_col)
+    uni = F.transform(ws, lambda w: word_bucket(w, n_buckets))
+    if ngram == 1:
+        return uni
+    n_pairs = F.greatest(F.size(ws) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(ws, 1, n_pairs),
+        F.slice(ws, 2, n_pairs),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(uni, F.transform(pairs, lambda w: word_bucket(w, n_buckets)))
 
 
 def _bucket_arr(
-    docs: DataFrame, text_col: str, n_buckets: int, bucket_col: str | None
+    docs: DataFrame, text_col: str, n_buckets: int, bucket_col: str | None,
+    ngram: int = 1,
 ) -> Column:
     return (
         F.col(bucket_col)
         if bucket_col is not None
-        else doc_buckets(text_col, n_buckets)
+        else doc_buckets(text_col, n_buckets, ngram=ngram)
     )
 
 
@@ -88,6 +110,7 @@ def dsir_lambda_table(
     n_buckets: int = DSIR_BUCKETS,
     bucket_col: str | None = None,
     target_pred: Column | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """ONE-row DataFrame holding the per-bucket log-likelihood-ratio
     array ``lam`` (position b = ``ln p_t(b) - ln p_r(b)``, add-one
@@ -102,7 +125,7 @@ def dsir_lambda_table(
     raw count and the predicate-conditional count is the target
     count). ``bucket_col`` names a precomputed ``doc_buckets`` array
     column to skip re-hashing."""
-    bs = _bucket_arr(raw, text_col, n_buckets, bucket_col)
+    bs = _bucket_arr(raw, text_col, n_buckets, bucket_col, ngram)
     if (target is None) == (target_pred is None):
         raise ValueError("pass exactly one of target / target_pred")
     if target_pred is not None:
@@ -116,7 +139,7 @@ def dsir_lambda_table(
             .select(F.col("b").cast("long").alias("b"), "ct", "cr")
         )
     else:
-        tbs = _bucket_arr(target, text_col, n_buckets, bucket_col)
+        tbs = _bucket_arr(target, text_col, n_buckets, bucket_col, ngram)
         tc = (
             target.select(F.explode(tbs).alias("b"))
             .groupBy("b")
@@ -167,6 +190,7 @@ def dsir_log_weights(
     weight_col: str = "log_weight",
     bucket_col: str | None = None,
     target_pred: Column | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """``docs`` plus a ``log_weight`` column: the DSIR log importance
     weight of each document under hashed-unigram models of ``target``
@@ -187,9 +211,10 @@ def dsir_log_weights(
         n_buckets=n_buckets,
         bucket_col=bucket_col,
         target_pred=target_pred,
+        ngram=ngram,
     )
     with_lam = docs.crossJoin(F.broadcast(lam_row.select("lam")))
-    bs = _bucket_arr(docs, text_col, n_buckets, bucket_col)
+    bs = _bucket_arr(docs, text_col, n_buckets, bucket_col, ngram)
     logw = F.aggregate(
         F.transform(
             bs, lambda b: F.element_at(F.col("lam"), (b + 1).cast("int"))
@@ -220,6 +245,9 @@ def gumbel_key(
     return logw + (-F.log(-F.log(u)))
 
 
+MATERIALIZE_LIMIT = 100_000
+
+
 def dsir_resample(
     docs: DataFrame,
     target: DataFrame | None,
@@ -231,6 +259,8 @@ def dsir_resample(
     salt: int = 0,
     bucket_col: str | None = None,
     target_pred: Column | None = None,
+    ngram: int = 1,
+    materialize_limit: int = MATERIALIZE_LIMIT,
 ) -> DataFrame:
     """Select ``n_out`` documents from ``docs`` by DSIR importance
     resampling toward ``target``: Gumbel top-k over the log importance
@@ -239,8 +269,18 @@ def dsir_resample(
 
     Ties in the key are broken by id for full determinism; the
     selection is reproducible across runs, partitionings, and the SQL
-    oracle. The limit executes as TakeOrdered (per-partition top-k,
-    then a driver merge of k-sized heads), not a global sort."""
+    oracle.
+
+    Selection shape (ADVICE r8): up to ``materialize_limit`` the limit
+    executes as TakeOrdered over the FULL rows (per-partition top-k,
+    then one merge of k-sized heads) — fine while n_out × row width
+    fits one task. A training-scale ``n_out`` (the README example is
+    1M docs) must never funnel every selected document's text through
+    one merge, so past the threshold the cutoff is found on a SLIM
+    (key, id) projection — two 16-byte columns — and the full rows are
+    then selected by a distributed FILTER against the broadcast cutoff:
+    exact same set, selection stays on the executors, result order is
+    unspecified (sort by ``gumbel_key`` desc if order matters)."""
     weighted = dsir_log_weights(
         docs,
         target,
@@ -248,10 +288,32 @@ def dsir_resample(
         n_buckets=n_buckets,
         bucket_col=bucket_col,
         target_pred=target_pred,
+        ngram=ngram,
     )
     keyed = weighted.withColumn(
         "gumbel_key", gumbel_key(F.col("log_weight"), id_col, salt=salt)
     )
-    return keyed.orderBy(
-        F.col("gumbel_key").desc(), F.col(id_col).asc()
-    ).limit(n_out)
+    if n_out <= materialize_limit:
+        return keyed.orderBy(
+            F.col("gumbel_key").desc(), F.col(id_col).asc()
+        ).limit(n_out)
+    # the scoring lineage would otherwise run twice (cutoff pass +
+    # final filter pass); at this n_out the corpus is big — keep the
+    # recompute, but only of the slim projection
+    slim = keyed.select(
+        F.col("gumbel_key").alias("_k"), F.col(id_col).alias("_i")
+    )
+    cut = (
+        slim.orderBy(F.col("_k").desc(), F.col("_i").asc())
+        .limit(n_out)
+        .orderBy(F.col("_k").asc(), F.col("_i").desc())
+        .limit(1)
+        .collect()
+    )
+    if not cut:
+        return keyed.limit(0)
+    kth_key, kth_id = cut[0]._k, cut[0]._i
+    return keyed.filter(
+        (F.col("gumbel_key") > kth_key)
+        | ((F.col("gumbel_key") == kth_key) & (F.col(id_col) <= kth_id))
+    )

@@ -482,6 +482,48 @@ dsel AS (
   FROM dscore
   ORDER BY gk DESC, doc_id LIMIT 40
 ),
+-- dsir2: hashed n-gram (uni+bi) feature space — same model/selection
+-- machinery over the wider bucket array (word pairs hashed as the
+-- space-joined string, appended after the unigrams in doc order)
+dsw2 AS MATERIALIZED (
+  SELECT doc_id, source, n_tokens,
+         list_transform(
+           list_concat(ws, list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1])),
+           w -> list_reduce(list_prepend(0::BIGINT,
+                  list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                  (a, b) -> (a * 31 + b) % 1000000007) % 256) AS bs
+  FROM (SELECT doc_id, source, n_tokens, string_split(red, ' ') AS ws
+        FROM deduped)
+),
+drc2 AS (SELECT b, count(*)::BIGINT AS cr
+         FROM (SELECT unnest(bs) AS b FROM dsw2) GROUP BY b),
+dtc2 AS (SELECT b, count(*)::BIGINT AS ct
+         FROM (SELECT unnest(bs) AS b FROM dsw2 WHERE source = 'src0') GROUP BY b),
+dtot2 AS (SELECT (SELECT coalesce(sum(ct), 0) FROM dtc2) AS tt,
+                 (SELECT coalesce(sum(cr), 0) FROM drc2) AS tr),
+dlam2 AS (
+  SELECT g.b AS b,
+         ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + 256))
+           - ln((coalesce(cr, 0) + 1)::DOUBLE / (tr + 256)) AS lam
+  FROM (SELECT unnest(generate_series(0, 255))::BIGINT AS b) g
+  LEFT JOIN dtc2 USING (b) LEFT JOIN drc2 USING (b) CROSS JOIN dtot2
+),
+dlarr2 AS (SELECT list(lam ORDER BY b) AS lam_arr FROM dlam2),
+dscore2 AS (
+  SELECT doc_id, n_tokens,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(bs, b -> lam_arr[b + 1])), (a, x) -> a + x) AS logw
+  FROM dsw2 CROSS JOIN dlarr2
+),
+dsel2 AS (
+  SELECT doc_id, n_tokens, logw,
+         logw + (-ln(-ln(
+           (((doc_id % {_HP} + 4) % {_HP} * {_ha_s(4)}) % {_HP} + 0.5) / {_HP}
+         ))) AS gk
+  FROM dscore2
+  ORDER BY gk DESC, doc_id LIMIT 40
+),
 bpe_docs AS (
   SELECT source,
          coalesce(list_sum(list_transform(
@@ -522,6 +564,9 @@ FROM capped GROUP BY source
 UNION ALL
 SELECT 'dsir', doc_id::VARCHAR, n_tokens::BIGINT, ROUND(logw, 6), ROUND(gk, 6)
 FROM dsel
+UNION ALL
+SELECT 'dsir2', doc_id::VARCHAR, n_tokens::BIGINT, ROUND(logw, 6), ROUND(gk, 6)
+FROM dsel2
 UNION ALL
 SELECT 'shards',
        ((((doc_id % {_HP} + 5) % {_HP} * {_ha_s(5)}) % {_HP}) % 8)::VARCHAR,
@@ -565,7 +610,8 @@ def pipeline_clean_corpus(spark, sf_dir):
     (operators.importance.dsir_resample: hashed-unigram importance
     weights toward the src0 slice + deterministic Gumbel top-k — the
     ``dsir`` variant's per-doc weight/key rows certify the exact
-    selected set), and the deterministic training-shard layout
+    selected set; ``dsir2`` repeats the selection under the paper's
+    hashed n-gram (uni+bi) feature space, where word order is signal), and the deterministic training-shard layout
     (operators.packing.assign_training_shards: content-stable hash mod
     8 — the ``shards`` variant's per-shard doc/token/id sums certify
     the exact membership).
@@ -646,6 +692,7 @@ def pipeline_clean_corpus(spark, sf_dir):
             F.min("quality").alias("quality"),
         )
         .withColumn("_bs", doc_buckets("red", 256))
+        .withColumn("_bs2", doc_buckets("red", 256, ngram=2))
         .localCheckpoint()
     )
     clean_rows = (
@@ -710,6 +757,26 @@ def pipeline_clean_corpus(spark, sf_dir):
         target_pred=F.col("source") == "src0",
     ).select(
         F.lit("dsir").alias("variant"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_tokens").alias("n"),
+        F.round("log_weight", 6).alias("v1"),
+        F.round("gumbel_key", 6).alias("v2"),
+    )
+
+    # dsir2: the paper's hashed n-gram (uni+bi) feature space — same
+    # 256-bucket model + Gumbel top-k over the wider feature array
+    # (precomputed as _bs2 in the same checkpoint)
+    dsir2_rows = dsir_resample(
+        deduped,
+        None,
+        40,
+        text_col="red",
+        n_buckets=256,
+        salt=4,
+        bucket_col="_bs2",
+        target_pred=F.col("source") == "src0",
+    ).select(
+        F.lit("dsir2").alias("variant"),
         F.col("doc_id").cast("string").alias("key"),
         F.col("n_tokens").alias("n"),
         F.round("log_weight", 6).alias("v1"),
@@ -903,6 +970,7 @@ def pipeline_clean_corpus(spark, sf_dir):
         .unionByName(pack_rows)
         .unionByName(cap_rows)
         .unionByName(dsir_rows)
+        .unionByName(dsir2_rows)
         .unionByName(shard_rows)
         .unionByName(c4_rows)
         .unionByName(train_rows)

@@ -185,3 +185,79 @@ def test_lambda_table_requires_exactly_one_target_form(spark):
         dsir_lambda_table(docs, None)
     with pytest.raises(ValueError, match="exactly one"):
         dsir_lambda_table(docs, docs, target_pred=F.lit(True))
+
+
+def _phrase_corpus(spark):
+    """Unigram-identical, order-distinct: every doc has the SAME bag of
+    words; only adjacent-pair structure separates target-like docs
+    ("new york city") from shuffled decoys ("york city new")."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "visit new york city today people", "phrase"))
+    for i in range(30, 60):
+        rows.append((i, "visit york new today city people", "decoy"))
+    return spark.createDataFrame(rows, "doc_id long, text string, kind string")
+
+
+def test_bigram_features_see_word_order_unigrams_cannot(spark):
+    """VERDICT r8 #5 A/B: with identical unigram bags, ngram=1 weights
+    are EQUAL across classes (bag-of-words is order-blind) while
+    ngram=2 strictly separates them."""
+    docs = _phrase_corpus(spark)
+    target = docs.filter(F.col("kind") == "phrase")
+
+    w1 = dsir_log_weights(docs, target, n_buckets=128, ngram=1).toPandas()
+    assert w1[w1.kind == "phrase"].log_weight.max() == (
+        w1[w1.kind == "decoy"].log_weight.max()
+    )
+    assert w1.log_weight.nunique() == 1
+
+    w2 = dsir_log_weights(docs, target, n_buckets=128, ngram=2).toPandas()
+    assert (
+        w2[w2.kind == "phrase"].log_weight.min()
+        > w2[w2.kind == "decoy"].log_weight.max()
+    )
+
+    sel = dsir_resample(docs, target, 20, n_buckets=128, ngram=2).toPandas()
+    assert (sel.kind == "phrase").all()
+
+
+def test_bigram_bucket_array_is_unigrams_then_pairs(spark):
+    from big_ann_spark.operators.importance import doc_buckets, word_bucket
+
+    df = spark.createDataFrame([("a b c",), ("solo",)], "text string")
+    got = df.select(doc_buckets("text", 64, ngram=2).alias("bs")).collect()
+    uni = {
+        r.w: r.b
+        for r in spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("solo",), ("a b",), ("b c",)], "w string"
+        ).select("w", word_bucket(F.col("w"), 64).alias("b")).collect()
+    }
+    assert got[0].bs == [uni["a"], uni["b"], uni["c"], uni["a b"], uni["b c"]]
+    assert got[1].bs == [uni["solo"]]  # single word: no pairs
+
+
+def test_distributed_selection_equals_takeordered(spark):
+    """ADVICE r8: past materialize_limit the selection is a slim-cutoff
+    + distributed filter — exact same SET as the TakeOrdered path, and
+    the returned plan carries no TakeOrdered over the full rows."""
+    docs = _corpus(spark)
+    target = docs.filter(F.col("kind") == "prose")
+    small = dsir_resample(docs, target, 45, n_buckets=64, salt=3).toPandas()
+    big = dsir_resample(
+        docs, target, 45, n_buckets=64, salt=3, materialize_limit=10
+    )
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan  # full rows never funnel
+    bigp = big.toPandas()
+    assert sorted(bigp.doc_id) == sorted(small.doc_id)
+    m1 = dict(zip(small.doc_id, small.gumbel_key))
+    m2 = dict(zip(bigp.doc_id, bigp.gumbel_key))
+    assert m1 == m2
+
+
+def test_distributed_selection_n_out_exceeding_corpus(spark):
+    docs = _corpus(spark)
+    target = docs.filter(F.col("kind") == "prose")
+    sel = dsir_resample(docs, target, 1000, n_buckets=64, materialize_limit=10)
+    assert sel.count() == docs.count()
