@@ -181,33 +181,64 @@ def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
         )
 
 
-def decode_pixels(media: bytes) -> np.ndarray:
-    """Any supported image payload → uint8 (h, w, c) pixels via the
-    native codecs (PNG: sources/png.py, baseline JPEG:
-    sources/jpeg.py); Pillow only for formats neither covers.
-    Grayscale comes back as c=1 so downstream kernels see one layout."""
+def _pillow_or_none():
+    try:  # pragma: no cover - environment-dependent
+        import PIL.Image as Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_pixels(media: bytes, *, prefer: str = "auto") -> np.ndarray:
+    """Any supported image payload → uint8 (h, w, c) pixels. Grayscale
+    comes back as c=1 so downstream kernels see one layout.
+
+    ``prefer`` routes the baseline-JPEG decode (VERDICT r8 #3):
+
+    - ``"auto"`` (default): Pillow/libjpeg when importable — the
+      native decoder's Huffman bit-walk is a per-bit Python loop,
+      orders of magnitude slower per image than libjpeg, which is the
+      wrong default at crawl scale; native is the no-deps fallback.
+      native==Pillow pixel parity is test-pinned on the provably-
+      lossless block-uniform fixtures; general lossy JPEGs may differ
+      in IDCT rounding between decoders (JPEG decoding is not
+      bit-specified), so oracle-certified paths pin ``"native"``.
+    - ``"native"``: engine codecs only (sources/png.py,
+      sources/jpeg.py) — the deterministic, hermetic oracle path.
+    - PNG always decodes natively (bit-exact by format), and formats
+      neither native codec covers always need Pillow."""
+    if prefer not in ("auto", "native"):
+        raise ValueError(f"prefer must be 'auto' or 'native', got {prefer!r}")
     m = bytes(media)
     if m[:8] == b"\x89PNG\r\n\x1a\n":
         from big_ann_spark.sources.png import decode_png
 
         return decode_png(m)
     if m[:2] == b"\xff\xd8":
+        Image = _pillow_or_none() if prefer == "auto" else None
+        if Image is not None:  # pragma: no cover - environment-dependent
+            import io
+
+            img = Image.open(io.BytesIO(m))
+            if img.mode not in ("L", "RGB"):
+                img = img.convert("RGB")
+            arr = np.asarray(img)
+            return arr[:, :, None] if arr.ndim == 2 else arr
         from big_ann_spark.sources.jpeg import decode_jpeg
 
         arr = decode_jpeg(m)
         return arr[:, :, None] if arr.ndim == 2 else arr
-    try:  # pragma: no cover - environment-dependent
+    Image = _pillow_or_none()
+    if Image is not None:  # pragma: no cover - environment-dependent
         import io
-
-        import PIL.Image as Image
 
         arr = np.asarray(Image.open(io.BytesIO(m)).convert("RGB"))
         return arr[:, :, None] if arr.ndim == 2 else arr
-    except ImportError:
-        raise NotImplementedError(
-            "image format not supported by the native codecs (PNG, "
-            "baseline JPEG) — install the images extra (Pillow)"
-        )
+    raise NotImplementedError(
+        "image format not supported by the native codecs (PNG, "
+        "baseline JPEG) — install the images extra (Pillow)"
+    )
 
 
 def resize_area(pixels: np.ndarray, factor: int) -> np.ndarray:
