@@ -108,6 +108,128 @@ def run_io_canary() -> float:
     return round(min(once() for _ in range(2)), 3)
 
 
+# Unchanged-code drift sentinels (VERDICT r8 #6): when the suite total
+# regresses vs the previous round's BENCH file, these rerun in FRESH
+# isolated processes so BENCH_r{N} self-attributes the drift (code cost
+# vs session/JVM/page-cache state) instead of needing ROUND_NOTES
+# forensics. The trio is the r7/r8 drift investigation's set: stable
+# queries whose code hasn't changed in rounds.
+SENTINELS = ["per_dim_profile", "grouped_joins", "dim_pair_stats"]
+DRIFT_TRIGGER_RATIO = 1.15
+
+
+def _prev_bench_total(sf: float) -> tuple[int | None, float | None]:
+    """Round number + suite total of the newest BENCH_r*.json beside
+    this script (the driver writes one per round). The total is only
+    comparable at the SAME scale factor — a local sf0.01 iteration must
+    not 'regress' against the driver's sf0.1 number."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None, None
+    try:
+        with open(best[1]) as f:
+            d = json.load(f)
+        # the driver wraps our JSON line under "parsed"
+        d = d.get("parsed", d) if isinstance(d, dict) else d
+        if float(d.get("sf", -2)) != sf:
+            return best[0], None
+        return best[0], float(d["value"])
+    except Exception:
+        return best[0], None
+
+
+def run_sentinels_isolated(sf_dir: str) -> dict[str, dict[str, float]]:
+    """Each sentinel in a fresh python+JVM subprocess (cold session,
+    min-of-2 in-process): a sentinel that is fast in isolation but slow
+    in the suite run says session/host state, not code."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, dict[str, float]] = {}
+    for name in SENTINELS:
+        script = f"""
+import sys, time, json
+sys.path.insert(0, {here!r})
+from big_ann_spark.queries import load_all
+from big_ann_spark.session import get_spark
+reg = load_all()
+spark = get_spark("bench-sentinel")
+spark.read.parquet({sf_dir!r} + "/lineitem.parquet").count()
+q = reg.get({name!r})
+ts = []
+for _ in range(2):
+    t0 = time.perf_counter(); q.fn(spark, {sf_dir!r}).count()
+    ts.append(time.perf_counter() - t0)
+print("SENTINEL_JSON:" + json.dumps(
+    {{"min": round(min(ts), 3), "cold": round(ts[0], 3)}}))
+"""
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True, text=True, timeout=300,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("SENTINEL_JSON:"):
+                    out[name] = json.loads(line[len("SENTINEL_JSON:"):])
+                    break
+            else:
+                out[name] = {"error": 1.0}
+        except Exception:
+            out[name] = {"error": 1.0}
+        print(f"# sentinel(isolated) {name}: {out[name]}", file=sys.stderr)
+    return out
+
+
+def measure_cold_disk_qps(spark, sf_dir: str, n_queries: int = 20) -> float | None:
+    """VERDICT r8 #7: the cold-serving number users actually see — an
+    IVF query against a PREBUILT write_sharded layout via
+    ivf_search_from_disk (probed-dirs-only open, no full listing walk).
+    The layout is built untimed, its page-cache footprint evicted
+    (fadvise DONTNEED), and ONE search timed on the fresh lineage —
+    cold layout + cold scan, warm JVM (sessions are long-lived in
+    serving; knn_qps_cold keeps covering the fresh-session case)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_ann_spark.operators import ann as ANN
+    from big_ann_spark.operators import sharding as SH
+
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = SH.label_centroids(emb).localCheckpoint()
+        assign = SH.assign_to_centroids(emb, cents)
+        layout = tempfile.mkdtemp(prefix="bench_ivf_") + "/layout"
+        SH.write_sharded(assign, emb, layout)
+        # evict the just-written layout from the page cache so the
+        # timed read pays device IO, not a write-back cache hit
+        for root, _dirs, files in os.walk(layout):
+            for fn in files:
+                fd = os.open(os.path.join(root, fn), os.O_RDONLY)
+                try:
+                    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                finally:
+                    os.close(fd)
+        queries = emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        ).localCheckpoint()
+        t0 = time.perf_counter()
+        ANN.ivf_search_from_disk(queries, layout, cents, k=10, nprobe=2).count()
+        dt = time.perf_counter() - t0
+        return round(n_queries / dt, 2)
+    except Exception as e:  # never lose the round's bench to this metric
+        print(f"# knn_qps_cold_disk failed: {e}", file=sys.stderr)
+        return None
+
+
 def wait_for_idle_host(max_wait_sec: float, load_target: float) -> float:
     """Bounded wait for host loadavg to drop below ``load_target``
     (VERDICT r6 #4: contended runs faked 2-5x regressions in r4/r6 —
@@ -185,8 +307,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
+    knn_qps_cold_disk = measure_cold_disk_qps(spark, sf_dir)
     canary_after = run_canary()
     io_canary_after = run_io_canary()
+    # drift self-attribution (VERDICT r8 #6): on a >15% regression vs
+    # the previous round's BENCH, rerun the unchanged sentinels in
+    # fresh processes so the JSON carries the code-vs-host verdict
+    prev_round, prev_total = _prev_bench_total(sf)
+    sentinel_mode = os.environ.get("SPARK_GRAFT_BENCH_SENTINELS", "auto")
+    drifted = (
+        prev_total is not None and total > DRIFT_TRIGGER_RATIO * prev_total
+    )
+    sentinel_isolated = None
+    if sentinel_mode == "always" or (sentinel_mode == "auto" and drifted):
+        sentinel_isolated = run_sentinels_isolated(sf_dir)
     # normalize by the SLOWDOWN the canary saw (before/after min: the
     # suite may itself have heated the host; min is the fairer probe)
     slowdown = max(min(canary_before, canary_after) / CANARY_REF_SEC, 1e-6)
@@ -217,7 +351,12 @@ def main() -> None:
                 "sf": sf,
                 "knn_qps": knn_qps,
                 "knn_qps_cold": knn_qps_cold,
+                "knn_qps_cold_disk": knn_qps_cold_disk,
                 "runs_per_query": n_runs,
+                "drift_ref_round": prev_round,
+                "drift_ref_total": prev_total,
+                "drift_triggered": bool(drifted),
+                "sentinel_isolated": sentinel_isolated,
                 "cold_total": cold_total,
                 "canary_sec": min(canary_before, canary_after),
                 "canary_before": canary_before,
