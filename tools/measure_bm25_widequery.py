@@ -67,12 +67,12 @@ def main() -> None:
     t0 = time.perf_counter()
     BM.write_bm25_index(BM.bm25_index(docs), path, n_term_buckets=256)
     t_build = time.perf_counter() - t0
-    print(json.dumps({"step": "build", "n_docs": N_DOCS, "sec": round(t_build, 1)}))
+    print(json.dumps({"step": "build", "n_docs": N_DOCS, "sec": round(t_build, 1)}), flush=True)
 
     q = docs.filter(F.col("doc_id") < N_QUERY).localCheckpoint()
     n_terms = q.select(F.explode(F.split("text", " "))).distinct().count()
     print(json.dumps({"step": "query_vocab", "n_query_docs": N_QUERY,
-                      "distinct_terms": n_terms}))
+                      "distinct_terms": n_terms}), flush=True)
 
     def run(label: str, cap: int) -> None:
         ts = []
@@ -83,7 +83,7 @@ def main() -> None:
             ).count()
             ts.append(time.perf_counter() - t0)
         print(json.dumps({"step": label, "sec_min": round(min(ts), 1),
-                          "sec_cold": round(ts[0], 1)}))
+                          "sec_cold": round(ts[0], 1)}), flush=True)
 
     run("wide_query_gated", BM.MAX_PUSHDOWN_TERMS)   # r9 default: no In push
     run("wide_query_forced_in", 10**9)               # r8 behavior: push all
@@ -92,15 +92,15 @@ def main() -> None:
     dead = docs.filter((F.col("doc_id") >= 10_000) & (F.col("doc_id") < 11_000))
     t0 = time.perf_counter()
     BM.delete_from_bm25_index(spark, path, dead)
-    print(json.dumps({"step": "delete_1k", "sec": round(time.perf_counter() - t0, 1)}))
+    print(json.dumps({"step": "delete_1k", "sec": round(time.perf_counter() - t0, 1)}), flush=True)
     t0 = time.perf_counter()
     BM.bm25_topk_from_disk(spark, path, q, k=10, max_df=MAX_DF).count()
-    print(json.dumps({"step": "query_after_delete", "sec": round(time.perf_counter() - t0, 1)}))
+    print(json.dumps({"step": "query_after_delete", "sec": round(time.perf_counter() - t0, 1)}), flush=True)
     dst = tempfile.mkdtemp(prefix="bm25_wide_cmp_") + "/idx"
     t0 = time.perf_counter()
     n = BM.compact_bm25_index(spark, path, dst)
     print(json.dumps({"step": "compact", "postings": n,
-                      "sec": round(time.perf_counter() - t0, 1)}))
+                      "sec": round(time.perf_counter() - t0, 1)}), flush=True)
 
 
 if __name__ == "__main__":
