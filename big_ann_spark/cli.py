@@ -269,6 +269,10 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--tmix-alpha", type=float, default=0.5)
     pr.add_argument("--dsir-n", type=int, default=None)
     pr.add_argument("--dsir-buckets", type=int, default=1024)
+    pr.add_argument(
+        "--dsir-ngram", type=int, default=1, choices=(1, 2),
+        help="DSIR feature space: 1=hashed unigrams, 2=+hashed bigrams",
+    )
     pr.add_argument("--pack-ctx", type=int, default=None)
     pr.add_argument(
         "--line-max-count",
@@ -784,6 +788,7 @@ def main(argv: list[str] | None = None) -> int:
             tmix_total_tokens=args.tmix_total,
             tmix_alpha=args.tmix_alpha,
             dsir_buckets=args.dsir_buckets,
+            dsir_ngram=args.dsir_ngram,
             pack_ctx=args.pack_ctx,
             line_max_count=args.line_max_count,
             line_words_per_line=args.line_words_per_line,

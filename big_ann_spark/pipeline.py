@@ -53,6 +53,7 @@ def prep_corpus(
     dsir_target: DataFrame | None = None,
     dsir_n: int | None = None,
     dsir_buckets: int = 1024,
+    dsir_ngram: int = 1,
     pack_ctx: int | None = None,
     line_max_count: int = 3,
     line_sep: str = "\n",
@@ -261,6 +262,7 @@ def prep_corpus(
                 id_col=id_col,
                 text_col=text_col,
                 n_buckets=dsir_buckets,
+                ngram=dsir_ngram,
             ).drop("log_weight", "gumbel_key")
         elif step == "pack":
             from big_ann_spark.operators.packing import pack_sequences

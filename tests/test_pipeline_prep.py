@@ -134,6 +134,12 @@ def test_dsir_step_selects_target_lookalikes(spark, corpus):
     assert out.count() == 3
     # selection columns are internal — the cleaned schema is unchanged
     assert out.columns == corpus.columns
+    # bigram feature space threads through the stage (VERDICT r8 #5)
+    out2, _, _ = prep_corpus(
+        corpus, ["quality", "dedup", "dsir"],
+        dsir_target=target, dsir_n=3, dsir_buckets=64, dsir_ngram=2,
+    )
+    assert out2.count() == 3 and out2.columns == corpus.columns
 
 
 def test_cli_prep_with_shards(spark, tmp_path):
