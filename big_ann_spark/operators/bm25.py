@@ -297,6 +297,20 @@ def _purge_op(spark, path: str, op_id: int) -> None:
 
 _BASE_EPOCH = -1
 
+# (path -> n_term_buckets): the bucket count is part of the layout
+# contract and immutable for a given index dir (write_bm25_index is a
+# full rebuild and refreshes the entry) — caching it saves one tiny
+# Spark job per from-disk query/op in a serving session
+_META_CACHE: dict[str, int] = {}
+
+
+def _n_term_buckets(spark, path: str) -> int:
+    v = _META_CACHE.get(path)
+    if v is None:
+        v = int(spark.read.parquet(f"{path}/meta.parquet").collect()[0][0])
+        _META_CACHE[path] = v
+    return v
+
 
 def _write_op_partitions(df: DataFrame, target: str, cols: list[str]) -> None:
     """Land one op's rows via DYNAMIC partition overwrite: only the
@@ -371,6 +385,7 @@ def write_bm25_index(
     spark.createDataFrame(
         [(n_term_buckets,)], "n_term_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+    _META_CACHE[path] = int(n_term_buckets)
     fs, _ = _fs(spark, path)
     jvm = spark._jvm
     for stale in ("dfs_delta.parquet", "stats_delta.parquet",
@@ -394,7 +409,7 @@ class _DiskIndex(NamedTuple):
 
 
 def _open_bm25_index(spark, path: str) -> _DiskIndex:
-    n_buckets = spark.read.parquet(f"{path}/meta.parquet").collect()[0][0]
+    n_buckets = _n_term_buckets(spark, path)
     uncommitted = sorted(_op_ids_on_disk(spark, path) - _committed_ops(spark, path))
 
     def _committed_only(df: DataFrame) -> DataFrame:
@@ -624,9 +639,7 @@ def _land_op(
     tombstones: DataFrame | None,
     op_id: int | None,
 ) -> int:
-    n_buckets = (
-        spark.read.parquet(f"{path}/meta.parquet").collect()[0][0]
-    )
+    n_buckets = _n_term_buckets(spark, path)
     if op_id is None:
         op_id = _next_op_id(spark, path)
     if int(op_id) not in _committed_ops(spark, path):
@@ -673,7 +686,7 @@ def compact_bm25_index(spark, src_path: str, dst_path: str) -> int:
     valid until the caller switches readers (the streaming compactors'
     contract)."""
     idx = read_bm25_index(spark, src_path)
-    n_buckets = _open_bm25_index(spark, src_path).n_buckets
+    n_buckets = _n_term_buckets(spark, src_path)
     live = Bm25Index(
         postings=idx.postings.select("doc", "term", "tf", "dl").localCheckpoint(),
         dfs=idx.dfs.localCheckpoint(),
