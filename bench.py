@@ -203,11 +203,12 @@ def measure_cold_disk_qps(spark, sf_dir: str, n_queries: int = 20) -> float | No
     from big_ann_spark.operators import ann as ANN
     from big_ann_spark.operators import sharding as SH
 
+    tmp_root = tempfile.mkdtemp(prefix="bench_ivf_")
     try:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         cents = SH.label_centroids(emb).localCheckpoint()
         assign = SH.assign_to_centroids(emb, cents)
-        layout = tempfile.mkdtemp(prefix="bench_ivf_") + "/layout"
+        layout = tmp_root + "/layout"
         SH.write_sharded(assign, emb, layout)
         # evict the just-written layout from the page cache so the
         # timed read pays device IO, not a write-back cache hit
@@ -228,6 +229,12 @@ def measure_cold_disk_qps(spark, sf_dir: str, n_queries: int = 20) -> float | No
     except Exception as e:  # never lose the round's bench to this metric
         print(f"# knn_qps_cold_disk failed: {e}", file=sys.stderr)
         return None
+    finally:
+        # a corpus-sized layout per bench run would fill /tmp on the
+        # shared host; the timed read already happened
+        import shutil
+
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
 
 def wait_for_idle_host(max_wait_sec: float, load_target: float) -> float:

@@ -675,10 +675,9 @@ def main(argv: list[str] | None = None) -> int:
         # the LOGICAL stats (base + committed deltas), not the base table
         n = BM.read_bm25_index(spark, args.index).stats.collect()[0]
         verb = "merged" if args.cmd == "bm25-merge" else "deleted"
-        print(
-            f"{verb} (op {op}); index now {n.n_docs} docs "
-            f"(avgdl {n.avgdl:.1f})"
-        )
+        # avgdl folds to NULL when the last doc is deleted (0/0)
+        avgdl = f"{n.avgdl:.1f}" if n.avgdl is not None else "n/a"
+        print(f"{verb} (op {op}); index now {n.n_docs} docs (avgdl {avgdl})")
         return 0
 
     if args.cmd == "bm25-compact":
@@ -691,9 +690,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "bm25-export":
         from big_ann_spark.streaming.bm25_stream import export_bm25_index
 
-        n = export_bm25_index(
-            spark, args.src, args.dst, n_term_buckets=args.term_buckets
-        )
+        try:
+            n = export_bm25_index(
+                spark, args.src, args.dst, n_term_buckets=args.term_buckets
+            )
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
         print(f"exported {n} postings -> {args.dst} (batch layout)")
         return 0
 

@@ -297,18 +297,27 @@ def _purge_op(spark, path: str, op_id: int) -> None:
 
 _BASE_EPOCH = -1
 
-# (path -> n_term_buckets): the bucket count is part of the layout
-# contract and immutable for a given index dir (write_bm25_index is a
-# full rebuild and refreshes the entry) — caching it saves one tiny
-# Spark job per from-disk query/op in a serving session
-_META_CACHE: dict[str, int] = {}
+# (path -> (meta dir mtime, n_term_buckets)): caching the bucket count
+# saves one tiny Spark job per from-disk query/op in a serving
+# session. The entry is validated against meta.parquet's modification
+# time (one FS metadata call, no Spark job) so a rebuild by ANOTHER
+# process — possibly with a different bucket count, which would make
+# cached _tb hashes prune the wrong partitions — is picked up.
+_META_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _meta_mtime(spark, path: str) -> int:
+    fs, jp = _fs(spark, f"{path}/meta.parquet")
+    return int(fs.getFileStatus(jp).getModificationTime())
 
 
 def _n_term_buckets(spark, path: str) -> int:
-    v = _META_CACHE.get(path)
-    if v is None:
-        v = int(spark.read.parquet(f"{path}/meta.parquet").collect()[0][0])
-        _META_CACHE[path] = v
+    mtime = _meta_mtime(spark, path)
+    hit = _META_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    v = int(spark.read.parquet(f"{path}/meta.parquet").collect()[0][0])
+    _META_CACHE[path] = (mtime, v)
     return v
 
 
@@ -369,8 +378,24 @@ def write_bm25_index(
     while counting terms over the written files is a single-column
     columnar read. Measured 2× less lineage work on a 20M-posting
     build. ``index.stats`` scans the raw docs (shuffle-free agg) and
-    is written as passed."""
+    is written as passed.
+
+    The previous incarnation's op state is cleared FIRST: clearing it
+    last would let a crash between the new base landing and the
+    cleanup leave the OLD index's committed tombstones/deltas applied
+    to the NEW base — silent corruption. With the purge first, a crash
+    anywhere leaves an obviously-incomplete rebuild whose recovery is
+    re-running the rebuild. (An in-place rebuild is still not atomic
+    for CONCURRENT readers — build into a fresh dir and switch for
+    that, the compaction pattern.)"""
     spark = index.dfs.sparkSession
+    fs, _ = _fs(spark, path)
+    jvm = spark._jvm
+    for stale in ("dfs_delta.parquet", "stats_delta.parquet",
+                  "tombstones.parquet", "_ops"):
+        jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{stale}")
+        if fs.exists(jp):
+            fs.delete(jp, True)
     p = _bucketed_postings(index.postings, n_term_buckets, _BASE_EPOCH)
     p.write.mode("overwrite").partitionBy("_tb", "_mb").parquet(
         f"{path}/postings.parquet"
@@ -385,27 +410,39 @@ def write_bm25_index(
     spark.createDataFrame(
         [(n_term_buckets,)], "n_term_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
-    _META_CACHE[path] = int(n_term_buckets)
-    fs, _ = _fs(spark, path)
-    jvm = spark._jvm
-    for stale in ("dfs_delta.parquet", "stats_delta.parquet",
-                  "tombstones.parquet", "_ops"):
-        jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{stale}")
-        if fs.exists(jp):
-            fs.delete(jp, True)
+    _META_CACHE[path] = (_meta_mtime(spark, path), int(n_term_buckets))
 
 
 class _DiskIndex(NamedTuple):
     """Committed-only scans over a persisted layout: ``postings`` keeps
-    ``_tb`` (the from-disk query path joins on it) with tombstoned docs
-    NOT yet removed; ``tombstones`` is the (tiny) committed delete set
-    or None; ``dfs``/``stats`` are the logical base+deltas fold."""
+    ``_tb`` (the from-disk query path joins on it) and ``_mb`` (the
+    tombstone resolution needs op order) with tombstoned docs NOT yet
+    removed; ``tombstones`` is the (tiny) committed delete set as
+    ``(_t_doc, _t_mb)`` or None; ``dfs``/``stats`` are the logical
+    base+deltas fold."""
 
     postings: DataFrame
     dfs: DataFrame
     stats: DataFrame
     tombstones: DataFrame | None
     n_buckets: int
+
+
+def _drop_tombstoned(postings: DataFrame, tombstones: DataFrame | None) -> DataFrame:
+    """Latest-op-wins tombstone resolution: a posting row added by op M
+    is dead iff some tombstone for its doc was committed AFTER M
+    (``_t_mb > _mb``). A plain doc-equality anti-join would also kill
+    rows a LATER merge re-added — the documented replace-a-doc flow
+    (delete, then merge the new version) — permanently. Broadcast
+    anti-join: equi on doc, op-order filter on top. Drops ``_mb``."""
+    if tombstones is not None:
+        postings = postings.join(
+            F.broadcast(tombstones),
+            (postings["doc"] == tombstones["_t_doc"])
+            & (postings["_mb"] < tombstones["_t_mb"]),
+            "left_anti",
+        )
+    return postings.drop("_mb")
 
 
 def _open_bm25_index(spark, path: str) -> _DiskIndex:
@@ -420,9 +457,7 @@ def _open_bm25_index(spark, path: str) -> _DiskIndex:
             df = df.filter(~F.col("_mb").isin([int(b) for b in uncommitted]))
         return df
 
-    postings = _committed_only(
-        spark.read.parquet(f"{path}/postings.parquet")
-    ).drop("_mb")
+    postings = _committed_only(spark.read.parquet(f"{path}/postings.parquet"))
 
     def _optional(sub: str) -> DataFrame | None:
         fs, jp = _fs(spark, f"{path}/{sub}")
@@ -447,12 +482,17 @@ def _open_bm25_index(spark, path: str) -> _DiskIndex:
             .unionByName(s_delta.select("n_docs", "sum_dl"))
             .agg(
                 F.sum("n_docs").alias("n_docs"),
-                (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+                # try_divide: deleting the last document leaves
+                # n_docs=0 and avgdl NULL (a legal empty index) — the
+                # ANSI division would throw instead
+                F.try_divide(F.sum("sum_dl"), F.sum("n_docs")).alias("avgdl"),
             )
         )
     tomb = _optional("tombstones.parquet")
     if tomb is not None:
-        tomb = tomb.select("doc")
+        tomb = tomb.select(
+            F.col("doc").alias("_t_doc"), F.col("_mb").alias("_t_mb")
+        )
     return _DiskIndex(
         postings=postings, dfs=dfs, stats=stats, tombstones=tomb,
         n_buckets=n_buckets,
@@ -461,17 +501,16 @@ def _open_bm25_index(spark, path: str) -> _DiskIndex:
 
 def read_bm25_index(spark, path: str) -> Bm25Index:
     """The LOGICAL index over a persisted layout — committed ops only,
-    tombstoned docs removed (a broadcast anti-join against the tiny
-    delete set), deltas folded into dfs/stats. postings keep the
-    ``_tb`` partition column (in-memory :func:`bm25_topk` ignores
-    it)."""
+    tombstoned rows removed (latest-op-wins, see
+    :func:`_drop_tombstoned`), deltas folded into dfs/stats. postings
+    keep the ``_tb`` partition column (in-memory :func:`bm25_topk`
+    ignores it)."""
     idx = _open_bm25_index(spark, path)
-    postings = idx.postings
-    if idx.tombstones is not None:
-        postings = postings.join(
-            F.broadcast(idx.tombstones), "doc", "left_anti"
-        )
-    return Bm25Index(postings=postings, dfs=idx.dfs, stats=idx.stats)
+    return Bm25Index(
+        postings=_drop_tombstoned(idx.postings, idx.tombstones),
+        dfs=idx.dfs,
+        stats=idx.stats,
+    )
 
 
 MAX_PUSHDOWN_TERMS = 1024
@@ -537,9 +576,10 @@ def bm25_topk_from_disk(
             postings = postings.filter(
                 F.col("term").isin([r.term for r in probe])
             )
-    hits = postings.join(F.broadcast(q), ["_tb", "term"]).drop("_tb")
-    if idx.tombstones is not None:
-        hits = hits.join(F.broadcast(idx.tombstones), "doc", "left_anti")
+    hits = _drop_tombstoned(
+        postings.join(F.broadcast(q), ["_tb", "term"]).drop("_tb"),
+        idx.tombstones,
+    )
     return _score_and_rank(
         hits, idx.dfs, idx.stats, k=k, k1=k1, b=b, max_df=max_df,
         exclude_self=exclude_self, score_round=score_round,
@@ -616,9 +656,12 @@ def delete_from_bm25_index(
     takedown lists are document lists). The negative deltas are
     recomputed from that text; deleting an id that is not in the index
     (or with different text) would corrupt df/stats the same way a
-    duplicate merge would."""
+    duplicate merge would. Duplicate rows in the batch (takedown lists
+    repeat) are dropped by id here — the negative deltas must subtract
+    each document exactly once."""
+    deleted_docs = deleted_docs.dropDuplicates([id_col])
     delta = bm25_index(deleted_docs, id_col=id_col, text_col=text_col)
-    tomb = deleted_docs.select(F.col(id_col).alias("doc")).distinct()
+    tomb = deleted_docs.select(F.col(id_col).alias("doc"))
     return _land_op(
         spark, path,
         postings=None,
@@ -687,10 +730,15 @@ def compact_bm25_index(spark, src_path: str, dst_path: str) -> int:
     contract)."""
     idx = read_bm25_index(spark, src_path)
     n_buckets = _n_term_buckets(spark, src_path)
+    # postings checkpoint: the tombstone-fold lineage feeds both the
+    # count and the write. dfs/stats stay LAZY — write_bm25_index
+    # re-derives dfs from the written postings and only executes stats
+    # once, so an eager checkpoint here would run the vocabulary fold
+    # for nothing.
     live = Bm25Index(
         postings=idx.postings.select("doc", "term", "tf", "dl").localCheckpoint(),
-        dfs=idx.dfs.localCheckpoint(),
-        stats=idx.stats.localCheckpoint(),
+        dfs=idx.dfs,
+        stats=idx.stats,
     )
     n = live.postings.count()
     write_bm25_index(live, dst_path, n_term_buckets=n_buckets)

@@ -166,7 +166,9 @@ def live_bm25_index(spark: SparkSession, path: str) -> Bm25Index | None:
         data.filter(F.col("_kind") == "s")
         .agg(
             F.sum("n_docs").alias("n_docs"),
-            (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+            # try_divide: an all-empty-batches stream is a legal empty
+            # index (n_docs=0 -> avgdl NULL), not an ANSI error
+            F.try_divide(F.sum("sum_dl"), F.sum("n_docs")).alias("avgdl"),
         )
     )
     return Bm25Index(postings=postings, dfs=dfs, stats=stats)
@@ -183,17 +185,24 @@ def export_bm25_index(
     the serving/maintenance form. Postings re-bucket to the target
     ``n_term_buckets`` (the stream's bucket count is its own knob);
     dfs/stats collapse to the merged base tables. Returns the exported
-    posting count; ``src`` stays valid until readers switch
+    posting count; raises if the stream has no committed batches (a
+    loud failure beats a success message pointing at a dir that was
+    never created); ``src`` stays valid until readers switch
     (copy-on-write, the compaction contract)."""
     from big_ann_spark.operators.bm25 import write_bm25_index
 
     live = live_bm25_index(spark, src_path)
     if live is None:
-        return 0
+        raise ValueError(
+            f"no committed batches at {src_path} — nothing to export "
+            "(an empty batch layout would not be readable)"
+        )
+    # dfs/stats stay lazy: write_bm25_index re-derives dfs from the
+    # written postings and executes stats exactly once
     base = Bm25Index(
         postings=live.postings.select("doc", "term", "tf", "dl").localCheckpoint(),
-        dfs=live.dfs.localCheckpoint(),
-        stats=live.stats.localCheckpoint(),
+        dfs=live.dfs,
+        stats=live.stats,
     )
     n = base.postings.count()
     write_bm25_index(base, dst_path, n_term_buckets=n_term_buckets)

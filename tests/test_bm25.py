@@ -395,3 +395,77 @@ def test_cli_bm25_build_search_merge(spark, tmp_path, capsys):
         bm25_index(full), k=3,
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_replace_doc_delete_then_merge(spark, corpus, tmp_path):
+    """The documented replace-a-doc flow: delete the old version, merge
+    the new one. Tombstone resolution is latest-op-wins (op order), so
+    the re-merged doc must be retrievable — a plain doc-id anti-join
+    would suppress it forever."""
+    from big_ann_spark.operators.bm25 import (
+        bm25_index,
+        bm25_topk_from_disk,
+        delete_from_bm25_index,
+        merge_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_bm25_index(bm25_index(corpus), path, n_term_buckets=8)
+    old_doc4 = corpus.filter(F.col("doc_id") == 4)  # "fox and dog and fox"
+    delete_from_bm25_index(spark, path, old_doc4)
+    new_doc4 = spark.createDataFrame(
+        [(4, "fox terrier chases the ball")], "doc_id long, text string"
+    )
+    merge_bm25_index(spark, path, new_doc4)
+
+    want_corpus = corpus.filter(F.col("doc_id") != 4).unionByName(new_doc4)
+    want_idx = bm25_index(want_corpus)
+    got_idx = read_bm25_index(spark, path)
+    assert sorted(
+        map(tuple, got_idx.postings.select("doc", "term", "tf", "dl").collect())
+    ) == sorted(map(tuple, want_idx.postings.collect()))
+    assert sorted(map(tuple, got_idx.dfs.collect())) == sorted(
+        map(tuple, want_idx.dfs.collect())
+    )
+    g, w = got_idx.stats.collect()[0], want_idx.stats.collect()[0]
+    assert g.n_docs == w.n_docs and g.avgdl == pytest.approx(w.avgdl)
+
+    q = spark.createDataFrame([(9, "fox terrier")], "doc_id long, text string")
+    got = bm25_topk_from_disk(spark, path, q, k=5, score_round=6)
+    want = bm25_topk(q, want_idx, k=5, score_round=6)
+    assert 4 in {r.neighbor_id for r in got.collect()}
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # a second delete of the REPLACED doc works too (delete > merge op)
+    delete_from_bm25_index(spark, path, new_doc4)
+    kept = corpus.filter(F.col("doc_id") != 4)
+    got2 = bm25_topk_from_disk(spark, path, q, k=5, score_round=6)
+    want2 = bm25_topk(q, bm25_index(kept), k=5, score_round=6)
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
+
+
+def test_delete_batch_with_duplicate_rows(spark, corpus, tmp_path):
+    """Takedown lists repeat ids; the negative stats/df deltas must
+    subtract each document exactly once."""
+    from big_ann_spark.operators.bm25 import (
+        bm25_index,
+        delete_from_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_bm25_index(bm25_index(corpus), path, n_term_buckets=8)
+    doc4 = corpus.filter(F.col("doc_id") == 4)
+    delete_from_bm25_index(spark, path, doc4.unionByName(doc4))  # dup rows
+
+    kept = corpus.filter(F.col("doc_id") != 4)
+    want = bm25_index(kept)
+    got = read_bm25_index(spark, path)
+    assert sorted(map(tuple, got.dfs.collect())) == sorted(
+        map(tuple, want.dfs.collect())
+    )
+    g, w = got.stats.collect()[0], want.stats.collect()[0]
+    assert g.n_docs == w.n_docs and g.avgdl == pytest.approx(w.avgdl)
