@@ -1,11 +1,16 @@
 """Property test for the persisted-BM25 op protocol: ANY sequence of
-merges, deletes, crashed attempts and replays must leave the logical
-index equal to a from-scratch build of the net corpus — the same
-randomized-runbook style that certifies the streaming vector index.
+merges, deletes, re-merges of previously deleted docs (new text —
+the replace-a-doc flow), crashed attempts and replays must leave the
+logical index equal to a from-scratch build of the net corpus — the
+same randomized-runbook style that certifies the streaming vector
+index.
 
 Hypothesis drives the op sequence; crashes are injected by patching the
 commit-marker write (the protocol's last step), so every crash leaves
-maximal on-disk garbage for the recovery path to handle.
+maximal on-disk garbage for the recovery path to handle. The re-merge
+ops exercise the latest-op-wins tombstone resolution: a plain
+doc-equality anti-join would fail every script that re-adds a deleted
+id.
 """
 
 from __future__ import annotations
@@ -25,17 +30,19 @@ _SCHEMA = "doc_id long, text string"
 _WORDS = ["alpha", "beta", "gamma", "delta", "echo"]
 
 
-def _doc_text(doc_id: int) -> str:
-    # deterministic text per id: 3 words drawn by simple arithmetic
+def _doc_text(doc_id: int, version: int) -> str:
+    # deterministic text per (id, version): re-merged docs get NEW text
     return " ".join(
-        _WORDS[(doc_id * m + k) % len(_WORDS)] for k, m in ((0, 1), (1, 2), (2, 3))
+        _WORDS[(doc_id * m + k + 7 * version) % len(_WORDS)]
+        for k, m in ((0, 1), (1, 2), (2, 3))
     )
 
 
-# an op script: each step merges a fresh id-range or deletes a previous
-# range; booleans mark which steps crash first (and are then replayed)
+# an op script: merge a fresh id-range, delete a live range, or
+# re-merge previously deleted ids with bumped-version text; booleans
+# mark which steps crash first (and are then replayed)
 _steps = st.lists(
-    st.tuples(st.sampled_from(["merge", "delete"]), st.booleans()),
+    st.tuples(st.sampled_from(["merge", "delete", "remerge"]), st.booleans()),
     min_size=1,
     max_size=5,
 )
@@ -51,30 +58,35 @@ def test_any_op_sequence_equals_rebuild(spark, script, seed, monkeypatch):
     rng_state = seed
     path = tempfile.mkdtemp(prefix="bm25_prop_") + "/idx"
 
-    def docs_df(ids):
+    def docs_df(vers: dict[int, int]):
         return spark.createDataFrame(
-            [(i, _doc_text(i)) for i in ids], _SCHEMA
+            [(i, _doc_text(i, v)) for i, v in sorted(vers.items())], _SCHEMA
         )
 
-    live: set[int] = set(range(4))
-    BM.write_bm25_index(BM.bm25_index(docs_df(sorted(live))), path, n_term_buckets=4)
+    live: dict[int, int] = {i: 0 for i in range(4)}  # id -> version
+    deleted: dict[int, int] = {}  # id -> last deleted version
+    BM.write_bm25_index(BM.bm25_index(docs_df(live)), path, n_term_buckets=4)
 
     next_id = 100
-    merged_batches: list[list[int]] = [sorted(live)]
     for kind, crash in script:
         rng_state = (rng_state * 1103515245 + 12345) % (2**31)
-        if kind == "merge" or not live:
-            ids = list(range(next_id, next_id + 2 + rng_state % 3))
-            next_id += 10
-            batch, fn = docs_df(ids), BM.merge_bm25_index
-            merged_batches.append(ids)
-            live |= set(ids)
-        else:
+        if kind == "remerge" and deleted:
+            pool = sorted(deleted)
+            take = 1 + rng_state % min(2, len(pool))
+            vers = {i: deleted.pop(i) + 1 for i in pool[:take]}
+            batch, fn = docs_df(vers), BM.merge_bm25_index
+            live.update(vers)
+        elif kind == "delete" and live:
             pool = sorted(live)
             take = 1 + rng_state % min(3, len(pool))
-            ids = pool[:take]
-            batch, fn = docs_df(ids), BM.delete_from_bm25_index
-            live -= set(ids)
+            vers = {i: live.pop(i) for i in pool[:take]}
+            batch, fn = docs_df(vers), BM.delete_from_bm25_index
+            deleted.update(vers)
+        else:
+            vers = {i: 0 for i in range(next_id, next_id + 2 + rng_state % 3)}
+            next_id += 10
+            batch, fn = docs_df(vers), BM.merge_bm25_index
+            live.update(vers)
 
         if crash:
             # crash before the marker: maximal on-disk garbage
@@ -86,7 +98,7 @@ def test_any_op_sequence_equals_rebuild(spark, script, seed, monkeypatch):
             # and purges the crashed id)
         fn(spark, path, batch)
 
-    want_idx = BM.bm25_index(docs_df(sorted(live)))
+    want_idx = BM.bm25_index(docs_df(live))
     got_idx = BM.read_bm25_index(spark, path)
 
     got_p = sorted(
@@ -107,7 +119,7 @@ def test_any_op_sequence_equals_rebuild(spark, script, seed, monkeypatch):
 
     # the serving path agrees too (rounded-score contract)
     if live:
-        q = docs_df(sorted(live)[:2])
+        q = docs_df(dict(sorted(live.items())[:2]))
         got_q = BM.bm25_topk_from_disk(spark, path, q, k=5, score_round=6)
         want_q = BM.bm25_topk(q, want_idx, k=5, score_round=6)
         assert sorted(map(tuple, got_q.collect())) == sorted(
