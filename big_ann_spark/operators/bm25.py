@@ -553,8 +553,13 @@ def bm25_topk_from_disk(
     # survives a wide query batch (DPP only fires when a SELECTIVE
     # predicate reaches the probe side, which a decontamination-shaped
     # batch doesn't have).
-    buckets = [r._tb for r in q.select("_tb").distinct().collect()]
-    postings = idx.postings.filter(F.col("_tb").isin(buckets))
+    # ONE probe job over the (checkpointed, tiny) query side gets both
+    # the bucket set and the exact vocabulary size
+    probe = q.agg(
+        F.collect_set("_tb").alias("tbs"),
+        F.countDistinct("term").alias("n_terms"),
+    ).collect()[0]
+    postings = idx.postings.filter(F.col("_tb").isin(list(probe.tbs)))
     # push the query vocabulary onto the scan as an In predicate IF it
     # is small: bucket pruning bounds the DIRECTORIES read, but a
     # narrow query batch probes few buckets and the equi-join alone
@@ -566,16 +571,11 @@ def bm25_topk_from_disk(
     # has 10⁴–10⁵ distinct terms, and SCALE.md measured a 20k-literal
     # isin costing 18–44 s per scan vs broadcast-join 1.7–8.1 s on the
     # vector index — past the cap the broadcast join + static bucket
-    # pruning carry the plan alone. The probe collects at most cap+1
-    # rows (LIMIT), so driver memory is bounded either way.
-    if max_pushdown_terms:
-        probe = (
-            q.select("term").distinct().limit(max_pushdown_terms + 1).collect()
-        )
-        if len(probe) <= max_pushdown_terms:
-            postings = postings.filter(
-                F.col("term").isin([r.term for r in probe])
-            )
+    # pruning carry the plan alone. The term list is only ever
+    # collected when it is under the cap, so driver memory is bounded.
+    if max_pushdown_terms and probe.n_terms <= max_pushdown_terms:
+        terms_list = [r.term for r in q.select("term").distinct().collect()]
+        postings = postings.filter(F.col("term").isin(terms_list))
     hits = _drop_tombstoned(
         postings.join(F.broadcast(q), ["_tb", "term"]).drop("_tb"),
         idx.tombstones,
