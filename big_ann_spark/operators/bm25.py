@@ -237,13 +237,14 @@ def _glob_op_ids(spark, pattern: str) -> set[int]:
 
 
 def _op_ids_on_disk(spark, path: str) -> set[int]:
-    """Every op id with ANY bytes on disk (committed or in-flight)."""
-    ids = (
-        _glob_op_ids(spark, f"{path}/postings.parquet/_tb=*/_mb=*")
-        | _glob_op_ids(spark, f"{path}/dfs_delta.parquet/_mb=*")
-        | _glob_op_ids(spark, f"{path}/stats_delta.parquet/_mb=*")
-        | _glob_op_ids(spark, f"{path}/tombstones.parquet/_mb=*")
-    )
+    """Every op id with ANY bytes on disk (committed or in-flight).
+
+    stats_delta is the OP-ID LEDGER: every op writes exactly one
+    stats_delta partition and writes it FIRST (:func:`_land_op`), so
+    this single O(ops) glob sees every op that has any bytes anywhere
+    — globbing the postings table instead would walk O(buckets × ops)
+    directory entries per index open, a real cost on object stores."""
+    ids = _glob_op_ids(spark, f"{path}/stats_delta.parquet/_mb=*")
     ids.discard(_BASE_EPOCH)
     return ids
 
@@ -691,6 +692,13 @@ def _land_op(
         # the SAME batch — dynamic overwrite alone is exact there)
         _purge_op(spark, path, int(op_id))
     mb = F.lit(int(op_id))
+    # stats_delta lands FIRST: it is the op-id ledger
+    # (_op_ids_on_disk) — any later crash leaves the id discoverable
+    # by the single O(ops) glob, so readers exclude the half-op and
+    # the next auto-id op reclaims it
+    _write_op_partitions(
+        stats_delta.withColumn("_mb", mb), f"{path}/stats_delta.parquet", ["_mb"]
+    )
     if postings is not None:
         _write_op_partitions(
             _bucketed_postings(postings, n_buckets, int(op_id)),
@@ -708,9 +716,6 @@ def _land_op(
         )
     _write_op_partitions(
         dfs_delta.withColumn("_mb", mb), f"{path}/dfs_delta.parquet", ["_mb"]
-    )
-    _write_op_partitions(
-        stats_delta.withColumn("_mb", mb), f"{path}/stats_delta.parquet", ["_mb"]
     )
     if tombstones is not None:
         _write_op_partitions(

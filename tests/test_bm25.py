@@ -469,3 +469,39 @@ def test_delete_batch_with_duplicate_rows(spark, corpus, tmp_path):
     )
     g, w = got.stats.collect()[0], want.stats.collect()[0]
     assert g.n_docs == w.n_docs and g.avgdl == pytest.approx(w.avgdl)
+
+
+def test_crash_between_ledger_and_postings(spark, corpus, tmp_path, monkeypatch):
+    """stats_delta is the op-id ledger and lands FIRST — a crash after
+    it but before the postings write must leave a half-op that is (a)
+    invisible to readers and (b) discoverable by the single-ledger
+    glob, so the next auto-id op reclaims it."""
+    from big_ann_spark.operators import bm25 as BM
+
+    path = str(tmp_path / "idx")
+    old = corpus.filter(F.col("doc_id") <= 3)
+    delta = corpus.filter(F.col("doc_id") > 3)
+    BM.write_bm25_index(BM.bm25_index(old), path, n_term_buckets=8)
+
+    orig = BM._write_op_partitions
+
+    def boom(df, target, cols):
+        if "postings.parquet" in target:
+            raise RuntimeError("crash mid-op")
+        return orig(df, target, cols)
+
+    monkeypatch.setattr(BM, "_write_op_partitions", boom)
+    with pytest.raises(RuntimeError):
+        BM.merge_bm25_index(spark, path, delta)
+    monkeypatch.undo()
+
+    # half-op (ledger only, no postings) invisible on every read path
+    st = BM.read_bm25_index(spark, path).stats.collect()[0]
+    assert st.n_docs == old.count()
+    assert BM.uncommitted_op_ids(spark, path) == [0]
+
+    # recovery: the auto-allocated id reclaims the crashed ledger entry
+    assert BM.merge_bm25_index(spark, path, delta) == 0
+    got = BM.bm25_topk_from_disk(spark, path, corpus, k=3, score_round=6)
+    want = bm25_topk(corpus, BM.bm25_index(corpus), k=3, score_round=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
