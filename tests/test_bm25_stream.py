@@ -226,3 +226,28 @@ def test_export_to_batch_layout_runs_batch_ops_unmodified(spark):
     got2 = bm25_topk_from_disk(spark, dst, q, k=4, score_round=6)
     want2 = bm25_topk(q, bm25_index(kept), k=4, score_round=6)
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
+
+
+def test_cli_export_and_empty_stream_error(spark, tmp_path):
+    from big_ann_spark.cli import main
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_TEXTS, _SCHEMA).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert main(["bm25-stream-ingest", src, idx]) == 0
+    dst = str(tmp_path / "batch")
+    assert main(["bm25-export", idx, dst, "--term-buckets", "8"]) == 0
+    from big_ann_spark.operators.bm25 import bm25_topk_from_disk
+
+    q = spark.createDataFrame(_TEXTS[:2], _SCHEMA)
+    got = bm25_topk_from_disk(spark, dst, q, k=3, score_round=6)
+    want = bm25_topk(q, bm25_index(spark.createDataFrame(_TEXTS, _SCHEMA)),
+                     k=3, score_round=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # a stream with no committed batches fails LOUDLY, creating nothing
+    empty = str(tmp_path / "empty_stream")
+    import os
+    os.makedirs(empty, exist_ok=True)
+    assert main(["bm25-export", empty, str(tmp_path / "nope")]) == 2
+    assert not os.path.exists(str(tmp_path / "nope"))
