@@ -148,6 +148,11 @@ def _build_parser() -> argparse.ArgumentParser:
     bs.add_argument("--id-col", default="doc_id")
     bs.add_argument("--text-col", default="text")
     bs.add_argument("--max-df", type=int, default=None)
+    bs.add_argument(
+        "--as-of", type=int, default=None,
+        help="snapshot read: the index as of this op id (-1 = the "
+        "pristine base build); batch layout only",
+    )
     bs.add_argument("--out", default=None)
     bs.add_argument("--show", type=int, default=20)
 
@@ -638,6 +643,10 @@ def main(argv: list[str] | None = None) -> int:
             # streamed layout (bm25-stream-ingest): query the live view
             from big_ann_spark.streaming.bm25_stream import live_bm25_index
 
+            if args.as_of is not None:
+                print("--as-of applies to the batch layout only",
+                      file=sys.stderr)
+                return 2
             live = live_bm25_index(spark, args.index)
             if live is None:
                 print("index has no committed batches", file=sys.stderr)
@@ -650,6 +659,7 @@ def main(argv: list[str] | None = None) -> int:
             out = BM.bm25_topk_from_disk(
                 spark, args.index, q, k=args.k,
                 id_col=args.id_col, text_col=args.text_col, max_df=args.max_df,
+                as_of=args.as_of,
             )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)

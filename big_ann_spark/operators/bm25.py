@@ -446,14 +446,23 @@ def _drop_tombstoned(postings: DataFrame, tombstones: DataFrame | None) -> DataF
     return postings.drop("_mb")
 
 
-def _open_bm25_index(spark, path: str) -> _DiskIndex:
+def _open_bm25_index(spark, path: str, as_of: int | None = None) -> _DiskIndex:
+    """``as_of``: snapshot read — only ops with id ≤ ``as_of`` are
+    visible (the base epoch always is; ``as_of=-1`` is the pristine
+    base). A RANGE predicate on the ``_mb`` partition column plus the
+    usual tiny NOT-IN over in-flight ids, so old snapshots stay as
+    cheap as the head: the filter never grows with history."""
     n_buckets = _n_term_buckets(spark, path)
     uncommitted = sorted(_op_ids_on_disk(spark, path) - _committed_ops(spark, path))
+    if as_of is not None:
+        uncommitted = [b for b in uncommitted if b <= as_of]
 
     def _committed_only(df: DataFrame) -> DataFrame:
         # NOT-IN over the tiny in-flight set (a static partition-column
         # filter — pruned at planning, never isin(committed) whose
         # literal list grows per op)
+        if as_of is not None:
+            df = df.filter(F.col("_mb") <= int(as_of))
         if uncommitted:
             df = df.filter(~F.col("_mb").isin([int(b) for b in uncommitted]))
         return df
@@ -500,13 +509,20 @@ def _open_bm25_index(spark, path: str) -> _DiskIndex:
     )
 
 
-def read_bm25_index(spark, path: str) -> Bm25Index:
+def read_bm25_index(spark, path: str, *, as_of: int | None = None) -> Bm25Index:
     """The LOGICAL index over a persisted layout — committed ops only,
     tombstoned rows removed (latest-op-wins, see
     :func:`_drop_tombstoned`), deltas folded into dfs/stats. postings
     keep the ``_tb`` partition column (in-memory :func:`bm25_topk`
-    ignores it)."""
-    idx = _open_bm25_index(spark, path)
+    ignores it).
+
+    ``as_of``: SNAPSHOT read — the index exactly as it stood after op
+    ``as_of`` committed (``-1`` = the pristine base build). The
+    op-delta layout makes time travel a partition-range filter: no
+    extra storage, no replay, old snapshots cost the same as the head.
+    The reproducibility contract a training run wants — score against
+    the index as of the corpus snapshot it trained on — for free."""
+    idx = _open_bm25_index(spark, path, as_of)
     return Bm25Index(
         postings=_drop_tombstoned(idx.postings, idx.tombstones),
         dfs=idx.dfs,
@@ -531,6 +547,7 @@ def bm25_topk_from_disk(
     exclude_self: bool = False,
     score_round: int | None = None,
     max_pushdown_terms: int = MAX_PUSHDOWN_TERMS,
+    as_of: int | None = None,
 ) -> DataFrame:
     """BM25 top-k against a persisted index reading ONLY the term
     buckets the query batch touches: the query batch's distinct bucket
@@ -539,8 +556,9 @@ def bm25_topk_from_disk(
     filter, so pruning happens at planning time with no DPP subquery
     run (plan-pinned in tests/test_bm25.py) and the from-disk read is
     O(query vocabulary), not O(index). Tombstoned (deleted) docs are
-    anti-joined out of the hits before scoring."""
-    idx = _open_bm25_index(spark, path)
+    anti-joined out of the hits before scoring. ``as_of`` queries a
+    SNAPSHOT (see :func:`read_bm25_index`)."""
+    idx = _open_bm25_index(spark, path, as_of)
     tb_t = dict(idx.postings.dtypes)["_tb"]
     q = terms(queries, id_col=id_col, text_col=text_col).select(
         F.col("id").alias("qid"), "term", F.col("tf").alias("qtf"),

@@ -505,3 +505,61 @@ def test_crash_between_ledger_and_postings(spark, corpus, tmp_path, monkeypatch)
     got = BM.bm25_topk_from_disk(spark, path, corpus, k=3, score_round=6)
     want = bm25_topk(corpus, BM.bm25_index(corpus), k=3, score_round=6)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_as_of_snapshot_reads(spark, corpus, tmp_path):
+    """Time travel over the op-delta layout: as_of=N is the index
+    exactly as it stood after op N (a partition-range filter — no
+    replay, no extra storage), for every point in a
+    build -> merge -> delete -> replace history."""
+    from big_ann_spark.operators.bm25 import (
+        bm25_index,
+        bm25_topk_from_disk,
+        delete_from_bm25_index,
+        merge_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    path = str(tmp_path / "idx")
+    base = corpus.filter(F.col("doc_id") <= 3)
+    write_bm25_index(bm25_index(base), path, n_term_buckets=8)
+    op0 = merge_bm25_index(spark, path, corpus.filter(F.col("doc_id") > 3))
+    op1 = delete_from_bm25_index(spark, path, corpus.filter(F.col("doc_id") == 4))
+    new4 = spark.createDataFrame(
+        [(4, "fox terrier chases the ball")], "doc_id long, text string"
+    )
+    op2 = merge_bm25_index(spark, path, new4)
+    assert (op0, op1, op2) == (0, 1, 2)
+
+    snapshots = {
+        -1: base,
+        0: corpus,
+        1: corpus.filter(F.col("doc_id") != 4),
+        2: corpus.filter(F.col("doc_id") != 4).unionByName(new4),
+    }
+    for as_of, want_corpus in snapshots.items():
+        want = bm25_index(want_corpus)
+        got = read_bm25_index(spark, path, as_of=as_of)
+        assert sorted(
+            map(tuple, got.postings.select("doc", "term", "tf", "dl").collect())
+        ) == sorted(map(tuple, want.postings.collect())), f"as_of={as_of}"
+        assert sorted(map(tuple, got.dfs.collect())) == sorted(
+            map(tuple, want.dfs.collect())
+        ), f"as_of={as_of}"
+        g, w = got.stats.collect()[0], want.stats.collect()[0]
+        assert g.n_docs == w.n_docs and g.avgdl == pytest.approx(w.avgdl)
+
+        q = spark.createDataFrame([(9, "fox and dog")], "doc_id long, text string")
+        got_q = bm25_topk_from_disk(spark, path, q, k=5, score_round=6, as_of=as_of)
+        want_q = bm25_topk(q, want, k=5, score_round=6)
+        assert sorted(map(tuple, got_q.collect())) == sorted(
+            map(tuple, want_q.collect())
+        ), f"as_of={as_of}"
+
+    # omitting as_of reads the head (== as_of=latest)
+    head = read_bm25_index(spark, path)
+    as2 = read_bm25_index(spark, path, as_of=2)
+    assert sorted(map(tuple, head.dfs.collect())) == sorted(
+        map(tuple, as2.dfs.collect())
+    )
