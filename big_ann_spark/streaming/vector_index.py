@@ -115,14 +115,18 @@ def stream_vector_index_ingest(
     )
 
 
-def _committed_scan(spark: SparkSession, path: str) -> DataFrame | None:
+def _committed_scan(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame | None:
     """Scan of every committed row of the index, or None for an index
     with no data directory at all. Crashed/in-flight batches are
     excluded by a NOT-IN over the (tiny, O(in-flight)) uncommitted id
     set — NOT an ``isin(committed)`` whose literal list grows one entry
     per batch between compactions (VERDICT r7 #6); both are partition
     predicates on ``_batch_id``, but this one stays O(1)-sized over
-    arbitrarily long uncompacted runs."""
+    arbitrarily long uncompacted runs. ``as_of`` restricts to batches
+    ≤ that id (a partition-RANGE predicate — snapshot reads cost the
+    same as the head; the compaction base epoch −1 is always ≤)."""
     import os
 
     if not os.path.isdir(f"{path}/data"):
@@ -133,7 +137,11 @@ def _committed_scan(spark: SparkSession, path: str) -> DataFrame | None:
         # the SOURCE's schema (an ingested array<double> corpus must not
         # suddenly read as array<float> just because the view is empty)
         return raw.limit(0)
+    if as_of is not None:
+        raw = raw.filter(F.col("_batch_id") <= int(as_of))
     uncommitted = uncommitted_batch_ids(path)
+    if as_of is not None:
+        uncommitted = [b for b in uncommitted if b <= as_of]
     if uncommitted:
         raw = raw.filter(~F.col("_batch_id").isin(uncommitted))
     return raw
@@ -156,11 +164,19 @@ def _resolve_latest(raw: DataFrame) -> DataFrame:
     )
 
 
-def live_vectors(spark: SparkSession, path: str) -> DataFrame:
+def live_vectors(
+    spark: SparkSession, path: str, *, as_of: int | None = None
+) -> DataFrame:
     """The index's current live view: per ``vec_id``, the latest
     committed operation wins (delete beats insert within the same
     batch); deleted ids are absent. Returns ``(vec_id, embedding,
     shard_id)`` — directly searchable by ``operators/ann.ivf_search``.
+
+    ``as_of``: SNAPSHOT view — the state after batch ``as_of``
+    committed (the same time-travel contract the BM25 layout's
+    ``read_bm25_index(as_of=...)`` gives; only meaningful for batches
+    still on disk, i.e. since the last compaction — compaction folds
+    history into the −1 base epoch by design).
 
     One hash aggregate on vec_id; tombstones are 8-byte rows from the
     reserved shard so the "latest op" resolution never reads data-shard
@@ -172,7 +188,7 @@ def live_vectors(spark: SparkSession, path: str) -> DataFrame:
     full-view exports. Search must not pay it per query batch:
     ``search_index`` resolves only the contested subset and keeps the
     probed-shard scan partition-pruned (VERDICT r7 #1)."""
-    raw = _committed_scan(spark, path)
+    raw = _committed_scan(spark, path, as_of)
     if raw is None:
         # an index that never landed a batch (empty runbook source) is
         # EMPTY, not an error — only here is there no on-disk schema to

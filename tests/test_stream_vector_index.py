@@ -444,3 +444,39 @@ def test_crash_restart_exactly_once(spark, crash_point):
         .count()
     )
     assert dupes == 0
+
+
+def test_live_view_as_of_snapshots(spark):
+    """Snapshot reads (the BM25 layout's as_of contract, mirrored):
+    as_of=N is the live view exactly as of committed batch N — each
+    point of an insert -> delete -> re-insert runbook must equal the
+    state after that batch."""
+    src = tempfile.mkdtemp(prefix="vi_src_")
+    _write_batches(
+        spark,
+        src,
+        [
+            _rows([1, 2, 101]),                        # batch 0
+            _rows([2], op="delete") + _rows([201]),    # batch 1
+            _rows([2]),                                # batch 2: re-insert
+        ],
+    )
+    path = tempfile.mkdtemp(prefix="vi_idx_")
+    VI.stream_vector_index_ingest(
+        _stream(spark, src), path, _centroids(spark), op_col="op", dim=4
+    )
+
+    want = {
+        0: {1, 2, 101},
+        1: {1, 101, 201},
+        2: {1, 2, 101, 201},
+    }
+    for as_of, ids in want.items():
+        got = {
+            r.vec_id
+            for r in VI.live_vectors(spark, path, as_of=as_of).collect()
+        }
+        assert got == ids, f"as_of={as_of}"
+    # head view == latest snapshot
+    head = {r.vec_id for r in VI.live_vectors(spark, path).collect()}
+    assert head == want[2]
