@@ -646,3 +646,150 @@ def sq8_knn(
     return top_k_per_group(
         exact, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization — the 32× tier below SQ8.
+#
+# Public construction: binary hashing / sign-random-projection descends
+# from Charikar (STOC 2002) SimHash; thresholded per-dimension sign
+# codes with Hamming scoring are the "binary quantization" tier in
+# every large-scale vector system (FAISS IndexBinaryFlat shape). A
+# d=64 float32 vector is 256 bytes; its sign code is d bits = 8 bytes.
+# At 100 TB of raw vectors the binary scan reads ~3 TB — and the
+# scoring op is XOR+popcount, the cheapest distance arithmetic there
+# is. Recall is recovered by exact re-ranking a small candidate set,
+# same two-tier contract as ``sq8_knn``.
+#
+# Threshold choice: per-dimension MIDRANGE (mn+mx)/2, not the mean —
+# min/max carry no summation-order noise, so Spark and the DuckDB
+# oracle derive bit-identical thresholds and therefore bit-identical
+# codes (a mean would drift with aggregation order and could flip a
+# bit on a value sitting at the boundary).
+# ---------------------------------------------------------------------------
+
+BINARY_WORD_BITS = 32  # bits packed per bigint word: 2^31 < 2^63 keeps
+# every weight, partial sum, and the SQL mirror's `1::BIGINT << j`
+# firmly inside non-negative signed-64 range in BOTH engines (packing
+# 64 bits per word would put bit 63 on the sign bit, where two's-
+# complement rendering and shift-overflow semantics diverge across
+# engines).
+
+
+def train_binary(df: DataFrame, *, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension midrange thresholds for sign-bit codes — one
+    map-side-combined posexplode aggregate (the ``train_sq8`` scan),
+    d tiny rows to the driver."""
+    mins, maxs = train_sq8(df, vec_col=vec_col)
+    return [(mn + mx) / 2 for mn, mx in zip(mins, maxs)]
+
+
+def binarize_col(vec_col, thresholds: list[float], *, word_bits: int = BINARY_WORD_BITS):
+    """``array<bigint>`` packed sign-bit code for a vector column:
+    word ``w`` holds bits ``j`` for dims ``w·word_bits + j``, weight
+    ``2^j``, bit set iff ``v[dim] > threshold[dim]``.
+
+    Pure column expression over broadcast-literal thresholds — codegen,
+    zero exchanges, zero Python. Built with higher-order lambdas (not a
+    static unroll) so the expression tree stays O(1) in d and survives
+    d = 1024+ without blowing the codegen budget. Out-of-range dims
+    (d not a multiple of word_bits) read NULL via ``get`` and
+    contribute 0."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = col.cast("array<double>")
+    d = len(thresholds)
+    n_words = (d + word_bits - 1) // word_bits
+    thr = F.array(*[F.lit(float(t)) for t in thresholds])
+    w2 = F.array(*[F.lit(1 << j).cast("long") for j in range(word_bits)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(word_bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.get(v, w * word_bits + j) > F.get(thr, w * word_bits + j),
+                F.get(w2, j),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
+def hamming_distance(a, b):
+    """Hamming distance between two packed-code columns:
+    ``Σ_w popcount(a_w XOR b_w)`` — integer-exact, so oracle hashes
+    can never drift."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ac, bc, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming_knn(
+    queries: DataFrame,
+    codes: DataFrame,
+    k: int = 10,
+    *,
+    query_id: str = "qid",
+    query_codes: str = "qcodes",
+    id_col: str = "id",
+    codes_col: str = "codes",
+    exclude_self: bool = False,
+    rerank_with: DataFrame | None = None,
+    rerank_vec: str = "embedding",
+    rerank_query_vec: str = "qvec",
+    rerank_metric: str = "l2",
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Top-k by Hamming distance over packed sign-bit codes
+    (broadcast query codes × code scan, WindowGroupLimit top-k —
+    the exact_knn plan shape on 32×-smaller data).
+
+    Returns (qid, neighbor_id, dist, rank) with ``dist`` the integer
+    Hamming distance (as double, exact). Pass ``rerank_with`` — a
+    table carrying BOTH the raw base vectors and, under
+    ``rerank_query_vec``, raw query vectors joined by qid — to fetch
+    ``rerank_factor·k`` Hamming candidates and re-rank them by exact
+    L2 or cosine distance: candidates-only access to the raw vectors,
+    the binary-then-refine tier."""
+    from big_ann_spark.functions.vector import cosine_similarity, l2_distance
+
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_codes).alias("_qc")
+    )
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        "qid",
+        F.col(id_col).alias("neighbor_id"),
+        hamming_distance("_qc", codes_col).cast("double").alias("dist"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("qid"))
+    kk = k * rerank_factor if rerank_with is not None else k
+    cand = top_k_per_group(
+        scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], kk
+    )
+    if rerank_with is None:
+        return cand
+    raw = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), F.col(rerank_vec).alias("_rv")
+    )
+    qraw = queries.select(
+        F.col(query_id).alias("qid"), F.col(rerank_query_vec).alias("_qv")
+    )
+    exact_dist = (
+        l2_distance("_qv", "_rv")
+        if rerank_metric == "l2"
+        else (1.0 - cosine_similarity("_qv", "_rv"))
+    )
+    exact = (
+        cand.drop("dist", "rank")
+        .join(raw, "neighbor_id")
+        .join(F.broadcast(qraw), "qid")
+        .select("qid", "neighbor_id", exact_dist.alias("dist"))
+    )
+    return top_k_per_group(
+        exact, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+    )

@@ -150,15 +150,77 @@ d AS (
                / (q.qn * e.nrm) AS dist
   FROM n e CROSS JOIN q WHERE e.vec_id <> q.qid
 ),
-r AS (SELECT qid, neighbor_id, dist,
-             row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
-      FROM d)
-SELECT qid, neighbor_id, ROUND(dist, 6) AS cos_dist, rk::INTEGER AS rank
-FROM r WHERE rk <= 5
+cosr AS (
+  SELECT 'cosine' AS variant, qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
+  FROM (SELECT qid, neighbor_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+        FROM d)
+  WHERE rk <= 5
+),
+thrs AS (
+  SELECT list((mn + mx) / 2 ORDER BY i) AS t
+  FROM (SELECT i, MIN(v) AS mn, MAX(v) AS mx
+        FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+                     unnest(range(1, len(embedding)+1)) AS i
+              FROM embeddings)
+        GROUP BY i)
+),
+codes AS (
+  SELECT e.vec_id,
+         list_transform(range(0, 2), w ->
+           list_sum(list_transform(range(0, 32), j ->
+             CASE WHEN e.v[w*32 + j + 1] > s.t[w*32 + j + 1]
+                  THEN (1::BIGINT << j) ELSE 0::BIGINT END))) AS code
+  FROM emb e, thrs s
+),
+qc AS (SELECT vec_id AS qid, code AS qcode FROM codes WHERE vec_id < 10),
+hd AS (
+  SELECT qc.qid, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 3),
+           w -> bit_count(xor(c.code[w], qc.qcode[w]))::BIGINT))::DOUBLE AS dist
+  FROM codes c CROSS JOIN qc WHERE c.vec_id <> qc.qid
+),
+hamr AS (
+  SELECT 'hamming' AS variant, qid, neighbor_id, dist, rk::INTEGER AS rank
+  FROM (SELECT qid, neighbor_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+        FROM hd)
+  WHERE rk <= 5
+),
+hcand AS (
+  SELECT qid, neighbor_id
+  FROM (SELECT qid, neighbor_id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+        FROM hd)
+  WHERE rk <= 20
+),
+hre AS (
+  SELECT h.qid, h.neighbor_id,
+         1.0 - list_sum(list_transform(range(1, len(e.v)+1), i -> q.qv[i]*e.v[i]))
+               / (q.qn * e.nrm) AS dist
+  FROM hcand h JOIN n e ON e.vec_id = h.neighbor_id JOIN q ON q.qid = h.qid
+),
+hrer AS (
+  SELECT 'hamming_rerank' AS variant, qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
+  FROM (SELECT qid, neighbor_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+        FROM hre)
+  WHERE rk <= 5
+)
+SELECT * FROM cosr UNION ALL SELECT * FROM hamr UNION ALL SELECT * FROM hrer
 """,
 )
 def knn_cosine_top5(spark, sf_dir):
-    """J5 as a top-k query: cosine-distance kNN (self excluded)."""
+    """J5 + the binary-quantization tier as one tagged union:
+    - ``cosine``: exact cosine-distance kNN, self excluded (J5);
+    - ``hamming``: top-5 by Hamming distance over packed sign-bit
+      codes (operators.pq.binarize_col — midrange thresholds, 32-bit
+      words, XOR+popcount scoring; the 32×-compressed scan tier);
+    - ``hamming_rerank``: 4·k Hamming candidates re-ranked by exact
+      cosine — the binary-then-refine production path, certified
+      end-to-end (candidate selection AND refinement hashes must both
+      match the oracle).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("_qv"))
@@ -170,8 +232,53 @@ def knn_cosine_top5(spark, sf_dir):
     )
     from big_ann_spark.operators.topk import top_k_per_group
 
-    out = top_k_per_group(scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 5)
-    return out.select("qid", "neighbor_id", F.round("dist", 6).alias("cos_dist"), "rank")
+    cos = top_k_per_group(
+        scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 5
+    ).select(
+        F.lit("cosine").alias("variant"),
+        "qid",
+        "neighbor_id",
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+
+    from big_ann_spark.operators.pq import binarize_col, hamming_knn, train_binary
+
+    thr = train_binary(emb)
+    codes = emb.select(
+        F.col("vec_id").alias("id"),
+        binarize_col("embedding", thr).alias("codes"),
+    )
+    qcodes = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            binarize_col("embedding", thr).alias("qcodes"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    ham = hamming_knn(
+        qcodes, codes, k=5, query_codes="qcodes", exclude_self=True
+    ).select(
+        F.lit("hamming").alias("variant"), "qid", "neighbor_id", "dist", "rank"
+    )
+    ham_rr = hamming_knn(
+        qcodes,
+        codes,
+        k=5,
+        query_codes="qcodes",
+        exclude_self=True,
+        rerank_with=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        rerank_metric="cosine",
+        rerank_factor=4,
+    ).select(
+        F.lit("hamming_rerank").alias("variant"),
+        "qid",
+        "neighbor_id",
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+    return cos.unionByName(ham).unionByName(ham_rr)
 
 
 @register(
