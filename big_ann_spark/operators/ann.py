@@ -80,6 +80,9 @@ def ivf_search_from_disk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    codec: str = "raw",
+    rerank_factor: int = 4,
+    max_id_pushdown: int = 100_000,
 ) -> DataFrame:
     """``ivf_search`` straight off a ``write_sharded`` layout path:
     route first, open only the probed shard directories
@@ -87,7 +90,18 @@ def ivf_search_from_disk(
     on a cold session drops from the full-layout listing walk to the
     probed-set read — the rest of the plan is identical to
     ``ivf_search(static_prune=True)`` (the explicit paths subsume the
-    ``isin`` partition filter)."""
+    ``isin`` partition filter).
+
+    ``codec="sq8"`` (layout written with ``sq8_ranges``): the candidate
+    pass scans ONLY the ``codes`` column of the probed shards — parquet
+    column pruning drops the raw float32 vectors, ~4× less IO on the
+    dominant phase — scoring decoded bucket midpoints in whole-stage
+    codegen. The top-``k·rerank_factor`` quantized candidates are then
+    re-ranked exactly: their ids (bounded by Q·k·rerank_factor, and
+    In-pushed only while ≤ ``max_id_pushdown`` — the BM25
+    MAX_PUSHDOWN_TERMS lesson) fetch raw vectors from the id-sorted
+    shard files with row-group/page skipping, so the raw column is read
+    at candidate granularity, not probed-shard granularity."""
     spark = queries.sparkSession
     routed = route_queries(
         queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim
@@ -96,18 +110,78 @@ def ivf_search_from_disk(
         r["shard_id"] for r in routed.select("shard_id").distinct().collect()
     ]
     shards = open_probed_shards(spark, path, probe_ids)
-    return ivf_search(
-        queries,
-        shards,
-        centroids,
-        k,
-        nprobe,
-        query_id=query_id,
-        query_vec=query_vec,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-        _routed=routed,
+    if codec == "raw":
+        return ivf_search(
+            queries,
+            shards,
+            centroids,
+            k,
+            nprobe,
+            query_id=query_id,
+            query_vec=query_vec,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            _routed=routed,
+        )
+    if codec != "sq8":
+        raise ValueError(f"unknown codec {codec!r}; use 'raw' or 'sq8'")
+    pool = sq8_pool(
+        routed, shards, path, k * rerank_factor, id_col=id_col, dim=dim
+    ).localCheckpoint()  # tiny; reused by the id collect AND the join
+    cand_ids = [
+        r["neighbor_id"] for r in pool.select("neighbor_id").distinct().collect()
+    ]
+    raw = shards.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    if len(cand_ids) <= max_id_pushdown:
+        raw = raw.filter(F.col("neighbor_id").isin(cand_ids))
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("_qv")
+    )
+    exact = (
+        raw.join(F.broadcast(pool.select("qid", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid", "neighbor_id", l2_distance("_qv", vec_col, dim).alias("dist")
+        )
+    )
+    return top_k_per_group(
+        exact, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def sq8_pool(
+    routed: DataFrame,
+    shards: DataFrame,
+    path: str,
+    k_pool: int,
+    *,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Quantized candidate pool of an SQ8 layout: score routed queries
+    against decoded bucket midpoints reading ONLY the ``codes`` column
+    (parquet column pruning keeps the raw float32 vectors out of the
+    scan — plan-pinned in tests), top-``k_pool`` per query by
+    (quantized dist, id). The exact-rerank tier consumes this."""
+    from big_ann_spark.operators.pq import sq8_decode_col
+
+    spark = routed.sparkSession
+    rng = spark.read.parquet(f"{path}/sq8.parquet").collect()[0]
+    mins, maxs = list(rng["mins"]), list(rng["maxs"])
+    cands = routed.join(
+        shards.select(
+            F.col(id_col).alias("neighbor_id"), F.col("codes"), "shard_id"
+        ),
+        "shard_id",
+    )
+    scored = cands.select(
+        "qid",
+        "neighbor_id",
+        l2_distance("qvec", sq8_decode_col("codes", mins, maxs), dim).alias("dist"),
+    )
+    return top_k_per_group(
+        scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool
     )
 
 

@@ -303,6 +303,7 @@ def write_sharded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     repartition_to: int | None = None,
+    sq8_ranges: tuple[list[float], list[float]] | None = None,
 ) -> None:
     """S7/S9 analog: persist the sharded layout —
     ``partitionBy(shard_id)`` parquet of (id, vec, dist) plus the
@@ -326,6 +327,28 @@ def write_sharded(
         if vec_col in assignments.columns
         else assignments.join(emb.select(id_col, vec_col), id_col)
     )
+    # sq8_ranges: (mins, maxs) from operators.pq.train_sq8 — adds an
+    # SQ8 `codes` column (array<smallint>; parquet dictionary-encodes
+    # the ≤256 distinct values to ~1 byte/dim on disk vs 4 for float32)
+    # next to the raw vectors and persists the ranges at
+    # {path}/sq8.parquet. A search then scans ONLY the codes column for
+    # candidate scoring (parquet column pruning = ~4× less IO on the
+    # dominant pass) and touches the raw column just for the top-k·rf
+    # rerank fetch. With codes present the in-file sort switches from
+    # dist to id_col so the rerank's bounded id-In pushdown gets
+    # parquet row-group/page skipping — point fetches instead of a
+    # probed-shard raw rescan.
+    if sq8_ranges is not None:
+        from big_ann_spark.operators.pq import sq8_encode_col
+
+        mins, maxs = sq8_ranges
+        with_vec = with_vec.withColumn(
+            "codes", sq8_encode_col(vec_col, mins, maxs).cast("array<smallint>")
+        )
+        assignments.sparkSession.createDataFrame(
+            [([float(v) for v in mins], [float(v) for v in maxs])],
+            "mins array<double>, maxs array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/sq8.parquet")
     if repartition_to:
         with_vec = with_vec.repartition(repartition_to, "shard_id")
     (
@@ -336,8 +359,12 @@ def write_sharded(
         # parquet" index artifact (SURVEY §1.1 ANN-index row).
         # shard_id must lead the sort: the dynamic-partition writer
         # requires ordering by the partition column and would otherwise
-        # insert its own non-stable sort, destroying the dist order
-        .sortWithinPartitions("shard_id", "dist")
+        # insert its own non-stable sort, destroying the dist order.
+        # (With SQ8 codes: sort by id instead — rerank point fetches
+        # need id row-group stats; see the sq8_ranges comment above.)
+        .sortWithinPartitions(
+            "shard_id", id_col if sq8_ranges is not None else "dist"
+        )
         .write.partitionBy("shard_id")
         .mode("overwrite")
         .parquet(f"{path}/shards")

