@@ -58,6 +58,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "projection AFTER partition pruning, so only probed shards "
         "ever decode)",
     )
+    b.add_argument(
+        "--sq8-refine",
+        action="store_true",
+        help="store SQ8 codes NEXT TO the float vectors (FAISS "
+        "SQ-then-refine shape): search scans only the codes column "
+        "for candidates (~4x less IO) and re-ranks the top pool "
+        "exactly from the raw column via bounded point fetches",
+    )
 
     bg = sub.add_parser(
         "build-graph",
@@ -490,6 +498,9 @@ def main(argv: list[str] | None = None) -> int:
         assign, cents, _model = SH.kmeans_shard(
             emb, m=args.m, id_col=args.id_col, vec_col=args.vec_col
         )
+        if args.sq8 and args.sq8_refine:
+            print("--sq8 and --sq8-refine are mutually exclusive", file=sys.stderr)
+            return 2
         if args.sq8:
             from big_ann_spark.operators import pq as PQ
 
@@ -504,12 +515,23 @@ def main(argv: list[str] | None = None) -> int:
             spark.createDataFrame(
                 [(mins, maxs)], "mins array<double>, maxs array<double>"
             ).write.mode("overwrite").parquet(f"{args.dst}/sq8_ranges.parquet")
+        elif args.sq8_refine:
+            from big_ann_spark.operators import pq as PQ
+
+            SH.write_sharded(
+                assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col,
+                sq8_ranges=PQ.train_sq8(emb, vec_col=args.vec_col),
+            )
         else:
             SH.write_sharded(
                 assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col
             )
         cents.write.mode("overwrite").parquet(f"{args.dst}/centroids.parquet")
-        tag = " (sq8 codes)" if args.sq8 else ""
+        tag = (
+            " (sq8 codes)" if args.sq8
+            else " (sq8 + refine)" if args.sq8_refine
+            else ""
+        )
         print(f"{emb.count()} vectors -> {args.m} shards at {args.dst}{tag}")
         return 0
 
@@ -560,13 +582,23 @@ def main(argv: list[str] | None = None) -> int:
         probe_ids = [
             r["shard_id"] for r in routed.select("shard_id").distinct().collect()
         ]
-        shards = _load_index_shards(
-            spark, args.index, args.id_col, args.vec_col, shard_ids=probe_ids
-        )
-        out = ANN.ivf_search(
-            q, shards, cents, k=args.k, nprobe=args.nprobe,
-            id_col=args.id_col, vec_col=args.vec_col, _routed=routed,
-        )
+        probed_cols = ANN.open_probed_shards(spark, args.index, probe_ids).columns
+        if "codes" in probed_cols and args.vec_col in probed_cols:
+            # --sq8-refine layout: quantized candidate scan (codes
+            # column only) + exact rerank from the raw column
+            out = ANN.ivf_search_from_disk(
+                q, args.index, cents, k=args.k, nprobe=args.nprobe,
+                id_col=args.id_col, vec_col=args.vec_col,
+                codec="sq8", pool_impl="arrow",
+            )
+        else:
+            shards = _load_index_shards(
+                spark, args.index, args.id_col, args.vec_col, shard_ids=probe_ids
+            )
+            out = ANN.ivf_search(
+                q, shards, cents, k=args.k, nprobe=args.nprobe,
+                id_col=args.id_col, vec_col=args.vec_col, _routed=routed,
+            )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             # count the WRITTEN parquet — re-counting `out` would

@@ -83,6 +83,7 @@ def ivf_search_from_disk(
     codec: str = "raw",
     rerank_factor: int = 4,
     max_id_pushdown: int = 100_000,
+    pool_impl: str = "fold",
 ) -> DataFrame:
     """``ivf_search`` straight off a ``write_sharded`` layout path:
     route first, open only the probed shard directories
@@ -127,7 +128,8 @@ def ivf_search_from_disk(
     if codec != "sq8":
         raise ValueError(f"unknown codec {codec!r}; use 'raw' or 'sq8'")
     pool = sq8_pool(
-        routed, shards, path, k * rerank_factor, id_col=id_col, dim=dim
+        routed, shards, path, k * rerank_factor,
+        id_col=id_col, dim=dim, impl=pool_impl,
     ).localCheckpoint()  # tiny; reused by the id collect AND the join
     cand_ids = [
         r["neighbor_id"] for r in pool.select("neighbor_id").distinct().collect()
@@ -158,17 +160,37 @@ def sq8_pool(
     *,
     id_col: str = "vec_id",
     dim: int | None = None,
+    impl: str = "fold",
+    rerank_margin: int = 5,
 ) -> DataFrame:
     """Quantized candidate pool of an SQ8 layout: score routed queries
     against decoded bucket midpoints reading ONLY the ``codes`` column
     (parquet column pruning keeps the raw float32 vectors out of the
     scan — plan-pinned in tests), top-``k_pool`` per query by
-    (quantized dist, id). The exact-rerank tier consumes this."""
+    (quantized dist, id). The exact-rerank tier consumes this.
+
+    ``impl``: ``"fold"`` is the codegen/oracle-shaped projection —
+    per-dim decode + sequential fold, bit-identical to the DuckDB
+    mirror. ``"arrow"`` is the scale path (the exact_knn/assign
+    pattern): mapInArrow decodes each batch with the IDENTICAL
+    arithmetic order, nominates candidates per (routed query, shard)
+    via one BLAS GEMM, and re-scores the nominated ≤ k_pool+margin
+    rows with the exact sequential fold — so emitted pools are
+    bit-equal to the fold impl (parity-tested) while the scan runs at
+    memory bandwidth instead of interpreted-expression speed (measured
+    ~6× on 2M×64, SCALE.md)."""
+    spark = routed.sparkSession
+    rng = spark.read.parquet(f"{path}/sq8_ranges.parquet").collect()[0]
+    mins, maxs = list(rng["mins"]), list(rng["maxs"])
+    if impl == "arrow":
+        return _sq8_pool_arrow(
+            routed, shards, mins, maxs, k_pool,
+            id_col=id_col, rerank_margin=rerank_margin,
+        )
+    if impl != "fold":
+        raise ValueError(f"impl must be 'fold' or 'arrow', got {impl!r}")
     from big_ann_spark.operators.pq import sq8_decode_col
 
-    spark = routed.sparkSession
-    rng = spark.read.parquet(f"{path}/sq8.parquet").collect()[0]
-    mins, maxs = list(rng["mins"]), list(rng["maxs"])
     cands = routed.join(
         shards.select(
             F.col(id_col).alias("neighbor_id"), F.col("codes"), "shard_id"
@@ -182,6 +204,108 @@ def sq8_pool(
     )
     return top_k_per_group(
         scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool
+    )
+
+
+def _sq8_pool_arrow(
+    routed: DataFrame,
+    shards: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    k_pool: int,
+    *,
+    id_col: str = "vec_id",
+    rerank_margin: int = 5,
+) -> DataFrame:
+    """BLAS scoring of the codes scan. Routing ships as one broadcast
+    (qids, qmat, shard→query-index lists); each Arrow batch decodes its
+    codes ONCE with the exact fold-order arithmetic
+    ``mn + ((c + 0.5) * (mx − mn)) / 255`` (numpy elementwise ops round
+    identically to the scalar expression, so decoded values are
+    bit-equal to ``sq8_decode_col``), scores only the (query, shard)
+    pairs the routing admits, and emits fold-exact distances for its
+    local top-(k_pool+margin) nominations."""
+    import numpy as np
+
+    from big_ann_spark.operators.knn import _exact_fold_l2
+
+    rrows = routed.select("qid", "qvec", "shard_id").collect()
+    qvec_by_id: dict[int, list[float]] = {}
+    shard_to_q: dict[int, list[int]] = {}
+    for r in rrows:
+        qvec_by_id.setdefault(r["qid"], [float(x) for x in r["qvec"]])
+    qids = np.array(sorted(qvec_by_id), dtype=np.int64)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    qmat = np.array([qvec_by_id[int(q)] for q in qids], dtype=np.float64)
+    for r in rrows:
+        shard_to_q.setdefault(int(r["shard_id"]), []).append(qpos[r["qid"]])
+    shard_to_q = {s: np.unique(np.array(v)) for s, v in shard_to_q.items()}
+    mn = np.array(mins, dtype=np.float64)
+    mx = np.array(maxs, dtype=np.float64)
+    sc = routed.sparkSession.sparkContext
+    bc = sc.broadcast((qids, qmat, shard_to_q, mn, mx))
+    n_cand = k_pool + rerank_margin
+
+    def part(batches):
+        import pyarrow as pa
+
+        from big_ann_spark.functions.arrowio import int_col, list_col_matrix
+
+        qids, qmat, shard_to_q, mn, mx = bc.value
+        qsq = (qmat * qmat).sum(axis=1)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = int_col(rb, id_col)
+            sh = int_col(rb, "shard_id")
+            codes = list_col_matrix(rb, "codes", np.float64)
+            # EXACT decode order: mn + ((c + 0.5) * (mx - mn)) / 255
+            X = mn + ((codes + 0.5) * (mx - mn)) / 255.0
+            out_q, out_n, out_d = [], [], []
+            for s in np.unique(sh):
+                qidx = shard_to_q.get(int(s))
+                if qidx is None or len(qidx) == 0:
+                    continue
+                rows = np.flatnonzero(sh == s)
+                sub, sub_ids = X[rows], ids[rows]
+                Q = qmat[qidx]
+                d2 = (
+                    qsq[qidx][:, None]
+                    + (sub * sub).sum(axis=1)[None, :]
+                    - 2.0 * (Q @ sub.T)
+                )
+                np.maximum(d2, 0.0, out=d2)
+                d = np.sqrt(d2)
+                kk = min(n_cand, d.shape[1])
+                part_idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                for qi in range(d.shape[0]):
+                    row = d[qi]
+                    thresh = row[part_idx[qi]].max()
+                    cand = np.flatnonzero(row <= thresh)
+                    order = np.lexsort((sub_ids[cand], row[cand]))[:kk]
+                    sel = cand[order]
+                    dists = _exact_fold_l2(Q[qi], sub[sel], sqrt=True)
+                    out_q.append(np.full(len(sel), qids[qidx[qi]], dtype=np.int64))
+                    out_n.append(sub_ids[sel])
+                    out_d.append(dists)
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_n), type=pa.int64()),
+                    pa.array(
+                        np.concatenate(out_d).astype(np.float64), type=pa.float64()
+                    ),
+                ],
+                names=["qid", "neighbor_id", "dist"],
+            )
+
+    partial = shards.select(
+        F.col(id_col), F.col("codes"), F.col("shard_id")
+    ).mapInArrow(part, schema="qid long, neighbor_id long, dist double")
+    return top_k_per_group(
+        partial, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool
     )
 
 

@@ -331,7 +331,8 @@ def write_sharded(
     # SQ8 `codes` column (array<smallint>; parquet dictionary-encodes
     # the ≤256 distinct values to ~1 byte/dim on disk vs 4 for float32)
     # next to the raw vectors and persists the ranges at
-    # {path}/sq8.parquet. A search then scans ONLY the codes column for
+    # {path}/sq8_ranges.parquet (the build-index --sq8 sidecar
+    # convention). A search then scans ONLY the codes column for
     # candidate scoring (parquet column pruning = ~4× less IO on the
     # dominant pass) and touches the raw column just for the top-k·rf
     # rerank fetch. With codes present the in-file sort switches from
@@ -348,7 +349,7 @@ def write_sharded(
         assignments.sparkSession.createDataFrame(
             [([float(v) for v in mins], [float(v) for v in maxs])],
             "mins array<double>, maxs array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/sq8.parquet")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/sq8_ranges.parquet")
     if repartition_to:
         with_vec = with_vec.repartition(repartition_to, "shard_id")
     (

@@ -311,7 +311,7 @@ def test_sq8_layout_roundtrip(spark, sf_dir):
     from big_ann_spark.operators.pq import sq8_encode_col
 
     emb, cents, path, (mins, maxs) = _sq8_layout(spark, sf_dir)
-    rng = spark.read.parquet(f"{path}/sq8.parquet").collect()[0]
+    rng = spark.read.parquet(f"{path}/sq8_ranges.parquet").collect()[0]
     assert list(rng["mins"]) == mins and list(rng["maxs"]) == maxs
     tbl = spark.read.parquet(f"{path}/shards")
     assert {"vec_id", "embedding", "codes", "shard_id"} <= set(tbl.columns)
@@ -396,3 +396,66 @@ def test_sq8_scan_plans(spark, sf_dir):
     read_schema_line = seg.split("ReadSchema")[1].splitlines()[0]
     assert "codes" not in read_schema_line
     assert "In(vec_id" in seg or "In(vec_id" in final_plan
+
+
+def test_sq8_pool_arrow_equals_fold(spark, sf_dir):
+    """The BLAS pool impl must be bit-identical to the fold impl —
+    decode order and fold re-score make it so (the exact_knn arrow
+    contract, applied to quantized scoring)."""
+    emb, cents, path, _ = _sq8_layout(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    routed = ANN.route_queries(queries, cents, 2).localCheckpoint()
+    probe_ids = [r["shard_id"] for r in routed.select("shard_id").distinct().collect()]
+    shards = ANN.open_probed_shards(spark, path, probe_ids)
+    fold = ANN.sq8_pool(routed, shards, path, 20, impl="fold")
+    arrow = ANN.sq8_pool(routed, shards, path, 20, impl="arrow")
+    a = sorted(map(tuple, fold.select("qid", "neighbor_id", "dist", "rank").collect()))
+    b = sorted(map(tuple, arrow.select("qid", "neighbor_id", "dist", "rank").collect()))
+    assert a == b and len(a) == 160  # bit-equal dists included
+
+
+def test_sq8_from_disk_arrow_pool_end_to_end(spark, sf_dir):
+    emb, cents, path, _ = _sq8_layout(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    fold = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=2, codec="sq8", pool_impl="fold"
+    )
+    arrow = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=2, codec="sq8", pool_impl="arrow"
+    )
+    a = sorted(map(tuple, fold.collect()))
+    b = sorted(map(tuple, arrow.collect()))
+    assert a == b and len(a) == 40
+
+
+def test_cli_build_index_sq8_refine_and_search(spark, sf_dir, tmp_path):
+    """--sq8-refine (FAISS SQ-then-refine shape): codes AND raw both
+    land; search auto-detects the two-tier layout, scans codes for
+    candidates and re-ranks exactly — so every returned dist matches
+    the float index's dist for the same (qid, neighbor) pair."""
+    from big_ann_spark.cli import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    idx_f = str(tmp_path / "idx_float")
+    idx_r = str(tmp_path / "idx_refine")
+    assert main(["build-index", src, idx_f, "--m", "5"]) == 0
+    assert main(["build-index", src, idx_r, "--m", "5", "--sq8-refine"]) == 0
+    cols = spark.read.parquet(f"{idx_r}/shards").columns
+    assert "codes" in cols and "embedding" in cols
+
+    out_f = str(tmp_path / "res_f.parquet")
+    out_r = str(tmp_path / "res_r.parquet")
+    for idx, out in [(idx_f, out_f), (idx_r, out_r)]:
+        assert main(
+            ["search", idx, src, "--k", "5", "--nprobe", "2", "--out", out]
+        ) == 0
+    f = {(r.qid, r.neighbor_id): r.dist for r in spark.read.parquet(out_f).collect()}
+    r_ = {(r.qid, r.neighbor_id): r.dist for r in spark.read.parquet(out_r).collect()}
+    common = set(f) & set(r_)
+    assert len(common) / len(f) >= 0.95, len(common) / len(f)
+    for key in common:
+        assert f[key] == r_[key]  # exact rerank: dists bit-equal
