@@ -102,6 +102,50 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--vec-col", default="embedding")
     s.add_argument("--out", default=None)
     s.add_argument("--show", type=int, default=20)
+    s.add_argument(
+        "--as-of", type=int, default=None,
+        help="snapshot search: the index exactly as of committed "
+        "mutation op N (-1 = pristine base build; default: head)",
+    )
+
+    iu = sub.add_parser(
+        "index-upsert",
+        help="insert-or-replace a vector batch into a build-index "
+        "layout as ONE exactly-once op (frozen centroids + "
+        "quantization ranges; the latest op per id wins)",
+    )
+    iu.add_argument("index", help="dir produced by build-index")
+    iu.add_argument("src", help="parquet with (id, vector) columns")
+    iu.add_argument("--id-col", default="vec_id")
+    iu.add_argument("--vec-col", default="embedding")
+    iu.add_argument(
+        "--op-id", type=int, default=None,
+        help="replay a specific op id (crash recovery); default: auto",
+    )
+
+    idl = sub.add_parser(
+        "index-delete",
+        help="tombstone vector ids out of a build-index layout "
+        "(reserved shard -1, never probed; dead bytes remain until "
+        "index-compact)",
+    )
+    idl.add_argument("index", help="dir produced by build-index")
+    idl.add_argument(
+        "src", nargs="?", default=None,
+        help="parquet whose FIRST column is the vector id",
+    )
+    idl.add_argument(
+        "--ids", default=None, help="comma-separated id list (instead of src)"
+    )
+    idl.add_argument("--op-id", type=int, default=None)
+
+    ic = sub.add_parser(
+        "index-compact",
+        help="copy-on-write compaction of a build-index layout: fold "
+        "upserts/deletes into a fresh pristine base",
+    )
+    ic.add_argument("src", help="dir produced by build-index")
+    ic.add_argument("dst", help="fresh index dir")
 
     vi = sub.add_parser(
         "vindex-ingest",
@@ -420,7 +464,12 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def _load_index_shards(
-    spark, index: str, id_col: str, vec_col: str, shard_ids: list[int] | None = None
+    spark,
+    index: str,
+    id_col: str,
+    vec_col: str,
+    shard_ids: list[int] | None = None,
+    shards_df=None,
 ):
     """Read a build-index dir's shards, decoding SQ8 codes when present.
     SQ8 auto-detect keys off the DATA ('codes' column present), not off
@@ -431,10 +480,14 @@ def _load_index_shards(
     projection placed above the pruned scan, so only probed shards
     decode. ``shard_ids``: open only those shard directories by
     explicit path (no full-layout listing walk — see
-    ``ann.open_probed_shards``)."""
+    ``ann.open_probed_shards``). ``shards_df``: a caller that already
+    opened (and possibly mutation-resolved) the shard scan passes it
+    here; only the decode projection is applied."""
     from pyspark.sql import functions as F
 
-    if shard_ids is not None:
+    if shards_df is not None:
+        shards = shards_df
+    elif shard_ids is not None:
         from big_ann_spark.operators.ann import open_probed_shards
 
         shards = open_probed_shards(spark, index, shard_ids)
@@ -571,6 +624,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "search":
         from big_ann_spark.operators import ann as ANN
+        from big_ann_spark.operators import vector_ops as VO
 
         cents = spark.read.parquet(f"{args.index}/centroids.parquet")
         q = spark.read.parquet(args.queries).select(
@@ -582,18 +636,23 @@ def main(argv: list[str] | None = None) -> int:
         probe_ids = [
             r["shard_id"] for r in routed.select("shard_id").distinct().collect()
         ]
-        probed_cols = ANN.open_probed_shards(spark, args.index, probe_ids).columns
-        if "codes" in probed_cols and args.vec_col in probed_cols:
+        probed = ANN.open_probed_shards(spark, args.index, probe_ids)
+        # index-upsert/index-delete resolution + --as-of snapshots; a
+        # pristine layout passes through untouched (zero extra jobs)
+        live = VO.live_probed_view(
+            spark, args.index, probed, probe_ids, as_of=args.as_of
+        )
+        if "codes" in live.columns and args.vec_col in live.columns:
             # --sq8-refine layout: quantized candidate scan (codes
             # column only) + exact rerank from the raw column
             out = ANN.ivf_search_from_disk(
                 q, args.index, cents, k=args.k, nprobe=args.nprobe,
                 id_col=args.id_col, vec_col=args.vec_col,
-                codec="sq8", pool_impl="arrow",
+                codec="sq8", pool_impl="arrow", as_of=args.as_of,
             )
         else:
             shards = _load_index_shards(
-                spark, args.index, args.id_col, args.vec_col, shard_ids=probe_ids
+                spark, args.index, args.id_col, args.vec_col, shards_df=live
             )
             out = ANN.ivf_search(
                 q, shards, cents, k=args.k, nprobe=args.nprobe,
@@ -607,6 +666,42 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{n} rows -> {args.out}")
         else:
             out.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "index-upsert":
+        from big_ann_spark.operators import vector_ops as VO
+
+        vecs = spark.read.parquet(args.src).select(args.id_col, args.vec_col)
+        op = VO.upsert_vectors(
+            spark, args.index, vecs,
+            id_col=args.id_col, vec_col=args.vec_col, op_id=args.op_id,
+        )
+        n = vecs.select(args.id_col).distinct().count()
+        print(f"op {op}: upserted {n} vectors into {args.index}")
+        return 0
+
+    if args.cmd == "index-delete":
+        from big_ann_spark.operators import vector_ops as VO
+
+        if (args.src is None) == (args.ids is None):
+            print("index-delete needs exactly one of src or --ids", file=sys.stderr)
+            return 2
+        if args.ids is not None:
+            ids = [int(s) for s in args.ids.split(",") if s.strip()]
+            n = len(set(ids))
+        else:
+            ids = spark.read.parquet(args.src)
+            n = ids.select(ids.columns[0]).distinct().count()
+        op = VO.delete_vectors(spark, args.index, ids, op_id=args.op_id)
+        print(f"op {op}: tombstoned {n} vector ids in {args.index}")
+        return 0
+
+    if args.cmd == "index-compact":
+        from big_ann_spark.operators import vector_ops as VO
+
+        n_ops = VO.compact_vector_layout(spark, args.src, args.dst)
+        n = spark.read.parquet(f"{args.dst}/shards").count()
+        print(f"compacted {n_ops} ops -> {args.dst} ({n} live vectors)")
         return 0
 
     if args.cmd == "lm-train":

@@ -84,6 +84,7 @@ def ivf_search_from_disk(
     rerank_factor: int = 4,
     max_id_pushdown: int = 100_000,
     pool_impl: str = "fold",
+    as_of: int | None = None,
 ) -> DataFrame:
     """``ivf_search`` straight off a ``write_sharded`` layout path:
     route first, open only the probed shard directories
@@ -102,7 +103,15 @@ def ivf_search_from_disk(
     In-pushed only while ≤ ``max_id_pushdown`` — the BM25
     MAX_PUSHDOWN_TERMS lesson) fetch raw vectors from the id-sorted
     shard files with row-group/page skipping, so the raw column is read
-    at candidate granularity, not probed-shard granularity."""
+    at candidate granularity, not probed-shard granularity.
+
+    ``as_of``: SNAPSHOT search — the layout exactly as of committed
+    mutation op ``as_of`` (``operators.vector_ops``; −1 = the pristine
+    base build, ``None`` = head). A layout with no ``ops/`` directory
+    short-circuits: mutation resolution costs NOTHING until the first
+    upsert/delete lands."""
+    from big_ann_spark.operators.vector_ops import live_probed_view
+
     spark = queries.sparkSession
     routed = route_queries(
         queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim
@@ -110,7 +119,10 @@ def ivf_search_from_disk(
     probe_ids = [
         r["shard_id"] for r in routed.select("shard_id").distinct().collect()
     ]
-    shards = open_probed_shards(spark, path, probe_ids)
+    shards = live_probed_view(
+        spark, path, open_probed_shards(spark, path, probe_ids),
+        probe_ids, as_of=as_of,
+    )
     if codec == "raw":
         return ivf_search(
             queries,

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from big_ann_spark.functions.text import tokens
+from big_ann_spark.operators import oplayout
 from big_ann_spark.operators.topk import top_k_per_group
 
 K1 = 1.2
@@ -215,25 +216,12 @@ def _term_bucket(term, n_buckets: int):
     return F.pmod(F.xxhash64(term), F.lit(n_buckets))
 
 
-def _fs(spark, p: str):
-    """Hadoop FileSystem + Path for ``p`` — works on local paths and
-    object-store URIs alike (the commit-marker / dir-listing ops below
-    are metadata-only, never data reads)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(p)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
-def _glob_op_ids(spark, pattern: str) -> set[int]:
-    """Op ids named by ``_mb=<id>`` partition dirs matching a glob —
-    a directory listing, not a Spark job (ADVICE r8: never run a
-    partition-discovery job just to learn what's on disk)."""
-    fs, jp = _fs(spark, pattern)
-    out: set[int] = set()
-    for st in fs.globStatus(jp) or []:
-        name = st.getPath().getName()
-        out.add(int(name.split("=", 1)[1]))
-    return out
+# the generic exactly-once op protocol now lives in operators.oplayout
+# (extracted so the sharded vector layout shares it verbatim); the
+# bm25-local names below stay as aliases — the module's own call sites
+# and tests reference them.
+_fs = oplayout.fs_path
+_glob_op_ids = oplayout.glob_op_ids
 
 
 def _op_ids_on_disk(spark, path: str) -> set[int]:
@@ -249,17 +237,8 @@ def _op_ids_on_disk(spark, path: str) -> set[int]:
     return ids
 
 
-def _committed_ops(spark, path: str) -> set[int]:
-    fs, jp = _fs(spark, f"{path}/_ops")
-    if not fs.exists(jp):
-        return set()
-    return {int(st.getPath().getName()) for st in fs.listStatus(jp)}
-
-
-def _mark_committed(spark, path: str, op_id: int) -> None:
-    fs, jp = _fs(spark, f"{path}/_ops/{op_id}")
-    fs.mkdirs(jp.getParent())
-    fs.create(jp, True).close()
+_committed_ops = oplayout.committed_ops
+_mark_committed = oplayout.mark_committed
 
 
 def uncommitted_op_ids(spark, path: str) -> list[int]:
@@ -272,11 +251,9 @@ def _next_op_id(spark, path: str) -> int:
     """Auto-allocate: the LOWEST uncommitted id if one exists (a
     crashed op's partitions are purged before the new op writes, so
     reuse is safe and reclaims the orphaned bytes), else max+1."""
-    crashed = uncommitted_op_ids(spark, path)
-    if crashed:
-        return crashed[0]
-    seen = _op_ids_on_disk(spark, path) | _committed_ops(spark, path)
-    return max(seen) + 1 if seen else 0
+    return oplayout.next_op_id(
+        _op_ids_on_disk(spark, path), _committed_ops(spark, path)
+    )
 
 
 def _purge_op(spark, path: str, op_id: int) -> None:
@@ -284,16 +261,15 @@ def _purge_op(spark, path: str, op_id: int) -> None:
     — metadata-only FS ops. Run before an op writes, so landing at a
     previously-crashed id can never leave the old attempt's partitions
     mixed under a now-committed id."""
-    jvm = spark._jvm
-    for pattern in (
-        f"{path}/postings.parquet/_tb=*/_mb={op_id}",
-        f"{path}/dfs_delta.parquet/_mb={op_id}",
-        f"{path}/stats_delta.parquet/_mb={op_id}",
-        f"{path}/tombstones.parquet/_mb={op_id}",
-    ):
-        fs, jp = _fs(spark, pattern)
-        for st in fs.globStatus(jp) or []:
-            fs.delete(st.getPath(), True)
+    oplayout.purge_op_dirs(
+        spark,
+        [
+            f"{path}/postings.parquet/_tb=*/_mb={op_id}",
+            f"{path}/dfs_delta.parquet/_mb={op_id}",
+            f"{path}/stats_delta.parquet/_mb={op_id}",
+            f"{path}/tombstones.parquet/_mb={op_id}",
+        ],
+    )
 
 
 _BASE_EPOCH = -1
@@ -322,18 +298,10 @@ def _n_term_buckets(spark, path: str) -> int:
     return v
 
 
-def _write_op_partitions(df: DataFrame, target: str, cols: list[str]) -> None:
-    """Land one op's rows via DYNAMIC partition overwrite: only the
-    partitions present in ``df`` (its own ``_mb``, and ``_tb`` dirs it
-    touches) are replaced — a re-run of the same op id is a pure
-    overwrite of itself, never an append-duplicate (the idempotence
-    ADVICE r8 asked for)."""
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*cols)
-        .parquet(target)
-    )
+# dynamic-partition-overwrite landing (the idempotence ADVICE r8 asked
+# for) — kept as a module name because the fault-injection tests patch
+# it to simulate crashes between table writes
+_write_op_partitions = oplayout.write_op_partitions
 
 
 def _bucketed_postings(postings: DataFrame, n_buckets: int, op_id: int) -> DataFrame:

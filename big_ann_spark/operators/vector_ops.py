@@ -1,0 +1,291 @@
+"""Exactly-once mutations for the persisted sharded vector layout
+(``sharding.write_sharded``) — tombstone deletes, upserts, snapshot
+(as-of) reads, and compaction, under the same op-ledger protocol as
+the persisted BM25 index (``operators.oplayout``).
+
+Reference context: the reference engine's shard layout
+(``shard_by_distance.py``) is build-once — removing or replacing a
+vector means rebuilding the shard. An LLM-serving index needs
+retraction (takedowns, dedup-after-index, corpus refreshes) without a
+full rebuild, so the engine treats the batch layout exactly like its
+streaming sibling (``streaming/vector_index.py``): every mutation is
+an op, readers resolve latest-op-wins.
+
+Layout extension (backward compatible — a pristine layout has no
+``ops/`` directory and every reader short-circuits to the base):
+
+- ``{path}/shards/shard_id=S/…``  — the base build (epoch −1);
+- ``{path}/ops/_mb=<op>/shard_id=S/…`` — one dir per committed
+  mutation: upserts land rows ``(vec_id, dist, embedding[, codes],
+  op='insert')`` under their assigned shard; deletes land tombstones
+  ``op='delete'`` under the RESERVED shard −1 (query routing can never
+  probe it, so a bare tombstone can never surface as a candidate —
+  the streaming index's trick);
+- ``{path}/_ops/<op>`` — commit markers (oplayout protocol: dynamic
+  partition overwrite + marker = idempotent replay, crash-invisible
+  half-writes, O(in-flight) NOT-IN for readers).
+
+Read-side resolution mirrors ``streaming/vector_index.prepare_search``:
+the CONTESTED set (ids touched by any committed op — small between
+compactions by construction) broadcasts into an anti-join against the
+probed base partitions, and the ops table — op-count-sized, not
+corpus-sized — resolves per-id winners with one ``max_by``. The base
+scan stays partition-pruned; uncontested vectors never shuffle.
+
+At 100 TB: ops cost O(batch) writes; search cost gains one broadcast
+anti-join over the probed partitions plus an O(ops-size) side scan —
+independent of corpus size — and compaction folds everything back to
+a pristine base when the contested set grows past taste.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_ann_spark.operators import oplayout
+
+OP_INSERT = "insert"
+OP_DELETE = "delete"
+TOMBSTONE_SHARD = -1
+
+
+def _ops_on_disk(spark, path: str) -> set[int]:
+    """Every op id with ANY bytes on disk (committed or in-flight) —
+    one O(ops) directory glob, no Spark job."""
+    return oplayout.glob_op_ids(spark, f"{path}/ops/_mb=*")
+
+
+def uncommitted_vector_ops(spark, path: str) -> list[int]:
+    """Op ids with bytes on disk but no commit marker — crashed or
+    in-flight writes, invisible to every reader."""
+    return sorted(_ops_on_disk(spark, path) - oplayout.committed_ops(spark, path))
+
+
+def has_vector_ops(spark, path: str) -> bool:
+    return oplayout.path_exists(spark, f"{path}/ops")
+
+
+def _has_sq8(spark, path: str) -> bool:
+    return oplayout.path_exists(spark, f"{path}/sq8_ranges.parquet")
+
+
+def _sq8_ranges(spark, path: str) -> tuple[list[float], list[float]]:
+    row = spark.read.parquet(f"{path}/sq8_ranges.parquet").collect()[0]
+    return list(row["mins"]), list(row["maxs"])
+
+
+def _land_vector_op(spark, path: str, rows: DataFrame, op_id: int | None) -> int:
+    """Purge-first landing of one op's rows under ``_mb=<id>`` +
+    commit marker. ``rows`` must carry (vec_id, dist, embedding
+    [, codes], op, shard_id)."""
+    if op_id is None:
+        op_id = oplayout.next_op_id(
+            _ops_on_disk(spark, path), oplayout.committed_ops(spark, path)
+        )
+    oplayout.purge_op_dirs(spark, [f"{path}/ops/_mb={op_id}"])
+    oplayout.write_op_partitions(
+        rows.withColumn("_mb", F.lit(int(op_id))),
+        f"{path}/ops",
+        ["_mb", "shard_id"],
+    )
+    oplayout.mark_committed(spark, path, op_id)
+    return int(op_id)
+
+
+def upsert_vectors(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_id: int | None = None,
+    assign_impl: str = "fold",
+) -> int:
+    """Insert-or-replace ``vectors`` (``(id_col, vec_col)``) into the
+    layout as ONE exactly-once op. Each vector is assigned to its
+    nearest centroid under the layout's FROZEN routing (the
+    ``centroids.parquet`` written at build — upserts never move the
+    centroids, exactly like adding to a trained IVF index; recall for
+    upserted points is a property of that frozen routing). If the
+    layout carries SQ8 codes, the new vectors are encoded with the
+    frozen quantization ranges for the same reason. Duplicate ids
+    WITHIN one batch collapse to a single arbitrary row
+    (``dropDuplicates``) — between batches, the higher op id wins.
+    Returns the committed op id."""
+    from big_ann_spark.operators.sharding import assign_to_centroids
+
+    cents = spark.read.parquet(f"{path}/centroids.parquet")
+    rows = assign_to_centroids(
+        vectors.dropDuplicates([id_col]),
+        cents,
+        id_col=id_col,
+        vec_col=vec_col,
+        extra_cols=[vec_col],
+        impl=assign_impl,
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("dist").cast("double").alias("dist"),
+        F.col(vec_col).cast("array<float>").alias("embedding"),
+        F.col("shard_id").cast("int").alias("shard_id"),
+    )
+    if _has_sq8(spark, path):
+        from big_ann_spark.operators.pq import sq8_encode_col
+
+        mins, maxs = _sq8_ranges(spark, path)
+        rows = rows.withColumn(
+            "codes", sq8_encode_col("embedding", mins, maxs).cast("array<smallint>")
+        )
+    rows = rows.withColumn("op", F.lit(OP_INSERT))
+    return _land_vector_op(spark, path, rows, op_id)
+
+
+def delete_vectors(
+    spark,
+    path: str,
+    ids,
+    *,
+    op_id: int | None = None,
+) -> int:
+    """Tombstone the given vector ids (a DataFrame whose first column
+    is the id, or any iterable of ints) as ONE exactly-once op.
+    Tombstones are 8-byte rows in the reserved shard −1 — routing
+    never probes it, so a tombstone can never surface as a candidate;
+    it only KILLS base/earlier-op rows via latest-op-wins resolution.
+    Deleting an id that was never inserted is a legal no-op row.
+    Returns the committed op id."""
+    if isinstance(ids, DataFrame):
+        id_df = ids.select(F.col(ids.columns[0]).cast("long").alias("vec_id"))
+    else:
+        id_df = spark.createDataFrame(
+            [(int(i),) for i in ids], "vec_id long"
+        )
+    rows = id_df.distinct().select(
+        "vec_id",
+        F.lit(None).cast("double").alias("dist"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(TOMBSTONE_SHARD).cast("int").alias("shard_id"),
+    )
+    if _has_sq8(spark, path):
+        rows = rows.withColumn("codes", F.lit(None).cast("array<smallint>"))
+    rows = rows.withColumn("op", F.lit(OP_DELETE))
+    return _land_vector_op(spark, path, rows, op_id)
+
+
+def committed_op_scan(
+    spark, path: str, as_of: int | None = None
+) -> DataFrame | None:
+    """Scan of every committed op row, or None when the layout has no
+    ``ops/`` directory at all (pristine layout — readers short-circuit
+    with ZERO Spark jobs). ``as_of``: a RANGE predicate on the ``_mb``
+    partition column (snapshots cost the same as the head); in-flight
+    ids excluded by a NOT-IN over the tiny uncommitted set."""
+    if not has_vector_ops(spark, path):
+        return None
+    raw = spark.read.parquet(f"{path}/ops")
+    uncommitted = uncommitted_vector_ops(spark, path)
+    if as_of is not None:
+        raw = raw.filter(F.col("_mb") <= int(as_of))
+        uncommitted = [b for b in uncommitted if b <= as_of]
+    if uncommitted:
+        raw = raw.filter(~F.col("_mb").isin([int(b) for b in uncommitted]))
+    return raw
+
+
+def mutation_state(
+    spark, path: str, as_of: int | None = None
+) -> tuple[DataFrame, DataFrame] | None:
+    """Per-epoch search state ``(contested, resolved)``, or None for a
+    pristine layout (or an ``as_of`` behind every op).
+
+    ``contested``: the ids touched by any visible op — one per
+    delete/upsert since the last compaction, SMALL by construction;
+    materialized (localCheckpoint) for broadcast into anti-joins.
+    ``resolved``: the LIVE row of each contested id that survives
+    latest-op-wins (one ``max_by`` keyed on (op id, delete-beats-
+    insert) — the streaming index's resolution, over the op-count-
+    sized ops table, never the corpus). Columns: (vec_id, dist,
+    embedding[, codes], shard_id)."""
+    raw = committed_op_scan(spark, path, as_of)
+    if raw is None:
+        return None
+    data_cols = [c for c in raw.columns if c not in ("op", "_mb")]
+    rank = F.when(F.col("op") == OP_DELETE, F.lit(1)).otherwise(F.lit(0))
+    latest = raw.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("op", *[c for c in data_cols if c != "vec_id"]),
+            F.struct(F.col("_mb"), rank.alias("_r")),
+        ).alias("_w")
+    )
+    resolved = latest.filter(F.col("_w.op") == OP_INSERT).select(
+        "vec_id",
+        *[F.col(f"_w.{c}").alias(c) for c in data_cols if c != "vec_id"],
+    )
+    contested = latest.select("vec_id").localCheckpoint()
+    if not contested.head(1):
+        return None
+    return contested, resolved.localCheckpoint()
+
+
+def live_probed_view(
+    spark,
+    path: str,
+    base: DataFrame,
+    probe_ids: list[int] | None = None,
+    *,
+    as_of: int | None = None,
+) -> DataFrame:
+    """The live view of the probed partitions: base rows minus the
+    broadcast contested set, plus the resolved op winners whose shard
+    is probed. The base scan's partition pruning and column pruning
+    are untouched (the anti-join adds no exchange on the big side);
+    the ops side is O(mutations). A pristine layout returns ``base``
+    unchanged. ``probe_ids=None`` = all shards (compaction/export)."""
+    state = mutation_state(spark, path, as_of)
+    if state is None:
+        return base
+    contested, resolved = state
+    cols = base.columns
+    base_live = base.join(F.broadcast(contested), "vec_id", "left_anti")
+    alive = resolved
+    if probe_ids is not None:
+        alive = alive.filter(
+            F.col("shard_id").isin([int(s) for s in probe_ids])
+        )
+    else:
+        alive = alive.filter(F.col("shard_id") != TOMBSTONE_SHARD)
+    # cast ops columns to the base scan's exact types (an upsert batch
+    # may have arrived as array<double>; the union must stay typed)
+    typed = [F.col(c).cast(base.schema[c].dataType).alias(c) for c in cols]
+    return base_live.select(cols).unionByName(alive.select(typed))
+
+
+def compact_vector_layout(spark, src_path: str, dst_path: str) -> int:
+    """Fold every committed op into a fresh pristine base at
+    ``dst_path`` (write-new-then-swap orchestration, like
+    ``compact_bm25_index``): resolved live rows are re-written as a
+    ``write_sharded`` layout with the SAME frozen centroids (and SQ8
+    ranges, if any) — search results are identical before and after,
+    and the contested set resets to empty. Returns the number of ops
+    folded. A crash mid-compact leaves ``src_path`` untouched and
+    ``dst_path`` an obviously incomplete re-runnable write."""
+    from big_ann_spark.operators.sharding import write_sharded
+
+    base = spark.read.option("basePath", f"{src_path}/shards").parquet(
+        f"{src_path}/shards"
+    )
+    live = live_probed_view(spark, src_path, base, None)
+    n_ops = len(
+        oplayout.committed_ops(spark, src_path) & _ops_on_disk(spark, src_path)
+    )
+    ranges = _sq8_ranges(spark, src_path) if _has_sq8(spark, src_path) else None
+    assignments = live.select("vec_id", "shard_id", "dist", "embedding")
+    write_sharded(assignments, assignments, dst_path, sq8_ranges=ranges)
+    (
+        spark.read.parquet(f"{src_path}/centroids.parquet")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{dst_path}/centroids.parquet")
+    )
+    return n_ops

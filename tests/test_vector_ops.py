@@ -1,0 +1,210 @@
+"""Exactly-once mutations on the persisted sharded vector layout
+(operators/vector_ops.py): upsert/delete/as-of/compaction must make
+``ivf_search_from_disk`` equal an in-memory search over the LOGICAL
+live set at every point of the runbook — the same
+history-equality contract the BM25 op layout and the streaming vector
+index are held to."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_ann_spark.catalog import load_table
+from big_ann_spark.operators import ann as ANN
+from big_ann_spark.operators import oplayout
+from big_ann_spark.operators import sharding as SH
+from big_ann_spark.operators import vector_ops as VO
+
+
+def _build_layout(spark, sf_dir, *, sq8=False):
+    """Base layout from vec_id % 3 != 0 (centroids + SQ8 ranges frozen
+    from the FULL table, the build-then-grow lifecycle)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SH.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    assign = SH.assign_to_centroids(base, cents, extra_cols=["embedding"])
+    path = tempfile.mkdtemp(prefix="big_ann_vec_ops_") + "/layout"
+    ranges = None
+    if sq8:
+        from big_ann_spark.operators.pq import train_sq8
+
+        ranges = train_sq8(emb)
+    SH.write_sharded(assign, base, path, sq8_ranges=ranges)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    return emb, cents, path
+
+
+def _expected(spark, emb, cents, live_pred, queries, k=5, nprobe=3):
+    live = emb.filter(live_pred)
+    assign = SH.assign_to_centroids(live, cents, extra_cols=["embedding"])
+    return ANN.ivf_search(
+        queries, assign, cents, k=k, nprobe=nprobe, static_prune=False
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["qid"], r["neighbor_id"], round(r["dist"], 9), r["rank"])
+        for r in df.select("qid", "neighbor_id", "dist", "rank").collect()
+    )
+
+
+def _runbook(spark, emb, path):
+    """op0: upsert the %3==0 ids (new); op1: delete %7==0;
+    op2: re-upsert %21==0 (previously deleted). Returns the as_of →
+    live-predicate map."""
+    assert VO.upsert_vectors(spark, path, emb.filter(F.col("vec_id") % 3 == 0)) == 0
+    assert (
+        VO.delete_vectors(
+            spark,
+            path,
+            emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"),
+        )
+        == 1
+    )
+    assert VO.upsert_vectors(spark, path, emb.filter(F.col("vec_id") % 21 == 0)) == 2
+    return {
+        -1: F.col("vec_id") % 3 != 0,
+        0: F.lit(True),
+        1: F.col("vec_id") % 7 != 0,
+        2: (F.col("vec_id") % 7 != 0) | (F.col("vec_id") % 21 == 0),
+        None: (F.col("vec_id") % 7 != 0) | (F.col("vec_id") % 21 == 0),
+    }
+
+
+@pytest.mark.parametrize("codec", ["raw", "sq8"])
+def test_runbook_equals_rebuild_at_every_as_of(spark, sf_dir, codec):
+    emb, cents, path = _build_layout(spark, sf_dir, sq8=codec == "sq8")
+    history = _runbook(spark, emb, path)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    for as_of, live_pred in history.items():
+        got = ANN.ivf_search_from_disk(
+            queries, path, cents, k=5, nprobe=3, codec=codec, as_of=as_of
+        )
+        want = _expected(spark, emb, cents, live_pred, queries)
+        assert _rows(got) == _rows(want), f"as_of={as_of}"
+
+
+def test_deleted_id_never_returned_and_tombstone_shard_unprobed(spark, sf_dir):
+    emb, cents, path = _build_layout(spark, sf_dir)
+    # delete a base vector, then search with ITSELF as the query — the
+    # strongest possible probe of its original shard
+    victim = emb.filter(F.col("vec_id") == 2)
+    VO.delete_vectors(spark, path, [2])
+    q = victim.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    got = ANN.ivf_search_from_disk(q, path, cents, k=5, nprobe=3)
+    ids = {r["neighbor_id"] for r in got.collect()}
+    assert 2 not in ids and len(ids) == 5
+
+
+def test_crashed_op_invisible_and_replay_idempotent(spark, sf_dir, monkeypatch):
+    emb, cents, path = _build_layout(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    before = _rows(ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=3))
+
+    # crash between data landing and the commit marker
+    monkeypatch.setattr(
+        oplayout, "mark_committed", lambda *a, **k: (_ for _ in ()).throw(OSError)
+    )
+    with pytest.raises(OSError):
+        VO.upsert_vectors(spark, path, emb.filter(F.col("vec_id") % 3 == 0))
+    monkeypatch.undo()
+    assert VO.uncommitted_vector_ops(spark, path) == [0]
+    # half-written op is invisible to search
+    after_crash = _rows(ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=3))
+    assert after_crash == before
+
+    # replay auto-reuses the crashed id; a second explicit replay of
+    # the SAME op id is a pure self-overwrite (no duplicate rows)
+    assert VO.upsert_vectors(spark, path, emb.filter(F.col("vec_id") % 3 == 0)) == 0
+    assert VO.upsert_vectors(
+        spark, path, emb.filter(F.col("vec_id") % 3 == 0), op_id=0
+    ) == 0
+    assert VO.uncommitted_vector_ops(spark, path) == []
+    ops = spark.read.parquet(f"{path}/ops")
+    n_ids = ops.select("vec_id").distinct().count()
+    assert ops.count() == n_ids  # one row per id: overwrite, not append
+    got = _rows(ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=3))
+    want = _rows(_expected(spark, emb, cents, F.lit(True), queries))
+    assert got == want
+
+
+def test_compaction_folds_history(spark, sf_dir):
+    emb, cents, path = _build_layout(spark, sf_dir)
+    history = _runbook(spark, emb, path)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    head = _rows(ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=3))
+    dst = tempfile.mkdtemp(prefix="big_ann_vec_compact_") + "/layout"
+    assert VO.compact_vector_layout(spark, path, dst) == 3
+    assert not VO.has_vector_ops(spark, dst)
+    got = _rows(ANN.ivf_search_from_disk(queries, dst, cents, k=5, nprobe=3))
+    assert got == head
+    # compacted layout serves the head state even for as_of reads
+    # (history is folded into the new base epoch by design)
+    pristine = _rows(
+        ANN.ivf_search_from_disk(queries, dst, cents, k=5, nprobe=3, as_of=-1)
+    )
+    assert pristine == head
+    del history
+
+
+def test_pristine_layout_short_circuits(spark, sf_dir):
+    """A layout with no ops/ dir must pass the base DataFrame through
+    UNTOUCHED (identity — zero extra Spark jobs on the serve path)."""
+    emb, cents, path = _build_layout(spark, sf_dir)
+    base = spark.read.option("basePath", f"{path}/shards").parquet(f"{path}/shards")
+    assert VO.live_probed_view(spark, path, base, [0, 1]) is base
+
+
+def test_cli_mutation_lifecycle(spark, sf_dir, tmp_path):
+    """build-index → index-upsert → index-delete → search (head and
+    --as-of) → index-compact → search: the full CLI lifecycle, with
+    the snapshot read certified against the head of the pre-delete
+    moment."""
+    from big_ann_spark.cli import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "idx")
+    assert main(["build-index", src, idx, "--m", "5", "--sq8-refine"]) == 0
+    assert main(["index-upsert", idx, src]) == 0  # op 0: replace all
+    assert main(["index-delete", idx, "--ids", "3,5,9"]) == 0  # op 1
+
+    out_head = str(tmp_path / "head.parquet")
+    out_snap = str(tmp_path / "snap.parquet")
+    for extra, out in [([], out_head), (["--as-of", "0"], out_snap)]:
+        assert main(
+            ["search", idx, src, "--k", "5", "--nprobe", "2", "--out", out] + extra
+        ) == 0
+    head_ids = {r.neighbor_id for r in spark.read.parquet(out_head).collect()}
+    snap_ids = {r.neighbor_id for r in spark.read.parquet(out_snap).collect()}
+    assert not head_ids & {3, 5, 9}
+    # before the delete op the victims are their own queries' top hits
+    assert {3, 5, 9} <= snap_ids
+
+    idx2 = str(tmp_path / "idx2")
+    assert main(["index-compact", idx, idx2]) == 0
+    out2 = str(tmp_path / "head2.parquet")
+    assert main(["search", idx2, src, "--k", "5", "--nprobe", "2", "--out", out2]) == 0
+    a = sorted(map(tuple, spark.read.parquet(out_head).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
+
+
+def test_live_view_plan_broadcast_anti_join(spark, sf_dir):
+    """The contested-set subtraction must be a BROADCAST anti-join on
+    the probed base scan — never a shuffle of the big side."""
+    emb, cents, path = _build_layout(spark, sf_dir)
+    VO.delete_vectors(spark, path, [2, 4, 8])
+    base = spark.read.option("basePath", f"{path}/shards").parquet(f"{path}/shards")
+    view = VO.live_probed_view(spark, path, base, [0, 1, 2])
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

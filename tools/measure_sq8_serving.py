@@ -161,6 +161,7 @@ def main() -> None:
         from big_ann_spark.operators.ann import ivf_search_from_disk
 
         queries = _queries(spark, m)
+        nprobe = int(os.environ.get("SQ8_NPROBE", "2"))
 
         def timed(label, path, codec, reps):
             walls = []
@@ -169,11 +170,12 @@ def main() -> None:
                     _evict(path)
                 t = time.perf_counter()
                 rows = ivf_search_from_disk(
-                    queries, path, cents, k=10, nprobe=2, codec=codec
+                    queries, path, cents, k=10, nprobe=nprobe, codec=codec,
+                    pool_impl="arrow" if codec == "sq8" else "fold",
                 ).count()
                 walls.append(time.perf_counter() - t)
             print(
-                f"{label} n={n} m={m} nprobe=2: min {min(walls):.2f}s "
+                f"{label} n={n} m={m} nprobe={nprobe}: min {min(walls):.2f}s "
                 f"walls={[round(w, 2) for w in walls]} rows={rows}"
             )
 
