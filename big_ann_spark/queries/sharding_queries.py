@@ -111,6 +111,41 @@ def _sq8_disk_layout(spark, sf_dir: str) -> str:
     return path
 
 
+# session-scoped cache of the mutated variant's layout: base build from
+# the vec_id % 3 != 0 rows, op 0 upserts the % 3 == 0 rows, op 1
+# tombstones the % 7 == 0 rows — so the head's live set is exactly
+# "vec_id % 7 != 0" and the as_of=0 snapshot is the FULL table, both
+# DuckDB-expressible as plain predicates over `embeddings`
+_MUTATED_CACHE: dict[str, str] = {}
+
+
+def _mutated_layout(spark, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from big_ann_spark.operators import vector_ops as VO
+
+    key = os.path.realpath(sf_dir)
+    path = _MUTATED_CACHE.get(key)
+    if path is None or not os.path.isdir(f"{path}/ops"):
+        path = tempfile.mkdtemp(prefix="ivf_mut_q_") + "/layout"
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = SH.label_centroids(emb)
+        base = emb.filter(F.col("vec_id") % 3 != 0)
+        assign = SH.assign_to_centroids(base, cents, extra_cols=["embedding"])
+        SH.write_sharded(assign, base, path)
+        cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+        VO.upsert_vectors(
+            spark, path,
+            emb.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding"),
+        )
+        VO.delete_vectors(
+            spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+        )
+        _MUTATED_CACHE[key] = path
+    return path
+
+
 @register(
     "ivf_search_top5",
     sql=f"""
@@ -183,8 +218,32 @@ sq8r AS (
                row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
         FROM sq_exact)
   WHERE rk <= 5
+),
+-- mutated: the op-ledger layout's HEAD live set is exactly
+-- vec_id % 7 != 0 (base = %3!=0, op0 upserts %3==0, op1 deletes
+-- %7==0; latest op wins), routed/scored identically to raw
+mut AS (
+  SELECT r.qid, a.vec_id AS neighbor_id,
+         sqrt(list_sum(list_transform(range(1, 65),
+           i -> (r.qv[i] - e.embedding[i]::DOUBLE) * (r.qv[i] - e.embedding[i]::DOUBLE)))) AS dist
+  FROM routed r
+  JOIN assign a ON a.shard_id = r.shard_id AND a.vec_id % 7 != 0
+  JOIN embeddings e ON e.vec_id = a.vec_id
+),
+mutr AS (
+  SELECT 'mutated' AS variant, qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
+  FROM (SELECT qid, neighbor_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+        FROM mut)
+  WHERE rk <= 5
+),
+-- mutated_asof: the as_of=0 snapshot (before the delete op) is the
+-- FULL table — the same rows the raw variant ranks, relabeled
+asofr AS (
+  SELECT 'mutated_asof' AS variant, qid, neighbor_id, dist, rank FROM rawr
 )
 SELECT * FROM rawr UNION ALL SELECT * FROM sq8r
+UNION ALL SELECT * FROM mutr UNION ALL SELECT * FROM asofr
 """,
 )
 def ivf_search_top5(spark, sf_dir):
@@ -200,7 +259,14 @@ def ivf_search_top5(spark, sf_dir):
       re-rank of the top-4k pool via bounded-id point fetches of the
       raw column. write→pruned-read→quantize-score→rerank is
       hash-certified end-to-end (the layout is built once per session;
-      the variant times serving, an index's real lifecycle)."""
+      the variant times serving, an index's real lifecycle).
+    - ``mutated``: the same search over an op-ledger MUTATED layout
+      (operators/vector_ops: base build → upsert op → tombstone op) —
+      latest-op-wins resolution hash-certified against DuckDB ranking
+      the logical live set (``vec_id % 7 != 0``).
+    - ``mutated_asof``: the as_of=0 SNAPSHOT search of that layout
+      (before the delete op = the full table) — time travel on the
+      batch vector index, certified against the raw ranking."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = SH.label_centroids(emb)
     assign = SH.assign_to_centroids(emb, cents)
@@ -232,7 +298,24 @@ def ivf_search_top5(spark, sf_dir):
         F.round("dist", 6).alias("dist"),
         "rank",
     )
-    return raw.unionByName(sq8)
+    mpath = _mutated_layout(spark, sf_dir)
+    mut = ANN.ivf_search_from_disk(queries, mpath, cents, k=5, nprobe=2).select(
+        F.lit("mutated").alias("variant"),
+        "qid",
+        "neighbor_id",
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+    asof = ANN.ivf_search_from_disk(
+        queries, mpath, cents, k=5, nprobe=2, as_of=0
+    ).select(
+        F.lit("mutated_asof").alias("variant"),
+        "qid",
+        "neighbor_id",
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+    return raw.unionByName(sq8).unionByName(mut).unionByName(asof)
 
 
 @register(
