@@ -416,6 +416,26 @@ def _build_parser() -> argparse.ArgumentParser:
         "--query-vec-col", default=None, help="query parquet vector column (default: --vec-col)"
     )
 
+    w2p = sub.add_parser(
+        "warc-to-parquet",
+        help="distributed WARC/WARC.GZ (Common Crawl shape) -> "
+        "documents-table parquet (url, text, source, n_chars)",
+    )
+    w2p.add_argument("src", help="WARC file, dir, or glob")
+    w2p.add_argument("dst", help="parquet output dir")
+
+    p2w = sub.add_parser(
+        "parquet-to-warc",
+        help="document table -> WARC files (one per partition; "
+        "conversion records, deterministic ids)",
+    )
+    p2w.add_argument("src", help="parquet with a text column")
+    p2w.add_argument("dst", help="output dir for part-*.warc[.gz]")
+    p2w.add_argument("--text-col", default="text")
+    p2w.add_argument("--uri-col", default=None, help="column for WARC-Target-URI")
+    p2w.add_argument("--gzip", action="store_true", help="one gzip member per record")
+    p2w.add_argument("--files", type=int, default=None, help="repartition to N files")
+
     f2p = sub.add_parser("fbin-to-parquet", help="distributed fbin/ibin/u8bin -> parquet")
     f2p.add_argument("src")
     f2p.add_argument("dst")
@@ -1051,6 +1071,33 @@ def main(argv: list[str] | None = None) -> int:
         gt = FB.ground_truth_df(spark, args.gt, k=args.k)
         r = recall_at_k(pred, gt, args.k).collect()[0].recall_at_k
         print(f"recall@{args.k} (nprobe={args.nprobe}): {r:.4f}")
+        return 0
+
+    if args.cmd == "warc-to-parquet":
+        from big_ann_spark.sources import warc as W
+
+        docs = W.warc_to_documents(W.read_warc(spark, args.src))
+        docs.write.mode("overwrite").parquet(args.dst)
+        n = spark.read.parquet(args.dst).count()
+        print(f"{n} documents -> {args.dst}")
+        return 0
+
+    if args.cmd == "parquet-to-warc":
+        from big_ann_spark.sources import warc as W
+
+        docs = spark.read.parquet(args.src)
+        if args.uri_col is not None and args.uri_col in docs.columns:
+            docs = docs.withColumn(args.uri_col, F.col(args.uri_col).cast("string"))
+        manifest = W.write_warc(
+            docs,
+            args.dst,
+            text_col=args.text_col,
+            uri_col=args.uri_col,
+            gzip_records=args.gzip,
+            files=args.files,
+        )
+        n = sum(m[1] for m in manifest)
+        print(f"{n} records in {len(manifest)} WARC files -> {args.dst}")
         return 0
 
     if args.cmd == "fbin-to-parquet":

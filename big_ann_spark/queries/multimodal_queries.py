@@ -128,10 +128,26 @@ afeat AS (SELECT 'audio_feat' AS variant, vec_id AS id,
           FROM (SELECT vec_id, smp,
                        lag(smp) OVER (PARTITION BY vec_id ORDER BY i) AS prev
                 FROM q)
-          GROUP BY vec_id)
+          GROUP BY vec_id),
+-- warc: encode->parse identity over the real container reader; the
+-- decoded text's codepoint stats and the per-file record count are
+-- pure SQL over the source table
+wrc AS (SELECT 'warc' AS variant, doc_id AS id,
+               COUNT(*) OVER (PARTITION BY doc_id % 8)::INT AS d1,
+               (doc_id % 8 % 2)::INT AS d2,
+               CASE WHEN length(text) = 0 THEN 0 ELSE
+                 list_aggregate(list_transform(string_split(text, ''), c -> ord(c)), 'sum')
+               END::BIGINT AS v_sum,
+               CASE WHEN length(text) = 0 THEN 0 ELSE
+                 list_aggregate(list_transform(string_split(text, ''), c -> ord(c)), 'min')
+               END::BIGINT AS v_min,
+               CASE WHEN length(text) = 0 THEN 0 ELSE
+                 list_aggregate(list_transform(string_split(text, ''), c -> ord(c)), 'max')
+               END::BIGINT AS v_max
+        FROM documents)
 SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM jpg
 UNION ALL SELECT * FROM thumb UNION ALL SELECT * FROM video
-UNION ALL SELECT * FROM afeat
+UNION ALL SELECT * FROM afeat UNION ALL SELECT * FROM wrc
 """,
 )
 def multimodal_codec_roundtrip(spark, sf_dir):
@@ -170,9 +186,16 @@ def multimodal_codec_roundtrip(spark, sf_dir):
       squares energy (v_sum) against DuckDB's lag-product/sum forms;
       a decoder bug that shifted, dropped, or re-scaled one sample
       breaks the hash.
-    All run in ONE mapInPandas pass over the embeddings — the decode→
-    feature shape every multimodal training pipeline uses, with real
-    bytes instead of the deterministic fake."""
+    - ``warc``: the documents table serialized into real WARC
+      container files (sources/warc.py; odd groups compressed one
+      gzip member per record, the Common Crawl convention) and parsed
+      back with the engine's reader — per-doc codepoint sum/min/max
+      of the DECODED text certify Content-Length framing, the gzip
+      member walk, and utf-8 round-trip against DuckDB reading the
+      source table directly.
+    All codec variants run in ONE mapInPandas pass over the embeddings
+    — the decode→feature shape every multimodal training pipeline
+    uses, with real bytes instead of the deterministic fake."""
     import numpy as np
     import pandas as pd
 
@@ -249,7 +272,56 @@ def multimodal_codec_roundtrip(spark, sf_dir):
                 columns=["variant", "id", "d1", "d2", "v_sum", "v_min", "v_max"],
             )
 
-    return emb.mapInPandas(
+    codecs = emb.mapInPandas(
         run,
         schema="variant string, id long, d1 int, d2 int, v_sum long, v_min long, v_max long",
     )
+
+    # warc: the documents table serialized into real WARC files (one
+    # blob per doc_id % 8 group; odd groups get one gzip member per
+    # record, the Common Crawl convention) and parsed back with the
+    # REAL reader — per-doc codepoint sum/min/max of the decoded text
+    # prove framing + gzip-member walk + utf-8 round-trip exactly
+    def warc_group(key, pdf):
+        import gzip
+
+        import pandas as pd
+
+        from big_ann_spark.sources.warc import parse_warc, warc_record_bytes
+
+        g = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            warc_record_bytes(
+                (t or "").encode("utf-8"), target_uri=f"urn:doc:{int(d)}"
+            )
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        if g % 2:
+            blob = b"".join(gzip.compress(r, 6, mtime=0) for r in recs)
+        else:
+            blob = b"".join(recs)
+        parsed = list(parse_warc(blob))
+        rows = []
+        for rec in parsed:
+            did = int(rec.target_uri.split(":")[-1])
+            cps = [ord(c) for c in rec.content.decode("utf-8")]
+            rows.append(
+                ("warc", did, len(parsed), g % 2,
+                 sum(cps), min(cps, default=0), max(cps, default=0))
+            )
+        return pd.DataFrame(
+            rows, columns=["variant", "id", "d1", "d2", "v_sum", "v_min", "v_max"]
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    warc = (
+        docs.withColumn("_g", F.pmod(F.col("doc_id"), F.lit(8)).cast("int"))
+        .groupBy("_g")
+        .applyInPandas(
+            warc_group,
+            schema="variant string, id long, d1 int, d2 int, "
+            "v_sum long, v_min long, v_max long",
+        )
+    )
+    return codecs.unionByName(warc)

@@ -1,0 +1,343 @@
+"""WARC (Web ARChive, ISO 28500) source + sink — the Common Crawl
+on-ramp for LLM training-data pipelines.
+
+The reference engine ingests fbin/ibin vector blocks
+(``src/util/utils.py`` readers); the text side of a 100 TB corpus
+arrives as WARC — Common Crawl publishes ~90k ``.warc.gz`` files of
+~1 GB per monthly snapshot — so the engine carries a WARC reader the
+same way it carries fbin: parse in executors, land as a documents
+table, never a driver-side loop.
+
+Format (public spec, ISO 28500 / WARC 1.0): a file is a concatenation
+of records; each record is a header block (``WARC/1.0`` version line
+then ``Name: Value`` lines, CRLF-terminated, blank-line ended) plus
+exactly ``Content-Length`` payload bytes, followed by two CRLFs.
+Compressed WARCs are a concatenation of GZIP MEMBERS (conventionally
+one per record) — decompression must iterate members, not stop at the
+first stream end.
+
+Scale shape:
+
+- **read**: ``binaryFile`` source → ``mapInArrow`` record parser.
+  Parallelism is FILE-granular — the industry-standard unit for WARC
+  (gzip members are not splittable without a cdx index); at ~1 GB per
+  file a Common Crawl snapshot is ~90k tasks, far beyond any cluster
+  width. Per-task memory is one file's bytes — the same contract as
+  warcio-on-Spark pipelines.
+- **write**: one WARC file per partition via an Arrow sink that
+  returns a manifest (file, records, bytes); ``repartition(n)``
+  controls file count/size. Gzip mode writes one member per record
+  (the Common Crawl convention, keeps records individually seekable).
+- Record framing is ``Content-Length``-driven, so payloads containing
+  ``WARC/1.0`` or CRLF-CRLF byte sequences round-trip exactly (no
+  delimiter scanning — the reason a ``lineSep``-based text reader is
+  NOT used despite being splittable).
+"""
+
+from __future__ import annotations
+
+import io
+import uuid
+import zlib
+from typing import Iterator, NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WARC_VERSION = b"WARC/1.0"
+# fixed default date: WARC-Date is mandatory per spec; a deterministic
+# default keeps written archives byte-reproducible (oracle + dedup
+# friendly). Real crawls pass their fetch time.
+DEFAULT_DATE = "2026-01-01T00:00:00Z"
+
+
+class WarcRecord(NamedTuple):
+    offset: int  # byte offset in the (decompressed) stream
+    warc_type: str
+    record_id: str
+    target_uri: str | None
+    warc_date: str | None
+    content_type: str | None
+    content: bytes
+
+
+def warc_record_bytes(
+    payload: bytes,
+    *,
+    warc_type: str = "conversion",
+    target_uri: str | None = None,
+    warc_date: str = DEFAULT_DATE,
+    content_type: str = "text/plain; charset=utf-8",
+    record_id: str | None = None,
+) -> bytes:
+    """One spec-complete WARC record. ``record_id`` defaults to a
+    DETERMINISTIC urn:uuid (uuid5 of payload+uri) so identical inputs
+    produce identical archives — reproducible fixtures and
+    content-addressable dedup; pass a real uuid4 for live crawls."""
+    if record_id is None:
+        ns = uuid.uuid5(uuid.NAMESPACE_URL, target_uri or "")
+        record_id = str(uuid.uuid5(ns, payload.decode("latin-1")))
+    head = [
+        WARC_VERSION.decode(),
+        f"WARC-Type: {warc_type}",
+        f"WARC-Record-ID: <urn:uuid:{record_id}>",
+        f"WARC-Date: {warc_date}",
+    ]
+    if target_uri is not None:
+        head.append(f"WARC-Target-URI: {target_uri}")
+    head += [
+        f"Content-Type: {content_type}",
+        f"Content-Length: {len(payload)}",
+    ]
+    return ("\r\n".join(head) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a CONCATENATION of gzip members (the compressed-WARC
+    convention: one member per record). A naive single-stream gunzip
+    silently returns only the first record."""
+    out = io.BytesIO()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        out.write(d.decompress(data[pos:]))
+        out.write(d.flush())
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:  # trailing garbage that is not a member
+            raise ValueError(f"bad gzip member at byte {pos}")
+        pos += consumed
+    return out.getvalue()
+
+
+def parse_warc(data: bytes) -> Iterator[WarcRecord]:
+    """Iterate every record of a WARC file's bytes (gzip-sniffed:
+    ``1f 8b`` magic → multi-member decompression first). Framing is
+    Content-Length-driven per spec; malformed input raises ValueError
+    with the failing offset (a truncated 100 TB crawl file should die
+    loudly in its task, not vanish rows)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate extra record separators / trailing CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC version line at byte {pos}")
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError(f"unterminated WARC header at byte {pos}")
+        headers: dict[str, str] = {}
+        for line in data[pos:head_end].split(b"\r\n")[1:]:
+            name, _, value = line.partition(b":")
+            headers[name.strip().lower().decode()] = value.strip().decode()
+        try:
+            clen = int(headers["content-length"])
+        except KeyError:
+            raise ValueError(f"record at byte {pos} has no Content-Length")
+        body_start = head_end + 4
+        if body_start + clen > n:
+            raise ValueError(
+                f"record at byte {pos} truncated: needs {clen} payload bytes"
+            )
+        yield WarcRecord(
+            offset=pos,
+            warc_type=headers.get("warc-type", ""),
+            record_id=headers.get("warc-record-id", ""),
+            target_uri=headers.get("warc-target-uri"),
+            warc_date=headers.get("warc-date"),
+            content_type=headers.get("content-type"),
+            content=data[body_start : body_start + clen],
+        )
+        pos = body_start + clen
+
+
+def split_http_payload(content: bytes) -> tuple[int | None, bytes]:
+    """A ``response`` record's payload is an HTTP message
+    (``application/http``): status line + headers + CRLF-CRLF + body.
+    Returns (status code, body); non-HTTP payloads come back
+    ``(None, content)`` unchanged."""
+    if not content.startswith(b"HTTP/"):
+        return None, content
+    sep = content.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, content
+    status_line = content[: content.find(b"\r\n")].split(b" ")
+    status = int(status_line[1]) if len(status_line) > 1 else None
+    return status, content[sep + 4 :]
+
+
+def read_warc(spark, path: str) -> DataFrame:
+    """Distributed WARC scan: every record of every file matching
+    ``path`` (plain or ``.gz``) as
+    ``(file, record_index, offset, warc_type, record_id, target_uri,
+    warc_date, content_type, content binary)``. One task per file
+    (binaryFile source; gzip members are not splittable) — the
+    standard WARC parallelism unit."""
+    src = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            paths = rb.column("path").to_pylist()
+            blobs = rb.column("content").to_pylist()
+            cols: dict[str, list] = {k: [] for k in (
+                "file", "record_index", "offset", "warc_type", "record_id",
+                "target_uri", "warc_date", "content_type", "content",
+            )}
+            for p, blob in zip(paths, blobs):
+                for i, rec in enumerate(parse_warc(bytes(blob))):
+                    cols["file"].append(p)
+                    cols["record_index"].append(i)
+                    cols["offset"].append(rec.offset)
+                    cols["warc_type"].append(rec.warc_type)
+                    cols["record_id"].append(rec.record_id)
+                    cols["target_uri"].append(rec.target_uri)
+                    cols["warc_date"].append(rec.warc_date)
+                    cols["content_type"].append(rec.content_type)
+                    cols["content"].append(rec.content)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["file"], pa.string()),
+                    pa.array(cols["record_index"], pa.int64()),
+                    pa.array(cols["offset"], pa.int64()),
+                    pa.array(cols["warc_type"], pa.string()),
+                    pa.array(cols["record_id"], pa.string()),
+                    pa.array(cols["target_uri"], pa.string()),
+                    pa.array(cols["warc_date"], pa.string()),
+                    pa.array(cols["content_type"], pa.string()),
+                    pa.array(cols["content"], pa.binary()),
+                ],
+                names=list(cols),
+            )
+
+    return src.mapInArrow(
+        run,
+        schema=(
+            "file string, record_index long, offset long, warc_type string, "
+            "record_id string, target_uri string, warc_date string, "
+            "content_type string, content binary"
+        ),
+    )
+
+
+def warc_to_documents(records: DataFrame) -> DataFrame:
+    """Records → documents-table shape ``(url, text, source,
+    n_chars)``: keeps ``conversion``/``resource`` records (already
+    extracted text) and ``response`` records' HTTP bodies; utf-8
+    decodes with replacement (crawl bytes are never clean). Pure
+    column expressions except the HTTP split, which rides the same
+    Arrow pass as the parse."""
+    keep = records.filter(
+        F.col("warc_type").isin("conversion", "resource", "response")
+    )
+    # response payloads need the HTTP envelope stripped — do it in one
+    # pandas-UDF-free projection: non-HTTP payloads pass through.
+    def strip(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            uris = rb.column("target_uri").to_pylist()
+            types = rb.column("warc_type").to_pylist()
+            blobs = rb.column("content").to_pylist()
+            files = rb.column("file").to_pylist()
+            url, text, source = [], [], []
+            for u, t, blob, f in zip(uris, types, blobs, files):
+                body = bytes(blob)
+                if t == "response":
+                    status, body = split_http_payload(body)
+                    if status is not None and status != 200:
+                        continue
+                url.append(u)
+                text.append(body.decode("utf-8", errors="replace"))
+                source.append(f)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(url, pa.string()),
+                    pa.array(text, pa.string()),
+                    pa.array(source, pa.string()),
+                ],
+                names=["url", "text", "source"],
+            )
+
+    out = keep.select("target_uri", "warc_type", "content", "file").mapInArrow(
+        strip, schema="url string, text string, source string"
+    )
+    return out.withColumn("n_chars", F.length("text"))
+
+
+def write_warc(
+    docs: DataFrame,
+    dst: str,
+    *,
+    text_col: str = "text",
+    uri_col: str | None = None,
+    warc_type: str = "conversion",
+    gzip_records: bool = False,
+    files: int | None = None,
+) -> list[tuple[str, int, int]]:
+    """Write a document table as WARC files, one per partition
+    (``files`` repartitions first to control file size — target ~1 GB
+    like Common Crawl). ``gzip_records``: one gzip member PER RECORD
+    (the CC convention — members stay individually addressable).
+    Eager; returns the manifest [(file, n_records, n_bytes)].
+
+    Executors write via plain file IO — local/NFS destinations (the
+    test/export path); object-store destinations should write plain
+    files and upload, or wrap this sink's manifest in their uploader."""
+    import os
+
+    os.makedirs(dst, exist_ok=True)
+    if files:
+        docs = docs.repartition(files)
+    cols = [text_col] + ([uri_col] if uri_col else [])
+    ext = ".warc.gz" if gzip_records else ".warc"
+
+    def sink(batches):
+        import gzip as _gzip
+
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(dst, f"part-{pid:05d}{ext}")
+        n = 0
+        tmp = fname + ".inprogress"
+        with open(tmp, "wb") as fh:
+            for rb in batches:
+                texts = rb.column(text_col).to_pylist()
+                uris = (
+                    rb.column(uri_col).to_pylist() if uri_col else [None] * rb.num_rows
+                )
+                for t, u in zip(texts, uris):
+                    rec = warc_record_bytes(
+                        (t or "").encode("utf-8"),
+                        warc_type=warc_type,
+                        target_uri=u,
+                    )
+                    fh.write(
+                        _gzip.compress(rec, 6, mtime=0) if gzip_records else rec
+                    )
+                    n += 1
+        if n:
+            os.replace(tmp, fname)  # atomic: readers never see partials
+            size = os.path.getsize(fname)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([fname], pa.string()),
+                    pa.array([n], pa.int64()),
+                    pa.array([size], pa.int64()),
+                ],
+                names=["file", "n_records", "n_bytes"],
+            )
+        else:
+            os.remove(tmp)
+
+    manifest = docs.select(*cols).mapInArrow(
+        sink, schema="file string, n_records long, n_bytes long"
+    ).collect()
+    return [(r["file"], r["n_records"], r["n_bytes"]) for r in manifest]

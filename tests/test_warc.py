@@ -1,0 +1,131 @@
+"""WARC source/sink (sources/warc.py): framing, gzip members, HTTP
+payload split, the distributed read path, and the write→read identity
+— the fbin-style round-trip contract applied to the Common Crawl
+container format."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_ann_spark.catalog import load_table
+from big_ann_spark.sources import warc as W
+
+
+def test_record_roundtrip_hostile_payload():
+    """Content-Length framing must survive payloads that CONTAIN the
+    record separator and a version line — delimiter-scanning parsers
+    break exactly here."""
+    payload = (
+        b"x\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\n"
+        + "य𝄞".encode("utf-8")
+        + b"\xff\x00tail"
+    )
+    blob = W.warc_record_bytes(payload, target_uri="http://a.example/p")
+    recs = list(W.parse_warc(blob * 3))
+    assert len(recs) == 3
+    assert all(r.content == payload for r in recs)
+    assert recs[0].target_uri == "http://a.example/p"
+    assert recs[0].warc_type == "conversion"
+    assert recs[1].offset > 0
+
+
+def test_deterministic_record_ids():
+    a = W.warc_record_bytes(b"same", target_uri="u")
+    b = W.warc_record_bytes(b"same", target_uri="u")
+    c = W.warc_record_bytes(b"other", target_uri="u")
+    assert a == b and a != c
+
+
+def test_gzip_multi_member():
+    """One gzip member per record (the Common Crawl convention): a
+    single-stream gunzip would see only the first record."""
+    r1 = W.warc_record_bytes(b"alpha")
+    r2 = W.warc_record_bytes(b"beta", warc_type="resource")
+    blob = gzip.compress(r1, mtime=0) + gzip.compress(r2, mtime=0)
+    recs = list(W.parse_warc(blob))
+    assert [r.content for r in recs] == [b"alpha", b"beta"]
+    assert recs[1].warc_type == "resource"
+
+
+def test_malformed_raises_with_offset():
+    good = W.warc_record_bytes(b"ok")
+    with pytest.raises(ValueError, match="truncated"):
+        list(W.parse_warc(good[:-6]))
+    with pytest.raises(ValueError, match="version line"):
+        list(W.parse_warc(good + b"JUNK"))
+
+
+def test_http_payload_split():
+    body = b"<html>hi</html>"
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    assert W.split_http_payload(http) == (200, body)
+    assert W.split_http_payload(b"not http") == (None, b"not http")
+
+
+def test_write_read_identity(spark, sf_dir, tmp_path):
+    """documents → WARC files (plain AND per-record-gzip) → read_warc
+    → warc_to_documents must reproduce the text column exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    tagged = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("url"), "text"
+    )
+    for gz in (False, True):
+        dst = str(tmp_path / ("gz" if gz else "plain"))
+        manifest = W.write_warc(
+            tagged, dst, uri_col="url", gzip_records=gz, files=3
+        )
+        assert sum(m[1] for m in manifest) == 50
+        back = W.warc_to_documents(W.read_warc(spark, dst)).select("url", "text")
+        got = {
+            int(r["url"].removeprefix("urn:doc:")): r["text"]
+            for r in back.collect()
+        }
+        assert got == want
+
+
+def test_response_records_http_stripped(spark, tmp_path):
+    recs = [
+        W.warc_record_bytes(
+            b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\nbody-one",
+            warc_type="response", target_uri="http://a/1",
+            content_type="application/http; msgtype=response",
+        ),
+        W.warc_record_bytes(
+            b"HTTP/1.1 404 Not Found\r\n\r\ngone",
+            warc_type="response", target_uri="http://a/2",
+            content_type="application/http; msgtype=response",
+        ),
+        W.warc_record_bytes(b"meta", warc_type="warcinfo"),
+    ]
+    p = tmp_path / "f.warc"
+    p.write_bytes(b"".join(recs))
+    docs = W.warc_to_documents(W.read_warc(spark, str(tmp_path))).collect()
+    # 404 dropped, warcinfo dropped, 200 body kept
+    assert [(d["url"], d["text"]) for d in docs] == [("http://a/1", "body-one")]
+
+
+def test_cli_warc_roundtrip(spark, sf_dir, tmp_path):
+    from big_ann_spark.cli import main
+
+    src = f"{sf_dir}/documents.parquet"
+    warc_dir = str(tmp_path / "warc")
+    out = str(tmp_path / "docs.parquet")
+    assert main(["parquet-to-warc", src, warc_dir, "--uri-col", "doc_id",
+                 "--gzip", "--files", "2"]) == 0
+    assert main(["warc-to-parquet", warc_dir, out]) == 0
+    n_src = spark.read.parquet(src).count()
+    back = spark.read.parquet(out)
+    assert back.count() == n_src
+    joined = (
+        back.withColumn("doc_id", F.col("url").cast("long"))
+        .join(
+            spark.read.parquet(src).select("doc_id", F.col("text").alias("t0")),
+            "doc_id",
+        )
+        .filter(F.col("text") != F.col("t0"))
+    )
+    assert joined.count() == 0
