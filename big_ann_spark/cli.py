@@ -66,6 +66,16 @@ def _build_parser() -> argparse.ArgumentParser:
         "for candidates (~4x less IO) and re-ranks the top pool "
         "exactly from the raw column via bounded point fetches",
     )
+    b.add_argument(
+        "--pq-refine",
+        action="store_true",
+        help="store PQ sub-codes NEXT TO the float vectors (FAISS "
+        "IVFADC-with-refine shape): candidates come from an ADC scan "
+        "of the pq_codes column (~16x less IO at --pq-m 8), exact "
+        "rerank from the raw column",
+    )
+    b.add_argument("--pq-m", type=int, default=8, help="PQ subquantizers")
+    b.add_argument("--pq-k", type=int, default=16, help="codes per subquantizer")
 
     bg = sub.add_parser(
         "build-graph",
@@ -571,8 +581,11 @@ def main(argv: list[str] | None = None) -> int:
         assign, cents, _model = SH.kmeans_shard(
             emb, m=args.m, id_col=args.id_col, vec_col=args.vec_col
         )
-        if args.sq8 and args.sq8_refine:
-            print("--sq8 and --sq8-refine are mutually exclusive", file=sys.stderr)
+        if sum([args.sq8, args.sq8_refine, args.pq_refine]) > 1:
+            print(
+                "--sq8 / --sq8-refine / --pq-refine are mutually exclusive",
+                file=sys.stderr,
+            )
             return 2
         if args.sq8:
             from big_ann_spark.operators import pq as PQ
@@ -595,6 +608,16 @@ def main(argv: list[str] | None = None) -> int:
                 assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col,
                 sq8_ranges=PQ.train_sq8(emb, vec_col=args.vec_col),
             )
+        elif args.pq_refine:
+            from big_ann_spark.operators import pq as PQ
+
+            dim = len(emb.select(args.vec_col).first()[0])
+            SH.write_sharded(
+                assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col,
+                pq_codebooks=PQ.train_pq(
+                    emb, m=args.pq_m, k=args.pq_k, vec_col=args.vec_col, dim=dim
+                ),
+            )
         else:
             SH.write_sharded(
                 assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col
@@ -603,6 +626,7 @@ def main(argv: list[str] | None = None) -> int:
         tag = (
             " (sq8 codes)" if args.sq8
             else " (sq8 + refine)" if args.sq8_refine
+            else " (pq + refine)" if args.pq_refine
             else ""
         )
         print(f"{emb.count()} vectors -> {args.m} shards at {args.dst}{tag}")
@@ -669,6 +693,14 @@ def main(argv: list[str] | None = None) -> int:
                 q, args.index, cents, k=args.k, nprobe=args.nprobe,
                 id_col=args.id_col, vec_col=args.vec_col,
                 codec="sq8", pool_impl="arrow", as_of=args.as_of,
+            )
+        elif "pq_codes" in live.columns and args.vec_col in live.columns:
+            # --pq-refine layout: ADC candidate scan (pq_codes column
+            # only) + exact rerank from the raw column
+            out = ANN.ivf_search_from_disk(
+                q, args.index, cents, k=args.k, nprobe=args.nprobe,
+                id_col=args.id_col, vec_col=args.vec_col,
+                codec="pq", as_of=args.as_of,
             )
         else:
             shards = _load_index_shards(

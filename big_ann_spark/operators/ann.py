@@ -137,12 +137,16 @@ def ivf_search_from_disk(
             dim=dim,
             _routed=routed,
         )
-    if codec != "sq8":
-        raise ValueError(f"unknown codec {codec!r}; use 'raw' or 'sq8'")
-    pool = sq8_pool(
-        routed, shards, path, k * rerank_factor,
-        id_col=id_col, dim=dim, impl=pool_impl,
-    ).localCheckpoint()  # tiny; reused by the id collect AND the join
+    if codec == "sq8":
+        pool = sq8_pool(
+            routed, shards, path, k * rerank_factor,
+            id_col=id_col, dim=dim, impl=pool_impl,
+        )
+    elif codec == "pq":
+        pool = pq_pool(routed, shards, path, k * rerank_factor, id_col=id_col)
+    else:
+        raise ValueError(f"unknown codec {codec!r}; use 'raw', 'sq8' or 'pq'")
+    pool = pool.localCheckpoint()  # tiny; reused by the id collect AND the join
     cand_ids = [
         r["neighbor_id"] for r in pool.select("neighbor_id").distinct().collect()
     ]
@@ -318,6 +322,58 @@ def _sq8_pool_arrow(
     ).mapInArrow(part, schema="qid long, neighbor_id long, dist double")
     return top_k_per_group(
         partial, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool
+    )
+
+
+def pq_pool(
+    routed: DataFrame,
+    shards: DataFrame,
+    path: str,
+    k_pool: int,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantized candidate pool of an IVF-PQ (IVFADC) layout: the
+    candidate pass scans ONLY the ``pq_codes`` column of the probed
+    shards (m sub-codes per row — at m=8 over 64-d float32 that is
+    ~16× less column IO than raw, one decade past SQ8's 4×), scoring
+    each row as ``Σ_j lut[qid][j][code_j]`` against the broadcast
+    per-query ADC lookup tables (driver-computed from the persisted
+    codebooks — queries are the contractual small side). top-``k_pool``
+    per query by (adc dist, id); ADC distances are approximate, the
+    exact-rerank tier above fixes ranks and emits true distances."""
+    from big_ann_spark.operators.pq import load_pq_codebooks, pq_lut_rows
+
+    spark = routed.sparkSession
+    codebooks = load_pq_codebooks(spark, f"{path}/pq_codebooks.parquet")
+    qvecs: dict[int, list[float]] = {}
+    for r in routed.select("qid", "qvec").collect():
+        qvecs.setdefault(int(r["qid"]), [float(x) for x in r["qvec"]])
+    luts = spark.createDataFrame(
+        pq_lut_rows(sorted(qvecs.items()), codebooks),
+        "qid long, lut array<array<double>>",
+    )
+    probes = routed.select("qid", "shard_id").join(F.broadcast(luts), "qid")
+    cands = probes.join(
+        shards.select(
+            F.col(id_col).alias("neighbor_id"), F.col("pq_codes"), "shard_id"
+        ),
+        "shard_id",
+    ).select(
+        "qid",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("pq_codes"),
+                lambda l, c: F.element_at(l, c.cast("int") + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    return top_k_per_group(
+        cands, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool
     )
 
 

@@ -75,20 +75,17 @@ def _sub_dist(vec_slice, centroid_lits):
     return d
 
 
-def pq_encode(
-    emb: DataFrame,
-    codebooks: list[list[list[float]]],
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, codes array<int>[m]) — nearest code per subvector, computed
-    as a pure projection over the broadcast-literal codebooks (argmin
-    via array_min(struct(dist, code)); ties break on the lower code).
-    No joins, no shuffles: this is the scan-side compression pass."""
+def pq_encode_col(vec_col, codebooks: list[list[list[float]]]):
+    """The PQ code-assignment COLUMN: nearest code per subvector over
+    the broadcast-literal codebooks (argmin via array_min(struct(dist,
+    code)); ties break on the lower code) — a pure projection, no
+    joins, no shuffles. Composable into any scan/write (the
+    ``sq8_encode_col`` pattern)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
+        "array<double>"
+    )
     codes = []
     for j in range(m):
         vs = F.slice(v, j * sub + 1, sub)
@@ -104,7 +101,71 @@ def pq_encode(
             )
         )
         codes.append(best["c"])
-    return emb.select(F.col(id_col).alias("id"), F.array(*codes).alias("codes"))
+    return F.array(*codes)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>[m]) — see :func:`pq_encode_col`."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        pq_encode_col(vec_col, codebooks).alias("codes"),
+    )
+
+
+def save_pq_codebooks(spark, path: str, codebooks: list[list[list[float]]]) -> None:
+    """Persist codebooks as (j, c, centroid) rows — m·k rows, tiny."""
+    rows = [
+        (j, c, [float(x) for x in cent])
+        for j, sub in enumerate(codebooks)
+        for c, cent in enumerate(sub)
+    ]
+    (
+        spark.createDataFrame(rows, "j int, c int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(path).collect()
+    m = max(r["j"] for r in rows) + 1
+    out: list[list[list[float]]] = [[] for _ in range(m)]
+    for j in range(m):
+        sub = sorted((r for r in rows if r["j"] == j), key=lambda r: r["c"])
+        out[j] = [list(r["centroid"]) for r in sub]
+    return out
+
+
+def pq_lut_rows(
+    queries_rows, codebooks: list[list[list[float]]]
+) -> list[tuple[int, list[list[float]]]]:
+    """Per-query ADC lookup tables (m × k squared subvector distances),
+    driver-computed — queries are the contractual small side. Shared
+    by the in-memory and from-disk ADC scans so their arithmetic is
+    identical."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = []
+    for qid, qv in queries_rows:
+        qv = np.asarray(qv, dtype=np.float64)
+        lut = [
+            [
+                float(((qv[j * sub:(j + 1) * sub] - np.asarray(c)) ** 2).sum())
+                for c in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        out.append((int(qid), lut))
+    return out
 
 
 def pq_adc_search(
@@ -125,24 +186,11 @@ def pq_adc_search(
     Returns (qid, neighbor_id, adc_dist, rank) — approximate distances
     (quantization error), re-rank the top-k' against raw vectors when
     exactness matters."""
-    import numpy as np
-
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = [(r[0], r[1]) for r in queries.select(query_id, query_vec).collect()]
     spark = queries.sparkSession
-    lut_rows = []
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        lut = [
-            [
-                float(((qv[j * sub:(j + 1) * sub] - np.asarray(c)) ** 2).sum())
-                for c in codebooks[j]
-            ]
-            for j in range(m)
-        ]
-        lut_rows.append((int(r[0]), lut))
-    luts = spark.createDataFrame(lut_rows, "qid long, lut array<array<double>>")
+    luts = spark.createDataFrame(
+        pq_lut_rows(qrows, codebooks), "qid long, lut array<array<double>>"
+    )
     scored = codes.crossJoin(F.broadcast(luts)).select(
         "qid",
         F.col("id").alias("neighbor_id"),
@@ -178,26 +226,13 @@ def ivf_pq_search(
     (id, codes, shard_id); under a partitionBy(shard_id) layout the
     probe equi-join is partition-pruned IO on a table that is already
     ~32× smaller than the raw vectors."""
-    import numpy as np
-
     from big_ann_spark.operators.ann import route_queries
 
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = [(r[0], r[1]) for r in queries.select(query_id, query_vec).collect()]
     spark = queries.sparkSession
-    lut_rows = []
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        lut = [
-            [
-                float(((qv[j * sub:(j + 1) * sub] - np.asarray(c)) ** 2).sum())
-                for c in codebooks[j]
-            ]
-            for j in range(m)
-        ]
-        lut_rows.append((int(r[0]), lut))
-    luts = spark.createDataFrame(lut_rows, "qid long, lut array<array<double>>")
+    luts = spark.createDataFrame(
+        pq_lut_rows(qrows, codebooks), "qid long, lut array<array<double>>"
+    )
     routed = route_queries(queries, centroids, nprobe, query_id=query_id, query_vec=query_vec)
     probes = routed.select("qid", "shard_id").join(F.broadcast(luts), "qid")
     cands = probes.join(sharded_codes, "shard_id").select(

@@ -137,6 +137,13 @@ def upsert_vectors(
         rows = rows.withColumn(
             "codes", sq8_encode_col("embedding", mins, maxs).cast("array<smallint>")
         )
+    if oplayout.path_exists(spark, f"{path}/pq_codebooks.parquet"):
+        from big_ann_spark.operators.pq import load_pq_codebooks, pq_encode_col
+
+        books = load_pq_codebooks(spark, f"{path}/pq_codebooks.parquet")
+        rows = rows.withColumn(
+            "pq_codes", pq_encode_col("embedding", books).cast("array<smallint>")
+        )
     rows = rows.withColumn("op", F.lit(OP_INSERT))
     return _land_vector_op(spark, path, rows, op_id)
 
@@ -169,6 +176,8 @@ def delete_vectors(
     )
     if _has_sq8(spark, path):
         rows = rows.withColumn("codes", F.lit(None).cast("array<smallint>"))
+    if oplayout.path_exists(spark, f"{path}/pq_codebooks.parquet"):
+        rows = rows.withColumn("pq_codes", F.lit(None).cast("array<smallint>"))
     rows = rows.withColumn("op", F.lit(OP_DELETE))
     return _land_vector_op(spark, path, rows, op_id)
 
@@ -280,8 +289,16 @@ def compact_vector_layout(spark, src_path: str, dst_path: str) -> int:
         oplayout.committed_ops(spark, src_path) & _ops_on_disk(spark, src_path)
     )
     ranges = _sq8_ranges(spark, src_path) if _has_sq8(spark, src_path) else None
+    books = None
+    if oplayout.path_exists(spark, f"{src_path}/pq_codebooks.parquet"):
+        from big_ann_spark.operators.pq import load_pq_codebooks
+
+        books = load_pq_codebooks(spark, f"{src_path}/pq_codebooks.parquet")
     assignments = live.select("vec_id", "shard_id", "dist", "embedding")
-    write_sharded(assignments, assignments, dst_path, sq8_ranges=ranges)
+    write_sharded(
+        assignments, assignments, dst_path,
+        sq8_ranges=ranges, pq_codebooks=books,
+    )
     (
         spark.read.parquet(f"{src_path}/centroids.parquet")
         .coalesce(1)

@@ -1,0 +1,111 @@
+"""IVF-PQ persisted serving tier (FAISS IVFADC-with-refine shape):
+pq_codes-only ADC candidate scan + exact point-fetch rerank off a
+``write_sharded(pq_codebooks=...)`` layout."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from big_ann_spark.catalog import load_table
+from big_ann_spark.operators import ann as ANN
+from big_ann_spark.operators import sharding as SH
+from big_ann_spark.operators.pq import load_pq_codebooks, train_pq
+
+_CACHE: dict[str, tuple] = {}
+
+
+def _pq_layout(spark, sf_dir):
+    """Session-cached: train once (8 MLlib KMeans fits), reuse across
+    tests in the module."""
+    got = _CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SH.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    assign = SH.assign_to_centroids(emb, cents, extra_cols=["embedding"])
+    books = train_pq(emb, m=8, k=16)
+    path = tempfile.mkdtemp(prefix="big_ann_pq_disk_") + "/layout"
+    SH.write_sharded(assign, emb, path, pq_codebooks=books)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    got = (emb, cents, path, books)
+    _CACHE[sf_dir] = got
+    return got
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+def test_pq_layout_roundtrip(spark, sf_dir):
+    emb, cents, path, books = _pq_layout(spark, sf_dir)
+    tbl = spark.read.parquet(f"{path}/shards")
+    assert {"vec_id", "embedding", "pq_codes", "shard_id"} <= set(tbl.columns)
+    assert load_pq_codebooks(spark, f"{path}/pq_codebooks.parquet") == books
+    n_codes = tbl.select(F.size("pq_codes").alias("s")).distinct().collect()
+    assert [r["s"] for r in n_codes] == [8]
+
+
+def test_pq_from_disk_exhaustive_pool_equals_exact(spark, sf_dir):
+    """With the pool covering every probed row, the exact rerank makes
+    the PQ path EQUAL the raw IVF search — ADC only selects, never
+    ranks, the final answer."""
+    emb, cents, path, _ = _pq_layout(spark, sf_dir)
+    queries = _queries(emb)
+    got = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=2, codec="pq", rerank_factor=10_000
+    )
+    want = ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=2)
+    a = sorted(map(tuple, got.select("qid", "neighbor_id", "dist", "rank").collect()))
+    b = sorted(map(tuple, want.select("qid", "neighbor_id", "dist", "rank").collect()))
+    assert a == b and len(a) == 40
+
+
+def test_pq_default_rf_recall(spark, sf_dir):
+    """Default rerank_factor: the ADC pool must put most true
+    neighbors in front of the exact rerank (recall vs the raw-codec
+    search of the same layout)."""
+    emb, cents, path, _ = _pq_layout(spark, sf_dir)
+    queries = _queries(emb)
+    got = ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=2, codec="pq")
+    want = ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=2)
+    g = {(r["qid"], r["neighbor_id"]) for r in got.collect()}
+    w = {(r["qid"], r["neighbor_id"]) for r in want.collect()}
+    recall = len(g & w) / len(w)
+    assert recall >= 0.7, recall
+    # the hits it does return carry EXACT distances (rerank tier)
+    gd = {(r["qid"], r["neighbor_id"]): r["dist"] for r in got.collect()}
+    wd = {(r["qid"], r["neighbor_id"]): r["dist"] for r in want.collect()}
+    for key in g & w:
+        assert gd[key] == wd[key]
+
+
+def test_pq_candidate_scan_reads_codes_only(spark, sf_dir):
+    """Column pruning: the ADC candidate pass must not read the raw
+    vector column — that is the entire point of the layout."""
+    emb, cents, path, _ = _pq_layout(spark, sf_dir)
+    queries = _queries(emb)
+    routed = ANN.route_queries(queries, cents, 2).localCheckpoint()
+    probe_ids = [r["shard_id"] for r in routed.select("shard_id").distinct().collect()]
+    shards = ANN.open_probed_shards(spark, path, probe_ids)
+    pool = ANN.pq_pool(routed, shards, path, 20)
+    plan = pool._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "pq_codes" in seg and "embedding" not in seg
+
+
+def test_cli_build_pq_refine_and_search(spark, sf_dir, tmp_path):
+    from big_ann_spark.cli import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "idx_pq")
+    assert main(["build-index", src, idx, "--m", "5", "--pq-refine"]) == 0
+    cols = spark.read.parquet(f"{idx}/shards").columns
+    assert "pq_codes" in cols and "embedding" in cols
+    out = str(tmp_path / "res.parquet")
+    assert main(["search", idx, src, "--k", "5", "--nprobe", "2", "--out", out]) == 0
+    res = spark.read.parquet(out)
+    assert res.count() == res.select("qid").distinct().count() * 5

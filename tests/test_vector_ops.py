@@ -19,20 +19,26 @@ from big_ann_spark.operators import sharding as SH
 from big_ann_spark.operators import vector_ops as VO
 
 
-def _build_layout(spark, sf_dir, *, sq8=False):
-    """Base layout from vec_id % 3 != 0 (centroids + SQ8 ranges frozen
-    from the FULL table, the build-then-grow lifecycle)."""
+def _build_layout(spark, sf_dir, *, sq8=False, pq=False):
+    """Base layout from vec_id % 3 != 0 (centroids + SQ8 ranges / PQ
+    codebooks frozen from the FULL table, the build-then-grow
+    lifecycle)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = SH.label_centroids(load_table(spark, sf_dir, "embeddings"))
     base = emb.filter(F.col("vec_id") % 3 != 0)
     assign = SH.assign_to_centroids(base, cents, extra_cols=["embedding"])
     path = tempfile.mkdtemp(prefix="big_ann_vec_ops_") + "/layout"
     ranges = None
+    books = None
     if sq8:
         from big_ann_spark.operators.pq import train_sq8
 
         ranges = train_sq8(emb)
-    SH.write_sharded(assign, base, path, sq8_ranges=ranges)
+    if pq:
+        from big_ann_spark.operators.pq import train_pq
+
+        books = train_pq(emb, m=8, k=16)
+    SH.write_sharded(assign, base, path, sq8_ranges=ranges, pq_codebooks=books)
     cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     return emb, cents, path
 
@@ -75,16 +81,23 @@ def _runbook(spark, emb, path):
     }
 
 
-@pytest.mark.parametrize("codec", ["raw", "sq8"])
+@pytest.mark.parametrize("codec", ["raw", "sq8", "pq"])
 def test_runbook_equals_rebuild_at_every_as_of(spark, sf_dir, codec):
-    emb, cents, path = _build_layout(spark, sf_dir, sq8=codec == "sq8")
+    emb, cents, path = _build_layout(
+        spark, sf_dir, sq8=codec == "sq8", pq=codec == "pq"
+    )
     history = _runbook(spark, emb, path)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
+    # pq: an exhaustive pool makes the approximate ADC tier a pure
+    # candidate enumerator, so the exact rerank must equal the raw
+    # rebuild exactly — the strongest possible mutation check
+    rf = 10_000 if codec == "pq" else 4
     for as_of, live_pred in history.items():
         got = ANN.ivf_search_from_disk(
-            queries, path, cents, k=5, nprobe=3, codec=codec, as_of=as_of
+            queries, path, cents, k=5, nprobe=3, codec=codec, as_of=as_of,
+            rerank_factor=rf,
         )
         want = _expected(spark, emb, cents, live_pred, queries)
         assert _rows(got) == _rows(want), f"as_of={as_of}"
