@@ -700,7 +700,7 @@ def main(argv: list[str] | None = None) -> int:
             out = ANN.ivf_search_from_disk(
                 q, args.index, cents, k=args.k, nprobe=args.nprobe,
                 id_col=args.id_col, vec_col=args.vec_col,
-                codec="pq", as_of=args.as_of,
+                codec="pq", pool_impl="arrow", as_of=args.as_of,
             )
         else:
             shards = _load_index_shards(

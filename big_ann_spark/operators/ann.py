@@ -143,7 +143,10 @@ def ivf_search_from_disk(
             id_col=id_col, dim=dim, impl=pool_impl,
         )
     elif codec == "pq":
-        pool = pq_pool(routed, shards, path, k * rerank_factor, id_col=id_col)
+        pool = pq_pool(
+            routed, shards, path, k * rerank_factor,
+            id_col=id_col, impl=pool_impl,
+        )
     else:
         raise ValueError(f"unknown codec {codec!r}; use 'raw', 'sq8' or 'pq'")
     pool = pool.localCheckpoint()  # tiny; reused by the id collect AND the join
@@ -332,6 +335,7 @@ def pq_pool(
     k_pool: int,
     *,
     id_col: str = "vec_id",
+    impl: str = "fold",
 ) -> DataFrame:
     """Quantized candidate pool of an IVF-PQ (IVFADC) layout: the
     candidate pass scans ONLY the ``pq_codes`` column of the probed
@@ -341,7 +345,14 @@ def pq_pool(
     per-query ADC lookup tables (driver-computed from the persisted
     codebooks — queries are the contractual small side). top-``k_pool``
     per query by (adc dist, id); ADC distances are approximate, the
-    exact-rerank tier above fixes ranks and emits true distances."""
+    exact-rerank tier above fixes ranks and emits true distances.
+
+    ``impl``: ``"fold"`` scores in whole-stage codegen (zip_with +
+    element_at per row — interpreted-expression cost scales with m);
+    ``"arrow"`` gathers the same LUT entries with numpy fancy indexing
+    per Arrow batch, accumulating left-to-right over j so emitted
+    distances are BIT-EQUAL to the fold (parity-tested) while the scan
+    runs at memory bandwidth — the sq8 arrow-pool pattern."""
     from big_ann_spark.operators.pq import load_pq_codebooks, pq_lut_rows
 
     spark = routed.sparkSession
@@ -349,9 +360,15 @@ def pq_pool(
     qvecs: dict[int, list[float]] = {}
     for r in routed.select("qid", "qvec").collect():
         qvecs.setdefault(int(r["qid"]), [float(x) for x in r["qvec"]])
+    lut_rows = pq_lut_rows(sorted(qvecs.items()), codebooks)
+    if impl == "arrow":
+        return _pq_pool_arrow(
+            routed, shards, lut_rows, k_pool, id_col=id_col
+        )
+    if impl != "fold":
+        raise ValueError(f"impl must be 'fold' or 'arrow', got {impl!r}")
     luts = spark.createDataFrame(
-        pq_lut_rows(sorted(qvecs.items()), codebooks),
-        "qid long, lut array<array<double>>",
+        lut_rows, "qid long, lut array<array<double>>"
     )
     probes = routed.select("qid", "shard_id").join(F.broadcast(luts), "qid")
     cands = probes.join(
@@ -374,6 +391,85 @@ def pq_pool(
     )
     return top_k_per_group(
         cands, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool
+    )
+
+
+def _pq_pool_arrow(
+    routed: DataFrame,
+    shards: DataFrame,
+    lut_rows: list,
+    k_pool: int,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """numpy LUT-gather ADC scan. Routing ships as one broadcast
+    (qids, (Q, m, k) LUT tensor, shard→query-index lists); each Arrow
+    batch gathers ``lut[j, codes[:, j]]`` and accumulates LEFT-TO-RIGHT
+    over j — the identical addition order to the fold expression, so
+    emitted pool distances are bit-equal (parity-tested) while the
+    scan runs at gather/memory-bandwidth speed."""
+    import numpy as np
+
+    qids = np.array([q for q, _ in lut_rows], dtype=np.int64)
+    luts = np.array([l for _, l in lut_rows], dtype=np.float64)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    shard_to_q: dict[int, list[int]] = {}
+    for r in routed.select("qid", "shard_id").collect():
+        shard_to_q.setdefault(int(r["shard_id"]), []).append(qpos[int(r["qid"])])
+    shard_to_q = {s: np.unique(np.array(v)) for s, v in shard_to_q.items()}
+    sc = routed.sparkSession.sparkContext
+    bc = sc.broadcast((qids, luts, shard_to_q))
+
+    def part(batches):
+        import pyarrow as pa
+
+        from big_ann_spark.functions.arrowio import int_col, list_col_matrix
+
+        qids, luts, shard_to_q = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = int_col(rb, id_col)
+            sh = int_col(rb, "shard_id")
+            codes = list_col_matrix(rb, "pq_codes", np.int64)
+            out_q, out_n, out_d = [], [], []
+            for s in np.unique(sh):
+                qidx = shard_to_q.get(int(s))
+                if qidx is None or len(qidx) == 0:
+                    continue
+                rows = np.flatnonzero(sh == s)
+                sub_codes, sub_ids = codes[rows], ids[rows]
+                for qi in qidx:
+                    lut = luts[qi]
+                    # left-to-right accumulation == the fold's order
+                    acc = np.zeros(len(rows), dtype=np.float64)
+                    for j in range(lut.shape[0]):
+                        acc = acc + lut[j, sub_codes[:, j]]
+                    kk = min(k_pool, len(rows))
+                    part_idx = np.argpartition(acc, kk - 1)[:kk]
+                    thresh = acc[part_idx].max()
+                    cand = np.flatnonzero(acc <= thresh)
+                    order = np.lexsort((sub_ids[cand], acc[cand]))[:kk]
+                    sel = cand[order]
+                    out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+                    out_n.append(sub_ids[sel])
+                    out_d.append(acc[sel])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_n), type=pa.int64()),
+                    pa.array(np.concatenate(out_d), type=pa.float64()),
+                ],
+                names=["qid", "neighbor_id", "dist"],
+            )
+
+    partial = shards.select(
+        F.col(id_col), F.col("pq_codes"), F.col("shard_id")
+    ).mapInArrow(part, schema="qid long, neighbor_id long, dist double")
+    return top_k_per_group(
+        partial, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool
     )
 
 

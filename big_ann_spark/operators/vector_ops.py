@@ -221,20 +221,22 @@ def mutation_state(
         return None
     data_cols = [c for c in raw.columns if c not in ("op", "_mb")]
     rank = F.when(F.col("op") == OP_DELETE, F.lit(1)).otherwise(F.lit(0))
+    # ONE materialization of the per-id winners; contested and
+    # resolved are projections of it (no second pass over the ops)
     latest = raw.groupBy("vec_id").agg(
         F.max_by(
             F.struct("op", *[c for c in data_cols if c != "vec_id"]),
             F.struct(F.col("_mb"), rank.alias("_r")),
         ).alias("_w")
-    )
+    ).localCheckpoint()
+    if not latest.head(1):
+        return None
     resolved = latest.filter(F.col("_w.op") == OP_INSERT).select(
         "vec_id",
         *[F.col(f"_w.{c}").alias(c) for c in data_cols if c != "vec_id"],
     )
-    contested = latest.select("vec_id").localCheckpoint()
-    if not contested.head(1):
-        return None
-    return contested, resolved.localCheckpoint()
+    contested = latest.select("vec_id")
+    return contested, resolved
 
 
 def live_probed_view(

@@ -112,9 +112,11 @@ def _sq8_disk_layout(spark, sf_dir: str) -> str:
 
 
 # session-scoped cache of the mutated variant's layout: base build from
-# the vec_id % 3 != 0 rows, op 0 upserts the % 3 == 0 rows, op 1
-# tombstones the % 7 == 0 rows — so the head's live set is exactly
-# "vec_id % 7 != 0" and the as_of=0 snapshot is the FULL table, both
+# the vec_id % 20 != 0 rows, op 0 upserts the % 20 == 0 rows (5% —
+# mutations are a SMALL fraction of the corpus by the layout's design
+# contract; the contested set must stay broadcastable), op 1
+# tombstones the % 50 == 0 rows — so the head's live set is exactly
+# "vec_id % 50 != 0" and the as_of=0 snapshot is the FULL table, both
 # DuckDB-expressible as plain predicates over `embeddings`
 _MUTATED_CACHE: dict[str, str] = {}
 
@@ -131,16 +133,16 @@ def _mutated_layout(spark, sf_dir: str) -> str:
         path = tempfile.mkdtemp(prefix="ivf_mut_q_") + "/layout"
         emb = load_table(spark, sf_dir, "embeddings")
         cents = SH.label_centroids(emb)
-        base = emb.filter(F.col("vec_id") % 3 != 0)
+        base = emb.filter(F.col("vec_id") % 20 != 0)
         assign = SH.assign_to_centroids(base, cents, extra_cols=["embedding"])
         SH.write_sharded(assign, base, path)
         cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
         VO.upsert_vectors(
             spark, path,
-            emb.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding"),
+            emb.filter(F.col("vec_id") % 20 == 0).select("vec_id", "embedding"),
         )
         VO.delete_vectors(
-            spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+            spark, path, emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
         )
         _MUTATED_CACHE[key] = path
     return path
@@ -220,14 +222,14 @@ sq8r AS (
   WHERE rk <= 5
 ),
 -- mutated: the op-ledger layout's HEAD live set is exactly
--- vec_id % 7 != 0 (base = %3!=0, op0 upserts %3==0, op1 deletes
--- %7==0; latest op wins), routed/scored identically to raw
+-- vec_id % 50 != 0 (base = %20!=0, op0 upserts %20==0, op1 deletes
+-- %50==0; latest op wins), routed/scored identically to raw
 mut AS (
   SELECT r.qid, a.vec_id AS neighbor_id,
          sqrt(list_sum(list_transform(range(1, 65),
            i -> (r.qv[i] - e.embedding[i]::DOUBLE) * (r.qv[i] - e.embedding[i]::DOUBLE)))) AS dist
   FROM routed r
-  JOIN assign a ON a.shard_id = r.shard_id AND a.vec_id % 7 != 0
+  JOIN assign a ON a.shard_id = r.shard_id AND a.vec_id % 50 != 0
   JOIN embeddings e ON e.vec_id = a.vec_id
 ),
 mutr AS (
@@ -263,7 +265,7 @@ def ivf_search_top5(spark, sf_dir):
     - ``mutated``: the same search over an op-ledger MUTATED layout
       (operators/vector_ops: base build → upsert op → tombstone op) —
       latest-op-wins resolution hash-certified against DuckDB ranking
-      the logical live set (``vec_id % 7 != 0``).
+      the logical live set (``vec_id % 50 != 0``).
     - ``mutated_asof``: the as_of=0 SNAPSHOT search of that layout
       (before the delete op = the full table) — time travel on the
       batch vector index, certified against the raw ranking."""

@@ -97,6 +97,22 @@ def test_pq_candidate_scan_reads_codes_only(spark, sf_dir):
     assert "pq_codes" in seg and "embedding" not in seg
 
 
+def test_pq_pool_arrow_equals_fold(spark, sf_dir):
+    """The numpy LUT-gather impl must be bit-identical to the fold —
+    left-to-right accumulation over j makes the doubles equal, not
+    just close."""
+    emb, cents, path, _ = _pq_layout(spark, sf_dir)
+    queries = _queries(emb)
+    routed = ANN.route_queries(queries, cents, 2).localCheckpoint()
+    probe_ids = [r["shard_id"] for r in routed.select("shard_id").distinct().collect()]
+    shards = ANN.open_probed_shards(spark, path, probe_ids)
+    fold = ANN.pq_pool(routed, shards, path, 20, impl="fold")
+    arrow = ANN.pq_pool(routed, shards, path, 20, impl="arrow")
+    a = sorted(map(tuple, fold.select("qid", "neighbor_id", "dist", "rank").collect()))
+    b = sorted(map(tuple, arrow.select("qid", "neighbor_id", "dist", "rank").collect()))
+    assert a == b and len(a) == 160
+
+
 def test_cli_build_pq_refine_and_search(spark, sf_dir, tmp_path):
     from big_ann_spark.cli import main
 

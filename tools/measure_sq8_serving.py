@@ -76,13 +76,16 @@ def main() -> None:
     emb_path = f"{BASE}/emb_{n}_{m}"
     raw_path = f"{BASE}/raw_{n}_{m}"
     sq8_path = f"{BASE}/sq8_{n}_{m}"
+    pq_path = f"{BASE}/pq_{n}_{m}"
     cent_path = f"{BASE}/cents_{n}_{m}"
 
     if phase == "bytes":
         # parquet-footer column sizes: no Spark needed
         import pyarrow.parquet as pq
 
-        for label, path in (("raw", raw_path), ("sq8", sq8_path)):
+        for label, path in (("raw", raw_path), ("sq8", sq8_path), ("pq", pq_path)):
+            if not os.path.isdir(f"{path}/shards"):
+                continue
             col_bytes: dict[str, int] = {}
             total = 0
             for root, _, files in os.walk(f"{path}/shards"):
@@ -154,7 +157,18 @@ def main() -> None:
         print(f"train_sq8: {t2-t1:.1f}s")
         asg2 = assign_to_centroids(emb, cents, impl="arrow", extra_cols=["embedding"])
         write_sharded(asg2, emb, sq8_path, repartition_to=256, sq8_ranges=ranges)
-        print(f"build sq8 n={n} m={m}: {time.perf_counter()-t2:.1f}s")
+        t3 = time.perf_counter()
+        print(f"build sq8 n={n} m={m}: {t3-t2:.1f}s")
+        from big_ann_spark.operators.pq import train_pq
+
+        # train on a 200k sample (the FAISS convention — codebooks are
+        # population statistics, not per-row state)
+        books = train_pq(emb.limit(200_000), m=8, k=16)
+        t4 = time.perf_counter()
+        print(f"train_pq (200k sample): {t4-t3:.1f}s")
+        asg3 = assign_to_centroids(emb, cents, impl="arrow", extra_cols=["embedding"])
+        write_sharded(asg3, emb, pq_path, repartition_to=256, pq_codebooks=books)
+        print(f"build pq n={n} m={m}: {time.perf_counter()-t4:.1f}s")
         return
 
     if phase in ("search", "cold"):
@@ -171,7 +185,7 @@ def main() -> None:
                 t = time.perf_counter()
                 rows = ivf_search_from_disk(
                     queries, path, cents, k=10, nprobe=nprobe, codec=codec,
-                    pool_impl="arrow" if codec == "sq8" else "fold",
+                    pool_impl="fold" if codec == "raw" else "arrow",
                 ).count()
                 walls.append(time.perf_counter() - t)
             print(
@@ -182,6 +196,8 @@ def main() -> None:
         reps = 3
         timed(f"{phase} raw", raw_path, "raw", reps)
         timed(f"{phase} sq8", sq8_path, "sq8", reps)
+        if os.path.isdir(f"{pq_path}/shards"):
+            timed(f"{phase} pq", pq_path, "pq", reps)
         return
 
     raise SystemExit(f"unknown phase {phase}")
