@@ -76,6 +76,13 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     b.add_argument("--pq-m", type=int, default=8, help="PQ subquantizers")
     b.add_argument("--pq-k", type=int, default=16, help="codes per subquantizer")
+    b.add_argument(
+        "--binary-refine",
+        action="store_true",
+        help="store packed sign-bit codes NEXT TO the float vectors "
+        "(32x tier): candidates come from an XOR+popcount Hamming "
+        "scan of the bcodes column, exact rerank from the raw column",
+    )
 
     bg = sub.add_parser(
         "build-graph",
@@ -581,9 +588,10 @@ def main(argv: list[str] | None = None) -> int:
         assign, cents, _model = SH.kmeans_shard(
             emb, m=args.m, id_col=args.id_col, vec_col=args.vec_col
         )
-        if sum([args.sq8, args.sq8_refine, args.pq_refine]) > 1:
+        if sum([args.sq8, args.sq8_refine, args.pq_refine, args.binary_refine]) > 1:
             print(
-                "--sq8 / --sq8-refine / --pq-refine are mutually exclusive",
+                "--sq8 / --sq8-refine / --pq-refine / --binary-refine "
+                "are mutually exclusive",
                 file=sys.stderr,
             )
             return 2
@@ -618,6 +626,13 @@ def main(argv: list[str] | None = None) -> int:
                     emb, m=args.pq_m, k=args.pq_k, vec_col=args.vec_col, dim=dim
                 ),
             )
+        elif args.binary_refine:
+            from big_ann_spark.operators import pq as PQ
+
+            SH.write_sharded(
+                assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col,
+                binary_thresholds=PQ.train_binary(emb, vec_col=args.vec_col),
+            )
         else:
             SH.write_sharded(
                 assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col
@@ -627,6 +642,7 @@ def main(argv: list[str] | None = None) -> int:
             " (sq8 codes)" if args.sq8
             else " (sq8 + refine)" if args.sq8_refine
             else " (pq + refine)" if args.pq_refine
+            else " (binary + refine)" if args.binary_refine
             else ""
         )
         print(f"{emb.count()} vectors -> {args.m} shards at {args.dst}{tag}")
@@ -701,6 +717,14 @@ def main(argv: list[str] | None = None) -> int:
                 q, args.index, cents, k=args.k, nprobe=args.nprobe,
                 id_col=args.id_col, vec_col=args.vec_col,
                 codec="pq", pool_impl="arrow", as_of=args.as_of,
+            )
+        elif "bcodes" in live.columns and args.vec_col in live.columns:
+            # --binary-refine layout: Hamming candidate scan (bcodes
+            # only) + exact rerank from the raw column
+            out = ANN.ivf_search_from_disk(
+                q, args.index, cents, k=args.k, nprobe=args.nprobe,
+                id_col=args.id_col, vec_col=args.vec_col,
+                codec="binary", as_of=args.as_of,
             )
         else:
             shards = _load_index_shards(

@@ -147,8 +147,12 @@ def ivf_search_from_disk(
             routed, shards, path, k * rerank_factor,
             id_col=id_col, impl=pool_impl,
         )
+    elif codec == "binary":
+        pool = binary_pool(routed, shards, path, k * rerank_factor, id_col=id_col)
     else:
-        raise ValueError(f"unknown codec {codec!r}; use 'raw', 'sq8' or 'pq'")
+        raise ValueError(
+            f"unknown codec {codec!r}; use 'raw', 'sq8', 'pq' or 'binary'"
+        )
     pool = pool.localCheckpoint()  # tiny; reused by the id collect AND the join
     cand_ids = [
         r["neighbor_id"] for r in pool.select("neighbor_id").distinct().collect()
@@ -388,6 +392,57 @@ def pq_pool(
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("dist"),
+    )
+    return top_k_per_group(
+        cands, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool
+    )
+
+
+def binary_pool(
+    routed: DataFrame,
+    shards: DataFrame,
+    path: str,
+    k_pool: int,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate pool of a binary (sign-bit) layout — the 32× tier:
+    the candidate pass scans ONLY the packed ``bcodes`` words of the
+    probed shards (d bits per row vs d·32 for raw float32) and scores
+    XOR+popcount Hamming distance against the broadcast query codes
+    (binarized under the layout's frozen thresholds). Integer-exact,
+    whole-stage codegen, no Python. top-``k_pool`` per query by
+    (hamming, id); the exact-rerank tier above fixes ranks."""
+    from big_ann_spark.operators.pq import (
+        BINARY_WORD_BITS,
+        binarize_col,
+        hamming_distance,
+    )
+
+    spark = routed.sparkSession
+    thr = list(
+        spark.read.parquet(f"{path}/binary_thresholds.parquet").collect()[0][
+            "thresholds"
+        ]
+    )
+    qcodes = (
+        routed.select("qid", "qvec")
+        .dropDuplicates(["qid"])
+        .select(
+            "qid",
+            binarize_col("qvec", thr, word_bits=BINARY_WORD_BITS).alias("_qc"),
+        )
+    )
+    probes = routed.select("qid", "shard_id").join(F.broadcast(qcodes), "qid")
+    cands = probes.join(
+        shards.select(
+            F.col(id_col).alias("neighbor_id"), F.col("bcodes"), "shard_id"
+        ),
+        "shard_id",
+    ).select(
+        "qid",
+        "neighbor_id",
+        hamming_distance("_qc", "bcodes").cast("double").alias("dist"),
     )
     return top_k_per_group(
         cands, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool

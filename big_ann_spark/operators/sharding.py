@@ -305,6 +305,7 @@ def write_sharded(
     repartition_to: int | None = None,
     sq8_ranges: tuple[list[float], list[float]] | None = None,
     pq_codebooks: list[list[list[float]]] | None = None,
+    binary_thresholds: list[float] | None = None,
 ) -> None:
     """S7/S9 analog: persist the sharded layout —
     ``partitionBy(shard_id)`` parquet of (id, vec, dist) plus the
@@ -368,6 +369,21 @@ def write_sharded(
         save_pq_codebooks(
             assignments.sparkSession, f"{path}/pq_codebooks.parquet", pq_codebooks
         )
+    # binary_thresholds (operators.pq.train_binary): the 32× tier —
+    # packed sign-bit `bcodes` next to the raw vectors; the candidate
+    # pass is an XOR+popcount Hamming scan of d-bit words.
+    if binary_thresholds is not None:
+        from big_ann_spark.operators.pq import binarize_col
+
+        with_vec = with_vec.withColumn(
+            "bcodes", binarize_col(vec_col, binary_thresholds)
+        )
+        assignments.sparkSession.createDataFrame(
+            [([float(t) for t in binary_thresholds],)],
+            "thresholds array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/binary_thresholds.parquet"
+        )
     if repartition_to:
         with_vec = with_vec.repartition(repartition_to, "shard_id")
     (
@@ -383,7 +399,12 @@ def write_sharded(
         # need id row-group stats; see the sq8_ranges comment above.)
         .sortWithinPartitions(
             "shard_id",
-            id_col if (sq8_ranges is not None or pq_codebooks is not None)
+            id_col
+            if (
+                sq8_ranges is not None
+                or pq_codebooks is not None
+                or binary_thresholds is not None
+            )
             else "dist",
         )
         .write.partitionBy("shard_id")

@@ -144,6 +144,15 @@ def upsert_vectors(
         rows = rows.withColumn(
             "pq_codes", pq_encode_col("embedding", books).cast("array<smallint>")
         )
+    if oplayout.path_exists(spark, f"{path}/binary_thresholds.parquet"):
+        from big_ann_spark.operators.pq import binarize_col
+
+        thr = list(
+            spark.read.parquet(f"{path}/binary_thresholds.parquet").collect()[0][
+                "thresholds"
+            ]
+        )
+        rows = rows.withColumn("bcodes", binarize_col("embedding", thr))
     rows = rows.withColumn("op", F.lit(OP_INSERT))
     return _land_vector_op(spark, path, rows, op_id)
 
@@ -178,6 +187,8 @@ def delete_vectors(
         rows = rows.withColumn("codes", F.lit(None).cast("array<smallint>"))
     if oplayout.path_exists(spark, f"{path}/pq_codebooks.parquet"):
         rows = rows.withColumn("pq_codes", F.lit(None).cast("array<smallint>"))
+    if oplayout.path_exists(spark, f"{path}/binary_thresholds.parquet"):
+        rows = rows.withColumn("bcodes", F.lit(None).cast("array<bigint>"))
     rows = rows.withColumn("op", F.lit(OP_DELETE))
     return _land_vector_op(spark, path, rows, op_id)
 
@@ -296,10 +307,17 @@ def compact_vector_layout(spark, src_path: str, dst_path: str) -> int:
         from big_ann_spark.operators.pq import load_pq_codebooks
 
         books = load_pq_codebooks(spark, f"{src_path}/pq_codebooks.parquet")
+    thr = None
+    if oplayout.path_exists(spark, f"{src_path}/binary_thresholds.parquet"):
+        thr = list(
+            spark.read.parquet(f"{src_path}/binary_thresholds.parquet").collect()[
+                0
+            ]["thresholds"]
+        )
     assignments = live.select("vec_id", "shard_id", "dist", "embedding")
     write_sharded(
         assignments, assignments, dst_path,
-        sq8_ranges=ranges, pq_codebooks=books,
+        sq8_ranges=ranges, pq_codebooks=books, binary_thresholds=thr,
     )
     (
         spark.read.parquet(f"{src_path}/centroids.parquet")

@@ -125,3 +125,90 @@ def test_cli_build_pq_refine_and_search(spark, sf_dir, tmp_path):
     assert main(["search", idx, src, "--k", "5", "--nprobe", "2", "--out", out]) == 0
     res = spark.read.parquet(out)
     assert res.count() == res.select("qid").distinct().count() * 5
+
+
+# --------------------------------------------------- binary (32×) tier
+
+
+def _binary_layout(spark, sf_dir):
+    from big_ann_spark.operators.pq import train_binary
+
+    got = _CACHE.get(sf_dir + ":bin")
+    if got is not None:
+        return got
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SH.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    assign = SH.assign_to_centroids(emb, cents, extra_cols=["embedding"])
+    thr = train_binary(emb)
+    path = tempfile.mkdtemp(prefix="big_ann_bin_disk_") + "/layout"
+    SH.write_sharded(assign, emb, path, binary_thresholds=thr)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    got = (emb, cents, path)
+    _CACHE[sf_dir + ":bin"] = got
+    return got
+
+
+def test_binary_from_disk_exhaustive_pool_equals_exact(spark, sf_dir):
+    emb, cents, path = _binary_layout(spark, sf_dir)
+    queries = _queries(emb)
+    got = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=2, codec="binary", rerank_factor=10_000
+    )
+    want = ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=2)
+    a = sorted(map(tuple, got.select("qid", "neighbor_id", "dist", "rank").collect()))
+    b = sorted(map(tuple, want.select("qid", "neighbor_id", "dist", "rank").collect()))
+    assert a == b and len(a) == 40
+
+
+def test_binary_candidate_scan_reads_bcodes_only(spark, sf_dir):
+    emb, cents, path = _binary_layout(spark, sf_dir)
+    queries = _queries(emb)
+    routed = ANN.route_queries(queries, cents, 2).localCheckpoint()
+    probe_ids = [r["shard_id"] for r in routed.select("shard_id").distinct().collect()]
+    shards = ANN.open_probed_shards(spark, path, probe_ids)
+    pool = ANN.binary_pool(routed, shards, path, 20)
+    plan = pool._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "bcodes" in seg and "embedding" not in seg
+
+
+def test_cli_build_binary_refine_and_search(spark, sf_dir, tmp_path):
+    from big_ann_spark.cli import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "idx_bin")
+    assert main(["build-index", src, idx, "--m", "5", "--binary-refine"]) == 0
+    cols = spark.read.parquet(f"{idx}/shards").columns
+    assert "bcodes" in cols and "embedding" in cols
+    out = str(tmp_path / "res.parquet")
+    assert main(["search", idx, src, "--k", "5", "--nprobe", "2", "--out", out]) == 0
+    res = spark.read.parquet(out)
+    assert res.count() == res.select("qid").distinct().count() * 5
+
+
+def test_binary_mutation_runbook(spark, sf_dir):
+    """Upsert/delete on a binary layout: upserted rows get bcodes under
+    the frozen thresholds, deleted rows vanish — exhaustive-pool search
+    equals the raw search over the logical live set."""
+    from big_ann_spark.operators import vector_ops as VO
+    from big_ann_spark.operators.pq import train_binary
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SH.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    assign = SH.assign_to_centroids(base, cents, extra_cols=["embedding"])
+    path = tempfile.mkdtemp(prefix="big_ann_bin_ops_") + "/layout"
+    SH.write_sharded(assign, base, path, binary_thresholds=train_binary(emb))
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    VO.upsert_vectors(spark, path, emb.filter(F.col("vec_id") % 3 == 0))
+    VO.delete_vectors(spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
+    queries = _queries(emb)
+    got = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=3, codec="binary", rerank_factor=10_000
+    )
+    live = emb.filter(F.col("vec_id") % 7 != 0)
+    lassign = SH.assign_to_centroids(live, cents, extra_cols=["embedding"])
+    want = ANN.ivf_search(queries, lassign, cents, k=5, nprobe=3, static_prune=False)
+    a = sorted(map(tuple, got.select("qid", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, want.select("qid", "neighbor_id", "rank").collect()))
+    assert a == b and len(a) == 40

@@ -83,7 +83,10 @@ def main() -> None:
         # parquet-footer column sizes: no Spark needed
         import pyarrow.parquet as pq
 
-        for label, path in (("raw", raw_path), ("sq8", sq8_path), ("pq", pq_path)):
+        for label, path in (
+            ("raw", raw_path), ("sq8", sq8_path), ("pq", pq_path),
+            ("bin", f"{BASE}/bin_{n}_{m}"),
+        ):
             if not os.path.isdir(f"{path}/shards"):
                 continue
             col_bytes: dict[str, int] = {}
@@ -168,7 +171,17 @@ def main() -> None:
         print(f"train_pq (200k sample): {t4-t3:.1f}s")
         asg3 = assign_to_centroids(emb, cents, impl="arrow", extra_cols=["embedding"])
         write_sharded(asg3, emb, pq_path, repartition_to=256, pq_codebooks=books)
-        print(f"build pq n={n} m={m}: {time.perf_counter()-t4:.1f}s")
+        t5 = time.perf_counter()
+        print(f"build pq n={n} m={m}: {t5-t4:.1f}s")
+        from big_ann_spark.operators.pq import train_binary
+
+        thr = train_binary(emb)
+        asg4 = assign_to_centroids(emb, cents, impl="arrow", extra_cols=["embedding"])
+        write_sharded(
+            asg4, emb, f"{BASE}/bin_{n}_{m}", repartition_to=256,
+            binary_thresholds=thr,
+        )
+        print(f"build bin n={n} m={m}: {time.perf_counter()-t5:.1f}s")
         return
 
     if phase in ("search", "cold"):
@@ -185,7 +198,7 @@ def main() -> None:
                 t = time.perf_counter()
                 rows = ivf_search_from_disk(
                     queries, path, cents, k=10, nprobe=nprobe, codec=codec,
-                    pool_impl="fold" if codec == "raw" else "arrow",
+                    pool_impl="arrow" if codec in ("sq8", "pq") else "fold",
                 ).count()
                 walls.append(time.perf_counter() - t)
             print(
@@ -198,6 +211,8 @@ def main() -> None:
         timed(f"{phase} sq8", sq8_path, "sq8", reps)
         if os.path.isdir(f"{pq_path}/shards"):
             timed(f"{phase} pq", pq_path, "pq", reps)
+        if os.path.isdir(f"{BASE}/bin_{n}_{m}/shards"):
+            timed(f"{phase} bin", f"{BASE}/bin_{n}_{m}", "binary", reps)
         return
 
     raise SystemExit(f"unknown phase {phase}")
