@@ -473,12 +473,15 @@ def _build_parser() -> argparse.ArgumentParser:
 
     ing = sub.add_parser(
         "ingest",
-        help="stream a jsonl/parquet document directory into a deduped "
-        "corpus (incremental exact dedup vs history, exactly-once append)",
+        help="stream a jsonl/parquet/WARC document directory into a "
+        "deduped corpus (incremental exact dedup vs history, "
+        "exactly-once append)",
     )
-    ing.add_argument("src", help="directory of .jsonl or .parquet doc files")
+    ing.add_argument(
+        "src", help="directory of .jsonl / .parquet / .warc[.gz] doc files"
+    )
     ing.add_argument("dst", help="corpus dir (data/ + checkpoint/ incl. commit markers)")
-    ing.add_argument("--format", default="json", choices=["json", "parquet"])
+    ing.add_argument("--format", default="json", choices=["json", "parquet", "warc"])
     ing.add_argument("--id-col", default="doc_id")
     ing.add_argument("--text-col", default="text")
     ing.add_argument(
@@ -1165,14 +1168,32 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "ingest":
         from big_ann_spark.streaming import corpus as SC
 
-        schema = f"{args.id_col} long, {args.text_col} string"
-        reader = spark.readStream.schema(schema).format(args.format)
-        if args.max_files_per_trigger is not None:
-            reader = reader.option(
-                "maxFilesPerTrigger", args.max_files_per_trigger
+        if args.format == "warc":
+            # continuous Common Crawl shape: new .warc[.gz] files →
+            # parsed records → documents; doc ids are the stable hash
+            # of the target URI (falling back to the text) so crash
+            # replays regenerate identical ids
+            from big_ann_spark.sources import warc as W
+
+            docs = W.warc_to_documents(
+                W.read_warc_stream(
+                    spark, args.src,
+                    max_files_per_trigger=args.max_files_per_trigger,
+                )
+            ).select(
+                F.xxhash64(F.coalesce("url", "text")).alias(args.id_col),
+                F.col("text").alias(args.text_col),
             )
+        else:
+            schema = f"{args.id_col} long, {args.text_col} string"
+            reader = spark.readStream.schema(schema).format(args.format)
+            if args.max_files_per_trigger is not None:
+                reader = reader.option(
+                    "maxFilesPerTrigger", args.max_files_per_trigger
+                )
+            docs = reader.load(args.src)
         SC.stream_corpus_ingest(
-            reader.load(args.src),
+            docs,
             args.dst,
             id_col=args.id_col,
             text_col=args.text_col,

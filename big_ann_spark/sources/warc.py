@@ -178,6 +178,29 @@ def read_warc(spark, path: str) -> DataFrame:
     (binaryFile source; gzip members are not splittable) — the
     standard WARC parallelism unit."""
     src = spark.read.format("binaryFile").load(path).select("path", "content")
+    return _records_of(src)
+
+
+def read_warc_stream(
+    spark, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """STREAMING WARC scan — the continuous-crawl on-ramp: new
+    ``.warc[.gz]`` files landing under ``path`` become record rows as
+    they arrive (file-granular exactly-once via the file-source
+    checkpoint). Same schema as :func:`read_warc`; feed through
+    :func:`warc_to_documents` into ``streaming/corpus`` for the
+    deduped-corpus ingest."""
+    reader = spark.readStream.schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    ).format("binaryFile")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return _records_of(reader.load(path).select("path", "content"))
+
+
+def _records_of(src: DataFrame) -> DataFrame:
+    """(path, content-blob) rows → parsed WARC record rows; works on
+    batch and streaming DataFrames alike (one Arrow pass)."""
 
     def run(batches):
         import pyarrow as pa

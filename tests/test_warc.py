@@ -108,6 +108,35 @@ def test_response_records_http_stripped(spark, tmp_path):
     assert [(d["url"], d["text"]) for d in docs] == [("http://a/1", "body-one")]
 
 
+def test_streaming_warc_ingest(spark, sf_dir, tmp_path):
+    """Continuous-crawl shape: WARC files land in a dir, the streaming
+    ingest parses them and dedups into the corpus — including an
+    exact duplicate planted across two files (must land once)."""
+    from big_ann_spark.cli import main
+    from big_ann_spark.streaming.corpus import read_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(30)
+    tagged = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("url"), "text"
+    )
+    crawl = str(tmp_path / "crawl")
+    W.write_warc(tagged, crawl, uri_col="url", gzip_records=True, files=2)
+    # plant a duplicate text under a NEW url in a third file
+    dup_text = docs.orderBy("doc_id").first()["text"]
+    extra = spark.createDataFrame([("urn:doc:999999", dup_text)], "url string, text string")
+    manifest = W.write_warc(extra, str(tmp_path / "extra"), uri_col="url")
+    import shutil
+
+    shutil.copy(manifest[0][0], str(tmp_path / "crawl" / "extra.warc"))
+
+    dst = str(tmp_path / "corpus")
+    assert main(["ingest", crawl, dst, "--format", "warc"]) == 0
+    landed = read_corpus(spark, dst)
+    n_unique_texts = docs.select("text").distinct().count()
+    assert landed.count() == n_unique_texts  # the planted dup deduped
+    assert landed.select("text").distinct().count() == n_unique_texts
+
+
 def test_cli_warc_roundtrip(spark, sf_dir, tmp_path):
     from big_ann_spark.cli import main
 
