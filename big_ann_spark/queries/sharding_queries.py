@@ -220,32 +220,8 @@ sq8r AS (
                row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
         FROM sq_exact)
   WHERE rk <= 5
-),
--- mutated: the op-ledger layout's HEAD live set is exactly
--- vec_id % 50 != 0 (base = %20!=0, op0 upserts %20==0, op1 deletes
--- %50==0; latest op wins), routed/scored identically to raw
-mut AS (
-  SELECT r.qid, a.vec_id AS neighbor_id,
-         sqrt(list_sum(list_transform(range(1, 65),
-           i -> (r.qv[i] - e.embedding[i]::DOUBLE) * (r.qv[i] - e.embedding[i]::DOUBLE)))) AS dist
-  FROM routed r
-  JOIN assign a ON a.shard_id = r.shard_id AND a.vec_id % 50 != 0
-  JOIN embeddings e ON e.vec_id = a.vec_id
-),
-mutr AS (
-  SELECT 'mutated' AS variant, qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
-  FROM (SELECT qid, neighbor_id, dist,
-               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
-        FROM mut)
-  WHERE rk <= 5
-),
--- mutated_asof: the as_of=0 snapshot (before the delete op) is the
--- FULL table — the same rows the raw variant ranks, relabeled
-asofr AS (
-  SELECT 'mutated_asof' AS variant, qid, neighbor_id, dist, rank FROM rawr
 )
 SELECT * FROM rawr UNION ALL SELECT * FROM sq8r
-UNION ALL SELECT * FROM mutr UNION ALL SELECT * FROM asofr
 """,
 )
 def ivf_search_top5(spark, sf_dir):
@@ -262,13 +238,9 @@ def ivf_search_top5(spark, sf_dir):
       raw column. write→pruned-read→quantize-score→rerank is
       hash-certified end-to-end (the layout is built once per session;
       the variant times serving, an index's real lifecycle).
-    - ``mutated``: the same search over an op-ledger MUTATED layout
-      (operators/vector_ops: base build → upsert op → tombstone op) —
-      latest-op-wins resolution hash-certified against DuckDB ranking
-      the logical live set (``vec_id % 50 != 0``).
-    - ``mutated_asof``: the as_of=0 SNAPSHOT search of that layout
-      (before the delete op = the full table) — time travel on the
-      batch vector index, certified against the raw ranking."""
+    The op-ledger MUTATION variants live in ``kanndi_search_top1``
+    (also oracled, but off the bench's hot list — mutation resolution
+    shouldn't tax the flagship serving benchmark)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = SH.label_centroids(emb)
     assign = SH.assign_to_centroids(emb, cents)
@@ -300,24 +272,7 @@ def ivf_search_top5(spark, sf_dir):
         F.round("dist", 6).alias("dist"),
         "rank",
     )
-    mpath = _mutated_layout(spark, sf_dir)
-    mut = ANN.ivf_search_from_disk(queries, mpath, cents, k=5, nprobe=2).select(
-        F.lit("mutated").alias("variant"),
-        "qid",
-        "neighbor_id",
-        F.round("dist", 6).alias("dist"),
-        "rank",
-    )
-    asof = ANN.ivf_search_from_disk(
-        queries, mpath, cents, k=5, nprobe=2, as_of=0
-    ).select(
-        F.lit("mutated_asof").alias("variant"),
-        "qid",
-        "neighbor_id",
-        F.round("dist", 6).alias("dist"),
-        "rank",
-    )
-    return raw.unionByName(sq8).unionByName(mut).unionByName(asof)
+    return raw.unionByName(sq8)
 
 
 @register(
@@ -418,20 +373,73 @@ cands AS (
   FROM routed r
   JOIN assign a ON a.shard_id = r.shard_id
   JOIN embeddings e ON e.vec_id = a.vec_id
+),
+top1 AS (
+  SELECT 'top1' AS variant, qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
+  FROM (SELECT qid, neighbor_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+        FROM cands)
+  WHERE rk <= 10
+),
+-- nprobe=2 routing for the mutation variants (matches the Spark
+-- side's ivf_search_from_disk(nprobe=2) over the mutated layout)
+routed2 AS (
+  SELECT qid, qv, shard_id FROM (
+    SELECT q.qid, q.qv, cent.shard_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY sqrt(list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i] - centroid[i]) * (q.qv[i] - centroid[i])))), cent.shard_id) AS pr
+    FROM q CROSS JOIN cent
+  ) WHERE pr <= 2
+),
+-- mutated: the op-ledger layout's HEAD live set is exactly
+-- vec_id % 50 != 0 (base = %20!=0, op0 upserts %20==0, op1 deletes
+-- %50==0; latest op wins)
+mcands AS (
+  SELECT r.qid, a.vec_id AS neighbor_id,
+         sqrt(list_sum(list_transform(range(1, 65),
+           i -> (r.qv[i] - e.embedding[i]::DOUBLE) * (r.qv[i] - e.embedding[i]::DOUBLE)))) AS dist
+  FROM routed2 r
+  JOIN assign a ON a.shard_id = r.shard_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+),
+mutr AS (
+  SELECT 'mutated' AS variant, qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
+  FROM (SELECT qid, neighbor_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+        FROM mcands WHERE neighbor_id % 50 != 0)
+  WHERE rk <= 5
+),
+-- mutated_asof: the as_of=0 snapshot (before the delete op) is the
+-- FULL table
+asofr AS (
+  SELECT 'mutated_asof' AS variant, qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
+  FROM (SELECT qid, neighbor_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+        FROM mcands)
+  WHERE rk <= 5
 )
-SELECT qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
-FROM (SELECT qid, neighbor_id, dist,
-             row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
-      FROM cands)
-WHERE rk <= 10
+SELECT * FROM top1 UNION ALL SELECT * FROM mutr UNION ALL SELECT * FROM asofr
 """,
 )
 def kanndi_search_top1(spark, sf_dir):
-    """The reference's EXACT search semantics (``kanndi_search.py:
-    46-52``): route via top-MAX_CENTROIDS centroids but search only the
-    top-1 shard, k=10 — i.e. IVF with nprobe=1. The recall loss vs
-    exact kNN is a property of the reference's design, reproduced and
-    measurable against ann_recall_at_10's nprobe=2 variant."""
+    """Search-semantics tagged union:
+    - ``top1``: the reference's EXACT search semantics
+      (``kanndi_search.py:46-52``): route via top-MAX_CENTROIDS
+      centroids but search only the top-1 shard, k=10 — i.e. IVF with
+      nprobe=1. The recall loss vs exact kNN is a property of the
+      reference's design, reproduced and measurable against
+      ann_recall_at_10's nprobe=2 variant.
+    - ``mutated``: ivf_search_from_disk over an op-ledger MUTATED
+      persisted layout (operators/vector_ops: base build → upsert op →
+      tombstone op) — latest-op-wins resolution hash-certified against
+      DuckDB ranking the logical live set (``vec_id % 50 != 0``).
+    - ``mutated_asof``: the as_of=0 SNAPSHOT search of that layout
+      (before the delete op = the full table) — time travel on the
+      batch vector index, hash-certified.
+    (Housed here, not in ivf_search_top5: this query is oracled every
+    round but off the bench hot list, so mutation resolution never
+    taxes the flagship serving benchmark.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = SH.label_centroids(emb)
     assign = SH.assign_to_centroids(emb, cents)
@@ -441,10 +449,33 @@ def kanndi_search_top1(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = ANN.ivf_search(
+    top1 = ANN.ivf_search(
         queries, sharded, cents, k=10, nprobe=1, static_prune=False
+    ).select(
+        F.lit("top1").alias("variant"),
+        "qid",
+        "neighbor_id",
+        F.round("dist", 6).alias("dist"),
+        "rank",
     )
-    return out.select("qid", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
+    mpath = _mutated_layout(spark, sf_dir)
+    mut = ANN.ivf_search_from_disk(queries, mpath, cents, k=5, nprobe=2).select(
+        F.lit("mutated").alias("variant"),
+        "qid",
+        "neighbor_id",
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+    asof = ANN.ivf_search_from_disk(
+        queries, mpath, cents, k=5, nprobe=2, as_of=0
+    ).select(
+        F.lit("mutated_asof").alias("variant"),
+        "qid",
+        "neighbor_id",
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+    return top1.unionByName(mut).unionByName(asof)
 
 
 @register(
