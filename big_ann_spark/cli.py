@@ -628,6 +628,7 @@ def main(argv: list[str] | None = None) -> int:
                 pq_codebooks=PQ.train_pq(
                     emb, m=args.pq_m, k=args.pq_k, vec_col=args.vec_col, dim=dim
                 ),
+                pq_encode_impl="arrow",
             )
         elif args.binary_refine:
             from big_ann_spark.operators import pq as PQ

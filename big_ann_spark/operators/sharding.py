@@ -305,6 +305,7 @@ def write_sharded(
     repartition_to: int | None = None,
     sq8_ranges: tuple[list[float], list[float]] | None = None,
     pq_codebooks: list[list[list[float]]] | None = None,
+    pq_encode_impl: str = "fold",
     binary_thresholds: list[float] | None = None,
 ) -> None:
     """S7/S9 analog: persist the sharded layout —
@@ -360,12 +361,28 @@ def write_sharded(
     # compression decade further. Composes with sq8_ranges (both code
     # columns land; search picks by codec).
     if pq_codebooks is not None:
-        from big_ann_spark.operators.pq import pq_encode_col, save_pq_codebooks
-
-        with_vec = with_vec.withColumn(
-            "pq_codes",
-            pq_encode_col(vec_col, pq_codebooks).cast("array<smallint>"),
+        from big_ann_spark.operators.pq import (
+            pq_encode_col,
+            save_pq_codebooks,
+            with_pq_codes_arrow,
         )
+
+        if pq_encode_impl == "arrow":
+            # bulk-encode path: the expression tree's m·k structs
+            # measured 6× the rest of a 2M build; the numpy kernel is
+            # bit-equal (parity-tested) at memory bandwidth
+            with_vec = with_pq_codes_arrow(
+                with_vec, pq_codebooks, vec_col=vec_col
+            )
+        elif pq_encode_impl == "fold":
+            with_vec = with_vec.withColumn(
+                "pq_codes",
+                pq_encode_col(vec_col, pq_codebooks).cast("array<smallint>"),
+            )
+        else:
+            raise ValueError(
+                f"pq_encode_impl must be 'fold' or 'arrow', got {pq_encode_impl!r}"
+            )
         save_pq_codebooks(
             assignments.sparkSession, f"{path}/pq_codebooks.parquet", pq_codebooks
         )

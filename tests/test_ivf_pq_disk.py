@@ -127,6 +127,25 @@ def test_cli_build_pq_refine_and_search(spark, sf_dir, tmp_path):
     assert res.count() == res.select("qid").distinct().count() * 5
 
 
+def test_pq_encode_arrow_equals_fold(spark, sf_dir):
+    """Bulk (numpy) encode must assign the IDENTICAL code per
+    subvector as the expression form — same left-to-right arithmetic,
+    same lowest-code tie-break."""
+    from big_ann_spark.operators.pq import pq_encode, with_pq_codes_arrow
+
+    emb, cents, path, books = _pq_layout(spark, sf_dir)
+    fold = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(emb, books).collect()
+    }
+    arrow = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in with_pq_codes_arrow(emb, books).select("vec_id", "pq_codes").collect()
+    }
+    assert fold == {k: v for k, v in arrow.items()}
+    assert len(fold) == emb.count()
+
+
 # --------------------------------------------------- binary (32×) tier
 
 

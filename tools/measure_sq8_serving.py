@@ -170,7 +170,10 @@ def main() -> None:
         t4 = time.perf_counter()
         print(f"train_pq (200k sample): {t4-t3:.1f}s")
         asg3 = assign_to_centroids(emb, cents, impl="arrow", extra_cols=["embedding"])
-        write_sharded(asg3, emb, pq_path, repartition_to=256, pq_codebooks=books)
+        write_sharded(
+            asg3, emb, pq_path, repartition_to=256,
+            pq_codebooks=books, pq_encode_impl="arrow",
+        )
         t5 = time.perf_counter()
         print(f"build pq n={n} m={m}: {t5-t4:.1f}s")
         from big_ann_spark.operators.pq import train_binary
@@ -182,6 +185,61 @@ def main() -> None:
             binary_thresholds=thr,
         )
         print(f"build bin n={n} m={m}: {time.perf_counter()-t5:.1f}s")
+        return
+
+    if phase == "mutate":
+        # 1% upserts + 1% deletes against a COPY of the raw layout —
+        # the serving-cost question is "what does resolution add per
+        # search", so the pristine layout must stay comparable
+        import shutil
+
+        from big_ann_spark.operators.vector_ops import (
+            delete_vectors,
+            upsert_vectors,
+        )
+
+        mut_path = f"{BASE}/mut_{n}_{m}"
+        if not os.path.isdir(f"{mut_path}/shards"):
+            shutil.copytree(f"{raw_path}/shards", f"{mut_path}/shards")
+        shutil.copytree(
+            cent_path, f"{mut_path}/centroids.parquet", dirs_exist_ok=True
+        )
+        emb = spark.read.parquet(emb_path)
+        t0 = time.perf_counter()
+        upsert_vectors(
+            spark, mut_path,
+            emb.filter(F.col("vec_id") % 100 == 0).select("vec_id", "embedding"),
+            assign_impl="arrow",
+        )
+        t1 = time.perf_counter()
+        delete_vectors(
+            spark, mut_path,
+            emb.filter(F.col("vec_id") % 101 == 0).select("vec_id"),
+        )
+        print(
+            f"mutate n={n}: upsert 1% {t1-t0:.1f}s, "
+            f"delete 1% {time.perf_counter()-t1:.1f}s"
+        )
+        return
+
+    if phase == "search-mutated":
+        from big_ann_spark.operators.ann import ivf_search_from_disk
+
+        queries = _queries(spark, m)
+        nprobe = int(os.environ.get("SQ8_NPROBE", "2"))
+        for label, path in (("pristine", raw_path), ("mutated", f"{BASE}/mut_{n}_{m}")):
+            walls = []
+            for _ in range(3):
+                t = time.perf_counter()
+                rows = ivf_search_from_disk(
+                    queries, path, cents, k=10, nprobe=nprobe
+                ).count()
+                walls.append(time.perf_counter() - t)
+            print(
+                f"search-mutated {label} n={n} nprobe={nprobe}: "
+                f"min {min(walls):.2f}s walls={[round(w,2) for w in walls]} "
+                f"rows={rows}"
+            )
         return
 
     if phase in ("search", "cold"):
