@@ -533,7 +533,12 @@ def _load_index_shards(
         shards = open_probed_shards(spark, index, shard_ids)
     else:
         shards = spark.read.parquet(f"{index}/shards")
-    if "codes" in shards.columns:
+    # decode ONLY codes-only layouts: a refine layout carries BOTH the
+    # codes and the raw vectors, and decoding there would silently
+    # replace the real embeddings with quantized midpoints (e.g. an
+    # `evaluate` run reporting recall of the quantization, not the
+    # index)
+    if "codes" in shards.columns and vec_col not in shards.columns:
         rows = spark.read.parquet(f"{index}/sq8_ranges.parquet").collect()
         if not rows:
             raise SystemExit(

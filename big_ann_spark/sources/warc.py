@@ -166,7 +166,12 @@ def split_http_payload(content: bytes) -> tuple[int | None, bytes]:
     if sep < 0:
         return None, content
     status_line = content[: content.find(b"\r\n")].split(b" ")
-    status = int(status_line[1]) if len(status_line) > 1 else None
+    try:
+        # crawl data: a mangled status line must not kill the task —
+        # an unparseable status reads as None (kept, like non-HTTP)
+        status = int(status_line[1]) if len(status_line) > 1 else None
+    except ValueError:
+        status = None
     return status, content[sep + 4 :]
 
 

@@ -288,6 +288,25 @@ def test_cli_evaluate_guards_and_sq8(spark, sf_dir, tmp_path):
         main(["evaluate", idx, bogus, gt, "--k", "3"])
 
 
+def test_shard_loader_never_decodes_refine_layouts(spark, sf_dir, tmp_path):
+    """A REFINE layout carries codes AND raw vectors; the shared shard
+    loader (evaluate path) must return the RAW embeddings, not decoded
+    quantization midpoints — recall would otherwise silently measure
+    the quantizer."""
+    from big_ann_spark.cli import _load_index_shards, main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "idx_refine")
+    assert main(["build-index", src, idx, "--m", "4", "--sq8-refine"]) == 0
+    loaded = _load_index_shards(spark, idx, "vec_id", "embedding")
+    joined = (
+        loaded.select("vec_id", F.col("embedding").alias("_got"))
+        .join(spark.read.parquet(src).select("vec_id", "embedding"), "vec_id")
+        .filter(F.col("_got") != F.col("embedding"))
+    )
+    assert joined.count() == 0
+
+
 # ------------------------------------------------------- SQ8 serving layout
 
 
