@@ -592,10 +592,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build-index":
         from big_ann_spark.operators import sharding as SH
 
-        emb = spark.read.parquet(args.src)
-        assign, cents, _model = SH.kmeans_shard(
-            emb, m=args.m, id_col=args.id_col, vec_col=args.vec_col
-        )
+        # pure-argparse validation BEFORE the (possibly hours-long at
+        # scale) KMeans fit
         if sum([args.sq8, args.sq8_refine, args.pq_refine, args.binary_refine]) > 1:
             print(
                 "--sq8 / --sq8-refine / --pq-refine / --binary-refine "
@@ -603,6 +601,10 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        emb = spark.read.parquet(args.src)
+        assign, cents, _model = SH.kmeans_shard(
+            emb, m=args.m, id_col=args.id_col, vec_col=args.vec_col
+        )
         if args.sq8:
             from big_ann_spark.operators import pq as PQ
 
@@ -706,12 +708,11 @@ def main(argv: list[str] | None = None) -> int:
             r["shard_id"] for r in routed.select("shard_id").distinct().collect()
         ]
         probed = ANN.open_probed_shards(spark, args.index, probe_ids)
-        # index-upsert/index-delete resolution + --as-of snapshots; a
-        # pristine layout passes through untouched (zero extra jobs)
-        live = VO.live_probed_view(
-            spark, args.index, probed, probe_ids, as_of=args.as_of
-        )
-        if "codes" in live.columns and args.vec_col in live.columns:
+        # codec detection is SCHEMA-ONLY (zero jobs): code columns can
+        # only come from the base layout; the refine branches below
+        # resolve mutations inside ivf_search_from_disk, and the raw
+        # fallback builds the live view itself — never both
+        if "codes" in probed.columns and args.vec_col in probed.columns:
             # --sq8-refine layout: quantized candidate scan (codes
             # column only) + exact rerank from the raw column
             out = ANN.ivf_search_from_disk(
@@ -719,7 +720,7 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id_col, vec_col=args.vec_col,
                 codec="sq8", pool_impl="arrow", as_of=args.as_of,
             )
-        elif "pq_codes" in live.columns and args.vec_col in live.columns:
+        elif "pq_codes" in probed.columns and args.vec_col in probed.columns:
             # --pq-refine layout: ADC candidate scan (pq_codes column
             # only) + exact rerank from the raw column
             out = ANN.ivf_search_from_disk(
@@ -727,7 +728,7 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id_col, vec_col=args.vec_col,
                 codec="pq", pool_impl="arrow", as_of=args.as_of,
             )
-        elif "bcodes" in live.columns and args.vec_col in live.columns:
+        elif "bcodes" in probed.columns and args.vec_col in probed.columns:
             # --binary-refine layout: Hamming candidate scan (bcodes
             # only) + exact rerank from the raw column
             out = ANN.ivf_search_from_disk(
@@ -736,6 +737,10 @@ def main(argv: list[str] | None = None) -> int:
                 codec="binary", as_of=args.as_of,
             )
         else:
+            live = VO.live_probed_view(
+                spark, args.index, probed, probe_ids, as_of=args.as_of,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
             shards = _load_index_shards(
                 spark, args.index, args.id_col, args.vec_col, shards_df=live
             )
@@ -1118,14 +1123,27 @@ def main(argv: list[str] | None = None) -> int:
         # probed-directory read only when it actually prunes: an
         # exhaustive evaluate (nprobe = m) touches every shard, and a
         # full-layout listing beats handing the reader m explicit roots
+        from big_ann_spark.operators import vector_ops as VO
+
         routed = ANN.route_queries(q, cents, args.nprobe).localCheckpoint()
         probe_ids = [
             r["shard_id"] for r in routed.select("shard_id").distinct().collect()
         ]
         probed = len(probe_ids) < cents.count() / 2
+        if probed:
+            base = ANN.open_probed_shards(spark, args.index, probe_ids)
+        else:
+            base = spark.read.option(
+                "basePath", f"{args.index}/shards"
+            ).parquet(f"{args.index}/shards")
+        # recall must be measured against the SERVED index — deleted
+        # vectors out, upserts in — exactly like `search`
+        live = VO.live_probed_view(
+            spark, args.index, base, probe_ids if probed else None,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
         shards = _load_index_shards(
-            spark, args.index, args.id_col, args.vec_col,
-            shard_ids=probe_ids if probed else None,
+            spark, args.index, args.id_col, args.vec_col, shards_df=live
         )
         if not probed:
             shards = shards.filter(F.col("shard_id").isin(probe_ids))

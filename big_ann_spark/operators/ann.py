@@ -121,7 +121,7 @@ def ivf_search_from_disk(
     ]
     shards = live_probed_view(
         spark, path, open_probed_shards(spark, path, probe_ids),
-        probe_ids, as_of=as_of,
+        probe_ids, as_of=as_of, id_col=id_col, vec_col=vec_col,
     )
     if codec == "raw":
         return ivf_search(
@@ -203,7 +203,12 @@ def sq8_pool(
     memory bandwidth instead of interpreted-expression speed (measured
     ~6× on 2M×64, SCALE.md)."""
     spark = routed.sparkSession
-    rng = spark.read.parquet(f"{path}/sq8_ranges.parquet").collect()[0]
+    try:
+        rng = spark.read.parquet(f"{path}/sq8_ranges.parquet").collect()[0]
+    except Exception:
+        # layouts written before the sidecar rename (r9) used
+        # {path}/sq8.parquet — read them rather than forcing a rebuild
+        rng = spark.read.parquet(f"{path}/sq8.parquet").collect()[0]
     mins, maxs = list(rng["mins"]), list(rng["maxs"])
     if impl == "arrow":
         return _sq8_pool_arrow(
@@ -230,6 +235,86 @@ def sq8_pool(
     )
 
 
+def _arrow_nominating_pool(
+    routed: DataFrame,
+    shards: DataFrame,
+    k_pool: int,
+    *,
+    id_col: str,
+    payload_col: str,
+    payload_dtype,
+    make_state,
+    score_shard,
+) -> DataFrame:
+    """The shared skeleton of the numpy candidate pools (sq8 decode
+    GEMM, pq LUT gather): routing ships as ONE broadcast (sorted query
+    ids, caller-built per-query state, shard→query-index lists); each
+    Arrow batch extracts the payload matrix once, and for every
+    (probed shard ∩ batch) group the caller's
+    ``score_shard(state, qids, qidx, payload_rows, id_rows)`` yields
+    (global qid, selected ids, dists) nominations — emitted as
+    (qid, neighbor_id, dist) rows and globally top-``k_pool``'d per
+    query with the fold impls' (dist, id) tie-break. The nomination
+    arithmetic lives entirely in the scorer, so bit-parity with the
+    expression impls is the scorer's contract, not the skeleton's."""
+    import numpy as np
+
+    rrows = routed.select("qid", "qvec", "shard_id").collect()
+    qvec_by_id: dict[int, list[float]] = {}
+    shard_to_q: dict[int, list[int]] = {}
+    for r in rrows:
+        qvec_by_id.setdefault(int(r["qid"]), [float(x) for x in r["qvec"]])
+    qids = np.array(sorted(qvec_by_id), dtype=np.int64)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    for r in rrows:
+        shard_to_q.setdefault(int(r["shard_id"]), []).append(qpos[int(r["qid"])])
+    shard_to_q = {s: np.unique(np.array(v)) for s, v in shard_to_q.items()}
+    state = make_state(qids, qvec_by_id)
+    bc = routed.sparkSession.sparkContext.broadcast((qids, state, shard_to_q))
+
+    def part(batches):
+        import pyarrow as pa
+
+        from big_ann_spark.functions.arrowio import int_col, list_col_matrix
+
+        qids, state, shard_to_q = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = int_col(rb, id_col)
+            sh = int_col(rb, "shard_id")
+            payload = list_col_matrix(rb, payload_col, payload_dtype)
+            out_q, out_n, out_d = [], [], []
+            for s in np.unique(sh):
+                qidx = shard_to_q.get(int(s))
+                if qidx is None or len(qidx) == 0:
+                    continue
+                rows = np.flatnonzero(sh == s)
+                for gq, sel_ids, dists in score_shard(
+                    state, qids, qidx, payload[rows], ids[rows]
+                ):
+                    out_q.append(np.full(len(sel_ids), gq, dtype=np.int64))
+                    out_n.append(sel_ids)
+                    out_d.append(np.asarray(dists, dtype=np.float64))
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_n), type=pa.int64()),
+                    pa.array(np.concatenate(out_d), type=pa.float64()),
+                ],
+                names=["qid", "neighbor_id", "dist"],
+            )
+
+    partial = shards.select(
+        F.col(id_col), F.col(payload_col), F.col("shard_id")
+    ).mapInArrow(part, schema="qid long, neighbor_id long, dist double")
+    return top_k_per_group(
+        partial, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool
+    )
+
+
 def _sq8_pool_arrow(
     routed: DataFrame,
     shards: DataFrame,
@@ -240,95 +325,52 @@ def _sq8_pool_arrow(
     id_col: str = "vec_id",
     rerank_margin: int = 5,
 ) -> DataFrame:
-    """BLAS scoring of the codes scan. Routing ships as one broadcast
-    (qids, qmat, shard→query-index lists); each Arrow batch decodes its
-    codes ONCE with the exact fold-order arithmetic
+    """BLAS scoring of the codes scan: each batch decodes its codes
+    ONCE with the exact fold-order arithmetic
     ``mn + ((c + 0.5) * (mx − mn)) / 255`` (numpy elementwise ops round
     identically to the scalar expression, so decoded values are
-    bit-equal to ``sq8_decode_col``), scores only the (query, shard)
-    pairs the routing admits, and emits fold-exact distances for its
-    local top-(k_pool+margin) nominations."""
+    bit-equal to ``sq8_decode_col``), GEMM-nominates per (query, shard)
+    and re-scores the ≤ k_pool+margin nominations with the exact
+    sequential fold — emitted pools are bit-equal to the fold impl."""
     import numpy as np
 
-    from big_ann_spark.operators.knn import _exact_fold_l2
-
-    rrows = routed.select("qid", "qvec", "shard_id").collect()
-    qvec_by_id: dict[int, list[float]] = {}
-    shard_to_q: dict[int, list[int]] = {}
-    for r in rrows:
-        qvec_by_id.setdefault(r["qid"], [float(x) for x in r["qvec"]])
-    qids = np.array(sorted(qvec_by_id), dtype=np.int64)
-    qpos = {int(q): i for i, q in enumerate(qids)}
-    qmat = np.array([qvec_by_id[int(q)] for q in qids], dtype=np.float64)
-    for r in rrows:
-        shard_to_q.setdefault(int(r["shard_id"]), []).append(qpos[r["qid"]])
-    shard_to_q = {s: np.unique(np.array(v)) for s, v in shard_to_q.items()}
     mn = np.array(mins, dtype=np.float64)
     mx = np.array(maxs, dtype=np.float64)
-    sc = routed.sparkSession.sparkContext
-    bc = sc.broadcast((qids, qmat, shard_to_q, mn, mx))
     n_cand = k_pool + rerank_margin
 
-    def part(batches):
-        import pyarrow as pa
+    def make_state(qids, qvec_by_id):
+        return np.array(
+            [qvec_by_id[int(q)] for q in qids], dtype=np.float64
+        )
 
-        from big_ann_spark.functions.arrowio import int_col, list_col_matrix
+    def score_shard(qmat, qids, qidx, codes_rows, id_rows):
+        from big_ann_spark.operators.knn import _exact_fold_l2
 
-        qids, qmat, shard_to_q, mn, mx = bc.value
-        qsq = (qmat * qmat).sum(axis=1)
-        for rb in batches:
-            if rb.num_rows == 0:
-                continue
-            ids = int_col(rb, id_col)
-            sh = int_col(rb, "shard_id")
-            codes = list_col_matrix(rb, "codes", np.float64)
-            # EXACT decode order: mn + ((c + 0.5) * (mx - mn)) / 255
-            X = mn + ((codes + 0.5) * (mx - mn)) / 255.0
-            out_q, out_n, out_d = [], [], []
-            for s in np.unique(sh):
-                qidx = shard_to_q.get(int(s))
-                if qidx is None or len(qidx) == 0:
-                    continue
-                rows = np.flatnonzero(sh == s)
-                sub, sub_ids = X[rows], ids[rows]
-                Q = qmat[qidx]
-                d2 = (
-                    qsq[qidx][:, None]
-                    + (sub * sub).sum(axis=1)[None, :]
-                    - 2.0 * (Q @ sub.T)
-                )
-                np.maximum(d2, 0.0, out=d2)
-                d = np.sqrt(d2)
-                kk = min(n_cand, d.shape[1])
-                part_idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-                for qi in range(d.shape[0]):
-                    row = d[qi]
-                    thresh = row[part_idx[qi]].max()
-                    cand = np.flatnonzero(row <= thresh)
-                    order = np.lexsort((sub_ids[cand], row[cand]))[:kk]
-                    sel = cand[order]
-                    dists = _exact_fold_l2(Q[qi], sub[sel], sqrt=True)
-                    out_q.append(np.full(len(sel), qids[qidx[qi]], dtype=np.int64))
-                    out_n.append(sub_ids[sel])
-                    out_d.append(dists)
-            if not out_q:
-                continue
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.concatenate(out_q), type=pa.int64()),
-                    pa.array(np.concatenate(out_n), type=pa.int64()),
-                    pa.array(
-                        np.concatenate(out_d).astype(np.float64), type=pa.float64()
-                    ),
-                ],
-                names=["qid", "neighbor_id", "dist"],
+        # EXACT decode order: mn + ((c + 0.5) * (mx - mn)) / 255
+        X = mn + ((codes_rows + 0.5) * (mx - mn)) / 255.0
+        Q = qmat[qidx]
+        qsq = (Q * Q).sum(axis=1)
+        d2 = qsq[:, None] + (X * X).sum(axis=1)[None, :] - 2.0 * (Q @ X.T)
+        np.maximum(d2, 0.0, out=d2)
+        d = np.sqrt(d2)
+        kk = min(n_cand, d.shape[1])
+        part_idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        for qi in range(d.shape[0]):
+            row = d[qi]
+            thresh = row[part_idx[qi]].max()
+            cand = np.flatnonzero(row <= thresh)
+            order = np.lexsort((id_rows[cand], row[cand]))[:kk]
+            sel = cand[order]
+            yield (
+                qids[qidx[qi]],
+                id_rows[sel],
+                _exact_fold_l2(Q[qi], X[sel], sqrt=True),
             )
 
-    partial = shards.select(
-        F.col(id_col), F.col("codes"), F.col("shard_id")
-    ).mapInArrow(part, schema="qid long, neighbor_id long, dist double")
-    return top_k_per_group(
-        partial, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool
+    return _arrow_nominating_pool(
+        routed, shards, k_pool,
+        id_col=id_col, payload_col="codes", payload_dtype=np.float64,
+        make_state=make_state, score_shard=score_shard,
     )
 
 
@@ -361,18 +403,16 @@ def pq_pool(
 
     spark = routed.sparkSession
     codebooks = load_pq_codebooks(spark, f"{path}/pq_codebooks.parquet")
+    if impl == "arrow":
+        return _pq_pool_arrow(routed, shards, codebooks, k_pool, id_col=id_col)
+    if impl != "fold":
+        raise ValueError(f"impl must be 'fold' or 'arrow', got {impl!r}")
     qvecs: dict[int, list[float]] = {}
     for r in routed.select("qid", "qvec").collect():
         qvecs.setdefault(int(r["qid"]), [float(x) for x in r["qvec"]])
-    lut_rows = pq_lut_rows(sorted(qvecs.items()), codebooks)
-    if impl == "arrow":
-        return _pq_pool_arrow(
-            routed, shards, lut_rows, k_pool, id_col=id_col
-        )
-    if impl != "fold":
-        raise ValueError(f"impl must be 'fold' or 'arrow', got {impl!r}")
     luts = spark.createDataFrame(
-        lut_rows, "qid long, lut array<array<double>>"
+        pq_lut_rows(sorted(qvecs.items()), codebooks),
+        "qid long, lut array<array<double>>",
     )
     probes = routed.select("qid", "shard_id").join(F.broadcast(luts), "qid")
     cands = probes.join(
@@ -452,79 +492,45 @@ def binary_pool(
 def _pq_pool_arrow(
     routed: DataFrame,
     shards: DataFrame,
-    lut_rows: list,
+    codebooks: list[list[list[float]]],
     k_pool: int,
     *,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """numpy LUT-gather ADC scan. Routing ships as one broadcast
-    (qids, (Q, m, k) LUT tensor, shard→query-index lists); each Arrow
-    batch gathers ``lut[j, codes[:, j]]`` and accumulates LEFT-TO-RIGHT
-    over j — the identical addition order to the fold expression, so
-    emitted pool distances are bit-equal (parity-tested) while the
-    scan runs at gather/memory-bandwidth speed."""
+    """numpy LUT-gather ADC scan on the shared nominating skeleton:
+    each batch gathers ``lut[j, codes[:, j]]`` and accumulates
+    LEFT-TO-RIGHT over j — the identical addition order to the fold
+    expression, so emitted pool distances are bit-equal
+    (parity-tested) while the scan runs at gather speed."""
     import numpy as np
 
-    qids = np.array([q for q, _ in lut_rows], dtype=np.int64)
-    luts = np.array([l for _, l in lut_rows], dtype=np.float64)
-    qpos = {int(q): i for i, q in enumerate(qids)}
-    shard_to_q: dict[int, list[int]] = {}
-    for r in routed.select("qid", "shard_id").collect():
-        shard_to_q.setdefault(int(r["shard_id"]), []).append(qpos[int(r["qid"])])
-    shard_to_q = {s: np.unique(np.array(v)) for s, v in shard_to_q.items()}
-    sc = routed.sparkSession.sparkContext
-    bc = sc.broadcast((qids, luts, shard_to_q))
+    from big_ann_spark.operators.pq import pq_lut_rows
 
-    def part(batches):
-        import pyarrow as pa
+    def make_state(qids, qvec_by_id):
+        rows = pq_lut_rows(
+            [(int(q), qvec_by_id[int(q)]) for q in qids], codebooks
+        )
+        return np.array([l for _, l in rows], dtype=np.float64)
 
-        from big_ann_spark.functions.arrowio import int_col, list_col_matrix
+    def score_shard(luts, qids, qidx, codes_rows, id_rows):
+        for qi in qidx:
+            lut = luts[qi]
+            # left-to-right accumulation == the fold's order
+            acc = np.zeros(len(id_rows), dtype=np.float64)
+            for j in range(lut.shape[0]):
+                acc = acc + lut[j, codes_rows[:, j]]
+            kk = min(k_pool, len(id_rows))
+            part_idx = np.argpartition(acc, kk - 1)[:kk]
+            thresh = acc[part_idx].max()
+            cand = np.flatnonzero(acc <= thresh)
+            order = np.lexsort((id_rows[cand], acc[cand]))[:kk]
+            sel = cand[order]
+            yield qids[qi], id_rows[sel], acc[sel]
 
-        qids, luts, shard_to_q = bc.value
-        for rb in batches:
-            if rb.num_rows == 0:
-                continue
-            ids = int_col(rb, id_col)
-            sh = int_col(rb, "shard_id")
-            codes = list_col_matrix(rb, "pq_codes", np.int64)
-            out_q, out_n, out_d = [], [], []
-            for s in np.unique(sh):
-                qidx = shard_to_q.get(int(s))
-                if qidx is None or len(qidx) == 0:
-                    continue
-                rows = np.flatnonzero(sh == s)
-                sub_codes, sub_ids = codes[rows], ids[rows]
-                for qi in qidx:
-                    lut = luts[qi]
-                    # left-to-right accumulation == the fold's order
-                    acc = np.zeros(len(rows), dtype=np.float64)
-                    for j in range(lut.shape[0]):
-                        acc = acc + lut[j, sub_codes[:, j]]
-                    kk = min(k_pool, len(rows))
-                    part_idx = np.argpartition(acc, kk - 1)[:kk]
-                    thresh = acc[part_idx].max()
-                    cand = np.flatnonzero(acc <= thresh)
-                    order = np.lexsort((sub_ids[cand], acc[cand]))[:kk]
-                    sel = cand[order]
-                    out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
-                    out_n.append(sub_ids[sel])
-                    out_d.append(acc[sel])
-            if not out_q:
-                continue
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.concatenate(out_q), type=pa.int64()),
-                    pa.array(np.concatenate(out_n), type=pa.int64()),
-                    pa.array(np.concatenate(out_d), type=pa.float64()),
-                ],
-                names=["qid", "neighbor_id", "dist"],
-            )
-
-    partial = shards.select(
-        F.col(id_col), F.col("pq_codes"), F.col("shard_id")
-    ).mapInArrow(part, schema="qid long, neighbor_id long, dist double")
-    return top_k_per_group(
-        partial, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k_pool
+    return _arrow_nominating_pool(
+        routed, shards, k_pool,
+        id_col=id_col, payload_col="pq_codes", payload_dtype=np.int64,
+        make_state=make_state, score_shard=score_shard,
     )
 
 

@@ -203,6 +203,13 @@ def committed_op_scan(
     ids excluded by a NOT-IN over the tiny uncommitted set."""
     if not has_vector_ops(spark, path):
         return None
+    if not _ops_on_disk(spark, path):
+        # ops/ exists but holds no completed _mb partition — the very
+        # FIRST op crashed mid-write (only _temporary inside). There
+        # is nothing readable and nothing visible; reading the dir
+        # would throw schema-inference errors instead of ignoring the
+        # crashed op like every other crash window does.
+        return None
     raw = spark.read.parquet(f"{path}/ops")
     uncommitted = uncommitted_vector_ops(spark, path)
     if as_of is not None:
@@ -257,19 +264,31 @@ def live_probed_view(
     probe_ids: list[int] | None = None,
     *,
     as_of: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """The live view of the probed partitions: base rows minus the
     broadcast contested set, plus the resolved op winners whose shard
     is probed. The base scan's partition pruning and column pruning
     are untouched (the anti-join adds no exchange on the big side);
     the ops side is O(mutations). A pristine layout returns ``base``
-    unchanged. ``probe_ids=None`` = all shards (compaction/export)."""
+    unchanged. ``probe_ids=None`` = all shards (compaction/export).
+
+    ``id_col``/``vec_col``: the BASE layout's column names. The ops
+    table always stores the canonical (vec_id, embedding[, codes…])
+    names (upsert_vectors canonicalizes on write), so the resolved
+    side is renamed to match a layout built with custom names."""
     state = mutation_state(spark, path, as_of)
     if state is None:
         return base
     contested, resolved = state
+    rename = {"vec_id": id_col, "embedding": vec_col}
+    for old, new in rename.items():
+        if old != new and old in resolved.columns:
+            resolved = resolved.withColumnRenamed(old, new)
+    contested = contested.withColumnRenamed("vec_id", id_col)
     cols = base.columns
-    base_live = base.join(F.broadcast(contested), "vec_id", "left_anti")
+    base_live = base.join(F.broadcast(contested), id_col, "left_anti")
     alive = resolved
     if probe_ids is not None:
         alive = alive.filter(
@@ -283,42 +302,73 @@ def live_probed_view(
     return base_live.select(cols).unionByName(alive.select(typed))
 
 
-def compact_vector_layout(spark, src_path: str, dst_path: str) -> int:
+def compact_vector_layout(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
     """Fold every committed op into a fresh pristine base at
     ``dst_path`` (write-new-then-swap orchestration, like
     ``compact_bm25_index``): resolved live rows are re-written as a
-    ``write_sharded`` layout with the SAME frozen centroids (and SQ8
-    ranges, if any) — search results are identical before and after,
-    and the contested set resets to empty. Returns the number of ops
-    folded. A crash mid-compact leaves ``src_path`` untouched and
-    ``dst_path`` an obviously incomplete re-runnable write."""
+    ``write_sharded`` layout with the SAME frozen centroids and
+    quantization sidecars — search results are identical before and
+    after, and the contested set resets to empty. Returns the number
+    of ops folded. A crash mid-compact leaves ``src_path`` untouched
+    and ``dst_path`` an obviously incomplete re-runnable write.
+
+    Works on refine layouts (raw vectors present → code columns are
+    re-encoded under the frozen sidecars) AND codes-only ``--sq8``
+    layouts (no raw column → the stored codes are carried as the
+    payload and the ranges sidecar is copied verbatim)."""
     from big_ann_spark.operators.sharding import write_sharded
 
     base = spark.read.option("basePath", f"{src_path}/shards").parquet(
         f"{src_path}/shards"
     )
-    live = live_probed_view(spark, src_path, base, None)
+    live = live_probed_view(
+        spark, src_path, base, None, id_col=id_col, vec_col=vec_col
+    )
     n_ops = len(
         oplayout.committed_ops(spark, src_path) & _ops_on_disk(spark, src_path)
     )
-    ranges = _sq8_ranges(spark, src_path) if _has_sq8(spark, src_path) else None
+    has_raw = vec_col in base.columns
+    payload = vec_col if has_raw else "codes"
+    assignments = live.select(id_col, "shard_id", "dist", payload)
+    ranges = None
     books = None
-    if oplayout.path_exists(spark, f"{src_path}/pq_codebooks.parquet"):
-        from big_ann_spark.operators.pq import load_pq_codebooks
-
-        books = load_pq_codebooks(spark, f"{src_path}/pq_codebooks.parquet")
     thr = None
-    if oplayout.path_exists(spark, f"{src_path}/binary_thresholds.parquet"):
-        thr = list(
-            spark.read.parquet(f"{src_path}/binary_thresholds.parquet").collect()[
-                0
-            ]["thresholds"]
-        )
-    assignments = live.select("vec_id", "shard_id", "dist", "embedding")
+    if has_raw:
+        # refine layouts: re-encode code columns from the raw vectors
+        # under the frozen sidecars (deterministic — codes identical)
+        if _has_sq8(spark, src_path):
+            ranges = _sq8_ranges(spark, src_path)
+        if oplayout.path_exists(spark, f"{src_path}/pq_codebooks.parquet"):
+            from big_ann_spark.operators.pq import load_pq_codebooks
+
+            books = load_pq_codebooks(spark, f"{src_path}/pq_codebooks.parquet")
+        if oplayout.path_exists(spark, f"{src_path}/binary_thresholds.parquet"):
+            thr = list(
+                spark.read.parquet(
+                    f"{src_path}/binary_thresholds.parquet"
+                ).collect()[0]["thresholds"]
+            )
     write_sharded(
         assignments, assignments, dst_path,
+        id_col=id_col, vec_col=payload,
         sq8_ranges=ranges, pq_codebooks=books, binary_thresholds=thr,
     )
+    if not has_raw and _has_sq8(spark, src_path):
+        # codes-only layout: the codes ARE the payload; carry the
+        # ranges sidecar so decode keeps working on the new base
+        (
+            spark.read.parquet(f"{src_path}/sq8_ranges.parquet")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{dst_path}/sq8_ranges.parquet")
+        )
     (
         spark.read.parquet(f"{src_path}/centroids.parquet")
         .coalesce(1)

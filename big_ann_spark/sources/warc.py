@@ -331,10 +331,17 @@ def write_warc(
         import pyarrow as pa
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fname = os.path.join(dst, f"part-{pid:05d}{ext}")
         n = 0
-        tmp = fname + ".inprogress"
+        # temp name carries the task ATTEMPT id: a speculative or
+        # zombie second attempt must never interleave bytes into the
+        # first attempt's temp file — each attempt writes its own and
+        # the atomic os.replace makes whichever finishes last win with
+        # a CONSISTENT file (attempts of one partition write identical
+        # content)
+        tmp = f"{fname}.{ctx.taskAttemptId()}.inprogress"
         with open(tmp, "wb") as fh:
             for rb in batches:
                 texts = rb.column(text_col).to_pylist()

@@ -212,6 +212,115 @@ def test_cli_mutation_lifecycle(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_first_op_crash_leaves_layout_searchable(spark, sf_dir, monkeypatch):
+    """A crash during the very FIRST op's data write (ops/ exists but
+    holds no completed _mb partition) must leave every reader on the
+    pristine base — not throw schema-inference errors."""
+    import os
+
+    emb, cents, path = _build_layout(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    before = _rows(ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=3))
+    # simulate: ops/ dir with only write-temporary droppings inside
+    os.makedirs(f"{path}/ops/_temporary/0", exist_ok=True)
+    after = _rows(ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=3))
+    assert after == before
+    dst = tempfile.mkdtemp(prefix="big_ann_vec_crash_") + "/layout"
+    assert VO.compact_vector_layout(spark, path, dst) == 0
+
+
+def test_mutations_on_custom_id_and_vec_columns(spark, sf_dir, tmp_path):
+    """build-index --id-col/--vec-col layouts must stay searchable and
+    compactable after mutations (the ops table canonicalizes names;
+    the live view renames back)."""
+    from big_ann_spark.cli import main
+
+    src0 = f"{sf_dir}/embeddings.parquet"
+    src = str(tmp_path / "renamed.parquet")
+    emb = spark.read.parquet(src0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    emb.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert main(["build-index", src, idx, "--m", "4",
+                 "--id-col", "id", "--vec-col", "vec"]) == 0
+    assert main(["index-upsert", idx, src, "--id-col", "id", "--vec-col", "vec"]) == 0
+    assert main(["index-delete", idx, "--ids", "3,5"]) == 0
+    out = str(tmp_path / "res.parquet")
+    assert main(["search", idx, src, "--k", "5", "--nprobe", "2",
+                 "--id-col", "id", "--vec-col", "vec", "--out", out]) == 0
+    ids = {r.neighbor_id for r in spark.read.parquet(out).collect()}
+    assert not ids & {3, 5}
+    idx2 = str(tmp_path / "idx2")
+    from big_ann_spark.operators.vector_ops import compact_vector_layout
+
+    assert compact_vector_layout(spark, idx, idx2, id_col="id", vec_col="vec") == 2
+
+
+def test_mutations_and_compact_on_codes_only_layout(spark, sf_dir, tmp_path):
+    """--sq8 (codes-only) layouts: upserts encode codes under the
+    frozen ranges, deletes tombstone, search resolves, and compaction
+    carries the stored codes + ranges sidecar (no raw column exists to
+    re-encode from)."""
+    from big_ann_spark.cli import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "idx8")
+    assert main(["build-index", src, idx, "--m", "4", "--sq8"]) == 0
+    assert "embedding" not in spark.read.parquet(f"{idx}/shards").columns
+    assert main(["index-upsert", idx, src]) == 0
+    assert main(["index-delete", idx, "--ids", "2,4"]) == 0
+    out = str(tmp_path / "res.parquet")
+    assert main(["search", idx, src, "--k", "5", "--nprobe", "2", "--out", out]) == 0
+    ids = {r.neighbor_id for r in spark.read.parquet(out).collect()}
+    assert not ids & {2, 4}
+    idx2 = str(tmp_path / "idx2")
+    assert VO.compact_vector_layout(spark, idx, idx2) == 2
+    out2 = str(tmp_path / "res2.parquet")
+    assert main(["search", idx2, src, "--k", "5", "--nprobe", "2", "--out", out2]) == 0
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
+
+
+def test_evaluate_honors_mutations(spark, sf_dir, tmp_path):
+    """Recall must be measured against the SERVED index: after
+    deleting the GT neighbors, evaluate's recall drops — it must not
+    silently keep scoring the pristine base."""
+    import numpy as np
+
+    from big_ann_spark.cli import main
+    from big_ann_spark.sources import fbin as FB
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    src = str(tmp_path / "emb.parquet")
+    emb.write.parquet(src)
+    q_path = str(tmp_path / "q.parquet")
+    emb.filter(F.col("vec_id") < 2).write.parquet(q_path)
+    idx = str(tmp_path / "idx")
+    assert main(["build-index", src, idx, "--m", "4"]) == 0
+    # GT = each query's own id (trivially its nearest neighbor)
+    gt = str(tmp_path / "gt.ibin")
+    FB.write_ground_truth_local(
+        gt,
+        np.array([[0], [1]], dtype=np.int32),
+        np.zeros((2, 1), dtype=np.float32),
+    )
+    assert main(["evaluate", idx, q_path, gt, "--k", "1", "--nprobe", "4"]) == 0
+    assert main(["index-delete", idx, "--ids", "0,1"]) == 0
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["evaluate", idx, q_path, gt, "--k", "1", "--nprobe", "4"]) == 0
+    assert "recall@1" in buf.getvalue()
+    recall = float(buf.getvalue().strip().split(":")[-1])
+    assert recall == 0.0  # the deleted ids must be gone from serving
+
+
 def test_live_view_plan_broadcast_anti_join(spark, sf_dir):
     """The contested-set subtraction must be a BROADCAST anti-join on
     the probed base scan — never a shuffle of the big side."""
