@@ -272,6 +272,23 @@ def _build_parser() -> argparse.ArgumentParser:
     bk.add_argument("src", help="dir produced by bm25-build")
     bk.add_argument("dst", help="fresh index dir")
 
+    vx = sub.add_parser(
+        "vindex-export",
+        help="materialize a vindex-ingest live view into the batch "
+        "build-index layout (search / index-upsert / index-delete / "
+        "index-compact and every refine codec run on it unmodified)",
+    )
+    vx.add_argument("src", help="dir produced by vindex-ingest")
+    vx.add_argument("dst", help="fresh batch index dir")
+    vx.add_argument("--centroids", required=True)
+    vx.add_argument(
+        "--codec", default=None, choices=["sq8", "pq", "binary"],
+        help="also land a compressed candidate column (refine layout), "
+        "quantization trained on the exported live view",
+    )
+    vx.add_argument("--as-of", type=int, default=None,
+                    help="export a snapshot instead of the head")
+
     bx = sub.add_parser(
         "bm25-export",
         help="materialize a bm25-stream-ingest live index into the "
@@ -428,6 +445,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="query parquet id column (default: --id-col). GT qids are "
         "POSITIONAL (row 0..nq-1 of the GT file), so query ids must be "
         "exactly 0..nq-1 — validated before searching.",
+    )
+    ev.add_argument(
+        "--as-of", type=int, default=None,
+        help="evaluate a mutation SNAPSHOT (committed op N; -1 = "
+        "pristine base) instead of the head",
     )
     ev.add_argument(
         "--query-vec-col", default=None, help="query parquet vector column (default: --vec-col)"
@@ -1069,6 +1091,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"compacted {args.src} -> {args.dst}: {n} live vectors")
         return 0
 
+    if args.cmd == "vindex-export":
+        from big_ann_spark.streaming import vector_index as VI
+
+        cents = spark.read.parquet(args.centroids)
+        n = VI.export_vector_index(
+            spark, args.src, args.dst, cents,
+            codec=args.codec, as_of=args.as_of,
+        )
+        tag = f" (+{args.codec} refine)" if args.codec else ""
+        print(f"exported {n} live vectors -> {args.dst}{tag}")
+        return 0
+
     from big_ann_spark.sources import fbin as FB
 
     if args.cmd == "evaluate":
@@ -1140,7 +1174,7 @@ def main(argv: list[str] | None = None) -> int:
         # vectors out, upserts in — exactly like `search`
         live = VO.live_probed_view(
             spark, args.index, base, probe_ids if probed else None,
-            id_col=args.id_col, vec_col=args.vec_col,
+            as_of=args.as_of, id_col=args.id_col, vec_col=args.vec_col,
         )
         shards = _load_index_shards(
             spark, args.index, args.id_col, args.vec_col, shards_df=live

@@ -405,3 +405,68 @@ def search_index(
         query_id=query_id, query_vec=query_vec, dim=dim,
         static_prune=False, _routed=routed,
     )
+
+
+def export_vector_index(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    centroids: DataFrame,
+    *,
+    codec: str | None = None,
+    as_of: int | None = None,
+) -> int:
+    """Materialize a streamed index's live view into the BATCH
+    ``write_sharded`` serving layout (the ``bm25-export`` analog):
+    search/mutate/compact and every refine codec then run on it
+    unmodified. ``codec``: also land a compressed candidate column —
+    "sq8" / "pq" / "binary" — trained on the exported live view (a
+    fresh serving layout freezes its own quantization, exactly like a
+    fresh build). ``as_of``: export a SNAPSHOT instead of the head.
+    Returns the exported row count."""
+    from big_ann_spark.functions.vector import l2_distance
+    from big_ann_spark.operators.sharding import write_sharded
+
+    live = live_vectors(spark, src_path, as_of=as_of)
+    rows = (
+        live.join(F.broadcast(centroids), "shard_id")
+        .select(
+            "vec_id",
+            "shard_id",
+            l2_distance("embedding", "centroid").alias("dist"),
+            "embedding",
+        )
+        .localCheckpoint()  # count + sidecar training + write share it
+    )
+    n = rows.count()
+    ranges = books = thr = None
+    if codec == "sq8":
+        from big_ann_spark.operators.pq import train_sq8
+
+        ranges = train_sq8(rows)
+    elif codec == "pq":
+        from big_ann_spark.operators.pq import train_pq
+
+        dim = len(rows.select("embedding").first()[0]) if n else 0
+        books = train_pq(rows, dim=dim)
+    elif codec == "binary":
+        from big_ann_spark.operators.pq import train_binary
+
+        thr = train_binary(rows)
+    elif codec is not None:
+        raise ValueError(
+            f"unknown codec {codec!r}; use 'sq8', 'pq', 'binary' or None"
+        )
+    write_sharded(
+        rows, rows, dst_path,
+        sq8_ranges=ranges,
+        pq_codebooks=books,
+        pq_encode_impl="arrow" if books is not None else "fold",
+        binary_thresholds=thr,
+    )
+    (
+        centroids.coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{dst_path}/centroids.parquet")
+    )
+    return n

@@ -480,3 +480,63 @@ def test_live_view_as_of_snapshots(spark):
     # head view == latest snapshot
     head = {r.vec_id for r in VI.live_vectors(spark, path).collect()}
     assert head == want[2]
+
+
+def test_export_to_batch_layout(spark, tmp_path):
+    """vindex-export: the streamed live view materialized into the
+    batch write_sharded layout must serve IDENTICAL results through
+    ivf_search_from_disk, take batch mutations, and optionally carry a
+    refine codec column."""
+    from big_ann_spark.operators import ann as ANN
+    from big_ann_spark.operators import vector_ops as VO
+
+    src = tempfile.mkdtemp(prefix="vi_exp_src_")
+    _write_batches(
+        spark,
+        src,
+        [
+            _rows([1, 2, 3, 101, 102, 201]),
+            _rows([2], op="delete") + _rows([301, 302]),
+        ],
+    )
+    path = tempfile.mkdtemp(prefix="vi_exp_idx_")
+    cents = _centroids(spark)
+    VI.stream_vector_index_ingest(_stream(spark, src), path, cents, op_col="op", dim=4)
+
+    dst = str(tmp_path / "batch_idx")
+    n = VI.export_vector_index(spark, path, dst, cents)
+    live = VI.live_vectors(spark, path)
+    assert n == live.count()
+
+    queries = live.filter(F.col("vec_id").isin(1, 101)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    want = sorted(
+        map(tuple, VI.search_index(spark, path, queries, cents, k=3, nprobe=2, dim=4)
+            .select("qid", "neighbor_id", "rank").collect())
+    )
+    got = sorted(
+        map(tuple, ANN.ivf_search_from_disk(queries, dst, cents, k=3, nprobe=2)
+            .select("qid", "neighbor_id", "rank").collect())
+    )
+    assert got == want and len(got) == 6
+
+    # the exported layout is a first-class batch index: mutations work
+    VO.delete_vectors(spark, dst, [1])
+    after = {
+        r["neighbor_id"]
+        for r in ANN.ivf_search_from_disk(queries, dst, cents, k=3, nprobe=2).collect()
+    }
+    assert 1 not in after
+
+    # refine-codec export: codes column present, search auto-usable
+    dst2 = str(tmp_path / "batch_idx_sq8")
+    VI.export_vector_index(spark, path, dst2, cents, codec="sq8")
+    cols = spark.read.parquet(f"{dst2}/shards").columns
+    assert "codes" in cols and "embedding" in cols
+    got2 = sorted(
+        map(tuple, ANN.ivf_search_from_disk(
+            queries, dst2, cents, k=3, nprobe=2, codec="sq8", rerank_factor=100
+        ).select("qid", "neighbor_id", "rank").collect())
+    )
+    assert got2 == want
