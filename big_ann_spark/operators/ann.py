@@ -534,6 +534,176 @@ def _pq_pool_arrow(
     )
 
 
+def write_tag_postings_layout(
+    tagged: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    tags_col: str = "tags",
+    n_tag_buckets: int = 64,
+) -> None:
+    """Persist the filtered-track serving artifacts next to a
+    ``write_sharded`` layout (big-ann "filtered" track, from disk):
+
+    - ``{path}/tag_postings.parquet`` — the inverted tag index
+      ``(neighbor_id, shard_id, _tag)`` partitioned by
+      ``_tb = pmod(xxhash64(_tag), n_tag_buckets)``: a query batch
+      prunes to its rarest-tags' buckets, and the carried ``shard_id``
+      lets the vector fetch open only the shards holding candidates;
+    - ``{path}/tag_df.parquet`` — per-tag document frequencies
+      (vocabulary-sized), so rarest-tag selection never rescans
+      postings;
+    - ``{path}/tags.parquet`` — the id-sorted ``(neighbor_id, tags)``
+      side table the containment verify point-fetches (bounded id In,
+      row-group skipping — the refine-rerank pattern applied to tags).
+
+    ``tagged``: ``(id_col, tags_col)`` rows for every vector in the
+    layout; shard ids come from the layout itself (2-column pruned
+    read-back), so the caller never re-derives assignment."""
+    from big_ann_spark.operators.knn import build_tag_postings
+
+    spark = tagged.sparkSession
+    shard_of = spark.read.parquet(f"{path}/shards").select(
+        F.col(id_col).alias("neighbor_id"), "shard_id"
+    )
+    posts = build_tag_postings(
+        tagged.select(F.col(id_col).alias("neighbor_id"), F.col(tags_col)),
+        base_id="neighbor_id",
+        tags_col=tags_col,
+    ).join(shard_of, "neighbor_id")
+    posts = posts.withColumn(
+        "_tb", F.pmod(F.xxhash64("_tag"), F.lit(n_tag_buckets))
+    )
+    (
+        posts.write.partitionBy("_tb")
+        .mode("overwrite")
+        .parquet(f"{path}/tag_postings.parquet")
+    )
+    (
+        posts.groupBy("_tag")
+        .agg(F.count("*").alias("_df"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/tag_df.parquet")
+    )
+    (
+        tagged.select(F.col(id_col).alias("neighbor_id"), F.col(tags_col).alias("_btags"))
+        .sort("neighbor_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/tags.parquet")
+    )
+    # the bucket count is a LAYOUT CONSTANT the query side must hash
+    # with — inferring it from observed _tb values would break the
+    # moment a trailing bucket happens to be empty
+    (
+        spark.createDataFrame([(int(n_tag_buckets),)], "n_tag_buckets int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/tag_meta.parquet")
+    )
+
+
+def _filtered_candidates(spark, q: DataFrame, path: str) -> DataFrame:
+    """Rarest-tag candidate generation off the persisted artifacts —
+    LAZY (the caller checkpoints; the plan-pin test inspects this):
+    per-query rarest tag via the vocabulary-sized df table, then a
+    static ``_tb`` partition filter (bounded by the query count, no
+    matter how wide the tag vocabulary) over the bucketed postings."""
+    tag_df = spark.read.parquet(f"{path}/tag_df.parquet")
+    q_rare = (
+        q.select("qid", F.explode("_qtags").alias("_tag"))
+        .join(tag_df, "_tag", "left")
+        .groupBy("qid")
+        .agg(
+            F.min(
+                F.struct(F.coalesce("_df", F.lit(0)).alias("_df"), "_tag")
+            )["_tag"].alias("_tag")
+        )
+        .localCheckpoint()
+    )
+    n_buckets = int(
+        spark.read.parquet(f"{path}/tag_meta.parquet").collect()[0][
+            "n_tag_buckets"
+        ]
+    )
+    tbs = {
+        r["_tb"]
+        for r in q_rare.select(
+            F.pmod(F.xxhash64("_tag"), F.lit(n_buckets)).alias("_tb")
+        ).distinct().collect()
+    }
+    posts = spark.read.parquet(f"{path}/tag_postings.parquet").filter(
+        F.col("_tb").isin([int(b) for b in tbs])
+    )
+    return posts.join(F.broadcast(q_rare), "_tag").select(
+        "qid", "neighbor_id", "shard_id"
+    )
+
+
+def filtered_search_from_disk(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    *,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    query_tags: str = "qtags",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_id_pushdown: int = 100_000,
+) -> DataFrame:
+    """Tag-containment filtered kNN SERVED from a persisted layout
+    (``write_tag_postings_layout`` artifacts): per query, candidates
+    come off the RAREST query tag's posting list (exactness preserved
+    — a qualifying neighbor contains every query tag, hence the
+    rarest), read with ``_tb`` partition pruning; candidate vectors
+    and tag sets are point-fetched by bounded id In from the
+    shard-pruned layout and the id-sorted tags table; containment +
+    exact distance verify on candidates only. Scored volume = the
+    rarest-tag posting lists, independent of corpus width — the
+    standard selective-predicate plan, now entirely off disk."""
+    spark = queries.sparkSession
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("_qvec"),
+        F.col(query_tags).alias("_qtags"),
+    ).localCheckpoint()
+    if q.filter(F.size(F.coalesce("_qtags", F.array())) == 0).limit(1).count():
+        raise ValueError(
+            "filtered_search_from_disk: query with an empty tag set is "
+            "unconstrained — use ivf_search_from_disk for those queries"
+        )
+    cand = _filtered_candidates(spark, q, path).localCheckpoint()
+    cand_ids = [
+        r["neighbor_id"] for r in cand.select("neighbor_id").distinct().collect()
+    ]
+    shard_ids = [
+        r["shard_id"] for r in cand.select("shard_id").distinct().collect()
+    ]
+    vecs = open_probed_shards(spark, path, shard_ids).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_bvec")
+    )
+    btags = spark.read.parquet(f"{path}/tags.parquet")
+    if len(cand_ids) <= max_id_pushdown:
+        vecs = vecs.filter(F.col("neighbor_id").isin(cand_ids))
+        btags = btags.filter(F.col("neighbor_id").isin(cand_ids))
+    verified = (
+        cand.select("qid", "neighbor_id")
+        .join(vecs, "neighbor_id")
+        .join(btags, "neighbor_id")
+        .join(F.broadcast(q), "qid")
+        .filter(F.size(F.array_except(F.col("_qtags"), F.col("_btags"))) == 0)
+        .select(
+            "qid",
+            "neighbor_id",
+            l2_distance("_qvec", "_bvec", dim).alias("dist"),
+        )
+    )
+    return top_k_per_group(
+        verified, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+    )
+
+
 def route_queries(
     queries: DataFrame,
     centroids: DataFrame,
