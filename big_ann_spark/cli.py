@@ -125,6 +125,32 @@ def _build_parser() -> argparse.ArgumentParser:
         "mutation op N (-1 = pristine base build; default: head)",
     )
 
+    it = sub.add_parser(
+        "index-tags",
+        help="persist the filtered-track serving artifacts (bucketed "
+        "tag postings + df table + tags side table) next to a "
+        "build-index layout",
+    )
+    it.add_argument("index", help="dir produced by build-index")
+    it.add_argument("src", help="parquet with (id, tags array<string>) columns")
+    it.add_argument("--id-col", default="vec_id")
+    it.add_argument("--tags-col", default="tags")
+    it.add_argument("--tag-buckets", type=int, default=64)
+
+    fs = sub.add_parser(
+        "filtered-search",
+        help="tag-containment filtered kNN off an index-tags layout "
+        "(rarest-tag posting candidates, bounded point-fetch verify)",
+    )
+    fs.add_argument("index", help="dir with index-tags artifacts")
+    fs.add_argument("queries", help="parquet with (id, vector, tags) columns")
+    fs.add_argument("--k", type=int, default=10)
+    fs.add_argument("--id-col", default="vec_id")
+    fs.add_argument("--vec-col", default="embedding")
+    fs.add_argument("--tags-col", default="tags")
+    fs.add_argument("--out", default=None)
+    fs.add_argument("--show", type=int, default=20)
+
     iu = sub.add_parser(
         "index-upsert",
         help="insert-or-replace a vector batch into a build-index "
@@ -774,6 +800,40 @@ def main(argv: list[str] | None = None) -> int:
             out.write.mode("overwrite").parquet(args.out)
             # count the WRITTEN parquet — re-counting `out` would
             # re-execute the whole search DAG for one integer
+            n = spark.read.parquet(args.out).count()
+            print(f"{n} rows -> {args.out}")
+        else:
+            out.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "index-tags":
+        from big_ann_spark.operators import ann as ANN
+
+        tagged = spark.read.parquet(args.src)
+        ANN.write_tag_postings_layout(
+            tagged, args.index,
+            id_col=args.id_col, tags_col=args.tags_col,
+            n_tag_buckets=args.tag_buckets,
+        )
+        n = spark.read.parquet(f"{args.index}/tag_df.parquet").count()
+        print(f"{n} distinct tags indexed ({args.tag_buckets} buckets) "
+              f"-> {args.index}")
+        return 0
+
+    if args.cmd == "filtered-search":
+        from big_ann_spark.operators import ann as ANN
+
+        q = spark.read.parquet(args.queries).select(
+            F.col(args.id_col).alias("qid"),
+            F.col(args.vec_col).alias("qvec"),
+            F.col(args.tags_col).alias("qtags"),
+        )
+        out = ANN.filtered_search_from_disk(
+            q, args.index, k=args.k,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             print(f"{n} rows -> {args.out}")
         else:

@@ -92,6 +92,36 @@ def test_filtered_from_disk_prunes_posting_buckets(spark, sf_dir):
     assert seg and "_tb" in seg[0].split("PartitionFilters")[1].split("]")[0]
 
 
+def test_cli_index_tags_and_filtered_search(spark, sf_dir, tmp_path):
+    from big_ann_spark.cli import main
+
+    tagged, path = _tagged_layout(spark, sf_dir)
+    src = str(tmp_path / "tagged.parquet")
+    tagged.select("vec_id", "embedding", "tags").write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert main(["build-index", src, idx, "--m", "4"]) == 0
+    assert main(["index-tags", idx, src, "--tag-buckets", "8"]) == 0
+    out = str(tmp_path / "res.parquet")
+    assert main(["filtered-search", idx, src, "--k", "3", "--out", out]) == 0
+    res = spark.read.parquet(out)
+    n_q = tagged.count()
+    # rare (lang, source) combos legitimately have < 3 qualifying
+    # neighbors; every query returns SOMETHING (itself qualifies) and
+    # nobody exceeds k
+    assert res.select("qid").distinct().count() == n_q
+    assert res.groupBy("qid").count().agg(F.max("count")).collect()[0][0] <= 3
+    # every returned neighbor satisfies the query's tag containment
+    qt = tagged.select(F.col("vec_id").alias("qid"), F.col("tags").alias("_qt"))
+    bt = tagged.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("tags").alias("_bt")
+    )
+    bad = (
+        res.join(qt, "qid").join(bt, "neighbor_id")
+        .filter(F.size(F.array_except("_qt", "_bt")) != 0)
+    )
+    assert bad.count() == 0
+
+
 def test_filtered_from_disk_rejects_empty_tag_sets(spark, sf_dir):
     import pytest
 
