@@ -83,6 +83,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "(32x tier): candidates come from an XOR+popcount Hamming "
         "scan of the bcodes column, exact rerank from the raw column",
     )
+    b.add_argument(
+        "--opq-refine",
+        action="store_true",
+        help="like --pq-refine but with a learned OPQ rotation (Ge et "
+        "al. CVPR'13) before the subspace split — lower quantization "
+        "distortion at the same code size; queries are rotated at "
+        "search, the exact rerank is rotation-invariant",
+    )
 
     bg = sub.add_parser(
         "build-graph",
@@ -642,10 +650,11 @@ def main(argv: list[str] | None = None) -> int:
 
         # pure-argparse validation BEFORE the (possibly hours-long at
         # scale) KMeans fit
-        if sum([args.sq8, args.sq8_refine, args.pq_refine, args.binary_refine]) > 1:
+        if sum([args.sq8, args.sq8_refine, args.pq_refine,
+                args.binary_refine, args.opq_refine]) > 1:
             print(
-                "--sq8 / --sq8-refine / --pq-refine / --binary-refine "
-                "are mutually exclusive",
+                "--sq8 / --sq8-refine / --pq-refine / --binary-refine / "
+                "--opq-refine are mutually exclusive",
                 file=sys.stderr,
             )
             return 2
@@ -692,6 +701,18 @@ def main(argv: list[str] | None = None) -> int:
                 assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col,
                 binary_thresholds=PQ.train_binary(emb, vec_col=args.vec_col),
             )
+        elif args.opq_refine:
+            from big_ann_spark.operators import pq as PQ
+
+            dim = len(emb.select(args.vec_col).first()[0])
+            R, books, _pmse, _omse = PQ.train_opq(
+                emb, m=args.pq_m, k=args.pq_k,
+                vec_col=args.vec_col, id_col=args.id_col, dim=dim,
+            )
+            SH.write_sharded(
+                assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col,
+                pq_codebooks=books, opq_rotation=R, pq_encode_impl="arrow",
+            )
         else:
             SH.write_sharded(
                 assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col
@@ -702,6 +723,7 @@ def main(argv: list[str] | None = None) -> int:
             else " (sq8 + refine)" if args.sq8_refine
             else " (pq + refine)" if args.pq_refine
             else " (binary + refine)" if args.binary_refine
+            else " (opq + refine)" if args.opq_refine
             else ""
         )
         print(f"{emb.count()} vectors -> {args.m} shards at {args.dst}{tag}")

@@ -399,17 +399,39 @@ def pq_pool(
     per Arrow batch, accumulating left-to-right over j so emitted
     distances are BIT-EQUAL to the fold (parity-tested) while the scan
     runs at memory bandwidth — the sq8 arrow-pool pattern."""
-    from big_ann_spark.operators.pq import load_pq_codebooks, pq_lut_rows
+    from big_ann_spark.operators import oplayout
+    from big_ann_spark.operators.pq import (
+        load_pq_codebooks,
+        load_rotation,
+        pq_lut_rows,
+    )
 
     spark = routed.sparkSession
     codebooks = load_pq_codebooks(spark, f"{path}/pq_codebooks.parquet")
+    # OPQ layout: codes live in the rotated space, so the per-query
+    # LUTs are built from the ROTATED queries (the only place the
+    # rotation touches serving — the exact rerank compares raw vectors
+    # with raw queries, and an orthogonal R preserves L2 exactly)
+    rotation = None
+    if oplayout.path_exists(spark, f"{path}/opq_rotation.parquet"):
+        rotation = load_rotation(spark, f"{path}/opq_rotation.parquet")
     if impl == "arrow":
-        return _pq_pool_arrow(routed, shards, codebooks, k_pool, id_col=id_col)
+        return _pq_pool_arrow(
+            routed, shards, codebooks, k_pool, id_col=id_col, rotation=rotation
+        )
     if impl != "fold":
         raise ValueError(f"impl must be 'fold' or 'arrow', got {impl!r}")
     qvecs: dict[int, list[float]] = {}
     for r in routed.select("qid", "qvec").collect():
         qvecs.setdefault(int(r["qid"]), [float(x) for x in r["qvec"]])
+    if rotation is not None:
+        import numpy as np
+
+        R = np.asarray(rotation, dtype=np.float64)
+        qvecs = {
+            q: list(np.asarray(v, dtype=np.float64) @ R)
+            for q, v in qvecs.items()
+        }
     luts = spark.createDataFrame(
         pq_lut_rows(sorted(qvecs.items()), codebooks),
         "qid long, lut array<array<double>>",
@@ -496,17 +518,25 @@ def _pq_pool_arrow(
     k_pool: int,
     *,
     id_col: str = "vec_id",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """numpy LUT-gather ADC scan on the shared nominating skeleton:
     each batch gathers ``lut[j, codes[:, j]]`` and accumulates
     LEFT-TO-RIGHT over j — the identical addition order to the fold
     expression, so emitted pool distances are bit-equal
-    (parity-tested) while the scan runs at gather speed."""
+    (parity-tested) while the scan runs at gather speed. ``rotation``:
+    OPQ — LUTs are built from the rotated queries."""
     import numpy as np
 
     from big_ann_spark.operators.pq import pq_lut_rows
 
     def make_state(qids, qvec_by_id):
+        if rotation is not None:
+            R = np.asarray(rotation, dtype=np.float64)
+            qvec_by_id = {
+                q: list(np.asarray(v, dtype=np.float64) @ R)
+                for q, v in qvec_by_id.items()
+            }
         rows = pq_lut_rows(
             [(int(q), qvec_by_id[int(q)]) for q in qids], codebooks
         )

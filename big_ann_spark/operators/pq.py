@@ -118,12 +118,29 @@ def pq_encode(
     )
 
 
+def save_rotation(spark, path: str, R: list[list[float]]) -> None:
+    """Persist a d×d rotation as (i, row) rows — d² floats, tiny."""
+    rows = [(i, [float(x) for x in r]) for i, r in enumerate(R)]
+    (
+        spark.createDataFrame(rows, "i int, row array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_rotation(spark, path: str) -> list[list[float]]:
+    rows = sorted(spark.read.parquet(path).collect(), key=lambda r: r["i"])
+    return [list(r["row"]) for r in rows]
+
+
 def with_pq_codes_arrow(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     *,
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """``df`` plus the PQ code column, computed by a numpy Arrow
     kernel — the bulk-encode path. The expression form
@@ -133,13 +150,22 @@ def with_pq_codes_arrow(
     LEFT-TO-RIGHT over the subvector — the fold's addition order — and
     first-occurrence argmin == lowest-code tie-break), so codes are
     bit-equal (parity-tested) at memory-bandwidth speed. All other
-    columns pass through zero-copy (``RecordBatch.append_column``)."""
+    columns pass through zero-copy (``RecordBatch.append_column``).
+
+    ``rotation``: an OPQ orthogonal d×d matrix applied (one BLAS
+    matmul per batch) BEFORE the subspace split — the codebooks are
+    then in the rotated space. The expression encoder has no rotation
+    form (d² multiply-adds per row is far past the codegen budget), so
+    OPQ layouts are arrow-encode-only by construction."""
     import numpy as np
     from pyspark.sql.types import ArrayType, ShortType, StructField, StructType
 
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(
-        [np.asarray(sub, dtype=np.float64) for sub in codebooks]
+        (
+            [np.asarray(sub, dtype=np.float64) for sub in codebooks],
+            None if rotation is None else np.asarray(rotation, dtype=np.float64),
+        )
     )
     sub_len = len(codebooks[0][0])
 
@@ -148,12 +174,14 @@ def with_pq_codes_arrow(
 
         from big_ann_spark.functions.arrowio import list_col_matrix
 
-        books = bc.value
+        books, R = bc.value
         for rb in batches:
             n = rb.num_rows
             if n == 0:
                 continue
             X = list_col_matrix(rb, vec_col, np.float64)
+            if R is not None:
+                X = X @ R
             m = len(books)
             codes = np.empty((n, m), dtype=np.int16)
             for j in range(m):

@@ -306,6 +306,7 @@ def write_sharded(
     sq8_ranges: tuple[list[float], list[float]] | None = None,
     pq_codebooks: list[list[list[float]]] | None = None,
     pq_encode_impl: str = "fold",
+    opq_rotation: list[list[float]] | None = None,
     binary_thresholds: list[float] | None = None,
 ) -> None:
     """S7/S9 analog: persist the sharded layout —
@@ -364,15 +365,20 @@ def write_sharded(
         from big_ann_spark.operators.pq import (
             pq_encode_col,
             save_pq_codebooks,
+            save_rotation,
             with_pq_codes_arrow,
         )
 
+        if opq_rotation is not None and pq_encode_impl != "arrow":
+            # no expression form exists for rotate-then-encode (d²
+            # multiply-adds per row is past the codegen budget)
+            raise ValueError("opq_rotation requires pq_encode_impl='arrow'")
         if pq_encode_impl == "arrow":
             # bulk-encode path: the expression tree's m·k structs
             # measured 6× the rest of a 2M build; the numpy kernel is
             # bit-equal (parity-tested) at memory bandwidth
             with_vec = with_pq_codes_arrow(
-                with_vec, pq_codebooks, vec_col=vec_col
+                with_vec, pq_codebooks, vec_col=vec_col, rotation=opq_rotation
             )
         elif pq_encode_impl == "fold":
             with_vec = with_vec.withColumn(
@@ -386,6 +392,12 @@ def write_sharded(
         save_pq_codebooks(
             assignments.sparkSession, f"{path}/pq_codebooks.parquet", pq_codebooks
         )
+        if opq_rotation is not None:
+            save_rotation(
+                assignments.sparkSession,
+                f"{path}/opq_rotation.parquet",
+                opq_rotation,
+            )
     # binary_thresholds (operators.pq.train_binary): the 32× tier —
     # packed sign-bit `bcodes` next to the raw vectors; the candidate
     # pass is an XOR+popcount Hamming scan of d-bit words.

@@ -138,12 +138,25 @@ def upsert_vectors(
             "codes", sq8_encode_col("embedding", mins, maxs).cast("array<smallint>")
         )
     if oplayout.path_exists(spark, f"{path}/pq_codebooks.parquet"):
-        from big_ann_spark.operators.pq import load_pq_codebooks, pq_encode_col
+        from big_ann_spark.operators.pq import (
+            load_pq_codebooks,
+            load_rotation,
+            pq_encode_col,
+            with_pq_codes_arrow,
+        )
 
         books = load_pq_codebooks(spark, f"{path}/pq_codebooks.parquet")
-        rows = rows.withColumn(
-            "pq_codes", pq_encode_col("embedding", books).cast("array<smallint>")
-        )
+        if oplayout.path_exists(spark, f"{path}/opq_rotation.parquet"):
+            # OPQ: codes live in the rotated space — arrow kernel only
+            rows = with_pq_codes_arrow(
+                rows, books, vec_col="embedding",
+                rotation=load_rotation(spark, f"{path}/opq_rotation.parquet"),
+            )
+        else:
+            rows = rows.withColumn(
+                "pq_codes",
+                pq_encode_col("embedding", books).cast("array<smallint>"),
+            )
     if oplayout.path_exists(spark, f"{path}/binary_thresholds.parquet"):
         from big_ann_spark.operators.pq import binarize_col
 
@@ -355,10 +368,17 @@ def compact_vector_layout(
                     f"{src_path}/binary_thresholds.parquet"
                 ).collect()[0]["thresholds"]
             )
+    rot = None
+    if has_raw and oplayout.path_exists(spark, f"{src_path}/opq_rotation.parquet"):
+        from big_ann_spark.operators.pq import load_rotation
+
+        rot = load_rotation(spark, f"{src_path}/opq_rotation.parquet")
     write_sharded(
         assignments, assignments, dst_path,
         id_col=id_col, vec_col=payload,
         sq8_ranges=ranges, pq_codebooks=books, binary_thresholds=thr,
+        opq_rotation=rot,
+        pq_encode_impl="arrow" if rot is not None else "fold",
     )
     if not has_raw and _has_sq8(spark, src_path):
         # codes-only layout: the codes ARE the payload; carry the

@@ -146,6 +146,92 @@ def test_pq_encode_arrow_equals_fold(spark, sf_dir):
     assert len(fold) == emb.count()
 
 
+# --------------------------------------------------- OPQ serving tier
+
+
+def _opq_layout(spark, sf_dir):
+    from big_ann_spark.operators.pq import train_opq
+
+    got = _CACHE.get(sf_dir + ":opq")
+    if got is not None:
+        return got
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SH.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    assign = SH.assign_to_centroids(emb, cents, extra_cols=["embedding"])
+    R, books, pmse, omse = train_opq(emb, m=8, k=16)
+    assert omse <= pmse  # the trainer's non-increasing invariant
+    path = tempfile.mkdtemp(prefix="big_ann_opq_disk_") + "/layout"
+    SH.write_sharded(
+        assign, emb, path,
+        pq_codebooks=books, opq_rotation=R, pq_encode_impl="arrow",
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    got = (emb, cents, path)
+    _CACHE[sf_dir + ":opq"] = got
+    return got
+
+
+def test_opq_from_disk_exhaustive_pool_equals_exact(spark, sf_dir):
+    """End-to-end rotation invariance: with an exhaustive pool, the
+    OPQ path's exact rerank (raw vectors, unrotated queries) must
+    equal the raw search — the orthogonal R cancels out entirely."""
+    emb, cents, path = _opq_layout(spark, sf_dir)
+    queries = _queries(emb)
+    got = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=2, codec="pq", rerank_factor=10_000
+    )
+    want = ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=2)
+    a = sorted(map(tuple, got.select("qid", "neighbor_id", "dist", "rank").collect()))
+    b = sorted(map(tuple, want.select("qid", "neighbor_id", "dist", "rank").collect()))
+    assert a == b and len(a) == 40
+
+
+def test_opq_pool_impls_agree_and_mutations_compose(spark, sf_dir):
+    emb, cents, path = _opq_layout(spark, sf_dir)
+    queries = _queries(emb)
+    fold = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=2, codec="pq", pool_impl="fold"
+    )
+    arrow = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=2, codec="pq", pool_impl="arrow"
+    )
+    assert sorted(map(tuple, fold.collect())) == sorted(map(tuple, arrow.collect()))
+
+    # upsert re-encodes under the frozen rotation; deleted ids vanish
+    from big_ann_spark.operators import vector_ops as VO
+
+    VO.upsert_vectors(spark, path, emb.filter(F.col("vec_id") < 2))
+    VO.delete_vectors(spark, path, [3])
+    got = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=3, codec="pq", rerank_factor=10_000
+    )
+    live = emb.filter(F.col("vec_id") != 3)
+    lassign = SH.assign_to_centroids(live, cents, extra_cols=["embedding"])
+    want = ANN.ivf_search(queries, lassign, cents, k=5, nprobe=3, static_prune=False)
+    a = sorted(map(tuple, got.select("qid", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, want.select("qid", "neighbor_id", "rank").collect()))
+    assert a == b
+    # invalidate the cached layout — this test mutated it
+    _CACHE.pop(sf_dir + ":opq")
+
+
+def test_cli_build_opq_refine_and_search(spark, sf_dir, tmp_path):
+    from big_ann_spark.cli import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "idx_opq")
+    assert main(["build-index", src, idx, "--m", "5", "--opq-refine"]) == 0
+    cols = spark.read.parquet(f"{idx}/shards").columns
+    assert "pq_codes" in cols and "embedding" in cols
+    import os
+
+    assert os.path.isdir(f"{idx}/opq_rotation.parquet")
+    out = str(tmp_path / "res.parquet")
+    assert main(["search", idx, src, "--k", "5", "--nprobe", "2", "--out", out]) == 0
+    res = spark.read.parquet(out)
+    assert res.count() == res.select("qid").distinct().count() * 5
+
+
 # --------------------------------------------------- binary (32×) tier
 
 
