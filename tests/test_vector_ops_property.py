@@ -1,0 +1,131 @@
+"""Property test for the sharded-vector-layout op protocol: ANY
+sequence of upserts (fresh ids, replacements with MOVED vectors,
+re-inserts of deleted ids), deletes, crashed attempts and replays must
+leave the live view — and the from-disk search over it — equal to a
+from-scratch layout of the net vector set. The same randomized-runbook
+style that certifies the BM25 op layout and the streaming index;
+crashes are injected at the commit-marker write so every crash leaves
+maximal on-disk garbage for the recovery path to handle."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_ann_spark.operators import ann as ANN
+from big_ann_spark.operators import oplayout
+from big_ann_spark.operators import sharding as SH
+from big_ann_spark.operators import vector_ops as VO
+
+_DIM = 4
+
+
+def _vec(vid: int, version: int) -> list[float]:
+    # deterministic 4-d points; the version SHIFTS the vector so a
+    # replacement can move a point to a different nearest centroid —
+    # the resolution must serve the new shard, not the old row
+    base = [0.0] * _DIM
+    base[(vid + version) % _DIM] = 10.0
+    base[vid % _DIM] += 0.1 * (vid % 5) + 0.01 * version
+    return [float(x) for x in base]
+
+
+def _centroids(spark):
+    rows = [(s, [10.0 if d == s else 0.0 for d in range(_DIM)]) for s in range(_DIM)]
+    return spark.createDataFrame(rows, "shard_id int, centroid array<float>")
+
+
+_steps = st.lists(
+    st.tuples(st.sampled_from(["upsert", "delete", "replace"]), st.booleans()),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(script=_steps, seed=st.integers(min_value=0, max_value=10**6))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_any_op_sequence_equals_rebuild(spark, script, seed, monkeypatch):
+    rng_state = seed
+    path = tempfile.mkdtemp(prefix="vec_ops_prop_") + "/layout"
+    cents = _centroids(spark)
+
+    def vec_df(vers: dict[int, int]):
+        return spark.createDataFrame(
+            [(i, _vec(i, v)) for i, v in sorted(vers.items())],
+            "vec_id long, embedding array<float>",
+        )
+
+    live: dict[int, int] = {i: 0 for i in range(6)}
+    deleted: set[int] = set()
+    base = vec_df(live)
+    assign = SH.assign_to_centroids(base, cents, extra_cols=["embedding"])
+    SH.write_sharded(assign, base, path)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+
+    next_id = 100
+    for kind, crash in script:
+        rng_state = (rng_state * 1103515245 + 12345) % (2**31)
+        if kind == "replace" and live:
+            pool = sorted(live)
+            take = 1 + rng_state % min(2, len(pool))
+            vers = {i: live[i] + 1 for i in pool[:take]}
+            live.update(vers)
+            op = lambda: VO.upsert_vectors(spark, path, vec_df(vers))
+        elif kind == "delete" and live:
+            pool = sorted(live)
+            take = 1 + rng_state % min(3, len(pool))
+            ids = pool[:take]
+            for i in ids:
+                deleted.add(i)
+                live.pop(i)
+            op = lambda: VO.delete_vectors(spark, path, ids)
+        else:
+            vers = {i: 0 for i in range(next_id, next_id + 1 + rng_state % 3)}
+            next_id += 10
+            # occasionally resurrect a deleted id (re-insert flow)
+            if deleted and rng_state % 2:
+                back = sorted(deleted)[0]
+                deleted.discard(back)
+                vers[back] = 9
+            live.update(vers)
+            op = lambda: VO.upsert_vectors(spark, path, vec_df(vers))
+
+        if crash:
+            with monkeypatch.context() as mp:
+                mp.setattr(oplayout, "mark_committed", lambda *a: 1 / 0)
+                with pytest.raises(ZeroDivisionError):
+                    op()
+        op()  # recovery contract: re-run reuses + purges the crashed id
+
+    # the from-disk search over the mutated layout == an in-memory
+    # search over a from-scratch assignment of the net vector set
+    want_base = vec_df(live)
+    queries = want_base.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = ANN.ivf_search_from_disk(
+        queries, path, cents, k=3, nprobe=_DIM
+    ).select("qid", "neighbor_id", "dist", "rank")
+    want_assign = SH.assign_to_centroids(
+        want_base, cents, extra_cols=["embedding"]
+    )
+    want = ANN.ivf_search(
+        queries, want_assign, cents, k=3, nprobe=_DIM, static_prune=False
+    ).select("qid", "neighbor_id", "dist", "rank")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # compaction of the mutated layout serves identically
+    dst = tempfile.mkdtemp(prefix="vec_ops_prop_c_") + "/layout"
+    VO.compact_vector_layout(spark, path, dst)
+    got_c = ANN.ivf_search_from_disk(
+        queries, dst, cents, k=3, nprobe=_DIM
+    ).select("qid", "neighbor_id", "dist", "rank")
+    assert sorted(map(tuple, got_c.collect())) == sorted(map(tuple, want.collect()))
