@@ -92,20 +92,51 @@ def warc_record_bytes(
     return ("\r\n".join(head) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
 
 
+_GUNZIP_CHUNK = 1 << 20
+
+
+def _iter_gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Walk a CONCATENATION of gzip members, yielding
+    ``(compressed_offset, compressed_length, decompressed_bytes)`` per
+    member — the coordinates a CDX index records.
+
+    Each member is fed BOUNDED chunks off a memoryview: feeding the
+    whole remaining buffer per member would copy ``data[pos:]`` and
+    materialize ``unused_data`` once per member — O(n²) bytes over a
+    ~10⁵-member 1 GB Common Crawl file (effectively a hang). Here
+    every input byte is copied O(1) times regardless of member count."""
+    view = memoryview(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        start = pos
+        out = io.BytesIO()
+        try:
+            while pos < n and not d.eof:
+                chunk = view[pos : pos + _GUNZIP_CHUNK]
+                out.write(d.decompress(chunk))
+                pos += len(chunk)
+        except zlib.error:
+            # trailing garbage that is not a member
+            raise ValueError(f"bad gzip member at byte {start}") from None
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at byte {start}")
+        out.write(d.flush())
+        # back up over the tail of the last chunk the member didn't use
+        pos -= len(d.unused_data)
+        if pos <= start:  # defensive: a member must consume bytes
+            raise ValueError(f"bad gzip member at byte {start}")
+        yield start, pos - start, out.getvalue()
+
+
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a CONCATENATION of gzip members (the compressed-WARC
+    """Decompress a concatenation of gzip members (the compressed-WARC
     convention: one member per record). A naive single-stream gunzip
     silently returns only the first record."""
     out = io.BytesIO()
-    pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=31)
-        out.write(d.decompress(data[pos:]))
-        out.write(d.flush())
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:  # trailing garbage that is not a member
-            raise ValueError(f"bad gzip member at byte {pos}")
-        pos += consumed
+    for _, _, member in _iter_gzip_members(data):
+        out.write(member)
     return out.getvalue()
 
 
@@ -253,6 +284,197 @@ def _records_of(src: DataFrame) -> DataFrame:
     )
 
 
+def _local_path(p: str) -> str:
+    """binaryFile emits Hadoop URIs (``file:/x`` or ``file:///x``);
+    executor-side ``open()`` needs the bare path."""
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def build_cdx(spark, path: str) -> DataFrame:
+    """Distributed CDX-style index of WARC files: one row per gzip
+    member (or per record of a plain file) with its COMPRESSED byte
+    coordinates — ``(file, offset, length, n_records, warc_type,
+    target_uri, record_id)``. This is the public Common Crawl pattern
+    (the cdx/cluster.idx files published next to every crawl): gzip
+    members are not splittable by inspection, but an offset index
+    makes them randomly addressable, so ONE multi-GB ``.warc.gz``
+    stops being one task (``read_warc``'s file-granular limit) and
+    becomes as many as you want (:func:`read_warc_split`).
+
+    One full pass (the same cost read_warc pays); persist the result
+    next to the files (CLI: ``warc-index``) and every later read
+    splits for free. Lazy — the caller writes it."""
+    src = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            paths = rb.column("path").to_pylist()
+            blobs = rb.column("content").to_pylist()
+            out: dict[str, list] = {k: [] for k in (
+                "file", "offset", "length", "n_records",
+                "warc_type", "target_uri", "record_id",
+            )}
+            for p, blob in zip(paths, blobs):
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    units = (
+                        (off, ln, list(parse_warc(member)))
+                        for off, ln, member in _iter_gzip_members(data)
+                    )
+                else:
+                    recs = list(parse_warc(data))
+                    ends = [r.offset for r in recs[1:]] + [len(data)]
+                    units = (
+                        (r.offset, end - r.offset, [r])
+                        for r, end in zip(recs, ends)
+                    )
+                for off, ln, recs in units:
+                    first = recs[0]
+                    out["file"].append(p)
+                    out["offset"].append(off)
+                    out["length"].append(ln)
+                    out["n_records"].append(len(recs))
+                    out["warc_type"].append(first.warc_type)
+                    out["target_uri"].append(first.target_uri)
+                    out["record_id"].append(first.record_id)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["file"], pa.string()),
+                    pa.array(out["offset"], pa.int64()),
+                    pa.array(out["length"], pa.int64()),
+                    pa.array(out["n_records"], pa.int64()),
+                    pa.array(out["warc_type"], pa.string()),
+                    pa.array(out["target_uri"], pa.string()),
+                    pa.array(out["record_id"], pa.string()),
+                ],
+                names=list(out),
+            )
+
+    return src.mapInArrow(
+        run,
+        schema=(
+            "file string, offset long, length long, n_records long, "
+            "warc_type string, target_uri string, record_id string"
+        ),
+    )
+
+
+def read_warc_split(
+    spark,
+    cdx,
+    *,
+    split_bytes: int = 32 << 20,
+) -> DataFrame:
+    """WARC records via a CDX index (:func:`build_cdx`), split into
+    ~``split_bytes`` byte-range tasks REGARDLESS of file count — the
+    cdx-driven random access that makes multi-GB ``.warc.gz`` files
+    splittable (each task seeks to a member boundary and reads only
+    its range; total IO equals one plain pass). ``cdx``: the index
+    DataFrame or its parquet path. The cdx can also be PRE-FILTERED
+    (by url, type, offset…) — only the matching members' bytes are
+    ever read, the point-lookup pattern of Common Crawl's index
+    servers.
+
+    Schema matches :func:`read_warc` except ``record_index`` is the
+    record's ordinal within its member and ``offset``/``length`` are
+    the member's COMPRESSED coordinates (the CDX convention)."""
+    if isinstance(cdx, str):
+        cdx = spark.read.parquet(cdx)
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("file")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    splits = (
+        cdx.select("file", "offset", "length")
+        .withColumn(
+            "_split",
+            F.floor((F.sum("length").over(w) - F.col("length")) / int(split_bytes)),
+        )
+        .groupBy("file", "_split")
+        .agg(
+            F.min("offset").alias("start"),
+            F.sum("length").alias("nbytes"),
+        )
+    )
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            files = rb.column("file").to_pylist()
+            starts = rb.column("start").to_pylist()
+            nbytes = rb.column("nbytes").to_pylist()
+            cols: dict[str, list] = {k: [] for k in (
+                "file", "record_index", "offset", "length", "warc_type",
+                "record_id", "target_uri", "warc_date", "content_type",
+                "content",
+            )}
+            for f, start, nb in zip(files, starts, nbytes):
+                with open(_local_path(f), "rb") as fh:
+                    fh.seek(start)
+                    data = fh.read(nb)
+                if data[:2] == b"\x1f\x8b":
+                    units = (
+                        (start + off, ln, list(parse_warc(member)))
+                        for off, ln, member in _iter_gzip_members(data)
+                    )
+                else:
+                    recs = list(parse_warc(data))
+                    ends = [r.offset for r in recs[1:]] + [len(data)]
+                    units = (
+                        (start + r.offset, end - r.offset, [r])
+                        for r, end in zip(recs, ends)
+                    )
+                for off, ln, recs in units:
+                    for i, rec in enumerate(recs):
+                        cols["file"].append(f)
+                        cols["record_index"].append(i)
+                        cols["offset"].append(off)
+                        cols["length"].append(ln)
+                        cols["warc_type"].append(rec.warc_type)
+                        cols["record_id"].append(rec.record_id)
+                        cols["target_uri"].append(rec.target_uri)
+                        cols["warc_date"].append(rec.warc_date)
+                        cols["content_type"].append(rec.content_type)
+                        cols["content"].append(rec.content)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["file"], pa.string()),
+                    pa.array(cols["record_index"], pa.int64()),
+                    pa.array(cols["offset"], pa.int64()),
+                    pa.array(cols["length"], pa.int64()),
+                    pa.array(cols["warc_type"], pa.string()),
+                    pa.array(cols["record_id"], pa.string()),
+                    pa.array(cols["target_uri"], pa.string()),
+                    pa.array(cols["warc_date"], pa.string()),
+                    pa.array(cols["content_type"], pa.string()),
+                    pa.array(cols["content"], pa.binary()),
+                ],
+                names=list(cols),
+            )
+
+    # spread the split tasks across the cluster — the split table is
+    # tiny, so the repartition is free relative to the byte ranges it
+    # fans out
+    return splits.repartition("file", "_split").mapInArrow(
+        run,
+        schema=(
+            "file string, record_index long, offset long, length long, "
+            "warc_type string, record_id string, target_uri string, "
+            "warc_date string, content_type string, content binary"
+        ),
+    )
+
+
 def warc_to_documents(records: DataFrame) -> DataFrame:
     """Records → documents-table shape ``(url, text, source,
     n_chars)``: keeps ``conversion``/``resource`` records (already
@@ -307,6 +529,7 @@ def write_warc(
     warc_type: str = "conversion",
     gzip_records: bool = False,
     files: int | None = None,
+    mode: str = "error",
 ) -> list[tuple[str, int, int]]:
     """Write a document table as WARC files, one per partition
     (``files`` repartitions first to control file size — target ~1 GB
@@ -314,12 +537,35 @@ def write_warc(
     (the CC convention — members stay individually addressable).
     Eager; returns the manifest [(file, n_records, n_bytes)].
 
+    ``mode`` mirrors parquet's save-mode semantics for the part files:
+    ``"error"`` (default) refuses a ``dst`` that already holds
+    ``part-*.warc[.gz]`` files; ``"overwrite"`` deletes them first.
+    Without this, a re-run with fewer partitions would leave the old
+    run's higher-numbered part files in place and a later read_warc
+    over ``dst`` would silently mix records from both runs.
+
     Executors write via plain file IO — local/NFS destinations (the
     test/export path); object-store destinations should write plain
     files and upload, or wrap this sink's manifest in their uploader."""
+    import glob as _glob
     import os
 
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"mode must be 'error' or 'overwrite', got {mode!r}")
     os.makedirs(dst, exist_ok=True)
+    stale = sorted(
+        _glob.glob(os.path.join(dst, "part-*.warc"))
+        + _glob.glob(os.path.join(dst, "part-*.warc.gz"))
+    )
+    if stale:
+        if mode == "error":
+            raise FileExistsError(
+                f"write_warc: {dst} already holds {len(stale)} part file(s) "
+                f"(e.g. {os.path.basename(stale[0])}); pass mode='overwrite' "
+                "to replace them"
+            )
+        for f in stale:
+            os.remove(f)
     if files:
         docs = docs.repartition(files)
     cols = [text_col] + ([uri_col] if uri_col else [])

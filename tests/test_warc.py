@@ -158,3 +158,135 @@ def test_cli_warc_roundtrip(spark, sf_dir, tmp_path):
         .filter(F.col("text") != F.col("t0"))
     )
     assert joined.count() == 0
+
+
+def test_gunzip_many_members_linear():
+    """~20k tiny members (the one-member-per-record Common Crawl
+    shape): the member walk must be linear in total bytes — the old
+    whole-remaining-buffer feed copied O(n²) bytes (ADVICE r10), which
+    on this fixture alone was ~30 GB of memmoves."""
+    import time
+
+    recs = [W.warc_record_bytes(f"doc {i}".encode()) for i in range(20_000)]
+    blob = b"".join(gzip.compress(r, mtime=0) for r in recs)
+    t0 = time.perf_counter()
+    out = list(W.parse_warc(blob))
+    dt = time.perf_counter() - t0
+    assert len(out) == 20_000
+    assert out[0].content == b"doc 0" and out[-1].content == b"doc 19999"
+    assert dt < 10.0  # linear runs in well under a second; O(n²) is minutes
+
+
+def test_gunzip_member_spanning_chunks_and_errors():
+    """A member whose COMPRESSED size spans several feed chunks must
+    decompress exactly and hand the unused tail to the next member;
+    truncation and non-gzip garbage die loudly with the offset."""
+    import random
+
+    payload = random.Random(0).randbytes(3 << 20)  # incompressible
+    big = W.warc_record_bytes(payload)
+    small = W.warc_record_bytes(b"tail")
+    blob = gzip.compress(big, mtime=0) + gzip.compress(small, mtime=0)
+    out = list(W.parse_warc(blob))
+    assert [r.content for r in out] == [payload, b"tail"]
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        W._gunzip_members(blob[:-20])
+    with pytest.raises(ValueError, match="bad gzip member"):
+        W._gunzip_members(gzip.compress(small, mtime=0) + b"\x1f\x8bGARBAGE")
+
+
+def test_write_warc_refuses_then_overwrites_stale_parts(spark, tmp_path):
+    """Re-running into a dst with FEWER partitions must not leave the
+    old run's higher-numbered part files for read_warc to silently mix
+    in (ADVICE r10): default mode refuses, overwrite clears."""
+    docs = spark.createDataFrame([(f"d{i}",) for i in range(8)], "text string")
+    dst = str(tmp_path / "w")
+    first = W.write_warc(docs, dst, files=4)
+    assert len(first) == 4
+    with pytest.raises(FileExistsError, match="overwrite"):
+        W.write_warc(docs, dst, files=1)
+    second = W.write_warc(docs, dst, files=1, mode="overwrite")
+    assert len(second) == 1
+    back = W.warc_to_documents(W.read_warc(spark, dst))
+    assert back.count() == 8  # 8 + any stale part would be >8
+
+
+def test_cdx_split_read_equals_file_read(spark, sf_dir, tmp_path):
+    """CDX-indexed byte-range reads must reproduce read_warc exactly
+    AND actually split: one gz file becomes multiple range tasks when
+    split_bytes is small (the multi-GB Common Crawl file case)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    tagged = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("url"), "text"
+    )
+    for gz in (True, False):
+        dst = str(tmp_path / ("gz" if gz else "plain"))
+        W.write_warc(tagged, dst, uri_col="url", gzip_records=gz, files=2)
+        cdx = W.build_cdx(spark, dst).localCheckpoint()
+        assert cdx.count() == 60  # one member/record per row
+        # force several splits per file
+        got = W.read_warc_split(spark, cdx, split_bytes=2048)
+        want = W.read_warc(spark, dst)
+        key = lambda df: sorted(
+            (r["file"], r["target_uri"], r["warc_type"], bytes(r["content"]))
+            for r in df.select("file", "target_uri", "warc_type", "content").collect()
+        )
+        assert key(got) == key(want)
+        # the split table is genuinely wider than the file count
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy("file").orderBy("offset")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        n_splits = (
+            cdx.withColumn(
+                "_s", F.floor((F.sum("length").over(w) - F.col("length")) / 2048)
+            ).select("file", "_s").distinct().count()
+        )
+        assert n_splits > 2
+
+
+def test_cdx_prefiltered_point_lookup(spark, sf_dir, tmp_path):
+    """A pre-filtered cdx reads ONLY the matching members — the
+    Common Crawl index-server point-lookup pattern."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    tagged = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("url"), "text"
+    )
+    dst = str(tmp_path / "gz")
+    W.write_warc(tagged, dst, uri_col="url", gzip_records=True, files=1)
+    cdx = W.build_cdx(spark, dst)
+    one = cdx.filter(F.col("target_uri") == "urn:doc:3")
+    got = W.read_warc_split(spark, one).collect()
+    assert len(got) == 1 and got[0]["target_uri"] == "urn:doc:3"
+    want = {
+        r["doc_id"]: r["text"] for r in docs.collect()
+    }[3]
+    assert bytes(got[0]["content"]).decode("utf-8") == want
+
+
+def test_cli_warc_index_split_roundtrip(spark, sf_dir, tmp_path):
+    from big_ann_spark.cli import main
+
+    src = f"{sf_dir}/documents.parquet"
+    warc_dir = str(tmp_path / "warc")
+    cdx = str(tmp_path / "cdx.parquet")
+    out = str(tmp_path / "docs.parquet")
+    assert main(["parquet-to-warc", src, warc_dir, "--uri-col", "doc_id",
+                 "--gzip", "--files", "2"]) == 0
+    assert main(["warc-index", warc_dir, cdx]) == 0
+    assert main(["warc-to-parquet", warc_dir, out, "--cdx", cdx,
+                 "--split-mb", "1"]) == 0
+    n_src = spark.read.parquet(src).count()
+    back = spark.read.parquet(out)
+    assert back.count() == n_src
+    joined = (
+        back.withColumn("doc_id", F.col("url").cast("long"))
+        .join(
+            spark.read.parquet(src).select("doc_id", F.col("text").alias("t0")),
+            "doc_id",
+        )
+        .filter(F.col("text") != F.col("t0"))
+    )
+    assert joined.count() == 0
