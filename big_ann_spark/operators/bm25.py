@@ -669,7 +669,30 @@ def _land_op(
     tombstones: DataFrame | None,
     op_id: int | None,
 ) -> int:
+    # SINGLE-WRITER (oplayout module docstring): id allocation, purge,
+    # writes, and the commit marker run under the layout's best-effort
+    # writer lock — a concurrent merge/delete against the same index
+    # raises ConcurrentWriterError instead of cross-purging
     n_buckets = _n_term_buckets(spark, path)
+    with oplayout.writer_lock(spark, path, owner="bm25"):
+        return _land_op_locked(
+            spark, path, n_buckets,
+            postings=postings, dfs_delta=dfs_delta,
+            stats_delta=stats_delta, tombstones=tombstones, op_id=op_id,
+        )
+
+
+def _land_op_locked(
+    spark,
+    path: str,
+    n_buckets: int,
+    *,
+    postings: DataFrame | None,
+    dfs_delta: DataFrame | None,
+    stats_delta: DataFrame,
+    tombstones: DataFrame | None,
+    op_id: int | None,
+) -> int:
     if op_id is None:
         op_id = _next_op_id(spark, path)
     if int(op_id) not in _committed_ops(spark, path):

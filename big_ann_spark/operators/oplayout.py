@@ -19,9 +19,27 @@ Everything here is metadata-only filesystem work (listings, globs,
 marker files) through the Hadoop FS API, so it behaves identically on
 local paths and object-store URIs, and NEVER runs a Spark job just to
 learn what's on disk (ADVICE r8).
+
+**Single-writer contract**: the ledger assumes AT MOST ONE mutator per
+layout at a time — auto-allocated op ids plus purge-before-write mean
+two concurrent mutators (e.g. parallel ``index-upsert`` CLI runs) can
+claim the same id and purge each other's in-flight partitions,
+corrupting an op the other writer then marks committed. Concurrent
+READERS are always safe (committed ops are immutable; a half-written
+op is invisible). Mutation entry points guard the contract with
+``writer_lock`` — a best-effort atomic-create lock file under
+``{path}/_ops`` that turns a same-layout write race into a loud
+``ConcurrentWriterError`` instead of silent corruption. Best-effort
+because create-no-overwrite is atomic on local FS and HDFS but only
+advisory on eventual-consistency object stores, and a kill -9'd
+writer leaves a stale lock (the error message says which file to
+remove). Serialize mutations externally (one orchestrator per layout)
+rather than leaning on the lock as a scheduler.
 """
 
 from __future__ import annotations
+
+import contextlib
 
 from pyspark.sql import DataFrame
 
@@ -57,13 +75,53 @@ def committed_ops(spark, path: str) -> set[int]:
     fs, jp = fs_path(spark, f"{path}/_ops")
     if not fs.exists(jp):
         return set()
-    return {int(st.getPath().getName()) for st in fs.listStatus(jp)}
+    return {
+        int(st.getPath().getName())
+        for st in fs.listStatus(jp)
+        if st.getPath().getName().isdigit()  # skip _writer.lock etc.
+    }
 
 
 def mark_committed(spark, path: str, op_id: int) -> None:
     fs, jp = fs_path(spark, f"{path}/_ops/{op_id}")
     fs.mkdirs(jp.getParent())
     fs.create(jp, True).close()
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second mutator raced the op ledger's single-writer contract."""
+
+
+WRITER_LOCK = "_writer.lock"
+
+
+@contextlib.contextmanager
+def writer_lock(spark, path: str, *, owner: str = ""):
+    """Best-effort single-writer guard for one mutation (see module
+    docstring): atomically create ``{path}/_ops/_writer.lock``
+    (create-no-overwrite — atomic on local FS and HDFS), yield, delete
+    on exit (including on exception — only a hard process kill leaves
+    the lock behind). A held lock raises ``ConcurrentWriterError``
+    naming the file so an operator can remove a stale one."""
+    fs, jp = fs_path(spark, f"{path}/_ops/{WRITER_LOCK}")
+    fs.mkdirs(jp.getParent())
+    try:
+        out = fs.create(jp, False)
+        if owner:
+            out.writeBytes(owner)
+        out.close()
+    except Exception:
+        if fs.exists(jp):
+            raise ConcurrentWriterError(
+                f"another writer holds {path}/_ops/{WRITER_LOCK} — the op "
+                "ledger is single-writer per layout; wait for it to finish "
+                "(or remove the lock file if that writer crashed hard)"
+            ) from None
+        raise
+    try:
+        yield
+    finally:
+        fs.delete(jp, False)
 
 
 def next_op_id(on_disk: set[int], committed: set[int]) -> int:
