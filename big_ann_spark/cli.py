@@ -158,12 +158,35 @@ def _build_parser() -> argparse.ArgumentParser:
     fs.add_argument("--tags-col", default="tags")
     fs.add_argument("--out", default=None)
     fs.add_argument("--show", type=int, default=20)
+    fs.add_argument(
+        "--as-of", type=int, default=None,
+        help="snapshot search at this op id (vector + tag ops share "
+        "one ledger; -1 = pristine base)",
+    )
+
+    rt = sub.add_parser(
+        "retag",
+        help="replace the tag sets of existing vectors as ONE "
+        "exactly-once tag op (index-tags artifacts required; "
+        "SINGLE-WRITER per layout)",
+    )
+    rt.add_argument("index", help="dir with index-tags artifacts")
+    rt.add_argument("src", help="parquet with (id, tags) columns")
+    rt.add_argument("--id-col", default="vec_id")
+    rt.add_argument("--tags-col", default="tags")
+    rt.add_argument(
+        "--op-id", type=int, default=None,
+        help="replay a specific op id (crash recovery); default: auto",
+    )
 
     iu = sub.add_parser(
         "index-upsert",
         help="insert-or-replace a vector batch into a build-index "
         "layout as ONE exactly-once op (frozen centroids + "
-        "quantization ranges; the latest op per id wins)",
+        "quantization ranges; the latest op per id wins). Mutations "
+        "are SINGLE-WRITER per layout: run one index-upsert/"
+        "index-delete at a time against one index (a lock file under "
+        "_ops/ turns a race into a loud error)",
     )
     iu.add_argument("index", help="dir produced by build-index")
     iu.add_argument("src", help="parquet with (id, vector) columns")
@@ -172,6 +195,11 @@ def _build_parser() -> argparse.ArgumentParser:
     iu.add_argument(
         "--op-id", type=int, default=None,
         help="replay a specific op id (crash recovery); default: auto",
+    )
+    iu.add_argument(
+        "--tags-col", default=None,
+        help="land this tag-array column as the SAME op (index-tags "
+        "artifacts required; vectors + tags become visible atomically)",
     )
 
     idl = sub.add_parser(
@@ -275,7 +303,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "bm25-merge",
         help="fold a NEW document batch into a bm25-build index "
         "(exactly-once delta partitions, history never read or "
-        "rewritten; batch ids must not already be indexed)",
+        "rewritten; batch ids must not already be indexed). "
+        "SINGLE-WRITER per index: don't run concurrent "
+        "bm25-merge/bm25-delete against one layout",
     )
     bm.add_argument("index", help="dir produced by bm25-build")
     bm.add_argument("src", help="parquet directory of new documents")
@@ -496,6 +526,15 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     w2p.add_argument("src", help="WARC file, dir, or glob")
     w2p.add_argument("dst", help="parquet output dir")
+    w2p.add_argument(
+        "--cdx", default=None,
+        help="warc-index parquet: read via byte-range splits instead "
+        "of one task per file",
+    )
+    w2p.add_argument(
+        "--split-mb", type=int, default=32,
+        help="target split size in MiB when --cdx is given",
+    )
 
     p2w = sub.add_parser(
         "parquet-to-warc",
@@ -508,6 +547,21 @@ def _build_parser() -> argparse.ArgumentParser:
     p2w.add_argument("--uri-col", default=None, help="column for WARC-Target-URI")
     p2w.add_argument("--gzip", action="store_true", help="one gzip member per record")
     p2w.add_argument("--files", type=int, default=None, help="repartition to N files")
+    p2w.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="delete pre-existing part-*.warc[.gz] in dst first "
+        "(default: refuse a non-empty dst)",
+    )
+
+    wix = sub.add_parser(
+        "warc-index",
+        help="CDX-style offset index of WARC files -> parquet "
+        "(makes multi-GB .warc.gz splittable for warc-to-parquet "
+        "--cdx / read_warc_split)",
+    )
+    wix.add_argument("src", help="WARC file, dir, or glob")
+    wix.add_argument("dst", help="parquet output dir for the index")
 
     f2p = sub.add_parser("fbin-to-parquet", help="distributed fbin/ibin/u8bin -> parquet")
     f2p.add_argument("src")
@@ -852,7 +906,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         out = ANN.filtered_search_from_disk(
             q, args.index, k=args.k,
-            id_col=args.id_col, vec_col=args.vec_col,
+            id_col=args.id_col, vec_col=args.vec_col, as_of=args.as_of,
         )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
@@ -862,16 +916,33 @@ def main(argv: list[str] | None = None) -> int:
             out.show(args.show, truncate=False)
         return 0
 
+    if args.cmd == "retag":
+        from big_ann_spark.operators import tag_ops as TO
+
+        tagged = spark.read.parquet(args.src).select(args.id_col, args.tags_col)
+        op = TO.upsert_tags(
+            spark, args.index, tagged,
+            id_col=args.id_col, tags_col=args.tags_col, op_id=args.op_id,
+        )
+        n = tagged.select(args.id_col).distinct().count()
+        print(f"op {op}: retagged {n} ids in {args.index}")
+        return 0
+
     if args.cmd == "index-upsert":
         from big_ann_spark.operators import vector_ops as VO
 
-        vecs = spark.read.parquet(args.src).select(args.id_col, args.vec_col)
+        cols = [args.id_col, args.vec_col]
+        if args.tags_col:
+            cols.append(args.tags_col)
+        vecs = spark.read.parquet(args.src).select(*cols)
         op = VO.upsert_vectors(
             spark, args.index, vecs,
             id_col=args.id_col, vec_col=args.vec_col, op_id=args.op_id,
+            tags_col=args.tags_col,
         )
         n = vecs.select(args.id_col).distinct().count()
-        print(f"op {op}: upserted {n} vectors into {args.index}")
+        tagnote = " (+tags)" if args.tags_col else ""
+        print(f"op {op}: upserted {n} vectors{tagnote} into {args.index}")
         return 0
 
     if args.cmd == "index-delete":
@@ -1275,10 +1346,27 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "warc-to-parquet":
         from big_ann_spark.sources import warc as W
 
-        docs = W.warc_to_documents(W.read_warc(spark, args.src))
+        if args.cdx:
+            recs = W.read_warc_split(
+                spark, args.cdx, split_bytes=args.split_mb << 20
+            )
+        else:
+            recs = W.read_warc(spark, args.src)
+        docs = W.warc_to_documents(recs)
         docs.write.mode("overwrite").parquet(args.dst)
         n = spark.read.parquet(args.dst).count()
         print(f"{n} documents -> {args.dst}")
+        return 0
+
+    if args.cmd == "warc-index":
+        from big_ann_spark.sources import warc as W
+
+        idx = W.build_cdx(spark, args.src)
+        idx.write.mode("overwrite").parquet(args.dst)
+        meta = spark.read.parquet(args.dst)
+        n = meta.count()
+        nf = meta.select("file").distinct().count()
+        print(f"{n} members across {nf} WARC files -> {args.dst}")
         return 0
 
     if args.cmd == "parquet-to-warc":
@@ -1294,6 +1382,7 @@ def main(argv: list[str] | None = None) -> int:
             uri_col=args.uri_col,
             gzip_records=args.gzip,
             files=args.files,
+            mode="overwrite" if args.overwrite else "error",
         )
         n = sum(m[1] for m in manifest)
         print(f"{n} records in {len(manifest)} WARC files -> {args.dst}")

@@ -196,19 +196,24 @@ def sq8_pool(
     per-dim decode + sequential fold, bit-identical to the DuckDB
     mirror. ``"arrow"`` is the scale path (the exact_knn/assign
     pattern): mapInArrow decodes each batch with the IDENTICAL
-    arithmetic order, nominates candidates per (routed query, shard)
-    via one BLAS GEMM, and re-scores the nominated ≤ k_pool+margin
-    rows with the exact sequential fold — so emitted pools are
-    bit-equal to the fold impl (parity-tested) while the scan runs at
+    arithmetic order, GEMM-nominates an error-bound-widened candidate
+    band per (routed query, shard) and selects within it by the exact
+    sequential fold — DETERMINISTICALLY bit-equal to the fold impl
+    (see ``_sq8_pool_arrow``; parity-tested) while the scan runs at
     memory bandwidth instead of interpreted-expression speed (measured
     ~6× on 2M×64, SCALE.md)."""
+    from big_ann_spark.operators import oplayout
+
     spark = routed.sparkSession
-    try:
-        rng = spark.read.parquet(f"{path}/sq8_ranges.parquet").collect()[0]
-    except Exception:
+    ranges_path = f"{path}/sq8_ranges.parquet"
+    if not oplayout.path_exists(spark, ranges_path):
         # layouts written before the sidecar rename (r9) used
-        # {path}/sq8.parquet — read them rather than forcing a rebuild
-        rng = spark.read.parquet(f"{path}/sq8.parquet").collect()[0]
+        # {path}/sq8.parquet — read them rather than forcing a rebuild.
+        # An existence check, not a bare except: a genuine read failure
+        # (permissions, corrupt footer) must surface as itself, not as
+        # a misleading not-found on the legacy name.
+        ranges_path = f"{path}/sq8.parquet"
+    rng = spark.read.parquet(ranges_path).collect()[0]
     mins, maxs = list(rng["mins"]), list(rng["maxs"])
     if impl == "arrow":
         return _sq8_pool_arrow(
@@ -329,9 +334,21 @@ def _sq8_pool_arrow(
     ONCE with the exact fold-order arithmetic
     ``mn + ((c + 0.5) * (mx − mn)) / 255`` (numpy elementwise ops round
     identically to the scalar expression, so decoded values are
-    bit-equal to ``sq8_decode_col``), GEMM-nominates per (query, shard)
-    and re-scores the ≤ k_pool+margin nominations with the exact
-    sequential fold — emitted pools are bit-equal to the fold impl."""
+    bit-equal to ``sq8_decode_col``).
+
+    Fold bit-parity is DETERMINISTIC, not margin-probabilistic: GEMM
+    distances nominate a candidate BAND — every row within the kk-th
+    smallest GEMM distance widened by 2δ, where δ is an a-priori bound
+    on |GEMM − fold| derived from the batch (FP summation error:
+    ``|√a − √b| ≤ √|a−b|`` and both accumulations carry at most
+    ``4·d·ulp·(‖q‖+‖x‖)²`` of squared-distance error) — and the final
+    kk are selected INSIDE the band by the exact sequential fold
+    (dist, id) order. Any row the fold impl would rank into the top kk
+    lies within the band by construction, so emitted pools are
+    bit-equal to ``impl="fold"`` regardless of how many near-tie GEMM
+    inversions a batch produces. ``rerank_margin`` only sizes kk (the
+    per-shard nomination count, kk = k_pool + margin ≥ k_pool) — it no
+    longer carries any correctness weight."""
     import numpy as np
 
     mn = np.array(mins, dtype=np.float64)
@@ -355,16 +372,20 @@ def _sq8_pool_arrow(
         d = np.sqrt(d2)
         kk = min(n_cand, d.shape[1])
         part_idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        eps = np.finfo(np.float64).eps
+        fp_bound = np.sqrt(4.0 * X.shape[1] * eps)
+        xnorm = float(np.sqrt((X * X).sum(axis=1).max())) if X.shape[0] else 0.0
         for qi in range(d.shape[0]):
             row = d[qi]
             thresh = row[part_idx[qi]].max()
-            cand = np.flatnonzero(row <= thresh)
-            order = np.lexsort((id_rows[cand], row[cand]))[:kk]
-            sel = cand[order]
+            delta = fp_bound * (np.sqrt(qsq[qi]) + xnorm) + 8.0 * eps * thresh
+            cand = np.flatnonzero(row <= thresh + 2.0 * delta)
+            ex = _exact_fold_l2(Q[qi], X[cand], sqrt=True)
+            order = np.lexsort((id_rows[cand], ex))[:kk]
             yield (
                 qids[qidx[qi]],
-                id_rows[sel],
-                _exact_fold_l2(Q[qi], X[sel], sqrt=True),
+                id_rows[cand[order]],
+                ex[order],
             )
 
     return _arrow_nominating_pool(
@@ -604,15 +625,24 @@ def write_tag_postings_layout(
     posts = posts.withColumn(
         "_tb", F.pmod(F.xxhash64("_tag"), F.lit(n_tag_buckets))
     )
+    # the base build lands at _mb = BASE_EPOCH, the op-ledger epoch
+    # convention (oplayout) — tag mutations (operators/tag_ops.py)
+    # land their deltas as _mb=<op id> siblings
+    from big_ann_spark.operators import oplayout
+
+    base_mb = F.lit(oplayout.BASE_EPOCH)
     (
-        posts.write.partitionBy("_tb")
+        posts.withColumn("_mb", base_mb)
+        .write.partitionBy("_tb", "_mb")
         .mode("overwrite")
         .parquet(f"{path}/tag_postings.parquet")
     )
     (
         posts.groupBy("_tag")
         .agg(F.count("*").alias("_df"))
-        .write.mode("overwrite")
+        .withColumn("_mb", base_mb)
+        .write.partitionBy("_mb")
+        .mode("overwrite")
         .parquet(f"{path}/tag_df.parquet")
     )
     (
@@ -632,13 +662,25 @@ def write_tag_postings_layout(
     )
 
 
-def _filtered_candidates(spark, q: DataFrame, path: str) -> DataFrame:
+def _filtered_candidates(
+    spark,
+    q: DataFrame,
+    path: str,
+    *,
+    as_of: int | None = None,
+    uncommitted: list[int] | None = None,
+) -> DataFrame:
     """Rarest-tag candidate generation off the persisted artifacts —
     LAZY (the caller checkpoints; the plan-pin test inspects this):
     per-query rarest tag via the vocabulary-sized df table, then a
     static ``_tb`` partition filter (bounded by the query count, no
-    matter how wide the tag vocabulary) over the bucketed postings."""
-    tag_df = spark.read.parquet(f"{path}/tag_df.parquet")
+    matter how wide the tag vocabulary) over the bucketed postings.
+    Tag-op visibility (tag_ops.visible_postings) adds only ``_mb``
+    partition-column predicates — the ``_tb`` pruning survives."""
+    from big_ann_spark.operators import tag_ops
+
+    uncommitted = list(uncommitted or [])
+    tag_df = tag_ops.tag_df_view(spark, path, as_of=as_of, uncommitted=uncommitted)
     q_rare = (
         q.select("qid", F.explode("_qtags").alias("_tag"))
         .join(tag_df, "_tag", "left")
@@ -650,20 +692,16 @@ def _filtered_candidates(spark, q: DataFrame, path: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    n_buckets = int(
-        spark.read.parquet(f"{path}/tag_meta.parquet").collect()[0][
-            "n_tag_buckets"
-        ]
-    )
+    n_buckets = tag_ops.n_tag_buckets(spark, path)
     tbs = {
         r["_tb"]
         for r in q_rare.select(
             F.pmod(F.xxhash64("_tag"), F.lit(n_buckets)).alias("_tb")
         ).distinct().collect()
     }
-    posts = spark.read.parquet(f"{path}/tag_postings.parquet").filter(
-        F.col("_tb").isin([int(b) for b in tbs])
-    )
+    posts = tag_ops.visible_postings(
+        spark, path, as_of=as_of, uncommitted=uncommitted
+    ).filter(F.col("_tb").isin([int(b) for b in tbs]))
     return posts.join(F.broadcast(q_rare), "_tag").select(
         "qid", "neighbor_id", "shard_id"
     )
@@ -681,6 +719,7 @@ def filtered_search_from_disk(
     vec_col: str = "embedding",
     dim: int | None = None,
     max_id_pushdown: int = 100_000,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Tag-containment filtered kNN SERVED from a persisted layout
     (``write_tag_postings_layout`` artifacts): per query, candidates
@@ -691,7 +730,18 @@ def filtered_search_from_disk(
     shard-pruned layout and the id-sorted tags table; containment +
     exact distance verify on candidates only. Scored volume = the
     rarest-tag posting lists, independent of corpus width — the
-    standard selective-predicate plan, now entirely off disk."""
+    standard selective-predicate plan, now entirely off disk.
+
+    MUTATED layouts (vector_ops/tag_ops) are served exactly: the
+    vector fetch is the live probed view, the containment verify uses
+    the live tags view, and postings visibility excludes in-flight
+    ops — a stale posting of a re-tagged or deleted id is a candidate
+    the verify drops. ``as_of``: snapshot search at that op id (one
+    time axis — vector and tag ops share the layout's ledger). A
+    pristine layout takes the identical plan as before mutations
+    existed."""
+    from big_ann_spark.operators import oplayout, tag_ops, vector_ops
+
     spark = queries.sparkSession
     q = queries.select(
         F.col(query_id).alias("qid"),
@@ -703,22 +753,36 @@ def filtered_search_from_disk(
             "filtered_search_from_disk: query with an empty tag set is "
             "unconstrained — use ivf_search_from_disk for those queries"
         )
-    cand = _filtered_candidates(spark, q, path).localCheckpoint()
+    uncommitted = sorted(
+        vector_ops._ops_on_disk(spark, path)
+        - oplayout.committed_ops(spark, path)
+    ) if (vector_ops.has_vector_ops(spark, path) or tag_ops.has_tag_ops(spark, path)) else []
+    cand = _filtered_candidates(
+        spark, q, path, as_of=as_of, uncommitted=uncommitted
+    ).localCheckpoint()
     cand_ids = [
         r["neighbor_id"] for r in cand.select("neighbor_id").distinct().collect()
     ]
     shard_ids = [
         r["shard_id"] for r in cand.select("shard_id").distinct().collect()
     ]
-    vecs = open_probed_shards(spark, path, shard_ids).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_bvec")
+    base_vecs = open_probed_shards(spark, path, shard_ids)
+    vecs = vector_ops.live_probed_view(
+        spark, path, base_vecs, shard_ids,
+        as_of=as_of, id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_bvec"))
+    bounded = cand_ids if len(cand_ids) <= max_id_pushdown else None
+    btags = tag_ops.live_tags_view(
+        spark, path, as_of=as_of, uncommitted=uncommitted, bounded_ids=bounded
     )
-    btags = spark.read.parquet(f"{path}/tags.parquet")
-    if len(cand_ids) <= max_id_pushdown:
+    if bounded is not None:
         vecs = vecs.filter(F.col("neighbor_id").isin(cand_ids))
-        btags = btags.filter(F.col("neighbor_id").isin(cand_ids))
     verified = (
+        # distinct: a re-tagged id carries postings for the SAME tag
+        # under two _mb partitions — without dedup the pair would be
+        # verified twice and occupy two ranks (candidate-sized, cheap)
         cand.select("qid", "neighbor_id")
+        .distinct()
         .join(vecs, "neighbor_id")
         .join(btags, "neighbor_id")
         .join(F.broadcast(q), "qid")

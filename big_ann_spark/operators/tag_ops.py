@@ -1,0 +1,332 @@
+"""Exactly-once mutations for the FILTERED-track serving artifacts
+(``write_tag_postings_layout``: tag postings + df table + tags side
+table) — the op-ledger protocol (operators/oplayout.py) applied to the
+tag index, so the filtered ANN layout grows and retags WITHOUT
+rebuilds, exactly as the vector layout (operators/vector_ops.py) and
+the BM25 index already do.
+
+Reference behavior mirrored: the big-ann-benchmarks "filtered" track
+serves tag-constrained queries against an index that, in production,
+receives document updates; the reference repo rebuilds its shards per
+dataset drop (SURVEY §2.1 sinks), while this layout folds each batch
+in as one idempotent op.
+
+**Shared ledger**: tag ops allocate ids from the SAME per-layout
+ledger as vector ops ({path}/_ops markers) — one id sequence, one
+``as_of`` time axis, one writer lock. A combined upsert (vectors AND
+their tags, ``upsert_vectors(..., tags_col=...)``) lands both table
+families under ONE op id and ONE commit marker: either the whole
+mutation is visible or none of it is.
+
+Per-op bytes, all O(batch):
+
+- ``{path}/tags_delta.parquet/_mb=<op>`` — (neighbor_id, _btags): the
+  batch ids' NEW full tag sets (latest-op-wins on read). Lands first —
+  for a tag-only op this table is the ledger presence.
+- ``{path}/tag_postings.parquet/_tb=<b>/_mb=<op>`` — the batch's
+  inverted postings, bucketed like the base (the base build lands at
+  ``_mb = BASE_EPOCH``), carrying the id's LIVE shard.
+- ``{path}/tag_df.parquet/_mb=<op>`` — SIGNED per-tag df deltas
+  (+new −old), so rarest-tag selection keeps exact frequencies at
+  O(batch-vocab) per op (the BM25 dfs-delta design).
+
+Read-side resolution (filtered_search_from_disk):
+
+- postings: visible ops only (NOT-IN over the tiny uncommitted set,
+  ``_mb <= as_of`` for snapshots) — a STALE posting of a re-tagged or
+  deleted id is a harmless candidate superset, because…
+- …the containment verify joins the LIVE tags view (base side table
+  minus the broadcast contested ids, plus latest delta rows) and the
+  LIVE vector view (vector_ops.live_probed_view) — a candidate whose
+  current tags no longer contain the query tags, or whose vector is
+  tombstoned, drops out exactly as in the in-memory operator.
+- EXACTNESS is preserved: a live qualifying neighbor contains every
+  query tag, and its latest op (or the base build) wrote postings for
+  all its current tags, so it appears on the rarest query tag's
+  visible posting list.
+
+At 100 TB: every op costs O(batch) writes; search adds one broadcast
+anti-join against the contested-tag ids and an O(tag-ops) delta scan —
+independent of corpus size; compaction folds everything back to a
+pristine base (``compact_vector_layout(..., retag=True)``).
+
+SINGLE-WRITER per layout — see oplayout's module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_ann_spark.operators import oplayout
+
+
+def has_tag_artifacts(spark, path: str) -> bool:
+    return oplayout.path_exists(spark, f"{path}/tag_postings.parquet")
+
+
+def has_tag_ops(spark, path: str) -> bool:
+    return oplayout.path_exists(spark, f"{path}/tags_delta.parquet")
+
+
+def tag_ops_on_disk(spark, path: str) -> set[int]:
+    """Tag-delta op ids with any bytes on disk — one O(ops) glob."""
+    return oplayout.glob_op_ids(spark, f"{path}/tags_delta.parquet/_mb=*")
+
+
+def n_tag_buckets(spark, path: str) -> int:
+    return int(
+        spark.read.parquet(f"{path}/tag_meta.parquet").collect()[0][
+            "n_tag_buckets"
+        ]
+    )
+
+
+def tag_op_dirs(path: str, op_id: int) -> list[str]:
+    """Every partition glob one tag op may have written — the purge
+    list a reclaiming writer clears before landing at this id."""
+    return [
+        f"{path}/tags_delta.parquet/_mb={op_id}",
+        f"{path}/tag_postings.parquet/_tb=*/_mb={op_id}",
+        f"{path}/tag_df.parquet/_mb={op_id}",
+    ]
+
+
+def _visible_deltas(
+    spark, path: str, table: str, uncommitted: list[int], as_of: int | None
+) -> DataFrame:
+    df = spark.read.parquet(f"{path}/{table}")
+    if as_of is not None:
+        df = df.filter(F.col("_mb") <= int(as_of))
+        uncommitted = [b for b in uncommitted if b <= as_of]
+    if uncommitted:
+        df = df.filter(~F.col("_mb").isin([int(b) for b in uncommitted]))
+    return df
+
+
+def tag_mutation_state(
+    spark, path: str, as_of: int | None = None, *, uncommitted: list[int]
+) -> tuple[DataFrame, DataFrame] | None:
+    """(contested_ids, resolved_tags) over the visible tag deltas, or
+    None when no tag op is visible — the vector_ops.mutation_state
+    shape applied to tag sets. ``resolved_tags``: the latest
+    ``(neighbor_id, _btags)`` row per contested id (one max_by over
+    the op-count-sized delta table, never the corpus)."""
+    if not has_tag_ops(spark, path):
+        return None
+    if not tag_ops_on_disk(spark, path):
+        return None  # very first tag op crashed before any partition
+    raw = _visible_deltas(spark, path, "tags_delta.parquet", uncommitted, as_of)
+    latest = (
+        raw.groupBy("neighbor_id")
+        .agg(F.max_by("_btags", "_mb").alias("_btags"))
+        .localCheckpoint()
+    )
+    if not latest.head(1):
+        return None
+    return latest.select("neighbor_id"), latest
+
+
+def live_tags_view(
+    spark,
+    path: str,
+    *,
+    as_of: int | None = None,
+    uncommitted: list[int],
+    bounded_ids: list | None = None,
+) -> DataFrame:
+    """The CURRENT (neighbor_id, _btags) of every id: base side table
+    minus the broadcast contested set, plus the latest delta rows.
+    ``bounded_ids``: candidate point-fetch pushdown (applied to BOTH
+    sides — the base read keeps its id-sorted row-group skipping)."""
+    base = spark.read.parquet(f"{path}/tags.parquet")
+    state = tag_mutation_state(spark, path, as_of, uncommitted=uncommitted)
+    if bounded_ids is not None:
+        base = base.filter(F.col("neighbor_id").isin(bounded_ids))
+    if state is None:
+        return base
+    contested, resolved = state
+    if bounded_ids is not None:
+        resolved = resolved.filter(F.col("neighbor_id").isin(bounded_ids))
+    return base.join(F.broadcast(contested), "neighbor_id", "left_anti").unionByName(
+        resolved.select("neighbor_id", "_btags")
+    )
+
+
+def tag_df_view(
+    spark, path: str, *, as_of: int | None = None, uncommitted: list[int]
+) -> DataFrame:
+    """Exact per-tag document frequencies: base counts (landed at
+    ``_mb = BASE_EPOCH``) plus the visible signed deltas, folded by one
+    vocabulary-sized aggregate. A layout with no tag op short-circuits
+    to the base read (no aggregate in the pristine plan)."""
+    if not has_tag_ops(spark, path) or not tag_ops_on_disk(spark, path):
+        return spark.read.parquet(f"{path}/tag_df.parquet").select("_tag", "_df")
+    df = _visible_deltas(spark, path, "tag_df.parquet", uncommitted, as_of)
+    return df.groupBy("_tag").agg(F.sum("_df").alias("_df"))
+
+
+def visible_postings(
+    spark, path: str, *, as_of: int | None = None, uncommitted: list[int]
+) -> DataFrame:
+    """The tag postings scan with op visibility applied; the caller
+    adds its static ``_tb`` bucket filter (partition pruning survives —
+    both predicates are partition-column-only)."""
+    posts = spark.read.parquet(f"{path}/tag_postings.parquet")
+    if as_of is not None:
+        posts = posts.filter(F.col("_mb") <= int(as_of))
+        uncommitted = [b for b in uncommitted if b <= as_of]
+    if uncommitted:
+        posts = posts.filter(~F.col("_mb").isin([int(b) for b in uncommitted]))
+    return posts
+
+
+def _batch_postings(batch: DataFrame, shard_of: DataFrame, n_buckets: int) -> DataFrame:
+    """(neighbor_id, _tag, shard_id, _tb) for one batch — the same
+    shape the base build writes (distinct: duplicate tag values inside
+    one array must not occupy two candidate ranks)."""
+    return (
+        batch.select("neighbor_id", F.explode("_btags").alias("_tag"))
+        .distinct()
+        .join(shard_of, "neighbor_id")
+        .withColumn("_tb", F.pmod(F.xxhash64("_tag"), F.lit(int(n_buckets))))
+    )
+
+
+def land_tag_partitions(
+    spark,
+    path: str,
+    batch: DataFrame,
+    op_id: int,
+    shard_of: DataFrame,
+) -> None:
+    """Write one op's THREE tag-table partition families (delta lands
+    first — it is the tag ledger presence). Caller holds the layout's
+    writer lock, has purged this id's prior attempt, and marks the
+    commit afterward. ``batch``: (neighbor_id, _btags) with the FULL
+    new tag set per id; ``shard_of``: (neighbor_id, shard_id) under
+    the live view."""
+    n_buckets = n_tag_buckets(spark, path)
+    mb = F.lit(int(op_id))
+    oplayout.write_op_partitions(
+        batch.withColumn("_mb", mb), f"{path}/tags_delta.parquet", ["_mb"]
+    )
+    posts = _batch_postings(batch, shard_of, n_buckets)
+    oplayout.write_op_partitions(
+        posts.withColumn("_mb", mb), f"{path}/tag_postings.parquet", ["_tb", "_mb"]
+    )
+    # SIGNED df delta: +1 per new posting, −1 per posting the batch
+    # ids carried BEFORE this op (base tags or an earlier delta —
+    # strictly earlier, so a crashed-op replay recomputes the same
+    # delta instead of cancelling against its own first attempt)
+    committed = oplayout.committed_ops(spark, path)
+    prior_unc = sorted(
+        (tag_ops_on_disk(spark, path) | {int(op_id)}) - committed
+    )
+    old = live_tags_view(
+        spark, path, as_of=int(op_id) - 1, uncommitted=prior_unc
+    ).join(batch.select("neighbor_id"), "neighbor_id", "left_semi")
+    old_df = (
+        old.select("neighbor_id", F.explode("_btags").alias("_tag"))
+        .distinct()
+        .groupBy("_tag")
+        .agg((-F.count("*")).alias("_df"))
+    )
+    new_df = posts.groupBy("_tag").agg(F.count("*").alias("_df"))
+    delta = (
+        new_df.unionByName(old_df)
+        .groupBy("_tag")
+        .agg(F.sum("_df").alias("_df"))
+        .filter(F.col("_df") != 0)
+    )
+    oplayout.write_op_partitions(
+        delta.withColumn("_mb", mb), f"{path}/tag_df.parquet", ["_mb"]
+    )
+
+
+def live_shard_of(spark, path: str, ids: list) -> DataFrame:
+    """(neighbor_id, shard_id) of the given ids under the LIVE view:
+    the op table's resolved winners first (O(ops)), base shards for
+    the rest via a bounded-In 2-column point fetch — never a full
+    corpus scan per op."""
+    from big_ann_spark.operators import vector_ops as VO
+
+    base = (
+        spark.read.parquet(f"{path}/shards")
+        .select(F.col("vec_id").alias("neighbor_id"), "shard_id")
+        .filter(F.col("neighbor_id").isin(ids))
+    )
+    state = VO.mutation_state(spark, path)
+    if state is None:
+        return base
+    contested, resolved = state
+    contested = contested.withColumnRenamed("vec_id", "neighbor_id")
+    ops_side = (
+        resolved.select(F.col("vec_id").alias("neighbor_id"), "shard_id")
+        .filter(F.col("neighbor_id").isin(ids))
+    )
+    return base.join(
+        F.broadcast(contested), "neighbor_id", "left_anti"
+    ).unionByName(ops_side)
+
+
+def upsert_tags(
+    spark,
+    path: str,
+    tagged: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    tags_col: str = "tags",
+    op_id: int | None = None,
+) -> int:
+    """Replace the FULL tag set of each batch id as ONE exactly-once
+    tag-only op (re-tagging ids whose vectors are untouched). Every id
+    must have a live vector in the layout — tags for an id the vector
+    side never saw raise (the filtered track's contract is tags ON
+    vectors). For vectors+tags in one op use
+    ``vector_ops.upsert_vectors(..., tags_col=...)``."""
+    from big_ann_spark.operators import vector_ops as VO
+
+    if not has_tag_artifacts(spark, path):
+        raise ValueError(
+            f"{path} has no tag artifacts — run write_tag_postings_layout "
+            "(CLI: index-tags) before mutating tags"
+        )
+    batch = tagged.select(
+        F.col(id_col).alias("neighbor_id"), F.col(tags_col).alias("_btags")
+    ).localCheckpoint()
+    ids = [r["neighbor_id"] for r in batch.select("neighbor_id").collect()]
+    with oplayout.writer_lock(spark, path, owner="tag_ops"):
+        shard_of = live_shard_of(spark, path, ids).localCheckpoint()
+        missing = len(ids) - shard_of.count()
+        if missing:
+            raise ValueError(
+                f"upsert_tags: {missing} batch id(s) have no live vector "
+                "in the layout — upsert the vectors first (or in the same "
+                "op via upsert_vectors(..., tags_col=...))"
+            )
+        if op_id is None:
+            op_id = oplayout.next_op_id(
+                VO._ops_on_disk(spark, path), oplayout.committed_ops(spark, path)
+            )
+        if int(op_id) not in oplayout.committed_ops(spark, path):
+            oplayout.purge_op_dirs(spark, tag_op_dirs(path, int(op_id)))
+        land_tag_partitions(spark, path, batch, int(op_id), shard_of)
+        oplayout.mark_committed(spark, path, int(op_id))
+    return int(op_id)
+
+
+def resolve_live_tags(spark, path: str, *, as_of: int | None = None) -> DataFrame:
+    """(vec_id, tags) of every id carrying tags under the visible ops
+    — compaction input (O(corpus), like compaction itself). Vector
+    tombstones are NOT applied here; the compactor semi-joins against
+    the compacted live id set."""
+    from big_ann_spark.operators import vector_ops as VO
+
+    uncommitted = sorted(
+        (tag_ops_on_disk(spark, path) | VO._ops_on_disk(spark, path))
+        - oplayout.committed_ops(spark, path)
+    )
+    return live_tags_view(spark, path, as_of=as_of, uncommitted=uncommitted).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("_btags").alias("tags")
+    )

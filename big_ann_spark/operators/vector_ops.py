@@ -52,8 +52,25 @@ TOMBSTONE_SHARD = -1
 
 def _ops_on_disk(spark, path: str) -> set[int]:
     """Every op id with ANY bytes on disk (committed or in-flight) —
-    one O(ops) directory glob, no Spark job."""
-    return oplayout.glob_op_ids(spark, f"{path}/ops/_mb=*")
+    O(ops) directory globs, no Spark job. The ledger is SHARED with
+    the tag-index ops (operators/tag_ops.py): a tag-only op's presence
+    is its tags_delta partition, and both families allocate from one
+    id sequence so ``as_of`` is a single time axis."""
+    return oplayout.glob_op_ids(spark, f"{path}/ops/_mb=*") | oplayout.glob_op_ids(
+        spark, f"{path}/tags_delta.parquet/_mb=*"
+    )
+
+
+def _all_op_dirs(path: str, op_id: int) -> list[str]:
+    """Every partition glob ANY op family may have written at this id
+    — the purge list. A writer reclaiming a crashed id must clear ALL
+    families: the crashed attempt may have been a vector op while the
+    reclaimer is a tag op (or vice versa) — leaving the other family's
+    partitions behind would make them VISIBLE when the reclaimer's
+    commit marker lands."""
+    from big_ann_spark.operators import tag_ops
+
+    return [f"{path}/ops/_mb={op_id}"] + tag_ops.tag_op_dirs(path, op_id)
 
 
 def uncommitted_vector_ops(spark, path: str) -> list[int]:
@@ -75,21 +92,47 @@ def _sq8_ranges(spark, path: str) -> tuple[list[float], list[float]]:
     return list(row["mins"]), list(row["maxs"])
 
 
-def _land_vector_op(spark, path: str, rows: DataFrame, op_id: int | None) -> int:
+def _land_vector_op(
+    spark,
+    path: str,
+    rows: DataFrame,
+    op_id: int | None,
+    tag_batch: DataFrame | None = None,
+) -> int:
     """Purge-first landing of one op's rows under ``_mb=<id>`` +
     commit marker. ``rows`` must carry (vec_id, dist, embedding
-    [, codes], op, shard_id)."""
-    if op_id is None:
-        op_id = oplayout.next_op_id(
-            _ops_on_disk(spark, path), oplayout.committed_ops(spark, path)
+    [, codes], op, shard_id). ``tag_batch``: optional
+    (neighbor_id, _btags) landed as the SAME op (one marker — the
+    vectors and their tags become visible atomically).
+
+    SINGLE-WRITER: one mutator per layout at a time (see
+    oplayout's module docstring) — id allocation + purge + write +
+    commit run under the layout's best-effort ``writer_lock``, so a
+    concurrent upsert/delete against the same path raises
+    ``ConcurrentWriterError`` instead of purging this op's in-flight
+    partitions."""
+    with oplayout.writer_lock(spark, path, owner="vector_ops"):
+        if op_id is None:
+            op_id = oplayout.next_op_id(
+                _ops_on_disk(spark, path), oplayout.committed_ops(spark, path)
+            )
+        if int(op_id) not in oplayout.committed_ops(spark, path):
+            oplayout.purge_op_dirs(spark, _all_op_dirs(path, int(op_id)))
+        oplayout.write_op_partitions(
+            rows.withColumn("_mb", F.lit(int(op_id))),
+            f"{path}/ops",
+            ["_mb", "shard_id"],
         )
-    oplayout.purge_op_dirs(spark, [f"{path}/ops/_mb={op_id}"])
-    oplayout.write_op_partitions(
-        rows.withColumn("_mb", F.lit(int(op_id))),
-        f"{path}/ops",
-        ["_mb", "shard_id"],
-    )
-    oplayout.mark_committed(spark, path, op_id)
+        if tag_batch is not None:
+            from big_ann_spark.operators import tag_ops
+
+            shard_of = rows.select(
+                F.col("vec_id").alias("neighbor_id"), "shard_id"
+            )
+            tag_ops.land_tag_partitions(
+                spark, path, tag_batch, int(op_id), shard_of
+            )
+        oplayout.mark_committed(spark, path, op_id)
     return int(op_id)
 
 
@@ -102,6 +145,7 @@ def upsert_vectors(
     vec_col: str = "embedding",
     op_id: int | None = None,
     assign_impl: str = "fold",
+    tags_col: str | None = None,
 ) -> int:
     """Insert-or-replace ``vectors`` (``(id_col, vec_col)``) into the
     layout as ONE exactly-once op. Each vector is assigned to its
@@ -113,12 +157,30 @@ def upsert_vectors(
     frozen quantization ranges for the same reason. Duplicate ids
     WITHIN one batch collapse to a single arbitrary row
     (``dropDuplicates``) — between batches, the higher op id wins.
+
+    ``tags_col``: when the layout carries filtered-track tag artifacts
+    (``write_tag_postings_layout``), the batch's tag arrays land as
+    the SAME op under the same commit marker — the vectors and their
+    tags become visible atomically (operators/tag_ops.py).
     Returns the committed op id."""
     from big_ann_spark.operators.sharding import assign_to_centroids
 
+    vectors = vectors.dropDuplicates([id_col])
+    tag_batch = None
+    if tags_col is not None:
+        from big_ann_spark.operators import tag_ops
+
+        if not tag_ops.has_tag_artifacts(spark, path):
+            raise ValueError(
+                f"{path} has no tag artifacts — run write_tag_postings_layout "
+                "(CLI: index-tags) before upserting tagged vectors"
+            )
+        tag_batch = vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(tags_col).alias("_btags")
+        ).localCheckpoint()
     cents = spark.read.parquet(f"{path}/centroids.parquet")
     rows = assign_to_centroids(
-        vectors.dropDuplicates([id_col]),
+        vectors,
         cents,
         id_col=id_col,
         vec_col=vec_col,
@@ -167,7 +229,11 @@ def upsert_vectors(
         )
         rows = rows.withColumn("bcodes", binarize_col("embedding", thr))
     rows = rows.withColumn("op", F.lit(OP_INSERT))
-    return _land_vector_op(spark, path, rows, op_id)
+    if tag_batch is not None:
+        # the tag landing derives shard_of + df deltas from the rows
+        # lineage twice — pin it once
+        rows = rows.localCheckpoint()
+    return _land_vector_op(spark, path, rows, op_id, tag_batch=tag_batch)
 
 
 def delete_vectors(
@@ -395,4 +461,19 @@ def compact_vector_layout(
         .write.mode("overwrite")
         .parquet(f"{dst_path}/centroids.parquet")
     )
+    if oplayout.path_exists(spark, f"{src_path}/tag_postings.parquet"):
+        # filtered-track artifacts: resolve the live tag sets (base ∪
+        # latest deltas), drop ids the compacted base no longer holds
+        # (vector tombstones), and rebuild a pristine tag layout at
+        # dst — dead postings and per-op delta tables disappear
+        from big_ann_spark.operators import tag_ops
+        from big_ann_spark.operators.ann import write_tag_postings_layout
+
+        live_tagged = tag_ops.resolve_live_tags(spark, src_path).join(
+            live.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
+        )
+        write_tag_postings_layout(
+            live_tagged, dst_path,
+            n_tag_buckets=tag_ops.n_tag_buckets(spark, src_path),
+        )
     return n_ops

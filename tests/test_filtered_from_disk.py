@@ -133,3 +133,334 @@ def test_filtered_from_disk_rejects_empty_tag_sets(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="unconstrained"):
         ANN.filtered_search_from_disk(q, path, k=3)
+
+
+def _fresh_tagged_layout(spark, sf_dir, tmp_path):
+    """Uncached variant of _tagged_layout whose BASE holds only the
+    vec_id % 3 != 0 rows (build-then-grow, the vector-ops fixture
+    shape) — mutations land the rest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = emb.join(
+        docs.select("doc_id", "lang", "source"), emb.vec_id == docs.doc_id
+    ).select(
+        "vec_id",
+        "embedding",
+        F.array(
+            F.concat(F.lit("lang:"), F.col("lang")),
+            F.concat(F.lit("src:"), F.col("source")),
+        ).alias("tags"),
+    )
+    cents = SH.label_centroids(emb)
+    base = tagged.filter(F.col("vec_id") % 3 != 0)
+    assign = SH.assign_to_centroids(base, cents, extra_cols=["embedding"])
+    path = str(tmp_path / "layout")
+    SH.write_sharded(assign, base, path)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    ANN.write_tag_postings_layout(
+        base.select("vec_id", "tags"), path, n_tag_buckets=16
+    )
+    return tagged, path
+
+
+def _filtered_want(queries, live_tagged, k=3):
+    return filtered_knn(
+        queries, live_tagged, k=k,
+        query_id="qid", query_vec="qvec", query_tags="qtags",
+        base_id="vec_id", base_vec="embedding", tags_col="tags",
+    )
+
+
+def _cmp(got, want):
+    a = sorted(
+        (r["qid"], r["neighbor_id"], round(r["dist"], 9), r["rank"])
+        for r in got.select("qid", "neighbor_id", "dist", "rank").collect()
+    )
+    b = sorted(
+        (r["qid"], r["neighbor_id"], round(r["dist"], 9), r["rank"])
+        for r in want.select("qid", "neighbor_id", "dist", "rank").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_tag_mutations_runbook_equals_in_memory(spark, sf_dir, tmp_path):
+    """op0: combined upsert (the %3==0 vectors WITH their tags, one
+    marker); op1: tag-only retag of some existing ids; op2: delete
+    some vectors. filtered_search_from_disk must equal the in-memory
+    filtered_knn over the resolved live (vector, tags) state at every
+    as_of — the vector-ops history-equality contract extended to the
+    filtered track."""
+    from big_ann_spark.operators import tag_ops as TO
+    from big_ann_spark.operators import vector_ops as VO
+
+    tagged, path = _fresh_tagged_layout(spark, sf_dir, tmp_path)
+    # op0: vectors + tags, atomically
+    newbies = tagged.filter(F.col("vec_id") % 3 == 0)
+    assert VO.upsert_vectors(spark, path, newbies, tags_col="tags") == 0
+    # op1: retag ids %5==0 — prepend a tag (containment-visible)
+    retagged = tagged.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.concat(F.array(F.lit("retagged:yes")), F.col("tags")).alias("tags"),
+    )
+    assert TO.upsert_tags(spark, path, retagged) == 1
+    # op2: delete ids %7==0
+    assert (
+        VO.delete_vectors(
+            spark, path, tagged.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+        )
+        == 2
+    )
+
+    def live_tagged(as_of):
+        t = tagged
+        if as_of is not None and as_of < 0:
+            return t.filter(F.col("vec_id") % 3 != 0)
+        if as_of is None or as_of >= 1:
+            t = t.withColumn(
+                "tags",
+                F.when(
+                    F.col("vec_id") % 5 == 0,
+                    F.concat(F.array(F.lit("retagged:yes")), F.col("tags")),
+                ).otherwise(F.col("tags")),
+            )
+        if as_of is None or as_of >= 2:
+            t = t.filter(F.col("vec_id") % 7 != 0)
+        return t
+
+    queries = tagged.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("tags").alias("qtags"),
+    )
+    # a query that carries the NEW tag (must only match retagged ids)
+    retag_q = tagged.filter(F.col("vec_id") == 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.array(F.lit("retagged:yes")).alias("qtags"),
+    )
+    for as_of in (-1, 0, 1, 2, None):
+        live = live_tagged(as_of)
+        _cmp(
+            ANN.filtered_search_from_disk(queries, path, k=3, as_of=as_of),
+            _filtered_want(queries, live),
+        )
+    _cmp(
+        ANN.filtered_search_from_disk(retag_q, path, k=3),
+        _filtered_want(retag_q, live_tagged(None)),
+    )
+
+
+def test_tag_op_crash_window_and_replay(spark, sf_dir, tmp_path, monkeypatch):
+    """A tag op crashing between partitions and its marker must stay
+    INVISIBLE to search; replaying the crashed id lands it exactly
+    once. The reclaim purge covers ALL op families — a crashed vector
+    op reclaimed by a tag-only op must not leak its vector rows."""
+    from big_ann_spark.operators import oplayout
+    from big_ann_spark.operators import tag_ops as TO
+    from big_ann_spark.operators import vector_ops as VO
+
+    tagged, path = _fresh_tagged_layout(spark, sf_dir, tmp_path)
+    queries = tagged.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("tags").alias("qtags"),
+    )
+    pristine = _filtered_want(queries, tagged.filter(F.col("vec_id") % 3 != 0))
+
+    # crash a COMBINED upsert after the vector rows but before the tag
+    # partitions finish: the op must be invisible end-to-end
+    calls = {"n": 0}
+    real = oplayout.write_op_partitions
+
+    def crashy(df, target, cols):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # ops table lands, first tag table dies
+            raise RuntimeError("injected tag-partition crash")
+        return real(df, target, cols)
+
+    monkeypatch.setattr(oplayout, "write_op_partitions", crashy)
+    newbies = tagged.filter(F.col("vec_id") % 3 == 0)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        VO.upsert_vectors(spark, path, newbies, tags_col="tags")
+    monkeypatch.setattr(oplayout, "write_op_partitions", real)
+    _cmp(ANN.filtered_search_from_disk(queries, path, k=3), pristine)
+
+    # the crashed id is reclaimable: a TAG-ONLY op lands at the same
+    # id and the crashed vector rows must NOT become visible with it
+    crashed = VO.uncommitted_vector_ops(spark, path)
+    assert crashed == [0]
+    retagged = tagged.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 != 0)
+    ).select(
+        "vec_id",
+        F.concat(F.array(F.lit("retagged:yes")), F.col("tags")).alias("tags"),
+    )
+    assert TO.upsert_tags(spark, path, retagged) == 0
+    live = tagged.filter(F.col("vec_id") % 3 != 0).withColumn(
+        "tags",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.concat(F.array(F.lit("retagged:yes")), F.col("tags")),
+        ).otherwise(F.col("tags")),
+    )
+    _cmp(ANN.filtered_search_from_disk(queries, path, k=3), _filtered_want(queries, live))
+
+
+def test_tag_mutated_layout_keeps_tb_pruning(spark, sf_dir, tmp_path):
+    """Mutation visibility must ride partition-column predicates only:
+    the posting scan of a MUTATED layout still prunes _tb."""
+    from big_ann_spark.operators import vector_ops as VO
+
+    tagged, path = _fresh_tagged_layout(spark, sf_dir, tmp_path)
+    VO.upsert_vectors(
+        spark, path, tagged.filter(F.col("vec_id") % 3 == 0), tags_col="tags"
+    )
+    q = tagged.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qvec"),
+        F.col("tags").alias("_qtags"),
+    )
+    cand = ANN._filtered_candidates(spark, q, path)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # match the postings scan by its columns — the Location path gets
+    # elided when pytest's tmp dir is long
+    seg = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "_tag" in ln and "PartitionFilters" in ln
+    ]
+    assert seg and "_tb" in seg[0].split("PartitionFilters")[1].split("]")[0]
+
+
+def test_tag_df_deltas_stay_exact(spark, sf_dir, tmp_path):
+    """The signed df deltas must fold to the EXACT tag frequencies of
+    the live state (what a fresh rebuild would count) after upsert +
+    retag — the BM25 logical-statistics contract."""
+    from big_ann_spark.operators import tag_ops as TO
+    from big_ann_spark.operators import vector_ops as VO
+
+    tagged, path = _fresh_tagged_layout(spark, sf_dir, tmp_path)
+    VO.upsert_vectors(
+        spark, path, tagged.filter(F.col("vec_id") % 3 == 0), tags_col="tags"
+    )
+    retagged = tagged.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", F.array(F.lit("only:this")).alias("tags")
+    )
+    TO.upsert_tags(spark, path, retagged)
+    live = tagged.withColumn(
+        "tags",
+        F.when(
+            F.col("vec_id") % 5 == 0, F.array(F.lit("only:this"))
+        ).otherwise(F.col("tags")),
+    )
+    want = {
+        (r["_tag"], r["_df"])
+        for r in live.select(F.explode("tags").alias("_tag"))
+        .groupBy("_tag").agg(F.count("*").alias("_df")).collect()
+    }
+    got = {
+        (r["_tag"], r["_df"])
+        for r in TO.tag_df_view(spark, path, uncommitted=[]).collect()
+        if r["_df"] != 0
+    }
+    assert got == want
+
+
+def test_compaction_folds_tag_artifacts(spark, sf_dir, tmp_path):
+    """compact_vector_layout on a layout carrying tag artifacts must
+    rebuild a PRISTINE tag index at dst (no delta tables, tombstoned
+    ids gone) whose filtered search equals the live src search."""
+    from big_ann_spark.operators import oplayout
+    from big_ann_spark.operators import tag_ops as TO
+    from big_ann_spark.operators import vector_ops as VO
+
+    tagged, path = _fresh_tagged_layout(spark, sf_dir, tmp_path)
+    VO.upsert_vectors(
+        spark, path, tagged.filter(F.col("vec_id") % 3 == 0), tags_col="tags"
+    )
+    retagged = tagged.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.concat(F.array(F.lit("retagged:yes")), F.col("tags")).alias("tags"),
+    )
+    TO.upsert_tags(spark, path, retagged)
+    VO.delete_vectors(
+        spark, path, tagged.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    )
+    dst = str(tmp_path / "compacted")
+    assert VO.compact_vector_layout(spark, path, dst) == 3
+    assert not TO.has_tag_ops(spark, dst)
+    queries = tagged.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("tags").alias("qtags"),
+    )
+    _cmp(
+        ANN.filtered_search_from_disk(queries, dst, k=3),
+        ANN.filtered_search_from_disk(queries, path, k=3),
+    )
+    # tombstoned ids are physically gone from the compacted tag index
+    posts = spark.read.parquet(f"{dst}/tag_postings.parquet")
+    assert posts.filter(F.col("neighbor_id") % 7 == 0).count() == 0
+
+
+def test_cli_tag_mutation_lifecycle(spark, sf_dir, tmp_path):
+    """build-index → index-tags → index-upsert --tags-col → retag →
+    index-delete → filtered-search --as-of → index-compact, all via
+    the CLI — the filtered track's full mutable lifecycle."""
+    from big_ann_spark.cli import main
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = emb.join(
+        docs.select("doc_id", "lang", "source"), emb.vec_id == docs.doc_id
+    ).select(
+        "vec_id", "embedding",
+        F.array(
+            F.concat(F.lit("lang:"), F.col("lang")),
+            F.concat(F.lit("src:"), F.col("source")),
+        ).alias("tags"),
+    )
+    base_src = str(tmp_path / "base.parquet")
+    tagged.filter(F.col("vec_id") % 3 != 0).write.parquet(base_src)
+    new_src = str(tmp_path / "new.parquet")
+    tagged.filter(F.col("vec_id") % 3 == 0).write.parquet(new_src)
+    retag_src = str(tmp_path / "retag.parquet")
+    tagged.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", F.array(F.lit("vip:yes")).alias("tags")
+    ).write.parquet(retag_src)
+    del_src = str(tmp_path / "del.parquet")
+    tagged.filter(F.col("vec_id") % 7 == 0).select("vec_id").write.parquet(del_src)
+    idx = str(tmp_path / "idx")
+    assert main(["build-index", base_src, idx, "--m", "4"]) == 0
+    assert main(["index-tags", idx, base_src, "--tag-buckets", "8"]) == 0
+    assert main(["index-upsert", idx, new_src, "--tags-col", "tags"]) == 0
+    assert main(["retag", idx, retag_src]) == 0
+    assert main(["index-delete", idx, del_src]) == 0
+
+    q_src = str(tmp_path / "q.parquet")
+    tagged.filter(F.col("vec_id") == 10).select(
+        "vec_id", "embedding", F.array(F.lit("vip:yes")).alias("tags")
+    ).write.parquet(q_src)
+    out = str(tmp_path / "live.parquet")
+    assert main(["filtered-search", idx, q_src, "--k", "5", "--out", out]) == 0
+    live = spark.read.parquet(out)
+    # every live hit is a retagged (%5) id that survived the delete
+    hits = {r["neighbor_id"] for r in live.collect()}
+    assert hits and all(h % 5 == 0 and h % 7 != 0 for h in hits)
+    # as-of 1 (before the delete): %7 ids may reappear
+    out0 = str(tmp_path / "asof.parquet")
+    assert main(
+        ["filtered-search", idx, q_src, "--k", "5", "--out", out0, "--as-of", "1"]
+    ) == 0
+    hits0 = {r["neighbor_id"] for r in spark.read.parquet(out0).collect()}
+    assert hits0 and all(h % 5 == 0 for h in hits0)
+    # compaction preserves the live answer
+    dst = str(tmp_path / "cidx")
+    assert main(["index-compact", idx, dst]) == 0
+    out2 = str(tmp_path / "compacted.parquet")
+    assert main(["filtered-search", dst, q_src, "--k", "5", "--out", out2]) == 0
+    assert {
+        (r["qid"], r["neighbor_id"], r["rank"])
+        for r in spark.read.parquet(out2).collect()
+    } == {(r["qid"], r["neighbor_id"], r["rank"]) for r in live.collect()}

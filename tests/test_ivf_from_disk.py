@@ -478,3 +478,44 @@ def test_cli_build_index_sq8_refine_and_search(spark, sf_dir, tmp_path):
     assert len(common) / len(f) >= 0.95, len(common) / len(f)
     for key in common:
         assert f[key] == r_[key]  # exact rerank: dists bit-equal
+
+
+def test_sq8_pool_arrow_parity_is_margin_free(spark, sf_dir):
+    """Fold parity must be DETERMINISTIC, not margin-probabilistic
+    (ADVICE r10): with rerank_margin=0 and a hostile cluster of rows
+    whose quantized distances tie within float rounding (identical
+    codes → exactly-tied GEMM rows → any number of near-boundary
+    inversions), the error-bound band + in-band exact-fold selection
+    still emits pools bit-equal to the fold impl."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    rows = []
+    # 3 clusters of 40 near-identical vectors each (jitter far below
+    # the SQ8 quantization step — all 40 share one code row)
+    for c in range(3):
+        center = base + c * 2.0
+        for i in range(40):
+            v = center + rng.normal(size=64) * 1e-13
+            rows.append((c * 1000 + i, c, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    cents = SH.label_centroids(emb)
+    assign = SH.assign_to_centroids(emb, cents, extra_cols=["embedding"])
+    path = tempfile.mkdtemp(prefix="big_ann_sq8_ties_") + "/layout"
+    from big_ann_spark.operators.pq import train_sq8
+
+    SH.write_sharded(assign, emb, path, sq8_ranges=train_sq8(emb))
+    queries = emb.filter(F.col("vec_id").isin(0, 1000, 2000)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    routed = ANN.route_queries(queries, cents, 3).localCheckpoint()
+    probe_ids = [r["shard_id"] for r in routed.select("shard_id").distinct().collect()]
+    shards = ANN.open_probed_shards(spark, path, probe_ids)
+    fold = ANN.sq8_pool(routed, shards, path, 25, impl="fold")
+    arrow = ANN.sq8_pool(routed, shards, path, 25, impl="arrow", rerank_margin=0)
+    a = sorted(map(tuple, fold.select("qid", "neighbor_id", "dist").collect()))
+    b = sorted(map(tuple, arrow.select("qid", "neighbor_id", "dist").collect()))
+    assert a == b and len(a) == 75

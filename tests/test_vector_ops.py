@@ -330,3 +330,42 @@ def test_live_view_plan_broadcast_anti_join(spark, sf_dir):
     view = VO.live_probed_view(spark, path, base, [0, 1, 2])
     plan = view._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_writer_lock_blocks_concurrent_mutator(spark, sf_dir):
+    """The op ledger is single-writer per layout (ADVICE r10): a
+    second mutator racing a held lock must fail LOUDLY instead of
+    claiming the same op id and purging the first writer's in-flight
+    partitions. Readers stay oblivious — committed_ops must skip the
+    lock file."""
+    emb, cents, path = _build_layout(spark, sf_dir)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    with oplayout.writer_lock(spark, path, owner="test"):
+        with pytest.raises(oplayout.ConcurrentWriterError, match="_writer.lock"):
+            VO.upsert_vectors(spark, path, batch)
+        # the lock file must not confuse the ledger's committed set
+        assert all(isinstance(i, int) for i in oplayout.committed_ops(spark, path))
+    # released on context exit: the same mutation now lands as op 0
+    assert VO.upsert_vectors(spark, path, batch) == 0
+
+
+def test_writer_lock_released_on_failed_op(spark, sf_dir, monkeypatch):
+    """A mutation that dies mid-write must release the lock on the way
+    out (only a hard process kill leaves it behind) — the crashed id
+    stays reclaimable by the next writer, same as before the lock."""
+    emb, cents, path = _build_layout(spark, sf_dir)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+
+    real = oplayout.write_op_partitions
+
+    def boom(df, target, cols):
+        raise RuntimeError("injected mid-op crash")
+
+    monkeypatch.setattr(oplayout, "write_op_partitions", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        VO.upsert_vectors(spark, path, batch)
+    monkeypatch.setattr(oplayout, "write_op_partitions", real)
+    assert not oplayout.path_exists(
+        spark, f"{path}/_ops/{oplayout.WRITER_LOCK}"
+    )
+    assert VO.upsert_vectors(spark, path, batch) == 0
