@@ -188,30 +188,33 @@ print("SENTINEL_JSON:" + json.dumps(
     return out
 
 
-def measure_cold_disk_qps(spark, sf_dir: str, n_queries: int = 20) -> float | None:
+def measure_cold_disk_qps(
+    spark, sf_dir: str, n_queries: int = 20
+) -> tuple[float | None, float | None]:
     """VERDICT r8 #7: the cold-serving number users actually see — an
     IVF query against a PREBUILT write_sharded layout via
     ivf_search_from_disk (probed-dirs-only open, no full listing walk).
     The layout is built untimed, its page-cache footprint evicted
     (fadvise DONTNEED), and ONE search timed on the fresh lineage —
     cold layout + cold scan, warm JVM (sessions are long-lived in
-    serving; knn_qps_cold keeps covering the fresh-session case)."""
+    serving; knn_qps_cold keeps covering the fresh-session case).
+
+    Returns (raw_qps, pq_qps): the SAME layout also carries an IVF-PQ
+    refine tier, re-evicted and searched with codec='pq' — the cold
+    regime is exactly where the ~16×-smaller candidate column should
+    shine (ROUND_NOTES r10 #4), so the delta is measured per round,
+    not assumed."""
     import tempfile
 
     from pyspark.sql import functions as F
 
     from big_ann_spark.operators import ann as ANN
     from big_ann_spark.operators import sharding as SH
+    from big_ann_spark.operators.pq import train_pq
 
-    tmp_root = tempfile.mkdtemp(prefix="bench_ivf_")
-    try:
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        cents = SH.label_centroids(emb).localCheckpoint()
-        assign = SH.assign_to_centroids(emb, cents)
-        layout = tmp_root + "/layout"
-        SH.write_sharded(assign, emb, layout)
-        # evict the just-written layout from the page cache so the
-        # timed read pays device IO, not a write-back cache hit
+    def evict(layout):
+        # evict from the page cache so the timed read pays device IO,
+        # not a write-back (or previous-search) cache hit
         for root, _dirs, files in os.walk(layout):
             for fn in files:
                 fd = os.open(os.path.join(root, fn), os.O_RDONLY)
@@ -219,16 +222,35 @@ def measure_cold_disk_qps(spark, sf_dir: str, n_queries: int = 20) -> float | No
                     os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
                 finally:
                     os.close(fd)
+
+    tmp_root = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = SH.label_centroids(emb).localCheckpoint()
+        assign = SH.assign_to_centroids(emb, cents)
+        layout = tmp_root + "/layout"
+        books = train_pq(emb.limit(20_000), m=8, k=16)
+        SH.write_sharded(
+            assign, emb, layout, pq_codebooks=books, pq_encode_impl="arrow"
+        )
         queries = emb.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         ).localCheckpoint()
+        evict(layout)
         t0 = time.perf_counter()
         ANN.ivf_search_from_disk(queries, layout, cents, k=10, nprobe=2).count()
-        dt = time.perf_counter() - t0
-        return round(n_queries / dt, 2)
+        raw = round(n_queries / (time.perf_counter() - t0), 2)
+        evict(layout)
+        t0 = time.perf_counter()
+        ANN.ivf_search_from_disk(
+            queries, layout, cents, k=10, nprobe=2,
+            codec="pq", pool_impl="arrow",
+        ).count()
+        pq = round(n_queries / (time.perf_counter() - t0), 2)
+        return raw, pq
     except Exception as e:  # never lose the round's bench to this metric
         print(f"# knn_qps_cold_disk failed: {e}", file=sys.stderr)
-        return None
+        return None, None
     finally:
         # a corpus-sized layout per bench run would fill /tmp on the
         # shared host; the timed read already happened
@@ -314,7 +336,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
-    knn_qps_cold_disk = measure_cold_disk_qps(spark, sf_dir)
+    knn_qps_cold_disk, knn_qps_cold_disk_pq = measure_cold_disk_qps(spark, sf_dir)
     canary_after = run_canary()
     io_canary_after = run_io_canary()
     # drift self-attribution (VERDICT r8 #6): on a >15% regression vs
@@ -359,6 +381,7 @@ def main() -> None:
                 "knn_qps": knn_qps,
                 "knn_qps_cold": knn_qps_cold,
                 "knn_qps_cold_disk": knn_qps_cold_disk,
+                "knn_qps_cold_disk_pq": knn_qps_cold_disk_pq,
                 "runs_per_query": n_runs,
                 "drift_ref_round": prev_round,
                 "drift_ref_total": prev_total,

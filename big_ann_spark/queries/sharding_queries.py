@@ -148,6 +148,67 @@ def _mutated_layout(spark, sf_dir: str) -> str:
     return path
 
 
+_TAG_MUT_CACHE: dict[str, str] = {}
+
+
+def _tag_mutated_layout(spark, sf_dir: str) -> str:
+    """Filtered-track layout with the full mutable lifecycle applied
+    (operators/tag_ops.py): base = vec_id % 20 != 0 with
+    [lang:…, src:…] tags; op0 = combined upsert of the %20==0 vectors
+    WITH their tags (one marker); op1 = tag-only retag of %15==0 to
+    ['vip:yes']; op2 = delete %50==0. The head live set is therefore
+    %50 != 0, with tags ['vip:yes'] where %15==0 else the lang/src
+    pair — a pure modular predicate DuckDB reproduces."""
+    import os
+    import tempfile
+
+    from big_ann_spark.operators import tag_ops as TO
+    from big_ann_spark.operators import vector_ops as VO
+
+    key = os.path.realpath(sf_dir)
+    path = _TAG_MUT_CACHE.get(key)
+    if path is None or not os.path.isdir(f"{path}/ops"):
+        path = tempfile.mkdtemp(prefix="ftag_mut_q_") + "/layout"
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = load_table(spark, sf_dir, "documents")
+        tagged = emb.join(
+            docs.select(F.col("doc_id").alias("vec_id"), "lang", "source"),
+            "vec_id",
+        ).select(
+            "vec_id",
+            "embedding",
+            F.array(
+                F.concat(F.lit("lang:"), F.col("lang")),
+                F.concat(F.lit("src:"), F.col("source")),
+            ).alias("tags"),
+        )
+        cents = SH.label_centroids(emb)
+        base = tagged.filter(F.col("vec_id") % 20 != 0)
+        assign = SH.assign_to_centroids(base, cents, extra_cols=["embedding"])
+        SH.write_sharded(assign, base, path)
+        cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+        from big_ann_spark.operators.ann import write_tag_postings_layout
+
+        write_tag_postings_layout(
+            base.select("vec_id", "tags"), path, n_tag_buckets=16
+        )
+        VO.upsert_vectors(
+            spark, path, tagged.filter(F.col("vec_id") % 20 == 0),
+            tags_col="tags",
+        )
+        TO.upsert_tags(
+            spark, path,
+            tagged.filter(F.col("vec_id") % 15 == 0).select(
+                "vec_id", F.array(F.lit("vip:yes")).alias("tags")
+            ),
+        )
+        VO.delete_vectors(
+            spark, path, tagged.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+        )
+        _TAG_MUT_CACHE[key] = path
+    return path
+
+
 @register(
     "ivf_search_top5",
     sql=f"""
@@ -418,8 +479,39 @@ asofr AS (
                row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
         FROM mcands)
   WHERE rk <= 5
+),
+-- filtered_mut: tag-containment search over the TAG-MUTATED layout
+-- (combined upsert + retag + delete ops) — live tags of id n are
+-- ['vip:yes'] where n % 15 == 0, else the lang/src pair; live ids are
+-- n % 50 != 0. Exact filtered kNN = rank under those predicates.
+tagset AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, d.lang
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+fq AS (
+  SELECT vec_id AS qid, ev AS qv, 'lang:' || lang AS qtag
+  FROM tagset WHERE vec_id < 8
+  UNION ALL
+  SELECT vec_id, ev, 'vip:yes' FROM tagset WHERE vec_id = 15
+),
+fcand AS (
+  SELECT q.qid, t.vec_id AS neighbor_id,
+         sqrt(list_sum(list_transform(range(1, 65),
+           i -> (q.qv[i] - t.ev[i]) * (q.qv[i] - t.ev[i])))) AS dist
+  FROM fq q JOIN tagset t ON t.vec_id % 50 != 0 AND (
+    (q.qtag = 'vip:yes' AND t.vec_id % 15 = 0)
+    OR (q.qtag <> 'vip:yes' AND t.vec_id % 15 <> 0 AND 'lang:' || t.lang = q.qtag)
+  )
+),
+fr AS (
+  SELECT 'filtered_mut' AS variant, qid, neighbor_id, ROUND(dist, 6) AS dist, rk::INTEGER AS rank
+  FROM (SELECT qid, neighbor_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+        FROM fcand)
+  WHERE rk <= 3
 )
 SELECT * FROM top1 UNION ALL SELECT * FROM mutr UNION ALL SELECT * FROM asofr
+UNION ALL SELECT * FROM fr
 """,
 )
 def kanndi_search_top1(spark, sf_dir):
@@ -437,6 +529,12 @@ def kanndi_search_top1(spark, sf_dir):
     - ``mutated_asof``: the as_of=0 SNAPSHOT search of that layout
       (before the delete op = the full table) — time travel on the
       batch vector index, hash-certified.
+    - ``filtered_mut``: filtered_search_from_disk over a TAG-MUTATED
+      layout (operators/tag_ops.py: combined vector+tag upsert →
+      tag-only retag → delete) — the live-tags + live-vectors verify
+      hash-certified against DuckDB ranking under the equivalent
+      modular predicates, including a query on the RETAGGED vip tag
+      (candidates come off a delta posting list).
     (Housed here, not in ivf_search_top5: this query is oracled every
     round but off the bench hot list, so mutation resolution never
     taxes the flagship serving benchmark.)"""
@@ -475,7 +573,30 @@ def kanndi_search_top1(spark, sf_dir):
         F.round("dist", 6).alias("dist"),
         "rank",
     )
-    return top1.unionByName(mut).unionByName(asof)
+    tpath = _tag_mutated_layout(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tagemb = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    fq = tagemb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.array(F.concat(F.lit("lang:"), F.col("lang"))).alias("qtags"),
+    ).unionByName(
+        tagemb.filter(F.col("vec_id") == 15).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.array(F.lit("vip:yes")).alias("qtags"),
+        )
+    )
+    filt = ANN.filtered_search_from_disk(fq, tpath, k=3).select(
+        F.lit("filtered_mut").alias("variant"),
+        "qid",
+        "neighbor_id",
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+    return top1.unionByName(mut).unionByName(asof).unionByName(filt)
 
 
 @register(
