@@ -28,7 +28,12 @@ Per-op bytes, all O(batch):
   ``_mb = BASE_EPOCH``), carrying the id's LIVE shard.
 - ``{path}/tag_df.parquet/_mb=<op>`` — SIGNED per-tag df deltas
   (+new −old), so rarest-tag selection keeps exact frequencies at
-  O(batch-vocab) per op (the BM25 dfs-delta design).
+  O(batch-vocab) per op (the BM25 dfs-delta design). Computing the
+  −old side resolves the batch ids' PRIOR tags: a bounded-In
+  point-fetch for small batches (≤1024 ids, row-group skipping on the
+  id-sorted side table), one column-pruned pass of the tags sidecar +
+  broadcast semi-join past that — the only per-op cost that touches a
+  corpus-sized table, and it reads two thin columns of it.
 
 Read-side resolution (filtered_search_from_disk):
 
@@ -223,9 +228,16 @@ def land_tag_partitions(
     prior_unc = sorted(
         (tag_ops_on_disk(spark, path) | {int(op_id)}) - committed
     )
+    # bounded-In point-fetch of the old tags when the batch is small
+    # (row-group skipping on the id-sorted side table); past the
+    # literal cap a plain column-pruned scan + broadcast semi-join is
+    # cheaper than a giant In (the BM25 wide-query lesson, SCALE.md)
+    ids = [r["neighbor_id"] for r in batch.select("neighbor_id").collect()]
+    bounded = ids if len(ids) <= 1024 else None
     old = live_tags_view(
-        spark, path, as_of=int(op_id) - 1, uncommitted=prior_unc
-    ).join(batch.select("neighbor_id"), "neighbor_id", "left_semi")
+        spark, path, as_of=int(op_id) - 1, uncommitted=prior_unc,
+        bounded_ids=bounded,
+    ).join(F.broadcast(batch.select("neighbor_id")), "neighbor_id", "left_semi")
     old_df = (
         old.select("neighbor_id", F.explode("_btags").alias("_tag"))
         .distinct()

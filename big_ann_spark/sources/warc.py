@@ -462,10 +462,13 @@ def read_warc_split(
                 names=list(cols),
             )
 
-    # spread the split tasks across the cluster — the split table is
-    # tiny, so the repartition is free relative to the byte ranges it
-    # fans out
-    return splits.repartition("file", "_split").mapInArrow(
+    # spread the split tasks across the cluster with an EXPLICIT
+    # partition count: the split table is a few KB, so a plain
+    # column repartition gets AQE-coalesced into ONE partition and the
+    # whole point of splitting is lost (measured: 15 splits → 1 task).
+    # One split per partition; the count is a tiny-driver-side job.
+    n_splits = max(1, splits.count())
+    return splits.repartition(n_splits, "file", "_split").mapInArrow(
         run,
         schema=(
             "file string, record_index long, offset long, length long, "
