@@ -143,7 +143,15 @@ def _build_parser() -> argparse.ArgumentParser:
     it.add_argument("src", help="parquet with (id, tags array<string>) columns")
     it.add_argument("--id-col", default="vec_id")
     it.add_argument("--tags-col", default="tags")
+    it.add_argument("--vec-col", default="embedding")
     it.add_argument("--tag-buckets", type=int, default=64)
+    it.add_argument(
+        "--carry-payload", action="store_true",
+        help="store each posting's vector + tag set (space = ~tags/doc "
+        "x corpus bytes) so filtered-search is posting-local: query IO "
+        "= the rarest tag's posting list alone, corpus-independent; "
+        "vector upserts must then carry --tags-col",
+    )
 
     fs = sub.add_parser(
         "filtered-search",
@@ -889,7 +897,9 @@ def main(argv: list[str] | None = None) -> int:
         ANN.write_tag_postings_layout(
             tagged, args.index,
             id_col=args.id_col, tags_col=args.tags_col,
+            vec_col=args.vec_col,
             n_tag_buckets=args.tag_buckets,
+            carry_payload=args.carry_payload,
         )
         n = spark.read.parquet(f"{args.index}/tag_df.parquet").count()
         print(f"{n} distinct tags indexed ({args.tag_buckets} buckets) "

@@ -591,7 +591,9 @@ def write_tag_postings_layout(
     *,
     id_col: str = "vec_id",
     tags_col: str = "tags",
+    vec_col: str = "embedding",
     n_tag_buckets: int = 64,
+    carry_payload: bool = False,
 ) -> None:
     """Persist the filtered-track serving artifacts next to a
     ``write_sharded`` layout (big-ann "filtered" track, from disk):
@@ -608,20 +610,46 @@ def write_tag_postings_layout(
       side table the containment verify point-fetches (bounded id In,
       row-group skipping — the refine-rerank pattern applied to tags).
 
+    ``carry_payload=True`` additionally stores each posting row's
+    FULL payload — ``_bvec`` (the vector) and ``_btags`` (the tag
+    set) — making the query entirely POSTING-LOCAL: distance and
+    containment are computed on the rows the rarest-tag scan already
+    read, no candidate point-fetch at all. This is the space-time
+    trade of Filtered-DiskANN's label-carrying records / a search
+    engine's doc values: storage ≈ (avg tags per doc) × corpus vector
+    bytes, query IO = the rarest tag's posting list ALONE — measured
+    corpus-INDEPENDENT, where the point-fetch plan degrades into a
+    corpus-wide embedding-column scan once candidates scatter across
+    shards (tools/measure_filtered_mut.py: 20-query verify wall grew
+    4.3 s → 33.8 s from 200k → 2M without payloads; near-flat with).
+    Mutations on a payload layout require vectors and tags in the SAME
+    op (``upsert_vectors(..., tags_col=...)``) — enforced, because a
+    vector change without its postings would leave stale payloads
+    serving wrong distances.
+
     ``tagged``: ``(id_col, tags_col)`` rows for every vector in the
-    layout; shard ids come from the layout itself (2-column pruned
-    read-back), so the caller never re-derives assignment."""
+    layout; shard ids (and payload vectors) come from the layout
+    itself, so the caller never re-derives assignment."""
     from big_ann_spark.operators.knn import build_tag_postings
 
     spark = tagged.sparkSession
-    shard_of = spark.read.parquet(f"{path}/shards").select(
-        F.col(id_col).alias("neighbor_id"), "shard_id"
-    )
+    shard_cols = [F.col(id_col).alias("neighbor_id"), F.col("shard_id")]
+    if carry_payload:
+        shard_cols.append(F.col(vec_col).alias("_bvec"))
+    shard_of = spark.read.parquet(f"{path}/shards").select(*shard_cols)
     posts = build_tag_postings(
         tagged.select(F.col(id_col).alias("neighbor_id"), F.col(tags_col)),
         base_id="neighbor_id",
         tags_col=tags_col,
     ).join(shard_of, "neighbor_id")
+    if carry_payload:
+        posts = posts.join(
+            tagged.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(tags_col).alias("_btags"),
+            ),
+            "neighbor_id",
+        )
     posts = posts.withColumn(
         "_tb", F.pmod(F.xxhash64("_tag"), F.lit(n_tag_buckets))
     )
@@ -655,7 +683,10 @@ def write_tag_postings_layout(
     # with — inferring it from observed _tb values would break the
     # moment a trailing bucket happens to be empty
     (
-        spark.createDataFrame([(int(n_tag_buckets),)], "n_tag_buckets int")
+        spark.createDataFrame(
+            [(int(n_tag_buckets), bool(carry_payload))],
+            "n_tag_buckets int, carry_payload boolean",
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/tag_meta.parquet")
@@ -669,6 +700,7 @@ def _filtered_candidates(
     *,
     as_of: int | None = None,
     uncommitted: list[int] | None = None,
+    payload: bool = False,
 ) -> DataFrame:
     """Rarest-tag candidate generation off the persisted artifacts —
     LAZY (the caller checkpoints; the plan-pin test inspects this):
@@ -676,7 +708,9 @@ def _filtered_candidates(
     static ``_tb`` partition filter (bounded by the query count, no
     matter how wide the tag vocabulary) over the bucketed postings.
     Tag-op visibility (tag_ops.visible_postings) adds only ``_mb``
-    partition-column predicates — the ``_tb`` pruning survives."""
+    partition-column predicates — the ``_tb`` pruning survives.
+    ``payload``: also project the carried ``_bvec``/``_btags`` (+
+    ``_mb`` for latest-op resolution) on a carry layout."""
     from big_ann_spark.operators import tag_ops
 
     uncommitted = list(uncommitted or [])
@@ -702,9 +736,10 @@ def _filtered_candidates(
     posts = tag_ops.visible_postings(
         spark, path, as_of=as_of, uncommitted=uncommitted
     ).filter(F.col("_tb").isin([int(b) for b in tbs]))
-    return posts.join(F.broadcast(q_rare), "_tag").select(
-        "qid", "neighbor_id", "shard_id"
-    )
+    cols = ["qid", "neighbor_id", "shard_id"]
+    if payload:
+        cols += ["_mb", "_bvec", "_btags"]
+    return posts.join(F.broadcast(q_rare), "_tag").select(*cols)
 
 
 def filtered_search_from_disk(
@@ -757,6 +792,36 @@ def filtered_search_from_disk(
         vector_ops._ops_on_disk(spark, path)
         - oplayout.committed_ops(spark, path)
     ) if (vector_ops.has_vector_ops(spark, path) or tag_ops.has_tag_ops(spark, path)) else []
+    if tag_ops.tag_meta(spark, path)[1]:
+        # PAYLOAD layout: the query never leaves the posting rows —
+        # scan cost is the rarest tags' posting lists alone, corpus-
+        # independent (see write_tag_postings_layout). Mutation
+        # resolution is one op-sized broadcast: a posting is live iff
+        # its id is untouched or its _mb IS the id's latest op
+        # (tombstones match nothing, re-tags/re-upserts match only
+        # their newest payload rows).
+        cand = _filtered_candidates(
+            spark, q, path, as_of=as_of, uncommitted=uncommitted, payload=True
+        )
+        latest = tag_ops.latest_op_of_contested(
+            spark, path, as_of=as_of, uncommitted=uncommitted
+        )
+        if latest is not None:
+            cand = cand.join(F.broadcast(latest), "neighbor_id", "left").filter(
+                F.col("_latest").isNull() | (F.col("_mb") == F.col("_latest"))
+            )
+        verified = (
+            cand.join(F.broadcast(q), "qid")
+            .filter(F.size(F.array_except(F.col("_qtags"), F.col("_btags"))) == 0)
+            .select(
+                "qid",
+                "neighbor_id",
+                l2_distance("_qvec", "_bvec", dim).alias("dist"),
+            )
+        )
+        return top_k_per_group(
+            verified, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+        )
     cand = _filtered_candidates(
         spark, q, path, as_of=as_of, uncommitted=uncommitted
     ).localCheckpoint()

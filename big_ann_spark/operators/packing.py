@@ -156,3 +156,60 @@ def write_training_shards(
     return written.groupBy("shard").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens_out").alias("n_tokens")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG-ingest / context-
+    window prep primitive (the unit between a document and a packed
+    training sequence; see ``pack_sequences`` for the non-overlapping
+    packing of whole docs). Tokens are ``sep``-split words; chunk i
+    covers tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``, and the chunk count is
+    ``max(1, ceil((n − overlap) / stride))`` — every token belongs to
+    at least one chunk, consecutive chunks share exactly ``overlap``
+    tokens, and no trailing chunk contributes ZERO new tokens.
+
+    Returns (id_col, chunk_index, chunk_id, chunk_text, n_tokens):
+    ``chunk_id = xxhash64(id, index)`` is deterministic (crash replays
+    regenerate identical rows — the WARC-ingest convention). Pure
+    column expressions: one projection + one explode, no UDF, no
+    shuffle — chunking 100 TB is a map-only pass."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), sep)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast(
+            "int"
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+    ).withColumn("_start", F.col("chunk_index") * stride)
+    return exploded.select(
+        id_col,
+        "chunk_index",
+        F.xxhash64(F.col(id_col), F.col("chunk_index")).alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(chunk_tokens)),
+            sep,
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start")).alias(
+            "n_tokens"
+        ),
+    )

@@ -79,12 +79,14 @@ def tag_ops_on_disk(spark, path: str) -> set[int]:
     return oplayout.glob_op_ids(spark, f"{path}/tags_delta.parquet/_mb=*")
 
 
+def tag_meta(spark, path: str) -> tuple[int, bool]:
+    """(n_tag_buckets, carry_payload) — layout constants."""
+    row = spark.read.parquet(f"{path}/tag_meta.parquet").collect()[0].asDict()
+    return int(row["n_tag_buckets"]), bool(row.get("carry_payload", False))
+
+
 def n_tag_buckets(spark, path: str) -> int:
-    return int(
-        spark.read.parquet(f"{path}/tag_meta.parquet").collect()[0][
-            "n_tag_buckets"
-        ]
-    )
+    return tag_meta(spark, path)[0]
 
 
 def tag_op_dirs(path: str, op_id: int) -> list[str]:
@@ -186,16 +188,94 @@ def visible_postings(
     return posts
 
 
-def _batch_postings(batch: DataFrame, shard_of: DataFrame, n_buckets: int) -> DataFrame:
-    """(neighbor_id, _tag, shard_id, _tb) for one batch — the same
-    shape the base build writes (distinct: duplicate tag values inside
-    one array must not occupy two candidate ranks)."""
-    return (
+def _batch_postings(
+    batch: DataFrame,
+    shard_of: DataFrame,
+    n_buckets: int,
+    *,
+    carry: bool = False,
+) -> DataFrame:
+    """(neighbor_id, _tag, shard_id, _tb[, _bvec, _btags]) for one
+    batch — the same shape the base build writes (distinct: duplicate
+    tag values inside one array must not occupy two candidate ranks).
+    ``carry``: payload layouts — ``shard_of`` must then carry
+    ``_bvec``, and the batch's full tag array rides along."""
+    posts = (
         batch.select("neighbor_id", F.explode("_btags").alias("_tag"))
         .distinct()
         .join(shard_of, "neighbor_id")
         .withColumn("_tb", F.pmod(F.xxhash64("_tag"), F.lit(int(n_buckets))))
     )
+    if carry:
+        posts = posts.join(batch.select("neighbor_id", "_btags"), "neighbor_id")
+    return posts
+
+
+def latest_op_of_contested(
+    spark, path: str, *, as_of: int | None = None, uncommitted: list[int]
+) -> DataFrame | None:
+    """(neighbor_id, _latest) — the HIGHEST visible op id that touched
+    each mutated id, across BOTH op families (vector ops and tag
+    deltas; they share the ledger so ids are one sequence). Op-sized,
+    for broadcast. None when nothing is visible.
+
+    This is the payload layout's entire mutation resolution: a posting
+    row is live iff its id is uncontested or its ``_mb`` equals the
+    id's latest op — tombstoned ids match nothing (a delete op writes
+    no postings), re-tagged/re-upserted ids match only their newest
+    payload rows."""
+    from big_ann_spark.operators import vector_ops as VO
+
+    parts = []
+    raw = VO.committed_op_scan(spark, path, as_of)
+    if raw is not None:
+        parts.append(raw.select(F.col("vec_id").alias("neighbor_id"), "_mb"))
+    if has_tag_ops(spark, path) and tag_ops_on_disk(spark, path):
+        deltas = _visible_deltas(
+            spark, path, "tags_delta.parquet", list(uncommitted), as_of
+        )
+        parts.append(deltas.select("neighbor_id", "_mb"))
+    if not parts:
+        return None
+    allops = parts[0]
+    for p in parts[1:]:
+        allops = allops.unionByName(p)
+    latest = (
+        allops.groupBy("neighbor_id")
+        .agg(F.max("_mb").alias("_latest"))
+        .localCheckpoint()
+    )
+    return latest if latest.head(1) else None
+
+
+def live_rows_of(spark, path: str, ids: list, cols: list[str]) -> DataFrame:
+    """(neighbor_id, *cols) of the given ids under the LIVE view —
+    like :func:`live_shard_of` but selecting arbitrary layout columns
+    (payload deltas need the current vector). Bounded-In pushdown for
+    small id sets, broadcast semi-join past the literal cap."""
+    from big_ann_spark.operators import vector_ops as VO
+
+    id_set = spark.createDataFrame(
+        [(int(i),) for i in ids], "neighbor_id long"
+    )
+    base = spark.read.parquet(f"{path}/shards").select(
+        F.col("vec_id").alias("neighbor_id"), *cols
+    )
+    if len(ids) <= 1024:
+        base = base.filter(F.col("neighbor_id").isin([int(i) for i in ids]))
+    base = base.join(F.broadcast(id_set), "neighbor_id", "left_semi")
+    state = VO.mutation_state(spark, path)
+    if state is None:
+        return base
+    contested, resolved = state
+    contested = contested.withColumnRenamed("vec_id", "neighbor_id")
+    ops_side = (
+        resolved.select(F.col("vec_id").alias("neighbor_id"), *cols)
+        .join(F.broadcast(id_set), "neighbor_id", "left_semi")
+    )
+    return base.join(
+        F.broadcast(contested), "neighbor_id", "left_anti"
+    ).unionByName(ops_side)
 
 
 def land_tag_partitions(
@@ -210,13 +290,20 @@ def land_tag_partitions(
     writer lock, has purged this id's prior attempt, and marks the
     commit afterward. ``batch``: (neighbor_id, _btags) with the FULL
     new tag set per id; ``shard_of``: (neighbor_id, shard_id) under
-    the live view."""
-    n_buckets = n_tag_buckets(spark, path)
+    the live view — on a ``carry_payload`` layout it must also carry
+    ``_bvec`` (the id's CURRENT vector), so payload postings never
+    serve a stale embedding."""
+    n_buckets, carry = tag_meta(spark, path)
+    if carry and "_bvec" not in shard_of.columns:
+        raise ValueError(
+            "land_tag_partitions: carry_payload layout needs _bvec in "
+            "shard_of (the batch ids' current vectors)"
+        )
     mb = F.lit(int(op_id))
     oplayout.write_op_partitions(
         batch.withColumn("_mb", mb), f"{path}/tags_delta.parquet", ["_mb"]
     )
-    posts = _batch_postings(batch, shard_of, n_buckets)
+    posts = _batch_postings(batch, shard_of, n_buckets, carry=carry)
     oplayout.write_op_partitions(
         posts.withColumn("_mb", mb), f"{path}/tag_postings.parquet", ["_tb", "_mb"]
     )
@@ -308,8 +395,16 @@ def upsert_tags(
         F.col(id_col).alias("neighbor_id"), F.col(tags_col).alias("_btags")
     ).localCheckpoint()
     ids = [r["neighbor_id"] for r in batch.select("neighbor_id").collect()]
+    _, carry = tag_meta(spark, path)
     with oplayout.writer_lock(spark, path, owner="tag_ops"):
-        shard_of = live_shard_of(spark, path, ids).localCheckpoint()
+        if carry:
+            # payload layout: the retag op's postings carry the id's
+            # CURRENT vector (fetched from the live view, O(batch))
+            shard_of = live_rows_of(
+                spark, path, ids, ["shard_id", "embedding"]
+            ).withColumnRenamed("embedding", "_bvec").localCheckpoint()
+        else:
+            shard_of = live_shard_of(spark, path, ids).localCheckpoint()
         missing = len(ids) - shard_of.count()
         if missing:
             raise ValueError(

@@ -126,9 +126,11 @@ def _land_vector_op(
         if tag_batch is not None:
             from big_ann_spark.operators import tag_ops
 
-            shard_of = rows.select(
-                F.col("vec_id").alias("neighbor_id"), "shard_id"
-            )
+            cols = [F.col("vec_id").alias("neighbor_id"), F.col("shard_id")]
+            if tag_ops.tag_meta(spark, path)[1]:
+                # payload layout: the op's postings carry the NEW vector
+                cols.append(F.col("embedding").alias("_bvec"))
+            shard_of = rows.select(*cols)
             tag_ops.land_tag_partitions(
                 spark, path, tag_batch, int(op_id), shard_of
             )
@@ -178,6 +180,18 @@ def upsert_vectors(
         tag_batch = vectors.select(
             F.col(id_col).alias("neighbor_id"), F.col(tags_col).alias("_btags")
         ).localCheckpoint()
+    else:
+        from big_ann_spark.operators import tag_ops
+
+        if tag_ops.has_tag_artifacts(spark, path) and tag_ops.tag_meta(
+            spark, path
+        )[1]:
+            raise ValueError(
+                "this layout's tag postings CARRY payload vectors — a "
+                "vector upsert must land its tags in the same op "
+                "(tags_col=...), or the id's postings would serve a "
+                "stale embedding"
+            )
     cents = spark.read.parquet(f"{path}/centroids.parquet")
     rows = assign_to_centroids(
         vectors,
@@ -472,8 +486,11 @@ def compact_vector_layout(
         live_tagged = tag_ops.resolve_live_tags(spark, src_path).join(
             live.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
         )
+        n_buckets, carry = tag_ops.tag_meta(spark, src_path)
         write_tag_postings_layout(
             live_tagged, dst_path,
-            n_tag_buckets=tag_ops.n_tag_buckets(spark, src_path),
+            vec_col=vec_col if has_raw else "codes",
+            n_tag_buckets=n_buckets,
+            carry_payload=carry,
         )
     return n_ops

@@ -189,8 +189,13 @@ def _tag_mutated_layout(spark, sf_dir: str) -> str:
         cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
         from big_ann_spark.operators.ann import write_tag_postings_layout
 
+        # carry_payload: the driver row certifies the POSTING-LOCAL
+        # serving mode (the 100 TB path — measured corpus-independent,
+        # tools/measure_filtered_mut.py); the point-fetch mode is
+        # equality-tested in tests/test_filtered_from_disk.py
         write_tag_postings_layout(
-            base.select("vec_id", "tags"), path, n_tag_buckets=16
+            base.select("vec_id", "tags"), path, n_tag_buckets=16,
+            carry_payload=True,
         )
         VO.upsert_vectors(
             spark, path, tagged.filter(F.col("vec_id") % 20 == 0),

@@ -1142,6 +1142,30 @@ SELECT 'line_first', ltot.doc_id,
          (a, b) -> (a * 31 + b) % 1000000007),
        (ltot.nl - COALESCE(lreb2.nk, 0))::BIGINT
 FROM ltot LEFT JOIN lreb2 USING (doc_id)
+UNION ALL
+-- chunk: overlapping token-window chunking (chunk=24, overlap=8,
+-- stride=16) — v1 certifies each chunk's exact text (char fold of
+-- '#'||chunk), v2 = chunk index
+SELECT 'chunk', doc_id,
+       list_reduce(list_prepend(0::BIGINT,
+         list_transform(string_split('#' || ct, ''), ch -> ascii(ch)::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007),
+       ci::BIGINT
+FROM (
+  WITH ctoks AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                        len(string_split(text, ' ')) AS n
+                 FROM documents),
+  cidx AS (SELECT doc_id, toks, n,
+                  unnest(generate_series(0,
+                    greatest(1, cast(floor((n - 8 + 15) / 16.0) AS INT)) - 1
+                  )) AS ci
+           FROM ctoks)
+  SELECT doc_id, ci,
+         array_to_string(
+           list_slice(toks, ci * 16 + 1, least(ci * 16 + 24, n)), ' '
+         ) AS ct
+  FROM cidx
+)
 """
 
 
@@ -1173,7 +1197,12 @@ def doc_fingerprint(spark, sf_dir):
       (operators/lines.py — CCNet's stage-1 boilerplate cap at
       count > 3, and RefinedWeb keep-first paragraph dedup), over
       10-token windowed "lines" (the fixture is single-line); v1 =
-      char fingerprint of '#'+rebuilt text, v2 = lines removed."""
+      char fingerprint of '#'+rebuilt text, v2 = lines removed.
+    - ``chunk``: overlapping token-window chunking
+      (operators.packing.chunk_documents, the RAG-ingest primitive —
+      chunk=24, overlap=8): one row per chunk, v1 = char fingerprint
+      of '#'+chunk text (certifies every chunk's exact content and
+      boundaries), v2 = chunk index."""
     d = load_table(spark, sf_dir, "documents")
     fp = d.filter(F.col("doc_id") < 100).select(
         F.lit("char_fp").alias("variant"),
@@ -1235,10 +1264,19 @@ def doc_fingerprint(spark, sf_dir):
         strip_boilerplate_lines(wl, max_count=3), "line_strip"
     )
     line_first = _line_rows(dedup_lines_keep_first(wl), "line_first")
+    from big_ann_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(d, chunk_tokens=24, overlap=8).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        T.char_fingerprint(F.concat(F.lit("#"), F.col("chunk_text"))).alias("v1"),
+        F.col("chunk_index").cast("long").alias("v2"),
+    )
     return (
         spans.unionByName(fp)
         .unionByName(contam)
         .unionByName(strip_rows)
         .unionByName(line_strip)
         .unionByName(line_first)
+        .unionByName(chunks)
     )

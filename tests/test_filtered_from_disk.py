@@ -135,10 +135,11 @@ def test_filtered_from_disk_rejects_empty_tag_sets(spark, sf_dir):
         ANN.filtered_search_from_disk(q, path, k=3)
 
 
-def _fresh_tagged_layout(spark, sf_dir, tmp_path):
+def _fresh_tagged_layout(spark, sf_dir, tmp_path, carry=False):
     """Uncached variant of _tagged_layout whose BASE holds only the
     vec_id % 3 != 0 rows (build-then-grow, the vector-ops fixture
-    shape) — mutations land the rest."""
+    shape) — mutations land the rest. ``carry``: payload-carrying
+    postings (posting-local serving)."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     tagged = emb.join(
@@ -158,7 +159,8 @@ def _fresh_tagged_layout(spark, sf_dir, tmp_path):
     SH.write_sharded(assign, base, path)
     cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     ANN.write_tag_postings_layout(
-        base.select("vec_id", "tags"), path, n_tag_buckets=16
+        base.select("vec_id", "tags"), path, n_tag_buckets=16,
+        carry_payload=carry,
     )
     return tagged, path
 
@@ -183,17 +185,22 @@ def _cmp(got, want):
     assert a == b and len(a) > 0
 
 
-def test_tag_mutations_runbook_equals_in_memory(spark, sf_dir, tmp_path):
+import pytest as _pt
+
+
+@_pt.mark.parametrize("carry", [False, True])
+def test_tag_mutations_runbook_equals_in_memory(spark, sf_dir, tmp_path, carry):
     """op0: combined upsert (the %3==0 vectors WITH their tags, one
     marker); op1: tag-only retag of some existing ids; op2: delete
     some vectors. filtered_search_from_disk must equal the in-memory
     filtered_knn over the resolved live (vector, tags) state at every
     as_of — the vector-ops history-equality contract extended to the
-    filtered track."""
+    filtered track. Both serving modes: point-fetch verify AND
+    payload-carrying posting-local verify."""
     from big_ann_spark.operators import tag_ops as TO
     from big_ann_spark.operators import vector_ops as VO
 
-    tagged, path = _fresh_tagged_layout(spark, sf_dir, tmp_path)
+    tagged, path = _fresh_tagged_layout(spark, sf_dir, tmp_path, carry=carry)
     # op0: vectors + tags, atomically
     newbies = tagged.filter(F.col("vec_id") % 3 == 0)
     assert VO.upsert_vectors(spark, path, newbies, tags_col="tags") == 0
@@ -367,15 +374,17 @@ def test_tag_df_deltas_stay_exact(spark, sf_dir, tmp_path):
     assert got == want
 
 
-def test_compaction_folds_tag_artifacts(spark, sf_dir, tmp_path):
+@_pt.mark.parametrize("carry", [False, True])
+def test_compaction_folds_tag_artifacts(spark, sf_dir, tmp_path, carry):
     """compact_vector_layout on a layout carrying tag artifacts must
     rebuild a PRISTINE tag index at dst (no delta tables, tombstoned
-    ids gone) whose filtered search equals the live src search."""
+    ids gone, carry mode preserved) whose filtered search equals the
+    live src search."""
     from big_ann_spark.operators import oplayout
     from big_ann_spark.operators import tag_ops as TO
     from big_ann_spark.operators import vector_ops as VO
 
-    tagged, path = _fresh_tagged_layout(spark, sf_dir, tmp_path)
+    tagged, path = _fresh_tagged_layout(spark, sf_dir, tmp_path, carry=carry)
     VO.upsert_vectors(
         spark, path, tagged.filter(F.col("vec_id") % 3 == 0), tags_col="tags"
     )
@@ -404,10 +413,12 @@ def test_compaction_folds_tag_artifacts(spark, sf_dir, tmp_path):
     assert posts.filter(F.col("neighbor_id") % 7 == 0).count() == 0
 
 
-def test_cli_tag_mutation_lifecycle(spark, sf_dir, tmp_path):
+@_pt.mark.parametrize("carry", [False, True])
+def test_cli_tag_mutation_lifecycle(spark, sf_dir, tmp_path, carry):
     """build-index → index-tags → index-upsert --tags-col → retag →
     index-delete → filtered-search --as-of → index-compact, all via
-    the CLI — the filtered track's full mutable lifecycle."""
+    the CLI — the filtered track's full mutable lifecycle, in both
+    serving modes (point-fetch and --carry-payload posting-local)."""
     from big_ann_spark.cli import main
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -433,7 +444,10 @@ def test_cli_tag_mutation_lifecycle(spark, sf_dir, tmp_path):
     tagged.filter(F.col("vec_id") % 7 == 0).select("vec_id").write.parquet(del_src)
     idx = str(tmp_path / "idx")
     assert main(["build-index", base_src, idx, "--m", "4"]) == 0
-    assert main(["index-tags", idx, base_src, "--tag-buckets", "8"]) == 0
+    tag_args = ["index-tags", idx, base_src, "--tag-buckets", "8"]
+    if carry:
+        tag_args.append("--carry-payload")
+    assert main(tag_args) == 0
     assert main(["index-upsert", idx, new_src, "--tags-col", "tags"]) == 0
     assert main(["retag", idx, retag_src]) == 0
     assert main(["index-delete", idx, del_src]) == 0
@@ -464,3 +478,34 @@ def test_cli_tag_mutation_lifecycle(spark, sf_dir, tmp_path):
         (r["qid"], r["neighbor_id"], r["rank"])
         for r in spark.read.parquet(out2).collect()
     } == {(r["qid"], r["neighbor_id"], r["rank"]) for r in live.collect()}
+
+
+def test_payload_plan_never_fetches_the_corpus(spark, sf_dir, tmp_path):
+    """The payload layout's whole point: the query plan must contain
+    NO scan of the shards table — distance and containment run on the
+    posting rows the rarest-tag scan already read. Also: a vector
+    upsert WITHOUT tags must be refused (it would leave stale payload
+    vectors serving wrong distances)."""
+    import pytest
+
+    from big_ann_spark.operators import vector_ops as VO
+
+    tagged, path = _fresh_tagged_layout(spark, sf_dir, tmp_path, carry=True)
+    queries = tagged.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("tags").alias("qtags"),
+    )
+    got = ANN.filtered_search_from_disk(queries, path, k=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "embedding" in ln
+    ]
+    assert scans == [], f"payload plan scanned raw vectors: {scans[:1]}"
+    # and the result still equals the in-memory operator
+    _cmp(got, _filtered_want(queries, tagged.filter(F.col("vec_id") % 3 != 0)))
+    with pytest.raises(ValueError, match="stale embedding"):
+        VO.upsert_vectors(
+            spark, path, tagged.filter(F.col("vec_id") % 3 == 0)
+        )

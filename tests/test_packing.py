@@ -71,3 +71,60 @@ def test_pack_sequences_exact_past_2_53(spark):
     for i, n in [(0, big + 1), (1, 3), (2, 5)]:
         assert got[i] == (off, off // ctx, (off + n - 1) // ctx)
         off += n
+
+
+def test_chunk_documents_invariants(spark):
+    """Coverage + overlap + determinism of the token-window chunker:
+    every token lands in >=1 chunk, consecutive full chunks share
+    exactly `overlap` tokens, no chunk is overlap-only (zero new
+    tokens), short docs yield exactly one chunk, ids are stable."""
+    from pyspark.sql import functions as F
+
+    from big_ann_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(100))),  # several chunks
+            (2, " ".join(f"x{i}" for i in range(24))),   # exactly one chunk
+            (3, "lone"),                                 # n < overlap
+            (4, " ".join(f"y{i}" for i in range(25))),   # one token past
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=24, overlap=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_index"])
+    # chunk counts: ceil((n-8)/16) -> 100:6, 24:1, 1:1, 25:2
+    assert {d: len(rs) for d, rs in by_doc.items()} == {1: 6, 2: 1, 3: 1, 4: 2}
+    # doc 1: full coverage, exact overlap, last chunk short
+    toks = [f"w{i}" for i in range(100)]
+    seen = []
+    prev = None
+    for r in by_doc[1]:
+        ct = r["chunk_text"].split(" ")
+        start = r["chunk_index"] * 16
+        assert ct == toks[start : start + 24]
+        assert r["n_tokens"] == len(ct)
+        if prev is not None and len(prev) == 24:
+            assert prev[-8:] == ct[:8]  # exactly `overlap` shared
+        seen.extend(ct[8:] if r["chunk_index"] else ct)
+        prev = ct
+    assert seen == toks  # every token exactly once beyond the overlaps
+    # short doc: the single chunk IS the doc
+    assert by_doc[3][0]["chunk_text"] == "lone"
+    assert by_doc[3][0]["n_tokens"] == 1
+    # deterministic ids (re-run equality)
+    again = {
+        (r["doc_id"], r["chunk_index"]): r["chunk_id"]
+        for r in chunk_documents(docs, chunk_tokens=24, overlap=8).collect()
+    }
+    assert {(r["doc_id"], r["chunk_index"]): r["chunk_id"] for r in out} == again
+    # no UDF, no shuffle: the plan is a single projection + explode
+    plan = (
+        chunk_documents(docs, chunk_tokens=24, overlap=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan

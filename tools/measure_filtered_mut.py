@@ -87,6 +87,8 @@ def main() -> None:
     emb_path = f"{BASE}/emb_{n}_{m}"
     pristine = f"{BASE}/pristine_{n}_{m}"
     mutated = f"{BASE}/mutated_{n}_{m}"
+    payload = f"{BASE}/payload_{n}_{m}"
+    payloadmut = f"{BASE}/payloadmut_{n}_{m}"
     cent_path = f"{BASE}/cents_{n}_{m}"
     spark = get_spark("filtered-mut-measure")
 
@@ -135,7 +137,25 @@ def main() -> None:
             pristine,
             n_tag_buckets=64,
         )
-        print(f"build tag artifacts: {time.perf_counter()-t1:.1f}s")
+        t2 = time.perf_counter()
+        print(f"build tag artifacts: {t2-t1:.1f}s")
+        # payload-carrying twin (posting-local serving)
+        import shutil
+
+        if os.path.isdir(payload):
+            shutil.rmtree(payload)
+        shutil.copytree(pristine, payload)
+        for sub in ("tag_postings.parquet", "tag_df.parquet",
+                    "tags.parquet", "tag_meta.parquet"):
+            shutil.rmtree(f"{payload}/{sub}", ignore_errors=True)
+        t3 = time.perf_counter()
+        write_tag_postings_layout(
+            emb.select("vec_id", _tags_col().alias("tags")),
+            payload,
+            n_tag_buckets=64,
+            carry_payload=True,
+        )
+        print(f"build payload tag artifacts: {time.perf_counter()-t3:.1f}s")
         return
 
     if phase == "mutate":
@@ -147,12 +167,11 @@ def main() -> None:
             upsert_vectors,
         )
 
-        if os.path.isdir(mutated):
-            shutil.rmtree(mutated)
-        t0 = time.perf_counter()
-        shutil.copytree(pristine, mutated)
+        for src_l, dst_l in ((pristine, mutated), (payload, payloadmut)):
+            if os.path.isdir(dst_l):
+                shutil.rmtree(dst_l)
+            shutil.copytree(src_l, dst_l)
         t1 = time.perf_counter()
-        print(f"copy layout: {t1-t0:.1f}s")
         # op0: 5% NEW tagged vectors (ids n .. n + n/20)
         newbies = (
             spark.range(n, n + n // 20)
@@ -167,23 +186,24 @@ def main() -> None:
                 _tags_col().alias("tags"),
             )
         )
-        upsert_vectors(spark, mutated, newbies, tags_col="tags", assign_impl="arrow")
-        t2 = time.perf_counter()
-        print(f"op0 combined upsert ({n//20} rows): {t2-t1:.1f}s")
-        # op1: retag 2% of the base
         emb = spark.read.parquet(emb_path)
         retag = emb.filter(F.col("vec_id") % 53 == 0).select(
             "vec_id",
             F.concat(F.array(F.lit("vip:yes")), _tags_col()).alias("tags"),
-        )
-        upsert_tags(spark, mutated, retag)
-        t3 = time.perf_counter()
-        print(f"op1 retag (~{n//53} rows): {t3-t2:.1f}s")
-        # op2: delete 1%
-        delete_vectors(
-            spark, mutated, emb.filter(F.col("vec_id") % 97 == 0).select("vec_id")
-        )
-        print(f"op2 delete (~{n//97} rows): {time.perf_counter()-t3:.1f}s")
+        ).localCheckpoint()
+        dele = emb.filter(F.col("vec_id") % 97 == 0).select("vec_id").localCheckpoint()
+        for label, target in (("pointfetch", mutated), ("payload", payloadmut)):
+            t1 = time.perf_counter()
+            upsert_vectors(
+                spark, target, newbies, tags_col="tags", assign_impl="arrow"
+            )
+            t2 = time.perf_counter()
+            print(f"[{label}] op0 combined upsert ({n//20} rows): {t2-t1:.1f}s")
+            upsert_tags(spark, target, retag)
+            t3 = time.perf_counter()
+            print(f"[{label}] op1 retag (~{n//53} rows): {t3-t2:.1f}s")
+            delete_vectors(spark, target, dele)
+            print(f"[{label}] op2 delete (~{n//97} rows): {time.perf_counter()-t3:.1f}s")
         return
 
     if phase == "search":
@@ -204,10 +224,15 @@ def main() -> None:
                 + f" ({nrows} rows)"
             )
 
-        wall("pristine", pristine)
+        wall("pristine pointfetch", pristine)
         if os.path.isdir(mutated):
-            wall("mutated head", mutated)
-            wall("mutated as_of=-1 (snapshot)", mutated, as_of=-1)
+            wall("mutated pointfetch head", mutated)
+            wall("mutated pointfetch as_of=-1", mutated, as_of=-1)
+        if os.path.isdir(payload):
+            wall("pristine payload", payload)
+        if os.path.isdir(payloadmut):
+            wall("mutated payload head", payloadmut)
+            wall("mutated payload as_of=-1", payloadmut, as_of=-1)
         return
 
     raise SystemExit(f"unknown phase {phase!r}")
