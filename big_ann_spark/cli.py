@@ -187,6 +187,26 @@ def _build_parser() -> argparse.ArgumentParser:
         help="replay a specific op id (crash recovery); default: auto",
     )
 
+    hs = sub.add_parser(
+        "hybrid-search",
+        help="dense+lexical retrieval off TWO persisted indexes "
+        "(build-index IVF + bm25-build), RRF-fused — both runs read "
+        "only their pruned partitions",
+    )
+    hs.add_argument("vec_index", help="dir produced by build-index")
+    hs.add_argument("bm25_index", help="dir produced by bm25-build")
+    hs.add_argument("queries", help="parquet with (id, vector, text) columns")
+    hs.add_argument("--k", type=int, default=10)
+    hs.add_argument("--nprobe", type=int, default=2)
+    hs.add_argument("--depth", type=int, default=None,
+                    help="per-run pool before fusion (default k)")
+    hs.add_argument("--rrf-c", type=int, default=60)
+    hs.add_argument("--id-col", default="vec_id")
+    hs.add_argument("--vec-col", default="embedding")
+    hs.add_argument("--text-col", default="text")
+    hs.add_argument("--out", default=None)
+    hs.add_argument("--show", type=int, default=20)
+
     iu = sub.add_parser(
         "index-upsert",
         help="insert-or-replace a vector batch into a build-index "
@@ -917,6 +937,26 @@ def main(argv: list[str] | None = None) -> int:
         out = ANN.filtered_search_from_disk(
             q, args.index, k=args.k,
             id_col=args.id_col, vec_col=args.vec_col, as_of=args.as_of,
+        )
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"{n} rows -> {args.out}")
+        else:
+            out.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "hybrid-search":
+        from big_ann_spark.operators.fusion import hybrid_search_from_disk
+
+        q = spark.read.parquet(args.queries).select(
+            F.col(args.id_col).alias("qid"),
+            F.col(args.vec_col).alias("qvec"),
+            F.col(args.text_col).alias("qtext"),
+        )
+        out = hybrid_search_from_disk(
+            spark, args.vec_index, args.bm25_index, q,
+            k=args.k, nprobe=args.nprobe, depth=args.depth, c=args.rrf_c,
         )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)

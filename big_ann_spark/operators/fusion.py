@@ -46,3 +46,57 @@ def rrf_fuse(
     return top_k_per_group(
         fused, ["qid"], [F.col("rrf").desc(), F.col("neighbor_id").asc()], k
     )
+
+
+def hybrid_search_from_disk(
+    spark,
+    vec_index: str,
+    bm25_index: str,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    c: int = 60,
+    depth: int | None = None,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    query_text: str = "qtext",
+    as_of: int | None = None,
+    bm25_as_of: int | None = None,
+    codec: str | None = None,
+) -> DataFrame:
+    """Hybrid (dense + lexical) retrieval ENTIRELY off persisted
+    layouts — the full serving composition a search stack runs: IVF
+    kNN against a ``build-index`` layout (partition-pruned shard
+    scan, any refine codec) and BM25 against a ``bm25-build`` index
+    (term-bucket-pruned postings scan), RRF-fused. Each run reads only
+    its pruned partitions and contributes O(Q·depth) rows to the
+    fusion, so the whole query is as corpus-independent as its two
+    component paths — both individually certified against oracles.
+
+    ``depth``: per-run pool size before fusion (default ``k``; deeper
+    pools let a document mid-ranked in both runs beat one top-ranked
+    in a single run — the RRF paper's regime). ``as_of`` /
+    ``bm25_as_of``: snapshot each index on its OWN ledger (two
+    layouts = two op sequences). ``codec``: refine-tier override for
+    the vector side (auto-detected by default)."""
+    from big_ann_spark.operators import ann as ANN
+    from big_ann_spark.operators import bm25 as B
+
+    depth = depth or k
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("qvec"),
+        F.col(query_text).alias("qtext"),
+    ).localCheckpoint()
+    cents = spark.read.parquet(f"{vec_index}/centroids.parquet")
+    kw = {} if codec is None else {"codec": codec}
+    dense = ANN.ivf_search_from_disk(
+        q.select("qid", "qvec"), vec_index, cents,
+        k=depth, nprobe=nprobe, as_of=as_of, **kw,
+    ).select("qid", "neighbor_id", "rank")
+    lex = B.bm25_topk_from_disk(
+        spark, bm25_index, q.select("qid", "qtext"),
+        k=depth, id_col="qid", text_col="qtext", as_of=bm25_as_of,
+    ).select("qid", "neighbor_id", "rank")
+    return rrf_fuse([dense, lex], k, c=c)

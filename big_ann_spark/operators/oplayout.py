@@ -42,6 +42,7 @@ from __future__ import annotations
 import contextlib
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 BASE_EPOCH = -1
 
@@ -152,9 +153,19 @@ def write_op_partitions(df: DataFrame, target: str, cols: list[str]) -> None:
     """Land one op's rows via DYNAMIC partition overwrite: only the
     partitions present in ``df`` (its own ``_mb``, plus any secondary
     partition dirs it touches) are replaced — a re-run of the same op
-    id is a pure overwrite of itself, never an append-duplicate."""
+    id is a pure overwrite of itself, never an append-duplicate.
+
+    Rows are REPARTITIONED onto the partition columns first: without
+    it, every upstream task writes its own file into every dir it has
+    rows for — a 100k-row upsert over 1000 shard dirs from 32 shuffle
+    partitions landed 32,000 one-row files, and every later ledger
+    read paid ~12 s of listing + footer opens (measured, 2M campaign).
+    With the repartition each partition dir holds ONE file per op;
+    write parallelism = number of touched dirs, which is exactly the
+    op's fan-out."""
     (
-        df.write.mode("overwrite")
+        df.repartition(*[F.col(c) for c in cols])
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*cols)
         .parquet(target)

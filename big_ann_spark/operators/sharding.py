@@ -440,16 +440,33 @@ def write_sharded(
         .mode("overwrite")
         .parquet(f"{path}/shards")
     )
+    # schema sidecar: a PARTITIONED write of an EMPTY row set lands no
+    # files at all (no partition values exist), which makes the shards
+    # dir schema-uninferable — legal state when compaction folds a
+    # layout whose every vector was deleted. A non-partitioned write of
+    # limit(0) always produces one schema-carrying empty file
+    # (SPARK-23271), so readers of an empty layout stay typed.
+    (
+        with_vec.limit(0)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/schema.parquet")
+    )
     # histogram from the JUST-WRITTEN layout, not the assignment
     # lineage: `assignments` is typically an uncached mapInPandas /
     # KMeans plan, and re-collecting it here silently re-ran the whole
     # assignment a second time (measured: a full extra 20M-row BLAS
     # pass at m = 10⁴). Reading back shard_id+dist is a 2-column
-    # pruned scan of what actually landed.
+    # pruned scan of what actually landed — with the EXPLICIT sidecar
+    # schema, so an all-deleted (zero-file) layout yields an empty
+    # histogram instead of an inference error.
+    spark = assignments.sparkSession
+    read_schema = spark.read.parquet(f"{path}/schema.parquet").schema
     shard_histogram(
-        assignments.sparkSession.read.parquet(f"{path}/shards").select(
-            "shard_id", "dist"
-        )
+        spark.read.schema(read_schema)
+        .option("basePath", f"{path}/shards")
+        .parquet(f"{path}/shards")
+        .select("shard_id", "dist")
     ).write.mode("overwrite").csv(f"{path}/distribution", header=True)
 
 

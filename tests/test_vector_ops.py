@@ -369,3 +369,23 @@ def test_writer_lock_released_on_failed_op(spark, sf_dir, monkeypatch):
         spark, f"{path}/_ops/{oplayout.WRITER_LOCK}"
     )
     assert VO.upsert_vectors(spark, path, batch) == 0
+
+
+def test_compact_after_deleting_everything(spark, sf_dir, tmp_path):
+    """Deleting EVERY vector then compacting is a legal (degenerate)
+    lifecycle: the compacted layout has zero shard dirs but must stay
+    readable and serve empty results — found by the op-sequence
+    property test (an all-delete script crashed schema inference on
+    the empty partitioned read)."""
+    emb, cents, path = _build_layout(spark, sf_dir)
+    all_ids = emb.filter(F.col("vec_id") % 3 != 0).select("vec_id")
+    VO.delete_vectors(spark, path, all_ids)
+    dst = str(tmp_path / "empty_compacted")
+    VO.compact_vector_layout(spark, path, dst)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = ANN.ivf_search_from_disk(queries, dst, cents, k=3, nprobe=2)
+    assert got.count() == 0
+    # and the pre-compaction live view serves empty too
+    assert ANN.ivf_search_from_disk(queries, path, cents, k=3, nprobe=2).count() == 0
