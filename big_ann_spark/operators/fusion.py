@@ -64,6 +64,7 @@ def hybrid_search_from_disk(
     as_of: int | None = None,
     bm25_as_of: int | None = None,
     codec: str | None = None,
+    bm25_score_round: int | None = None,
 ) -> DataFrame:
     """Hybrid (dense + lexical) retrieval ENTIRELY off persisted
     layouts — the full serving composition a search stack runs: IVF
@@ -98,5 +99,6 @@ def hybrid_search_from_disk(
     lex = B.bm25_topk_from_disk(
         spark, bm25_index, q.select("qid", "qtext"),
         k=depth, id_col="qid", text_col="qtext", as_of=bm25_as_of,
+        score_round=bm25_score_round,
     ).select("qid", "neighbor_id", "rank")
     return rrf_fuse([dense, lex], k, c=c)

@@ -50,10 +50,19 @@ Read-side resolution (filtered_search_from_disk):
   all its current tags, so it appears on the rarest query tag's
   visible posting list.
 
+On ``carry_payload`` layouts (write_tag_postings_layout — the 100 TB
+serving mode) the read side is simpler still: postings carry
+(vector, tags), so the query is POSTING-LOCAL and mutation resolution
+collapses to one op-sized broadcast of (id, latest op) pairs — a
+posting row is live iff its ``_mb`` IS its id's latest visible op
+(``latest_op_of_contested``); the op-time cost is that every tag op
+writes its ids' current vectors into the delta postings.
+
 At 100 TB: every op costs O(batch) writes; search adds one broadcast
 anti-join against the contested-tag ids and an O(tag-ops) delta scan —
-independent of corpus size; compaction folds everything back to a
-pristine base (``compact_vector_layout(..., retag=True)``).
+independent of corpus size; ``compact_vector_layout`` folds everything
+(tag artifacts auto-detected, carry mode preserved) back to a pristine
+base.
 
 SINGLE-WRITER per layout — see oplayout's module docstring.
 """

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from big_ann_spark.catalog import load_table
 from big_ann_spark.operators import ann as ANN
 from big_ann_spark.operators import sharding as SH
+from big_ann_spark.operators.bm25 import B as _BM25_B
+from big_ann_spark.operators.bm25 import K1 as _BM25_K1
 from big_ann_spark.queries import register
+
+_BM25_K1P1 = _BM25_K1 + 1
+_BM25_1MB = 1 - _BM25_B
 
 _CENTROID_CTE = """
 cdim AS (SELECT label AS shard_id, i AS pos, avg(embedding[i+1]::DOUBLE) AS v
@@ -149,6 +154,26 @@ def _mutated_layout(spark, sf_dir: str) -> str:
 
 
 _TAG_MUT_CACHE: dict[str, str] = {}
+_HYBRID_BM25_CACHE: dict[str, str] = {}
+
+
+def _hybrid_bm25_layout(spark, sf_dir: str) -> str:
+    """Session-scoped persisted BM25 index over the documents corpus —
+    the lexical side of the hybrid_disk variant (built once, served
+    every run: an index's real lifecycle)."""
+    import os
+    import tempfile
+
+    from big_ann_spark.operators.bm25 import bm25_index, write_bm25_index
+
+    key = os.path.realpath(sf_dir)
+    path = _HYBRID_BM25_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="hybrid_bm25_q_") + "/idx"
+        docs = load_table(spark, sf_dir, "documents")
+        write_bm25_index(bm25_index(docs), path, n_term_buckets=16)
+        _HYBRID_BM25_CACHE[key] = path
+    return path
 
 
 def _tag_mutated_layout(spark, sf_dir: str) -> str:
@@ -514,9 +539,59 @@ fr AS (
                row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
         FROM fcand)
   WHERE rk <= 3
+),
+-- hybrid_disk: RRF fusion of (a) the exact dense top-10 over the
+-- tag-mutated layout's PRISTINE base (vec_id % 20 != 0; served by IVF
+-- probing EVERY shard at as_of=-1, which is exact) and (b) BM25
+-- top-10 from a persisted term-bucketed index over the full documents
+-- corpus. Scores ROUNDed before ranking so duplicate docs tie
+-- deterministically; rrf rounded for hashing.
+hb AS (
+  SELECT q2.qid, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q2.qid ORDER BY
+           sqrt(list_sum(list_transform(range(1, 65),
+             i -> (q2.qv[i] - e.embedding[i]::DOUBLE) * (q2.qv[i] - e.embedding[i]::DOUBLE)))),
+           e.vec_id) AS rk
+  FROM (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5) q2
+  CROSS JOIN embeddings e
+  WHERE e.vec_id % 20 <> 0
+),
+hbtf AS (SELECT doc_id, w, COUNT(*)::DOUBLE AS tf
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY 1, 2),
+hbdl AS (SELECT doc_id, SUM(tf) AS dl FROM hbtf GROUP BY 1),
+hbst AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM hbdl),
+hbdf AS (SELECT w, COUNT(*)::DOUBLE AS df FROM hbtf GROUP BY 1),
+hbq AS (SELECT doc_id AS qid, w, tf AS qtf FROM hbtf WHERE doc_id < 5),
+hbsc AS (
+  SELECT hbq.qid, hbtf.doc_id AS neighbor_id,
+         ROUND(SUM((hbq.qtf * ln(1e0 + ((hbst.n - hbdf.df + 0.5e0) / (hbdf.df + 0.5e0))))
+               * (hbtf.tf * {_BM25_K1P1!r}e0
+                  / (hbtf.tf + {_BM25_K1!r}e0 * ({_BM25_1MB!r}e0
+                     + ({_BM25_B!r}e0 * hbdl.dl) / hbst.avgdl)))), 6) AS score
+  FROM hbq JOIN hbtf USING (w) JOIN hbdf USING (w)
+  JOIN hbdl ON hbdl.doc_id = hbtf.doc_id CROSS JOIN hbst
+  GROUP BY 1, 2
+),
+hrb AS (SELECT qid, neighbor_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rk
+        FROM hbsc),
+hyfuse AS (
+  SELECT qid, neighbor_id, SUM(1.0 / (60 + rk)) AS rrf
+  FROM (SELECT qid, neighbor_id, rk FROM hb WHERE rk <= 10
+        UNION ALL
+        SELECT qid, neighbor_id, rk FROM hrb WHERE rk <= 10)
+  GROUP BY 1, 2
+),
+hyr AS (
+  SELECT 'hybrid_disk' AS variant, qid, neighbor_id, ROUND(rrf, 6) AS dist,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, neighbor_id)::INTEGER AS rank
+  FROM hyfuse
 )
 SELECT * FROM top1 UNION ALL SELECT * FROM mutr UNION ALL SELECT * FROM asofr
 UNION ALL SELECT * FROM fr
+UNION ALL SELECT * FROM hyr WHERE rank <= 3
 """,
 )
 def kanndi_search_top1(spark, sf_dir):
@@ -540,6 +615,11 @@ def kanndi_search_top1(spark, sf_dir):
       hash-certified against DuckDB ranking under the equivalent
       modular predicates, including a query on the RETAGGED vip tag
       (candidates come off a delta posting list).
+    - ``hybrid_disk``: the full hybrid serving composition off TWO
+      persisted layouts (fusion.hybrid_search_from_disk) — exact
+      dense run (IVF probing every shard of the pristine base,
+      as_of=-1) + BM25 run from the persisted term-bucketed index,
+      RRF-fused; hash-certified against the same fusion in SQL.
     (Housed here, not in ivf_search_top5: this query is oracled every
     round but off the bench hot list, so mutation resolution never
     taxes the flagship serving benchmark.)"""
@@ -601,7 +681,37 @@ def kanndi_search_top1(spark, sf_dir):
         F.round("dist", 6).alias("dist"),
         "rank",
     )
-    return top1.unionByName(mut).unionByName(asof).unionByName(filt)
+    # hybrid_disk: both runs off PERSISTED layouts — dense = IVF over
+    # the tag-mutated layout's pristine base (as_of=-1, nprobe=every
+    # shard → exact over vec_id % 20 != 0), lexical = the persisted
+    # BM25 index; RRF-fused (operators/fusion.hybrid_search_from_disk)
+    from big_ann_spark.operators.fusion import hybrid_search_from_disk
+
+    bm_dir = _hybrid_bm25_layout(spark, sf_dir)
+    hq = emb.filter(F.col("vec_id") < 5).join(
+        docs.select(F.col("doc_id").alias("vec_id"), "text"), "vec_id"
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("text").alias("qtext"),
+    )
+    n_shards = cents.count()
+    hyb = hybrid_search_from_disk(
+        spark, tpath, bm_dir, hq, k=3, nprobe=int(n_shards), depth=10,
+        as_of=-1, bm25_score_round=6,
+    ).select(
+        F.lit("hybrid_disk").alias("variant"),
+        "qid",
+        "neighbor_id",
+        F.round("rrf", 6).alias("dist"),
+        "rank",
+    )
+    return (
+        top1.unionByName(mut)
+        .unionByName(asof)
+        .unionByName(filt)
+        .unionByName(hyb)
+    )
 
 
 @register(

@@ -167,7 +167,10 @@ def main() -> None:
             upsert_vectors,
         )
 
-        for src_l, dst_l in ((pristine, mutated), (payload, payloadmut)):
+        pairs = [(pristine, mutated), (payload, payloadmut)]
+        if os.environ.get("FT_SKIP_POINTFETCH") == "1":
+            pairs = pairs[1:]
+        for src_l, dst_l in pairs:
             if os.path.isdir(dst_l):
                 shutil.rmtree(dst_l)
             shutil.copytree(src_l, dst_l)
@@ -192,7 +195,10 @@ def main() -> None:
             F.concat(F.array(F.lit("vip:yes")), _tags_col()).alias("tags"),
         ).localCheckpoint()
         dele = emb.filter(F.col("vec_id") % 97 == 0).select("vec_id").localCheckpoint()
-        for label, target in (("pointfetch", mutated), ("payload", payloadmut)):
+        targets = [("pointfetch", mutated), ("payload", payloadmut)]
+        if os.environ.get("FT_SKIP_POINTFETCH") == "1":
+            targets = targets[1:]
+        for label, target in targets:
             t1 = time.perf_counter()
             upsert_vectors(
                 spark, target, newbies, tags_col="tags", assign_impl="arrow"
@@ -224,8 +230,9 @@ def main() -> None:
                 + f" ({nrows} rows)"
             )
 
-        wall("pristine pointfetch", pristine)
-        if os.path.isdir(mutated):
+        if os.environ.get("FT_SKIP_POINTFETCH") != "1":
+            wall("pristine pointfetch", pristine)
+        if os.path.isdir(mutated) and os.environ.get("FT_SKIP_POINTFETCH") != "1":
             wall("mutated pointfetch head", mutated)
             wall("mutated pointfetch as_of=-1", mutated, as_of=-1)
         if os.path.isdir(payload):
