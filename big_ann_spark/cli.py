@@ -408,8 +408,8 @@ def _build_parser() -> argparse.ArgumentParser:
         "prep",
         help="one-call pretraining prep: line-dedup -> C4 -> PII -> "
         "quality -> LM perplexity filter -> exact dedup -> near-dup "
-        "reps -> per-source cap -> sample -> dsir -> pack, any subset, "
-        "canonical order; --shards adds the deterministic "
+        "reps -> per-source cap -> sample -> dsir -> chunk -> pack, "
+        "any subset, canonical order; --shards adds the deterministic "
         "training-shard layout",
     )
     pr.add_argument("src", help="parquet/jsonl document directory")
@@ -419,7 +419,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "--steps",
         default="c4,pii,quality,dedup,neardup",
         help="comma list from linededup,c4,pii,quality,mlquality,"
-        "lmfilter,dedup,neardup,cap,sample,tmix,dsir,pack",
+        "lmfilter,dedup,neardup,cap,sample,tmix,dsir,chunk,pack",
     )
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument("--text-col", default="text")
@@ -456,6 +456,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "--dsir-ngram", type=int, default=1, choices=(1, 2),
         help="DSIR feature space: 1=hashed unigrams, 2=+hashed bigrams",
     )
+    pr.add_argument(
+        "--chunk-tokens", type=int, default=None,
+        help="chunk step: overlapping token-window size (the chunk "
+        "becomes the corpus unit; parent doc id kept)",
+    )
+    pr.add_argument("--chunk-overlap", type=int, default=32)
     pr.add_argument("--pack-ctx", type=int, default=None)
     pr.add_argument(
         "--line-max-count",
@@ -1244,6 +1250,8 @@ def main(argv: list[str] | None = None) -> int:
             tmix_alpha=args.tmix_alpha,
             dsir_buckets=args.dsir_buckets,
             dsir_ngram=args.dsir_ngram,
+            chunk_tokens=args.chunk_tokens,
+            chunk_overlap=args.chunk_overlap,
             pack_ctx=args.pack_ctx,
             line_max_count=args.line_max_count,
             line_words_per_line=args.line_words_per_line,

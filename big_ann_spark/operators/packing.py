@@ -178,8 +178,11 @@ def chunk_documents(
     tokens, and no trailing chunk contributes ZERO new tokens.
 
     Returns (id_col, chunk_index, chunk_id, chunk_text, n_tokens):
-    ``chunk_id = xxhash64(id, index)`` is deterministic (crash replays
-    regenerate identical rows — the WARC-ingest convention). Pure
+    ``chunk_id = pmod(xxhash64(id, index), 2⁶²)`` is deterministic
+    (crash replays regenerate identical rows — the WARC-ingest
+    convention) and NON-NEGATIVE with a bounded range, so downstream
+    id arithmetic (the ranged prefix-sum packers bin by id spans)
+    never overflows a long under ANSI mode. Pure
     column expressions: one projection + one explode, no UDF, no
     shuffle — chunking 100 TB is a map-only pass."""
     if overlap >= chunk_tokens:
@@ -204,7 +207,9 @@ def chunk_documents(
     return exploded.select(
         id_col,
         "chunk_index",
-        F.xxhash64(F.col(id_col), F.col("chunk_index")).alias("chunk_id"),
+        F.pmod(
+            F.xxhash64(F.col(id_col), F.col("chunk_index")), F.lit(1 << 62)
+        ).alias("chunk_id"),
         F.array_join(
             F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(chunk_tokens)),
             sep,

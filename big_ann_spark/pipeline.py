@@ -8,7 +8,8 @@ packaged as a composable batch job a corpus owner actually runs:
     head/middle keep) → exact dedup → near-dup (MinHash cluster
     reps) → per-source cap → hash sample → temperature mix (optional
     n^alpha source rebalance) → DSIR selection (optional, toward a
-    target corpus) → sequence packing
+    target corpus) → token-window chunking (optional; the unit becomes
+    the chunk) → sequence packing
 
 Every stage is one of the engine's oracle-checked operators applied in
 a FIXED canonical order (the order the public pipelines use: cheap
@@ -32,7 +33,7 @@ from pyspark.sql import functions as F
 
 STEP_ORDER = [
     "linededup", "c4", "pii", "quality", "mlquality", "lmfilter", "dedup",
-    "neardup", "cap", "sample", "tmix", "dsir", "pack",
+    "neardup", "cap", "sample", "tmix", "dsir", "chunk", "pack",
 ]
 
 
@@ -66,6 +67,8 @@ def prep_corpus(
     lm_tail_frac: float = 0.3,
     tmix_total_tokens: int | None = None,
     tmix_alpha: float = 0.5,
+    chunk_tokens: int | None = None,
+    chunk_overlap: int = 32,
     counts: bool = False,
 ) -> tuple[DataFrame, DataFrame | None, dict[str, int]]:
     """Run the selected ``steps`` (any subset of ``STEP_ORDER``; applied
@@ -264,6 +267,26 @@ def prep_corpus(
                 n_buckets=dsir_buckets,
                 ngram=dsir_ngram,
             ).drop("log_weight", "gumbel_key")
+        elif step == "chunk":
+            from big_ann_spark.operators.packing import chunk_documents
+
+            if chunk_tokens is None:
+                raise ValueError("chunk step needs chunk_tokens")
+            # the chunk becomes the corpus unit from here on: chunk_id
+            # takes over id_col (pack placements reference chunks),
+            # the parent doc id is kept, and every non-text doc column
+            # (source, …) is carried onto the doc's chunks
+            carried = out.drop(text_col)
+            out = (
+                chunk_documents(
+                    out, chunk_tokens=chunk_tokens, overlap=chunk_overlap,
+                    id_col=id_col, text_col=text_col,
+                )
+                .join(carried, id_col)
+                .withColumnRenamed(id_col, f"parent_{id_col}")
+                .withColumnRenamed("chunk_id", id_col)
+                .withColumnRenamed("chunk_text", text_col)
+            )
         elif step == "pack":
             from big_ann_spark.operators.packing import pack_sequences
 

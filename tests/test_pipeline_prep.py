@@ -317,3 +317,50 @@ def test_linededup_keeps_null_text_docs(spark):
     got = {r.doc_id: r.text for r in out.collect()}
     assert set(got) == {1, 2}
     assert got[2] is None and "keep this line" in got[1]
+
+
+def test_chunk_step_reunits_the_corpus(spark, corpus):
+    """chunk: the corpus unit becomes the overlapping token-window
+    chunk — chunk_id takes over doc_id, the parent doc id and source
+    carry onto chunks, and pack placements reference CHUNK ids."""
+    import math
+
+    out, placements, _ = prep_corpus(
+        corpus,
+        ["dedup", "chunk", "pack"],
+        chunk_tokens=24,
+        chunk_overlap=8,
+        pack_ctx=32,
+    )
+    rows = out.collect()
+    # every surviving doc (exact dedup keeps one of 1/2) chunked:
+    survivors = {r["parent_doc_id"] for r in rows}
+    assert 5 in survivors and len(survivors) == 7  # 8 docs - 1 exact dup
+    # chunk counts match the operator formula per doc
+    docs = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for pid in survivors:
+        n = len(docs[pid].split(" "))
+        want = max(1, math.ceil((n - 8) / 16))
+        got = sum(1 for r in rows if r["parent_doc_id"] == pid)
+        assert got == want, (pid, got, want)
+    # source carried; chunk ids unique; placements reference chunk ids
+    assert all(r["source"] in ("a", "b") for r in rows)
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    placed = {r["doc_id"] for r in placements.collect()}
+    assert placed == set(ids)
+
+
+def test_cli_prep_chunk(spark, tmp_path, corpus):
+    from big_ann_spark.cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    corpus.write.parquet(src)
+    dst = str(tmp_path / "out")
+    assert main([
+        "prep", src, dst, "--steps", "dedup,chunk",
+        "--chunk-tokens", "24", "--chunk-overlap", "8",
+    ]) == 0
+    got = spark.read.parquet(f"{dst}/docs.parquet")
+    assert {"doc_id", "parent_doc_id", "chunk_index", "text"} <= set(got.columns)
+    assert got.count() > corpus.count()  # long docs yield several chunks
