@@ -201,6 +201,10 @@ def _build_parser() -> argparse.ArgumentParser:
     hs.add_argument("--depth", type=int, default=None,
                     help="per-run pool before fusion (default k)")
     hs.add_argument("--rrf-c", type=int, default=60)
+    hs.add_argument(
+        "--codec", default=None, choices=["raw", "sq8", "pq", "binary"],
+        help="refine tier for the dense run (default: schema-detected)",
+    )
     hs.add_argument("--id-col", default="vec_id")
     hs.add_argument("--vec-col", default="embedding")
     hs.add_argument("--text-col", default="text")
@@ -963,6 +967,7 @@ def main(argv: list[str] | None = None) -> int:
         out = hybrid_search_from_disk(
             spark, args.vec_index, args.bm25_index, q,
             k=args.k, nprobe=args.nprobe, depth=args.depth, c=args.rrf_c,
+            codec=args.codec,
         )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)

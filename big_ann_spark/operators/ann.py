@@ -75,6 +75,35 @@ def open_probed_shards(
     return spark.read.option("basePath", base).parquet(*dirs)
 
 
+def detect_refine_codec(spark, path: str, vec_col: str = "embedding") -> str:
+    """SCHEMA-ONLY refine-tier detection for a ``write_sharded``
+    layout (zero jobs): code columns can only come from the build, so
+    presence of codes/pq_codes/bcodes NEXT TO the raw column selects
+    the sq8/pq/binary candidate scan; anything else serves raw. Reads
+    the schema sidecar when present (works on empty layouts), else one
+    footer of the shards dir."""
+    from big_ann_spark.operators import oplayout
+
+    if oplayout.path_exists(spark, f"{path}/schema.parquet"):
+        cols = set(spark.read.parquet(f"{path}/schema.parquet").columns)
+    else:
+        cols = set(spark.read.parquet(f"{path}/shards").columns)
+    if vec_col in cols:
+        if "codes" in cols:
+            return "sq8"
+        if "pq_codes" in cols:
+            return "pq"
+        if "bcodes" in cols:
+            return "binary"
+        return "raw"
+    if "codes" in cols:
+        # --sq8 codes-only layout: no raw column exists — callers that
+        # need exact distances must refuse rather than scan a column
+        # that is not there
+        return "codes_only"
+    return "raw"
+
+
 def ivf_search_from_disk(
     queries: DataFrame,
     path: str,

@@ -182,7 +182,13 @@ def chunk_documents(
     (crash replays regenerate identical rows — the WARC-ingest
     convention) and NON-NEGATIVE with a bounded range, so downstream
     id arithmetic (the ranged prefix-sum packers bin by id spans)
-    never overflows a long under ANSI mode. Pure
+    never overflows a long under ANSI mode. HONEST BOUND: chunk_id is
+    a hash — expected birthday collisions ≈ n²/2⁶³ (negligible below
+    ~10⁹ chunks, ~10 expected at 10¹⁰); ``(id, chunk_index)`` is the
+    EXACT composite key, so joins that must be collision-free at that
+    scale should key on the pair, and a pipeline packing >10⁹ chunks
+    should verify ``chunk_id`` uniqueness (one distinct-count) before
+    trusting it as the packing key. Pure
     column expressions: one projection + one explode, no UDF, no
     shuffle — chunking 100 TB is a map-only pass."""
     if overlap >= chunk_tokens:
@@ -190,7 +196,10 @@ def chunk_documents(
             f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
         )
     stride = chunk_tokens - overlap
-    toks = F.split(F.col(text_col), sep)
+    # F.split takes a REGEX but array_join takes a literal — quote the
+    # separator (\Q…\E) so sep="." or "|" splits literally instead of
+    # match-anything garbage
+    toks = F.split(F.col(text_col), "\\Q" + sep + "\\E")
     n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1),

@@ -355,27 +355,10 @@ def land_tag_partitions(
 def live_shard_of(spark, path: str, ids: list) -> DataFrame:
     """(neighbor_id, shard_id) of the given ids under the LIVE view:
     the op table's resolved winners first (O(ops)), base shards for
-    the rest via a bounded-In 2-column point fetch — never a full
-    corpus scan per op."""
-    from big_ann_spark.operators import vector_ops as VO
-
-    base = (
-        spark.read.parquet(f"{path}/shards")
-        .select(F.col("vec_id").alias("neighbor_id"), "shard_id")
-        .filter(F.col("neighbor_id").isin(ids))
-    )
-    state = VO.mutation_state(spark, path)
-    if state is None:
-        return base
-    contested, resolved = state
-    contested = contested.withColumnRenamed("vec_id", "neighbor_id")
-    ops_side = (
-        resolved.select(F.col("vec_id").alias("neighbor_id"), "shard_id")
-        .filter(F.col("neighbor_id").isin(ids))
-    )
-    return base.join(
-        F.broadcast(contested), "neighbor_id", "left_anti"
-    ).unionByName(ops_side)
+    the rest via a bounded-In 2-column point fetch (≤1024 ids) or a
+    column-pruned scan + broadcast semi-join past the literal cap —
+    never a giant In (the SCALE.md isin rule)."""
+    return live_rows_of(spark, path, ids, ["shard_id"])
 
 
 def upsert_tags(
@@ -400,9 +383,17 @@ def upsert_tags(
             f"{path} has no tag artifacts — run write_tag_postings_layout "
             "(CLI: index-tags) before mutating tags"
         )
-    batch = tagged.select(
-        F.col(id_col).alias("neighbor_id"), F.col(tags_col).alias("_btags")
-    ).localCheckpoint()
+    batch = (
+        tagged.select(
+            F.col(id_col).alias("neighbor_id"), F.col(tags_col).alias("_btags")
+        )
+        # duplicate ids within one batch collapse to a single arbitrary
+        # row (the upsert_vectors contract) — without this a repeated
+        # id both trips the liveness count and lands two same-_mb
+        # delta rows with nondeterministic max_by resolution
+        .dropDuplicates(["neighbor_id"])
+        .localCheckpoint()
+    )
     ids = [r["neighbor_id"] for r in batch.select("neighbor_id").collect()]
     _, carry = tag_meta(spark, path)
     with oplayout.writer_lock(spark, path, owner="tag_ops"):
@@ -426,7 +417,12 @@ def upsert_tags(
                 VO._ops_on_disk(spark, path), oplayout.committed_ops(spark, path)
             )
         if int(op_id) not in oplayout.committed_ops(spark, path):
-            oplayout.purge_op_dirs(spark, tag_op_dirs(path, int(op_id)))
+            # purge ALL op families at this id, not just the tag dirs:
+            # a crashed COMBINED/vector op being reclaimed by this
+            # tag-only op may have landed ops/_mb=<id> vector rows —
+            # leaving them would make the crashed batch's vectors
+            # VISIBLE the moment this op's marker commits
+            oplayout.purge_op_dirs(spark, VO._all_op_dirs(path, int(op_id)))
         land_tag_partitions(spark, path, batch, int(op_id), shard_of)
         oplayout.mark_committed(spark, path, int(op_id))
     return int(op_id)

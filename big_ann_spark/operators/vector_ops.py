@@ -296,12 +296,15 @@ def committed_op_scan(
     ids excluded by a NOT-IN over the tiny uncommitted set."""
     if not has_vector_ops(spark, path):
         return None
-    if not _ops_on_disk(spark, path):
+    if not oplayout.glob_op_ids(spark, f"{path}/ops/_mb=*"):
         # ops/ exists but holds no completed _mb partition — the very
-        # FIRST op crashed mid-write (only _temporary inside). There
-        # is nothing readable and nothing visible; reading the dir
-        # would throw schema-inference errors instead of ignoring the
-        # crashed op like every other crash window does.
+        # FIRST op crashed mid-write (only _temporary inside), or a
+        # reclaiming TAG op purged the crashed vector partitions
+        # (_ops_on_disk unions the tag-delta ledger, so it must NOT be
+        # the emptiness probe here). There is nothing readable and
+        # nothing visible; reading the dir would throw schema-inference
+        # errors instead of ignoring the crashed op like every other
+        # crash window does.
         return None
     raw = spark.read.parquet(f"{path}/ops")
     uncommitted = uncommitted_vector_ops(spark, path)
@@ -487,9 +490,20 @@ def compact_vector_layout(
             live.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
         )
         n_buckets, carry = tag_ops.tag_meta(spark, src_path)
+        if carry and not has_raw:
+            # payload postings carry the vectors the filtered verify
+            # computes L2 against — on a codes-only base that would
+            # silently store quantized codes as _bvec and every
+            # filtered ranking would be garbage (arrays zip fine, no
+            # type error). Refuse loudly instead.
+            raise ValueError(
+                "compact: carry_payload tag artifacts need raw vectors, "
+                "but the source layout is codes-only — rebuild the tag "
+                "index without carry_payload or use a refine layout"
+            )
         write_tag_postings_layout(
             live_tagged, dst_path,
-            vec_col=vec_col if has_raw else "codes",
+            vec_col=vec_col,
             n_tag_buckets=n_buckets,
             carry_payload=carry,
         )

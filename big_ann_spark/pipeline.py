@@ -275,8 +275,13 @@ def prep_corpus(
             # the chunk becomes the corpus unit from here on: chunk_id
             # takes over id_col (pack placements reference chunks),
             # the parent doc id is kept, and every non-text doc column
-            # (source, …) is carried onto the doc's chunks
-            carried = out.drop(text_col)
+            # (source, …) is carried onto the doc's chunks. Drop any
+            # carried column the chunker also emits (n_tokens etc.) —
+            # a pre-tokenized corpus must not produce ambiguous
+            # duplicate columns after the join
+            carried = out.drop(
+                text_col, "chunk_index", "chunk_id", "n_tokens"
+            )
             out = (
                 chunk_documents(
                     out, chunk_tokens=chunk_tokens, overlap=chunk_overlap,

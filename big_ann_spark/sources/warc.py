@@ -130,6 +130,45 @@ def _iter_gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
         yield start, pos - start, out.getvalue()
 
 
+def _iter_gzip_members_from(fh, *, start_at: int = 0) -> Iterator[tuple[int, int, bytes]]:
+    """Like :func:`_iter_gzip_members` but reading CHUNK-at-a-time from
+    an open file object — memory is one decompressed member + one
+    input chunk, so a multi-GB ``.warc.gz`` walks in O(record) space
+    instead of materializing the file. ``start_at``: the absolute
+    offset ``fh`` is positioned at (coordinates in the yielded tuples
+    are absolute)."""
+    base = start_at
+    buf = b""
+    while True:
+        if not buf:
+            buf = fh.read(_GUNZIP_CHUNK)
+            if not buf:
+                return  # clean EOF at a member boundary
+        d = zlib.decompressobj(wbits=31)
+        start = base
+        out = io.BytesIO()
+        try:
+            while not d.eof:
+                if not buf:
+                    buf = fh.read(_GUNZIP_CHUNK)
+                    if not buf:
+                        raise ValueError(
+                            f"truncated gzip member at byte {start}"
+                        )
+                out.write(d.decompress(buf))
+                base += len(buf)
+                buf = b""
+        except zlib.error:
+            raise ValueError(f"bad gzip member at byte {start}") from None
+        out.write(d.flush())
+        tail = d.unused_data
+        base -= len(tail)
+        buf = tail
+        if base <= start:
+            raise ValueError(f"bad gzip member at byte {start}")
+        yield start, base - start, out.getvalue()
+
+
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a concatenation of gzip members (the compressed-WARC
     convention: one member per record). A naive single-stream gunzip
@@ -294,6 +333,38 @@ def _local_path(p: str) -> str:
     return p
 
 
+def _hadoop_fs(spark, p: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    return (
+        jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()),
+        jpath,
+    )
+
+
+def _list_warc_files(fs, jp, spark, path: str) -> list[str]:
+    """Resolve a file/dir/glob into concrete file paths (one level of
+    dir expansion — the write_warc layout shape), through the Hadoop
+    FS API so listings behave the same on object-store URIs. Hidden
+    files (``_``/``.`` prefixes) are skipped like every Spark file
+    source does."""
+    statuses = fs.globStatus(jp)
+    if not statuses:
+        raise FileNotFoundError(path)
+    out: list[str] = []
+    for st in statuses:
+        if st.isDirectory():
+            for child in fs.listStatus(st.getPath()):
+                name = child.getPath().getName()
+                if child.isFile() and not name.startswith(("_", ".")):
+                    out.append(str(child.getPath()))
+        elif st.isFile():
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")):
+                out.append(str(st.getPath()))
+    return sorted(out)
+
+
 def build_cdx(spark, path: str) -> DataFrame:
     """Distributed CDX-style index of WARC files: one row per gzip
     member (or per record of a plain file) with its COMPRESSED byte
@@ -307,42 +378,56 @@ def build_cdx(spark, path: str) -> DataFrame:
 
     One full pass (the same cost read_warc pays); persist the result
     next to the files (CLI: ``warc-index``) and every later read
-    splits for free. Lazy — the caller writes it."""
-    src = spark.read.format("binaryFile").load(path).select("path", "content")
+    splits for free. Lazy — the caller writes it.
+
+    Files ship as PATHS, not contents: the ``binaryFile`` source
+    materializes each whole file as one row — a 2 GB hard cap and
+    full-file executor memory, on exactly the multi-GB files the index
+    exists for. Gzipped files stream through the chunked member walk
+    in O(record) memory; PLAIN ``.warc`` files are read whole per task
+    (rare at multi-GB — the crawl convention is gzip; documented
+    limit)."""
+    fs, jp = _hadoop_fs(spark, path)
+    paths = _list_warc_files(fs, jp, spark, path)
+
+    src = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(max(1, len(paths)))
 
     def run(batches):
         import pyarrow as pa
 
         for rb in batches:
-            paths = rb.column("path").to_pylist()
-            blobs = rb.column("content").to_pylist()
             out: dict[str, list] = {k: [] for k in (
                 "file", "offset", "length", "n_records",
                 "warc_type", "target_uri", "record_id",
             )}
-            for p, blob in zip(paths, blobs):
-                data = bytes(blob)
-                if data[:2] == b"\x1f\x8b":
-                    units = (
-                        (off, ln, list(parse_warc(member)))
-                        for off, ln, member in _iter_gzip_members(data)
-                    )
-                else:
-                    recs = list(parse_warc(data))
-                    ends = [r.offset for r in recs[1:]] + [len(data)]
-                    units = (
-                        (r.offset, end - r.offset, [r])
-                        for r, end in zip(recs, ends)
-                    )
-                for off, ln, recs in units:
-                    first = recs[0]
-                    out["file"].append(p)
-                    out["offset"].append(off)
-                    out["length"].append(ln)
-                    out["n_records"].append(len(recs))
-                    out["warc_type"].append(first.warc_type)
-                    out["target_uri"].append(first.target_uri)
-                    out["record_id"].append(first.record_id)
+            def emit(p, off, ln, recs):
+                first = recs[0]
+                out["file"].append(p)
+                out["offset"].append(off)
+                out["length"].append(ln)
+                out["n_records"].append(len(recs))
+                out["warc_type"].append(first.warc_type)
+                out["target_uri"].append(first.target_uri)
+                out["record_id"].append(first.record_id)
+
+            for p in rb.column("path").to_pylist():
+                lp = _local_path(p)
+                with open(lp, "rb") as fh:
+                    head = fh.read(2)
+                    fh.seek(0)
+                    if head == b"\x1f\x8b":
+                        # streaming walk: one member in memory at a
+                        # time, emitted as it is parsed
+                        for off, ln, member in _iter_gzip_members_from(fh):
+                            emit(p, off, ln, list(parse_warc(member)))
+                    else:
+                        data = fh.read()
+                        recs = list(parse_warc(data))
+                        ends = [r.offset for r in recs[1:]] + [len(data)]
+                        for r, end in zip(recs, ends):
+                            emit(p, r.offset, end - r.offset, [r])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out["file"], pa.string()),
@@ -401,8 +486,9 @@ def read_warc_split(
         )
         .groupBy("file", "_split")
         .agg(
-            F.min("offset").alias("start"),
-            F.sum("length").alias("nbytes"),
+            F.sort_array(F.collect_list(F.struct("offset", "length"))).alias(
+                "members"
+            )
         )
     )
 
@@ -411,41 +497,54 @@ def read_warc_split(
 
         for rb in batches:
             files = rb.column("file").to_pylist()
-            starts = rb.column("start").to_pylist()
-            nbytes = rb.column("nbytes").to_pylist()
+            member_lists = rb.column("members").to_pylist()
             cols: dict[str, list] = {k: [] for k in (
                 "file", "record_index", "offset", "length", "warc_type",
                 "record_id", "target_uri", "warc_date", "content_type",
                 "content",
             )}
-            for f, start, nb in zip(files, starts, nbytes):
+            for f, mems in zip(files, member_lists):
+                # merge only ADJACENT members into single reads: a
+                # PRE-FILTERED cdx holds non-contiguous members, and
+                # the bytes between them must never be read or parsed
+                # (a min/sum range over a filtered set would read the
+                # unselected middle — wrong records or a mid-member
+                # truncation error)
+                ranges: list[list[int]] = []
+                for m in mems:
+                    off, ln = int(m["offset"]), int(m["length"])
+                    if ranges and ranges[-1][0] + ranges[-1][1] == off:
+                        ranges[-1][1] += ln
+                    else:
+                        ranges.append([off, ln])
                 with open(_local_path(f), "rb") as fh:
-                    fh.seek(start)
-                    data = fh.read(nb)
-                if data[:2] == b"\x1f\x8b":
-                    units = (
-                        (start + off, ln, list(parse_warc(member)))
-                        for off, ln, member in _iter_gzip_members(data)
-                    )
-                else:
-                    recs = list(parse_warc(data))
-                    ends = [r.offset for r in recs[1:]] + [len(data)]
-                    units = (
-                        (start + r.offset, end - r.offset, [r])
-                        for r, end in zip(recs, ends)
-                    )
-                for off, ln, recs in units:
-                    for i, rec in enumerate(recs):
-                        cols["file"].append(f)
-                        cols["record_index"].append(i)
-                        cols["offset"].append(off)
-                        cols["length"].append(ln)
-                        cols["warc_type"].append(rec.warc_type)
-                        cols["record_id"].append(rec.record_id)
-                        cols["target_uri"].append(rec.target_uri)
-                        cols["warc_date"].append(rec.warc_date)
-                        cols["content_type"].append(rec.content_type)
-                        cols["content"].append(rec.content)
+                    for start, nb in ranges:
+                        fh.seek(start)
+                        data = fh.read(nb)
+                        if data[:2] == b"\x1f\x8b":
+                            units = (
+                                (start + off, ln, list(parse_warc(member)))
+                                for off, ln, member in _iter_gzip_members(data)
+                            )
+                        else:
+                            recs = list(parse_warc(data))
+                            ends = [r.offset for r in recs[1:]] + [len(data)]
+                            units = (
+                                (start + r.offset, end - r.offset, [r])
+                                for r, end in zip(recs, ends)
+                            )
+                        for off, ln, recs in units:
+                            for i, rec in enumerate(recs):
+                                cols["file"].append(f)
+                                cols["record_index"].append(i)
+                                cols["offset"].append(off)
+                                cols["length"].append(ln)
+                                cols["warc_type"].append(rec.warc_type)
+                                cols["record_id"].append(rec.record_id)
+                                cols["target_uri"].append(rec.target_uri)
+                                cols["warc_date"].append(rec.warc_date)
+                                cols["content_type"].append(rec.content_type)
+                                cols["content"].append(rec.content)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(cols["file"], pa.string()),

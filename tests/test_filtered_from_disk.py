@@ -304,7 +304,13 @@ def test_tag_op_crash_window_and_replay(spark, sf_dir, tmp_path, monkeypatch):
         "vec_id",
         F.concat(F.array(F.lit("retagged:yes")), F.col("tags")).alias("tags"),
     )
+    # duplicate batch ids must collapse, not trip the liveness check
+    retagged = retagged.unionByName(retagged.limit(1))
     assert TO.upsert_tags(spark, path, retagged) == 0
+    # CROSS-FAMILY reclaim: the tag-only op claimed the crashed
+    # COMBINED op's id — the crashed attempt's VECTOR partitions must
+    # be purged too, or they become visible under this op's marker
+    assert oplayout.glob_op_ids(spark, f"{path}/ops/_mb=*") == set()
     live = tagged.filter(F.col("vec_id") % 3 != 0).withColumn(
         "tags",
         F.when(

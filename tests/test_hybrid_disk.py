@@ -100,3 +100,40 @@ def test_cli_hybrid_search(spark, sf_dir, tmp_path):
         for r in res.filter(F.col("rank") == 1).collect()
     }
     assert all(qid == n for qid, n in top1.items())
+
+
+def test_codec_detection_and_codes_only_refusal(spark, sf_dir, tmp_path):
+    """hybrid's dense run must serve refine layouts through their
+    code-column scan (schema-detected), and refuse codes-only layouts
+    instead of failing on a missing raw column mid-query."""
+    import pytest
+
+    from big_ann_spark.operators.pq import train_sq8
+
+    emb, docs, cents, vec_idx, bm_idx = _build(spark, sf_dir, tmp_path)
+    assert ANN.detect_refine_codec(spark, vec_idx) == "raw"
+    # sq8-REFINE layout (codes next to raw)
+    assign = SH.assign_to_centroids(emb, cents, extra_cols=["embedding"])
+    ref_idx = str(tmp_path / "ref")
+    SH.write_sharded(assign, emb, ref_idx, sq8_ranges=train_sq8(emb))
+    cents.write.mode("overwrite").parquet(f"{ref_idx}/centroids.parquet")
+    assert ANN.detect_refine_codec(spark, ref_idx) == "sq8"
+    q = _queries(emb, docs, n=2)
+    out = hybrid_search_from_disk(spark, ref_idx, bm_idx, q, k=3, depth=5)
+    assert out.count() == 6  # runs through the sq8 pool without error
+    # codes-ONLY layout (no raw column): loud refusal
+    co_idx = str(tmp_path / "codesonly")
+    from big_ann_spark.operators.pq import sq8_encode_col
+
+    mins, maxs = train_sq8(emb)
+    codes_only = assign.select(
+        "vec_id", "shard_id", "dist",
+        sq8_encode_col("embedding", mins, maxs).cast("array<smallint>").alias("codes"),
+    )
+    SH.write_sharded(
+        codes_only, codes_only, co_idx, vec_col="codes", sq8_ranges=(mins, maxs)
+    )
+    cents.write.mode("overwrite").parquet(f"{co_idx}/centroids.parquet")
+    assert ANN.detect_refine_codec(spark, co_idx) == "codes_only"
+    with pytest.raises(ValueError, match="codes only"):
+        hybrid_search_from_disk(spark, co_idx, bm_idx, q, k=3)

@@ -128,3 +128,13 @@ def test_chunk_documents_invariants(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_chunk_documents_literal_separator(spark):
+    """sep is a LITERAL, not a regex: '.' must split on dots."""
+    from big_ann_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a.b.c.d.e")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=3, overlap=1, sep=".").collect()
+    out.sort(key=lambda r: r["chunk_index"])
+    assert [r["chunk_text"] for r in out] == ["a.b.c", "c.d.e"]

@@ -364,3 +364,12 @@ def test_cli_prep_chunk(spark, tmp_path, corpus):
     got = spark.read.parquet(f"{dst}/docs.parquet")
     assert {"doc_id", "parent_doc_id", "chunk_index", "text"} <= set(got.columns)
     assert got.count() > corpus.count()  # long docs yield several chunks
+
+
+def test_chunk_step_tolerates_pretokenized_columns(spark, corpus):
+    """A corpus that already ships an n_tokens column must not produce
+    ambiguous duplicate columns after the chunk join."""
+    pre = corpus.withColumn("n_tokens", F.size(F.split("text", " ")))
+    out, _, _ = prep_corpus(pre, ["chunk"], chunk_tokens=24, chunk_overlap=8)
+    assert out.columns.count("n_tokens") == 1
+    assert out.count() > corpus.count()

@@ -290,3 +290,51 @@ def test_cli_warc_index_split_roundtrip(spark, sf_dir, tmp_path):
         .filter(F.col("text") != F.col("t0"))
     )
     assert joined.count() == 0
+
+
+def test_cdx_noncontiguous_prefilter_reads_only_selected(spark, sf_dir, tmp_path):
+    """A pre-filtered cdx with NON-ADJACENT members must return exactly
+    the selected records — only adjacent members may merge into one
+    read; the bytes between selections are never read or parsed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    tagged = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("url"), "text"
+    )
+    for gz in (True, False):
+        dst = str(tmp_path / ("g" if gz else "p"))
+        W.write_warc(tagged, dst, uri_col="url", gzip_records=gz, files=1)
+        cdx = W.build_cdx(spark, dst)
+        picked = cdx.filter(
+            F.col("target_uri").isin("urn:doc:3", "urn:doc:7", "urn:doc:19")
+        )
+        got = sorted(
+            r["target_uri"] for r in W.read_warc_split(spark, picked).collect()
+        )
+        assert got == ["urn:doc:19", "urn:doc:3", "urn:doc:7"]
+
+
+def test_streaming_member_walk_equals_buffered(tmp_path):
+    """_iter_gzip_members_from (the O(record)-memory path build_cdx
+    streams multi-GB files through) must yield identical
+    (offset, length, bytes) as the buffered walk — including members
+    whose compressed size spans several read chunks."""
+    import random
+
+    payloads = [random.Random(i).randbytes(3 << 20) for i in range(2)] + [b"t"]
+    blob = b"".join(
+        gzip.compress(W.warc_record_bytes(p), mtime=0) for p in payloads
+    )
+    f = tmp_path / "x.warc.gz"
+    f.write_bytes(blob)
+    with open(f, "rb") as fh:
+        streamed = list(W._iter_gzip_members_from(fh))
+    buffered = list(W._iter_gzip_members(blob))
+    assert streamed == buffered and len(streamed) == 3
+    with open(f, "rb") as fh:
+        fh.truncate  # noqa: B018
+    with open(f, "rb") as fh:
+        data = fh.read()[:-15]
+    f.write_bytes(data)
+    with open(f, "rb") as fh:
+        with pytest.raises(ValueError, match="truncated gzip member"):
+            list(W._iter_gzip_members_from(fh))
