@@ -146,11 +146,15 @@ def _build_parser() -> argparse.ArgumentParser:
     it.add_argument("--vec-col", default="embedding")
     it.add_argument("--tag-buckets", type=int, default=64)
     it.add_argument(
-        "--carry-payload", action="store_true",
+        "--carry-payload", action=argparse.BooleanOptionalAction, default=True,
         help="store each posting's vector + tag set (space = ~tags/doc "
         "x corpus bytes) so filtered-search is posting-local: query IO "
         "= the rarest tag's posting list alone, corpus-independent; "
-        "vector upserts must then carry --tags-col",
+        "vector upserts must then carry --tags-col. DEFAULT (the only "
+        "mode measured corpus-independent, SCALE.md); "
+        "--no-carry-payload opts into the point-fetch layout (smaller "
+        "on disk, vector-only upserts allowed, but the verify scan is "
+        "measured corpus-BOUND once candidates scatter across shards)",
     )
 
     fs = sub.add_parser(

@@ -629,7 +629,7 @@ def write_tag_postings_layout(
     tags_col: str = "tags",
     vec_col: str = "embedding",
     n_tag_buckets: int = 64,
-    carry_payload: bool = False,
+    carry_payload: bool = True,
 ) -> None:
     """Persist the filtered-track serving artifacts next to a
     ``write_sharded`` layout (big-ann "filtered" track, from disk):
@@ -646,22 +646,27 @@ def write_tag_postings_layout(
       side table the containment verify point-fetches (bounded id In,
       row-group skipping — the refine-rerank pattern applied to tags).
 
-    ``carry_payload=True`` additionally stores each posting row's
-    FULL payload — ``_bvec`` (the vector) and ``_btags`` (the tag
-    set) — making the query entirely POSTING-LOCAL: distance and
-    containment are computed on the rows the rarest-tag scan already
-    read, no candidate point-fetch at all. This is the space-time
-    trade of Filtered-DiskANN's label-carrying records / a search
-    engine's doc values: storage ≈ (avg tags per doc) × corpus vector
-    bytes, query IO = the rarest tag's posting list ALONE — measured
-    corpus-INDEPENDENT, where the point-fetch plan degrades into a
+    ``carry_payload=True`` (the DEFAULT — it is the only mode whose
+    serving cost is measured corpus-independent) additionally stores
+    each posting row's FULL payload — ``_bvec`` (the vector) and
+    ``_btags`` (the tag set) — making the query entirely
+    POSTING-LOCAL: distance and containment are computed on the rows
+    the rarest-tag scan already read, no candidate point-fetch at all.
+    This is the space-time trade of Filtered-DiskANN's label-carrying
+    records / a search engine's doc values: storage ≈ (avg tags per
+    doc) × corpus vector bytes, query IO = the rarest tag's posting
+    list ALONE — measured corpus-INDEPENDENT across three decades
+    (tools/measure_filtered_mut.py / SCALE.md: 1.07→1.43→2.7 s at
+    200k→2M→20M), where the point-fetch plan degrades into a
     corpus-wide embedding-column scan once candidates scatter across
-    shards (tools/measure_filtered_mut.py: 20-query verify wall grew
-    4.3 s → 33.8 s from 200k → 2M without payloads; near-flat with).
+    shards (5.3 s → 22.6 s over one decade on the same query).
     Mutations on a payload layout require vectors and tags in the SAME
     op (``upsert_vectors(..., tags_col=...)``) — enforced, because a
     vector change without its postings would leave stale payloads
-    serving wrong distances.
+    serving wrong distances. Pass ``carry_payload=False`` only when
+    that coupling is unacceptable and the corpus is small or the tags
+    shard-clustered (the point-fetch caveats in
+    :func:`filtered_search_from_disk`).
 
     ``tagged``: ``(id_col, tags_col)`` rows for every vector in the
     layout; shard ids (and payload vectors) come from the layout
@@ -789,7 +794,7 @@ def filtered_search_from_disk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    max_id_pushdown: int = 100_000,
+    max_id_pushdown: int = 1024,
     as_of: int | None = None,
 ) -> DataFrame:
     """Tag-containment filtered kNN SERVED from a persisted layout
@@ -805,14 +810,21 @@ def filtered_search_from_disk(
       pruned scan already read, so query IO is the rarest tag's
       posting list alone. Measured corpus-INDEPENDENT
       (tools/measure_filtered_mut.py: 1.1 s at 200k, 1.4 s at 2M).
-    - point-fetch layouts: candidate vectors and tag sets are fetched
-      by id from the shard layout and the id-sorted tags table.
-      HONEST caveat, by measurement: when candidates scatter across
-      shards (uniformly distributed tags do), the fetch degrades into
-      a corpus-wide embedding-column scan — 5.3 s at 200k but 22.6 s
-      at 2M on the same query. Fine for small/medium layouts or
-      shard-clustered tags; build with ``carry_payload=True`` when
-      the corpus outgrows it.
+    - point-fetch layouts (opt-in via ``carry_payload=False``):
+      candidate vectors and tag sets are fetched by id from the shard
+      layout and the id-sorted tags table. The candidate-id set is
+      COUNT-GATED before anything reaches the driver: only when the
+      distinct count is ≤ ``max_id_pushdown`` (default at the measured
+      ~1k ``isin`` threshold, SCALE.md) are the ids collected and
+      pushed as literal filters for row-group skipping; a wider set is
+      verified purely by the distributed joins — no driver collect of
+      candidate ids ever happens above the cap. HONEST caveat, by
+      measurement: when candidates scatter across shards (uniformly
+      distributed tags do), the fetch degrades into a corpus-wide
+      embedding-column scan — 5.3 s at 200k but 22.6 s at 2M on the
+      same query. Fine for small/medium layouts or shard-clustered
+      tags; build with ``carry_payload=True`` (the default) when the
+      corpus outgrows it.
 
     MUTATED layouts (vector_ops/tag_ops) are served exactly: the
     vector fetch is the live probed view, the containment verify uses
@@ -872,23 +884,42 @@ def filtered_search_from_disk(
     cand = _filtered_candidates(
         spark, q, path, as_of=as_of, uncommitted=uncommitted
     ).localCheckpoint()
-    cand_ids = [
-        r["neighbor_id"] for r in cand.select("neighbor_id").distinct().collect()
-    ]
+    # COUNT-GATE before any id reaches the driver: one aggregate row
+    # decides the plan. Only a ≤ max_id_pushdown set is collected (for
+    # literal In pushdown / row-group skipping on the id-sorted tags
+    # table); a wider candidate set — df_rarest can be 10⁶–10⁸ at
+    # 100 TB — is verified entirely by the distributed joins below,
+    # never a driver collect.
+    n_cand = cand.select(
+        F.countDistinct("neighbor_id").alias("n")
+    ).collect()[0]["n"]
+    bounded = (
+        [r["neighbor_id"] for r in cand.select("neighbor_id").distinct().collect()]
+        if n_cand <= max_id_pushdown
+        else None
+    )
+    # shard ids: bounded by the layout's shard count m, always tiny
     shard_ids = [
         r["shard_id"] for r in cand.select("shard_id").distinct().collect()
     ]
     base_vecs = open_probed_shards(spark, path, shard_ids)
+    # probe_ids=None on the live view: the BASE scan stays pruned to
+    # the posting shards (exact — an id whose live row is still in the
+    # base has accurate posting shards by construction), but the
+    # op-sized RESOLVED side must not be shard-filtered: a vector-only
+    # upsert (legal on point-fetch layouts) may have MOVED an id to a
+    # shard its stale posting doesn't name, and filtering resolved
+    # rows by the posting-derived probe set would silently drop that
+    # live qualifying neighbor from the verify.
     vecs = vector_ops.live_probed_view(
-        spark, path, base_vecs, shard_ids,
+        spark, path, base_vecs, None,
         as_of=as_of, id_col=id_col, vec_col=vec_col,
     ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_bvec"))
-    bounded = cand_ids if len(cand_ids) <= max_id_pushdown else None
     btags = tag_ops.live_tags_view(
         spark, path, as_of=as_of, uncommitted=uncommitted, bounded_ids=bounded
     )
     if bounded is not None:
-        vecs = vecs.filter(F.col("neighbor_id").isin(cand_ids))
+        vecs = vecs.filter(F.col("neighbor_id").isin(bounded))
     verified = (
         # distinct: a re-tagged id carries postings for the SAME tag
         # under two _mb partitions — without dedup the pair would be

@@ -207,23 +207,39 @@ def chunk_documents(
             "int"
         ),
     )
-    exploded = docs.select(
-        F.col(id_col),
-        toks.alias("_toks"),
-        n.alias("_n"),
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
-    ).withColumn("_start", F.col("chunk_index") * stride)
+    # Build the per-chunk structs INSIDE a transform and explode the
+    # struct array — each output row then carries only its own chunk
+    # text. (The first cut exploded chunk_index while carrying the full
+    # _toks array, so the generator copied the whole token array once
+    # per chunk row: O(n_chunks × doc_len) intermediate bytes per
+    # document, ~10× amplification at default sizes.) The one-element
+    # outer transform binds the token array / counts as lambda
+    # variables so the split is computed ONCE per document, not once
+    # per chunk (the r6 HOF-inlining lesson, SCALE.md "Measured
+    # pitfalls").
+    chunks = F.transform(
+        F.array(F.struct(toks.alias("t"), n.alias("n"), n_chunks.alias("c"))),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), s["c"] - 1),
+            lambda i: F.struct(
+                i.alias("chunk_index"),
+                F.array_join(
+                    F.slice(s["t"], i * F.lit(stride) + 1, F.lit(chunk_tokens)),
+                    sep,
+                ).alias("chunk_text"),
+                F.least(
+                    F.lit(chunk_tokens), s["n"] - i * F.lit(stride)
+                ).alias("n_tokens"),
+            ),
+        ),
+    )[0]
+    exploded = docs.select(F.col(id_col), F.explode(chunks).alias("_c"))
     return exploded.select(
         id_col,
-        "chunk_index",
+        F.col("_c.chunk_index").alias("chunk_index"),
         F.pmod(
-            F.xxhash64(F.col(id_col), F.col("chunk_index")), F.lit(1 << 62)
+            F.xxhash64(F.col(id_col), F.col("_c.chunk_index")), F.lit(1 << 62)
         ).alias("chunk_id"),
-        F.array_join(
-            F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(chunk_tokens)),
-            sep,
-        ).alias("chunk_text"),
-        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start")).alias(
-            "n_tokens"
-        ),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
     )

@@ -403,14 +403,18 @@ def build_cdx(spark, path: str) -> DataFrame:
                 "warc_type", "target_uri", "record_id",
             )}
             def emit(p, off, ln, recs):
-                first = recs[0]
+                # a member may legally decompress to ZERO WARC records
+                # (an empty gzip member is valid gzip) — index it with
+                # n_records=0 so its offsets stay addressable instead
+                # of crashing the task on recs[0]
+                first = recs[0] if recs else None
                 out["file"].append(p)
                 out["offset"].append(off)
                 out["length"].append(ln)
                 out["n_records"].append(len(recs))
-                out["warc_type"].append(first.warc_type)
-                out["target_uri"].append(first.target_uri)
-                out["record_id"].append(first.record_id)
+                out["warc_type"].append(first.warc_type if first else None)
+                out["target_uri"].append(first.target_uri if first else None)
+                out["record_id"].append(first.record_id if first else None)
 
             for p in rb.column("path").to_pylist():
                 lp = _local_path(p)
@@ -565,7 +569,12 @@ def read_warc_split(
     # partition count: the split table is a few KB, so a plain
     # column repartition gets AQE-coalesced into ONE partition and the
     # whole point of splitting is lost (measured: 15 splits → 1 task).
-    # One split per partition; the count is a tiny-driver-side job.
+    # One split per partition. Pin the tiny split table FIRST: when
+    # ``cdx`` arrives as an unpersisted DataFrame (e.g. the build_cdx
+    # result), the explicit count below would otherwise re-run the
+    # entire index lineage — a second full parse of every WARC file —
+    # before the real read even starts.
+    splits = splits.localCheckpoint()
     n_splits = max(1, splits.count())
     return splits.repartition(n_splits, "file", "_split").mapInArrow(
         run,

@@ -40,8 +40,12 @@ def _tagged_layout(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="big_ann_ftag_") + "/layout"
     SH.write_sharded(assign.drop("tags"), tagged, path)
     cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    # carry_payload=False PINNED: this fixture is the point-fetch
+    # serving mode's equality coverage (the payload default has its
+    # own plan + equality tests below)
     ANN.write_tag_postings_layout(
-        tagged.select("vec_id", "tags"), path, n_tag_buckets=16
+        tagged.select("vec_id", "tags"), path, n_tag_buckets=16,
+        carry_payload=False,
     )
     got = (tagged, path)
     _CACHE[sf_dir] = got
@@ -74,6 +78,18 @@ def test_filtered_from_disk_equals_in_memory(spark, sf_dir):
     a = sorted(map(tuple, got.select("qid", "neighbor_id", "dist", "rank").collect()))
     b = sorted(map(tuple, want.select("qid", "neighbor_id", "dist", "rank").collect()))
     assert a == b and len(a) == 18
+
+
+def test_filtered_from_disk_wide_candidates_no_id_collect(spark, sf_dir):
+    """Past the count gate (max_id_pushdown=0 forces it) the verify
+    runs purely on distributed joins — results must equal the bounded
+    plan's exactly. The count gate itself is structural: candidate ids
+    are only ever collected under the cap (ann.py), so this path is
+    what a df_rarest ~ 10⁶ layout takes."""
+    tagged, path = _tagged_layout(spark, sf_dir)
+    queries = _queries(tagged)
+    got = ANN.filtered_search_from_disk(queries, path, k=3, max_id_pushdown=0)
+    _cmp(got, _filtered_want(queries, tagged))
 
 
 def test_filtered_from_disk_prunes_posting_buckets(spark, sf_dir):
@@ -255,6 +271,55 @@ def test_tag_mutations_runbook_equals_in_memory(spark, sf_dir, tmp_path, carry):
         ANN.filtered_search_from_disk(retag_q, path, k=3),
         _filtered_want(retag_q, live_tagged(None)),
     )
+
+
+def test_vector_only_upsert_across_shards_stays_served(spark, tmp_path):
+    """ADVICE r11 (high): on a point-fetch layout, a vector-ONLY
+    upsert (legal — only payload layouts couple vectors to tags) may
+    MOVE an id to a shard its stale posting doesn't name. The filtered
+    verify must still serve the id, with the moved vector's distance:
+    the live view's resolved side must never be filtered by the
+    posting-derived probe set."""
+    from big_ann_spark.operators import vector_ops as VO
+
+    rows = [
+        (0, [0.0, 0.0], ["t:common", "t:all"]),
+        (1, [0.1, 0.0], ["t:rare", "t:all"]),  # sole holder of t:rare
+        (2, [0.2, 0.0], ["t:common", "t:all"]),
+        (3, [0.3, 0.0], ["t:common", "t:all"]),
+        (4, [10.0, 10.0], ["t:common", "t:all"]),
+        (5, [10.1, 10.0], ["t:common", "t:all"]),
+        (6, [10.2, 10.0], ["t:common", "t:all"]),
+        (7, [10.3, 10.0], ["t:common", "t:all"]),
+    ]
+    tagged = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, tags array<string>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "shard_id int, centroid array<double>",
+    )
+    assign = SH.assign_to_centroids(tagged, cents, extra_cols=["embedding"])
+    path = str(tmp_path / "layout")
+    SH.write_sharded(assign, tagged, path)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    ANN.write_tag_postings_layout(
+        tagged.select("vec_id", "tags"), path, n_tag_buckets=4,
+        carry_payload=False,
+    )
+    # the upsert re-assigns id 1 to shard 1; its t:rare posting still
+    # records shard 0, so the probed base set is {0} only
+    moved = spark.createDataFrame(
+        [(1, [10.0, 10.0])], "vec_id long, embedding array<float>"
+    )
+    assert VO.upsert_vectors(spark, path, moved) == 0
+    q = spark.createDataFrame(
+        [(100, [10.0, 10.0], ["t:rare"])],
+        "qid long, qvec array<float>, qtags array<string>",
+    )
+    got = ANN.filtered_search_from_disk(q, path, k=3).collect()
+    assert [(r["qid"], r["neighbor_id"]) for r in got] == [(100, 1)]
+    assert abs(got[0]["dist"]) < 1e-9  # the MOVED vector's distance
 
 
 def test_tag_op_crash_window_and_replay(spark, sf_dir, tmp_path, monkeypatch):
@@ -451,8 +516,8 @@ def test_cli_tag_mutation_lifecycle(spark, sf_dir, tmp_path, carry):
     idx = str(tmp_path / "idx")
     assert main(["build-index", base_src, idx, "--m", "4"]) == 0
     tag_args = ["index-tags", idx, base_src, "--tag-buckets", "8"]
-    if carry:
-        tag_args.append("--carry-payload")
+    # carry_payload is the CLI default now; point-fetch is the opt-out
+    tag_args.append("--carry-payload" if carry else "--no-carry-payload")
     assert main(tag_args) == 0
     assert main(["index-upsert", idx, new_src, "--tags-col", "tags"]) == 0
     assert main(["retag", idx, retag_src]) == 0

@@ -247,6 +247,41 @@ def test_cdx_split_read_equals_file_read(spark, sf_dir, tmp_path):
         assert n_splits > 2
 
 
+def test_cdx_indexes_empty_gzip_members(spark, sf_dir, tmp_path):
+    """An empty gzip member (legal gzip, zero WARC records) must be
+    INDEXED (n_records=0, NULL headers) rather than crash the task —
+    and the cdx-driven read must still serve every real record."""
+    import glob
+    import gzip
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(6)
+    tagged = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("url"), "text"
+    )
+    dst = str(tmp_path / "gz")
+    W.write_warc(tagged, dst, uri_col="url", gzip_records=True, files=1)
+    f = sorted(glob.glob(os.path.join(dst, "*.warc.gz")))[0]
+    with open(f, "rb") as fh:
+        data = fh.read()
+    empty = gzip.compress(b"")
+    # splice an empty member into the middle AND append one at the end
+    mid = next(off for off, _, _ in W._iter_gzip_members(data) if off > 0)
+    with open(f, "wb") as fh:
+        fh.write(data[:mid] + empty + data[mid:] + empty)
+    cdx = W.build_cdx(spark, dst).localCheckpoint()
+    rows = cdx.collect()
+    assert len(rows) == 8
+    empties = [r for r in rows if r["n_records"] == 0]
+    assert len(empties) == 2
+    assert all(r["warc_type"] is None and r["target_uri"] is None for r in empties)
+    got = {
+        r["target_uri"]
+        for r in W.read_warc_split(spark, cdx, split_bytes=2048).collect()
+    }
+    assert got == {f"urn:doc:{r['doc_id']}" for r in docs.collect()}
+
+
 def test_cdx_prefiltered_point_lookup(spark, sf_dir, tmp_path):
     """A pre-filtered cdx reads ONLY the matching members — the
     Common Crawl index-server point-lookup pattern."""

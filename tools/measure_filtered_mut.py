@@ -136,6 +136,7 @@ def main() -> None:
             emb.select("vec_id", _tags_col().alias("tags")),
             pristine,
             n_tag_buckets=64,
+            carry_payload=False,  # the point-fetch twin under measurement
         )
         t2 = time.perf_counter()
         print(f"build tag artifacts: {t2-t1:.1f}s")
