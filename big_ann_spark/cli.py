@@ -28,6 +28,34 @@ import argparse
 import sys
 
 
+def _add_compact_above(p) -> None:
+    p.add_argument(
+        "--compact-above", type=int, default=None, metavar="N",
+        help="auto-compaction policy: after this op commits, if the "
+        "layout's contested-id count exceeds N, fold every op into a "
+        "fresh pristine base IN PLACE (write-new-then-swap). The "
+        "contested set is broadcast on EVERY search (measured "
+        "+6.5 s/search at 1.58M uncompacted ids, SCALE.md) — this knob "
+        "bounds that cost at the mutation site",
+    )
+
+
+def _maybe_autocompact(spark, index: str, above: int | None) -> None:
+    if above is None:
+        return
+    from big_ann_spark.operators import vector_ops as VO
+
+    n = VO.contested_count(spark, index)
+    if n > above:
+        n_ops = VO.compact_in_place(spark, index)
+        print(
+            f"auto-compact: {n} contested ids > --compact-above {above}; "
+            f"folded {n_ops} ops in place at {index}"
+        )
+    else:
+        print(f"contested ids: {n} (<= --compact-above {above}, no compaction)")
+
+
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="big_ann_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -102,13 +130,31 @@ def _build_parser() -> argparse.ArgumentParser:
     bg.add_argument("--iterations", type=int, default=3)
     bg.add_argument("--id-col", default="vec_id")
     bg.add_argument("--vec-col", default="embedding")
+    bg.add_argument(
+        "--serving-layout", action="store_true",
+        help="also persist the GRAPH SERVING TIER (node records with "
+        "vector + adjacency in one row, bucketed by node hash) so "
+        "graph-search runs from disk with partition-pruned record "
+        "fetches — the on-disk-HNSW analog; no base table needed at "
+        "query time",
+    )
+    bg.add_argument(
+        "--graph-buckets", type=int, default=64,
+        help="node-hash partition count of the serving layout",
+    )
 
     g = sub.add_parser(
-        "graph-search", help="batch beam search over a built kNN graph"
+        "graph-search", help="batch beam search over a built kNN graph "
+        "(a --serving-layout dir is served from disk, pruned; a plain "
+        "edges dir needs the base vector table)"
     )
     g.add_argument("graph", help="dir produced by build-graph")
-    g.add_argument("base", help="parquet vector table the graph indexes")
     g.add_argument("queries", help="parquet with (id, vector) query columns")
+    g.add_argument(
+        "--base", default=None,
+        help="parquet vector table the graph indexes (only for a "
+        "plain edges dir — a serving layout carries its vectors)",
+    )
     g.add_argument("--k", type=int, default=10)
     g.add_argument("--beam", type=int, default=24)
     g.add_argument("--hops", type=int, default=6)
@@ -190,6 +236,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "--op-id", type=int, default=None,
         help="replay a specific op id (crash recovery); default: auto",
     )
+    _add_compact_above(rt)
 
     hs = sub.add_parser(
         "hybrid-search",
@@ -237,6 +284,7 @@ def _build_parser() -> argparse.ArgumentParser:
         help="land this tag-array column as the SAME op (index-tags "
         "artifacts required; vectors + tags become visible atomically)",
     )
+    _add_compact_above(iu)
 
     idl = sub.add_parser(
         "index-delete",
@@ -253,6 +301,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "--ids", default=None, help="comma-separated id list (instead of src)"
     )
     idl.add_argument("--op-id", type=int, default=None)
+    _add_compact_above(idl)
 
     ic = sub.add_parser(
         "index-compact",
@@ -835,20 +884,44 @@ def main(argv: list[str] | None = None) -> int:
         )
         g.write.mode("overwrite").parquet(f"{args.dst}/edges.parquet")
         print(f"{g.count()} edges (k={args.k}) -> {args.dst}")
+        if args.serving_layout:
+            g_written = spark.read.parquet(f"{args.dst}/edges.parquet")
+            ANN.write_knn_graph_layout(
+                g_written, vecs, args.dst,
+                id_col=args.id_col, vec_col=args.vec_col,
+                n_graph_buckets=args.graph_buckets,
+            )
+            print(
+                f"serving layout ({args.graph_buckets} buckets) -> {args.dst}"
+            )
         return 0
 
     if args.cmd == "graph-search":
         from big_ann_spark.operators import ann as ANN
+        from big_ann_spark.operators import oplayout
 
-        g = spark.read.parquet(f"{args.graph}/edges.parquet")
-        base = spark.read.parquet(args.base)
         q = spark.read.parquet(args.queries).select(
             F.col(args.id_col).alias("qid"), F.col(args.vec_col).alias("qvec")
         )
-        out = ANN.knn_graph_search(
-            q, g, base, k=args.k, beam=args.beam, hops=args.hops,
-            n_entry=args.n_entry, id_col=args.id_col, vec_col=args.vec_col,
-        )
+        if oplayout.path_exists(spark, f"{args.graph}/graph.parquet"):
+            out = ANN.knn_graph_search_from_disk(
+                q, args.graph, k=args.k, beam=args.beam, hops=args.hops,
+                n_entry=args.n_entry,
+            )
+        else:
+            if args.base is None:
+                print(
+                    "graph-search: a plain edges dir needs the base vector "
+                    "table (or rebuild with --serving-layout)",
+                    file=sys.stderr,
+                )
+                return 2
+            g = spark.read.parquet(f"{args.graph}/edges.parquet")
+            base = spark.read.parquet(args.base)
+            out = ANN.knn_graph_search(
+                q, g, base, k=args.k, beam=args.beam, hops=args.hops,
+                n_entry=args.n_entry, id_col=args.id_col, vec_col=args.vec_col,
+            )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             # count the WRITTEN parquet — re-counting `out` would
@@ -991,6 +1064,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         n = tagged.select(args.id_col).distinct().count()
         print(f"op {op}: retagged {n} ids in {args.index}")
+        _maybe_autocompact(spark, args.index, args.compact_above)
         return 0
 
     if args.cmd == "index-upsert":
@@ -1008,6 +1082,7 @@ def main(argv: list[str] | None = None) -> int:
         n = vecs.select(args.id_col).distinct().count()
         tagnote = " (+tags)" if args.tags_col else ""
         print(f"op {op}: upserted {n} vectors{tagnote} into {args.index}")
+        _maybe_autocompact(spark, args.index, args.compact_above)
         return 0
 
     if args.cmd == "index-delete":
@@ -1024,6 +1099,7 @@ def main(argv: list[str] | None = None) -> int:
             n = ids.select(ids.columns[0]).distinct().count()
         op = VO.delete_vectors(spark, args.index, ids, op_id=args.op_id)
         print(f"op {op}: tombstoned {n} vector ids in {args.index}")
+        _maybe_autocompact(spark, args.index, args.compact_above)
         return 0
 
     if args.cmd == "index-compact":

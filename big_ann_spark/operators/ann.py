@@ -1525,3 +1525,230 @@ def knn_graph_search(
         [F.col("dist").asc(), F.col("neighbor_id").asc()],
         k,
     )
+
+
+GRAPH_MAX_ENTRIES = 256
+
+
+def write_knn_graph_layout(
+    graph: DataFrame,
+    vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_graph_buckets: int = 64,
+) -> None:
+    """Persist a kNN graph (``nn_descent_knn_graph`` edges) as the
+    GRAPH SERVING TIER — the Spark analog of the reference's one
+    serving artifact, an on-disk HNSW per shard
+    (``src/util/utils.py:286-296``: hnswlib save/load,
+    ef_construction=200, M=16). Three artifacts under ``path``:
+
+    - ``graph.parquet`` — ONE ROW PER NODE: ``(node, _nvec,
+      neighbors array<long>)`` over the UNDIRECTED edge closure
+      (reverse edges folded in at build so the search never recomputes
+      them), partitioned by ``_gb = pmod(xxhash64(node),
+      n_graph_buckets)`` and id-sorted within each bucket — a hop's
+      record fetch prunes to its node ids' buckets and row-group-skips
+      inside them. The node's vector rides ON the adjacency row
+      (DiskANN's record layout): one fetch serves both expansion and
+      scoring, so per-hop IO is O(frontier · degree) records, corpus-
+      independent.
+    - ``graph_entries.parquet`` — the ``GRAPH_MAX_ENTRIES`` min-id
+      nodes WITH vectors (entry scoring is one tiny broadcast, no
+      graph scan).
+    - ``graph_meta.parquet`` — the bucket count (a layout constant the
+      query side must hash with).
+
+    Rebuild-only, like the reference's HNSW artifacts — mutations go
+    through the IVF op-ledger tiers; the graph tier is the low-IO
+    read-optimized serving shape."""
+    spark = graph.sparkSession
+    vt = vectors.select(
+        F.col(id_col).alias("node"), F.col(vec_col).alias("_nvec")
+    )
+    edges = graph.select("src", "dst").union(
+        graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    adj = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sort_array(F.collect_list("dst")).alias("neighbors")
+    )
+    records = (
+        # LEFT join from the vector table: an edgeless node (possible
+        # only on degenerate graphs) still gets a scorable record
+        vt.join(adj, "node", "left")
+        .withColumn(
+            "neighbors",
+            F.coalesce("neighbors", F.array().cast("array<long>")),
+        )
+        .withColumn(
+            "_gb", F.pmod(F.xxhash64("node"), F.lit(int(n_graph_buckets)))
+        )
+    )
+    (
+        records.repartition(int(n_graph_buckets), "_gb")
+        .sortWithinPartitions("node")
+        .write.partitionBy("_gb")
+        .mode("overwrite")
+        .parquet(f"{path}/graph.parquet")
+    )
+    (
+        vt.orderBy("node")
+        .limit(GRAPH_MAX_ENTRIES)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/graph_entries.parquet")
+    )
+    (
+        spark.createDataFrame(
+            [(int(n_graph_buckets),)], "n_graph_buckets int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/graph_meta.parquet")
+    )
+
+
+def _collect_ids_and_buckets(
+    ids_df: DataFrame, n_buckets: int, cap: int
+) -> tuple[list[int] | None, list[int] | None]:
+    """Count-gate a point-fetch id set (SCALE.md isin rule): ≤ ``cap``
+    distinct ids → collect them WITH their ``_gb`` buckets (the bucket
+    is computed by the same Spark xxhash64 the layout hashed with — no
+    driver-side hash mirror to drift); past the cap → (None, None),
+    the caller joins distributively."""
+    n = ids_df.count()
+    if n > cap:
+        return None, None
+    rows = ids_df.select(
+        "node", F.pmod(F.xxhash64("node"), F.lit(int(n_buckets))).alias("_gb")
+    ).collect()
+    return [r["node"] for r in rows], sorted({r["_gb"] for r in rows})
+
+
+def _fetch_graph_records(
+    spark,
+    path: str,
+    ids: list[int] | None,
+    tbs: list[int] | None,
+    cols: list[str],
+) -> DataFrame:
+    """Point-fetch node records. Bounded ids (the point-lookup
+    regime): static ``_gb`` partition filter + literal id ``In`` —
+    reads only the ids' buckets, row-group-skips on the sorted node
+    column. ``ids=None`` (the big-batch regime, where the bucket set
+    saturates at the layout constant anyway): one column-pruned scan
+    the caller joins against — amortized over the whole query batch."""
+    scan = spark.read.parquet(f"{path}/graph.parquet")
+    if ids is not None:
+        scan = scan.filter(F.col("_gb").isin([int(b) for b in tbs])).filter(
+            F.col("node").isin([int(i) for i in ids])
+        )
+    return scan.select(*cols)
+
+
+def knn_graph_search_from_disk(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    *,
+    beam: int = 24,
+    hops: int = 6,
+    n_entry: int = 64,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    dim: int | None = None,
+    max_id_pushdown: int = 1024,
+) -> DataFrame:
+    """``knn_graph_search`` served off a :func:`write_knn_graph_layout`
+    — identical hop algebra, identical results (equality-tested), but
+    every adjacency AND vector access is a pruned point-fetch of the
+    node-record table instead of an in-memory join: per hop the
+    frontier's records (vector + neighbor list in one row) are read
+    with ``_gb`` partition pruning and id row-group skipping, so a hop
+    costs O(frontier·degree) record reads no matter the corpus size —
+    the cold-start story the in-memory operator lacked (its adjacency
+    had to be rebuilt per session).
+
+    The frontier id set is COUNT-GATED like every point-fetch in the
+    repo (SCALE.md isin rule): ≤ ``max_id_pushdown`` ids push literal
+    filters; a wider frontier (large query batches — the bucket set
+    saturates at the layout constant anyway) switches to one
+    column-pruned scan per hop joined distributively, amortized over
+    the batch."""
+    spark = queries.sparkSession
+    n_buckets = int(
+        spark.read.parquet(f"{path}/graph_meta.parquet").collect()[0][
+            "n_graph_buckets"
+        ]
+    )
+    if n_entry > GRAPH_MAX_ENTRIES:
+        raise ValueError(
+            f"n_entry={n_entry} exceeds the layout's stored entry table "
+            f"({GRAPH_MAX_ENTRIES}) — rebuild with a bigger "
+            "GRAPH_MAX_ENTRIES or lower n_entry"
+        )
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("_qv")
+    ).localCheckpoint()
+    entries = (
+        spark.read.parquet(f"{path}/graph_entries.parquet")
+        .orderBy("node")
+        .limit(n_entry)
+    )
+    order = [F.col("dist").asc(), F.col("node").asc()]
+
+    def _score_against(cand_with_vec: DataFrame) -> DataFrame:
+        return cand_with_vec.join(F.broadcast(q), "qid").select(
+            "qid", "node", l2_distance("_qv", "_nvec", dim).alias("dist")
+        )
+
+    scored = _score_against(
+        q.select("qid").crossJoin(F.broadcast(entries.select("node", "_nvec")))
+    ).localCheckpoint()
+    expanded = scored.select("qid", "node").filter(F.lit(False)).localCheckpoint()
+    for _ in range(hops):
+        frontier = top_k_per_group(
+            scored.join(expanded, ["qid", "node"], "left_anti"),
+            ["qid"], order, beam,
+        ).drop("rank").localCheckpoint()
+        expanded = expanded.union(frontier.select("qid", "node")).localCheckpoint()
+        f_ids_df = frontier.select("node").distinct()
+        f_ids, f_tbs = _collect_ids_and_buckets(
+            f_ids_df, n_buckets, max_id_pushdown
+        )
+        recs = _fetch_graph_records(
+            spark, path, f_ids, f_tbs, ["node", "neighbors"]
+        )
+        if f_ids is None:
+            recs = recs.join(F.broadcast(f_ids_df), "node", "left_semi")
+        nbrs = (
+            frontier.select("qid", "node")
+            .join(recs, "node")
+            .select("qid", F.explode("neighbors").alias("node"))
+            .distinct()
+        )
+        fresh = nbrs.join(
+            scored.select("qid", "node"), ["qid", "node"], "left_anti"
+        ).localCheckpoint()
+        c_ids_df = fresh.select("node").distinct().localCheckpoint()
+        if not c_ids_df.head(1):
+            continue
+        c_ids, c_tbs = _collect_ids_and_buckets(
+            c_ids_df, n_buckets, max_id_pushdown
+        )
+        cvecs = _fetch_graph_records(
+            spark, path, c_ids, c_tbs, ["node", "_nvec"]
+        )
+        if c_ids is None:
+            cvecs = cvecs.join(F.broadcast(c_ids_df), "node", "left_semi")
+        scored = scored.union(
+            _score_against(fresh.join(cvecs, "node"))
+        ).localCheckpoint()
+    return top_k_per_group(
+        scored.withColumnRenamed("node", "neighbor_id"),
+        ["qid"],
+        [F.col("dist").asc(), F.col("neighbor_id").asc()],
+        k,
+    )

@@ -693,8 +693,11 @@ def _land_op_locked(
     tombstones: DataFrame | None,
     op_id: int | None,
 ) -> int:
-    if op_id is None:
-        op_id = _next_op_id(spark, path)
+    # create-marker-first allocation: atomic claim before any purge
+    op_id = oplayout.claim_op_id(
+        spark, path, _op_ids_on_disk(spark, path), _committed_ops(spark, path),
+        op_id=op_id,
+    )
     if int(op_id) not in _committed_ops(spark, path):
         # landing at a fresh or crashed id: clear any prior attempt's
         # partitions first (a committed id is a deliberate replay of

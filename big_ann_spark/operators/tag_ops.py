@@ -254,7 +254,14 @@ def latest_op_of_contested(
         .agg(F.max("_mb").alias("_latest"))
         .localCheckpoint()
     )
-    return latest if latest.head(1) else None
+    n_contested = latest.count()
+    if n_contested == 0:
+        return None
+    # this broadcast IS the payload layout's per-search mutation cost
+    # (the 20M campaign's +6.5 s at 1.58M uncompacted ids) — warn when
+    # it outgrows the threshold instead of paying it silently
+    oplayout.warn_contested_size(n_contested, path, "latest_op_of_contested")
+    return latest
 
 
 def live_rows_of(spark, path: str, ids: list, cols: list[str]) -> DataFrame:
@@ -412,10 +419,12 @@ def upsert_tags(
                 "in the layout — upsert the vectors first (or in the same "
                 "op via upsert_vectors(..., tags_col=...))"
             )
-        if op_id is None:
-            op_id = oplayout.next_op_id(
-                VO._ops_on_disk(spark, path), oplayout.committed_ops(spark, path)
-            )
+        # create-marker-first allocation: atomic claim before any purge
+        op_id = oplayout.claim_op_id(
+            spark, path,
+            VO._ops_on_disk(spark, path), oplayout.committed_ops(spark, path),
+            op_id=op_id,
+        )
         if int(op_id) not in oplayout.committed_ops(spark, path):
             # purge ALL op families at this id, not just the tag dirs:
             # a crashed COMBINED/vector op being reclaimed by this

@@ -112,10 +112,14 @@ def _land_vector_op(
     ``ConcurrentWriterError`` instead of purging this op's in-flight
     partitions."""
     with oplayout.writer_lock(spark, path, owner="vector_ops"):
-        if op_id is None:
-            op_id = oplayout.next_op_id(
-                _ops_on_disk(spark, path), oplayout.committed_ops(spark, path)
-            )
+        # create-marker-first: the id claim is atomic and happens
+        # BEFORE any purge — a same-id allocation race loses here,
+        # having touched nothing (oplayout.claim_op_id)
+        op_id = oplayout.claim_op_id(
+            spark, path,
+            _ops_on_disk(spark, path), oplayout.committed_ops(spark, path),
+            op_id=op_id,
+        )
         if int(op_id) not in oplayout.committed_ops(spark, path):
             oplayout.purge_op_dirs(spark, _all_op_dirs(path, int(op_id)))
         oplayout.write_op_partitions(
@@ -343,8 +347,13 @@ def mutation_state(
             F.struct(F.col("_mb"), rank.alias("_r")),
         ).alias("_w")
     ).localCheckpoint()
-    if not latest.head(1):
+    # the count is a metadata-cheap job on the checkpointed winners and
+    # doubles as the emptiness probe; past the threshold it surfaces
+    # the silent per-search broadcast cost as an actionable warning
+    n_contested = latest.count()
+    if n_contested == 0:
         return None
+    oplayout.warn_contested_size(n_contested, path, "mutation_state")
     resolved = latest.filter(F.col("_w.op") == OP_INSERT).select(
         "vec_id",
         *[F.col(f"_w.{c}").alias(c) for c in data_cols if c != "vec_id"],
@@ -507,4 +516,69 @@ def compact_vector_layout(
             n_tag_buckets=n_buckets,
             carry_payload=carry,
         )
+    return n_ops
+
+
+def contested_count(spark, path: str) -> int:
+    """Number of DISTINCT ids carrying uncompacted mutation state
+    across BOTH op families (vector ops ∪ tag deltas) — exactly the
+    row count of the per-search resolution broadcast, i.e. the number
+    the contested-set warning (oplayout.warn_contested_size) and the
+    CLI ``--compact-above`` policy act on. 0 for a pristine layout."""
+    from big_ann_spark.operators import tag_ops
+
+    if not (has_vector_ops(spark, path) or tag_ops.has_tag_ops(spark, path)):
+        return 0
+    unc = sorted(_ops_on_disk(spark, path) - oplayout.committed_ops(spark, path))
+    latest = tag_ops.latest_op_of_contested(spark, path, uncommitted=unc)
+    return 0 if latest is None else latest.count()
+
+
+def compact_in_place(
+    spark,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Write-new-then-swap compaction at the SAME path — the
+    ``--compact-above`` auto-policy's executor. Folds every committed
+    op into a pristine base at ``{path}.compacting`` (the plain
+    copy-on-write :func:`compact_vector_layout`, crash-safe: the live
+    layout is untouched while it runs), then swaps:
+    ``{path}`` → ``{path}.precompact``, ``{path}.compacting`` →
+    ``{path}``, delete ``{path}.precompact``. Returns ops folded.
+
+    CRASH RECOVERY (the swap is two renames, not atomic together): if
+    ``{path}`` is missing and ``{path}.compacting`` exists, rename the
+    latter into place (it is complete — the rename-out only happens
+    after the compaction finished); if both ``{path}.precompact`` and
+    ``{path}`` exist, the swap finished — delete the leftover. A fresh
+    run refuses to start while either sibling exists, naming this
+    recipe. SINGLE-WRITER like every mutation: don't run concurrently
+    with upserts."""
+    base = path.rstrip("/")
+    tmp, old = base + ".compacting", base + ".precompact"
+    for p in (tmp, old):
+        if oplayout.path_exists(spark, p):
+            raise ValueError(
+                f"{p} exists — a previous in-place compaction crashed "
+                "mid-swap; recover first (see compact_in_place docstring: "
+                "a complete .compacting renames into place, a leftover "
+                ".precompact next to a live layout is safe to delete)"
+            )
+    n_ops = compact_vector_layout(
+        spark, base, tmp, id_col=id_col, vec_col=vec_col
+    )
+    fs, jbase = oplayout.fs_path(spark, base)
+    _, jold = oplayout.fs_path(spark, old)
+    _, jtmp = oplayout.fs_path(spark, tmp)
+    if not fs.rename(jbase, jold):
+        raise IOError(f"compact_in_place: rename {base} -> {old} failed")
+    if not fs.rename(jtmp, jbase):
+        raise IOError(
+            f"compact_in_place: swap-in failed — restore by renaming "
+            f"{tmp} to {base} (the compacted layout is complete)"
+        )
+    fs.delete(jold, True)
     return n_ops

@@ -6,6 +6,7 @@ write + one partition-pruned read."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -103,7 +104,7 @@ def test_cli_build_graph_and_search(spark, sf_dir, tmp_path):
     assert main(["build-graph", src, gdir, "--k", "5"]) == 0
     out = str(tmp_path / "gres.parquet")
     assert main(
-        ["graph-search", gdir, src, src, "--k", "5", "--out", out]
+        ["graph-search", gdir, src, "--base", src, "--k", "5", "--out", out]
     ) == 0
     res = spark.read.parquet(out)
     n_q = load_table(spark, sf_dir, "embeddings").count()
@@ -113,6 +114,41 @@ def test_cli_build_graph_and_search(spark, sf_dir, tmp_path):
         F.min("dist").alias("md"),
     ).collect()
     assert all(r.mn == 1 and r.mx == 5 and r.md == 0.0 for r in ranks)
+    # a plain edges dir without --base is refused with guidance
+    assert main(["graph-search", gdir, src, "--k", "5"]) == 2
+
+
+def test_cli_graph_serving_layout_from_disk(spark, sf_dir, tmp_path):
+    """--serving-layout persists the graph TIER (node records: vector +
+    adjacency in one bucketed row — the on-disk-HNSW analog of
+    reference src/util/utils.py:286-296); graph-search then needs NO
+    base table and returns exactly what the edges+base path returns."""
+    from big_ann_spark.cli import main
+
+    gdir = str(tmp_path / "graph")
+    src = f"{sf_dir}/embeddings.parquet"
+    assert main(
+        ["build-graph", src, gdir, "--k", "5", "--serving-layout",
+         "--graph-buckets", "8"]
+    ) == 0
+    out_mem = str(tmp_path / "mem.parquet")
+    out_disk = str(tmp_path / "disk.parquet")
+    # force the edges+base path by pointing at a copy without graph.parquet
+    edges_only = str(tmp_path / "edges_only")
+    import shutil
+
+    os.makedirs(edges_only)
+    shutil.copytree(f"{gdir}/edges.parquet", f"{edges_only}/edges.parquet")
+    assert main(
+        ["graph-search", edges_only, src, "--base", src, "--k", "5",
+         "--out", out_mem]
+    ) == 0
+    assert main(["graph-search", gdir, src, "--k", "5", "--out", out_disk]) == 0
+    key = lambda p: sorted(
+        (r["qid"], r["neighbor_id"], round(r["dist"], 6), r["rank"])
+        for r in spark.read.parquet(p).collect()
+    )
+    assert key(out_disk) == key(out_mem) and len(key(out_disk)) > 0
 
 
 def test_cli_build_index_sq8_and_search(spark, sf_dir, tmp_path):

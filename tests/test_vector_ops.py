@@ -371,6 +371,121 @@ def test_writer_lock_released_on_failed_op(spark, sf_dir, monkeypatch):
     assert VO.upsert_vectors(spark, path, batch) == 0
 
 
+def test_contested_warning_and_inplace_compaction(spark, sf_dir, monkeypatch):
+    """VERDICT r11 #2 — the auto-compaction signal: past the contested
+    threshold every search WARNS (instead of silently paying the
+    per-search broadcast the 20M campaign measured at +6.5 s/1.58M
+    ids), contested_count reports the broadcast's row count, and
+    compact_in_place folds the ops at the SAME path — search results
+    unchanged, contested set reset, warning gone."""
+    import warnings as _w
+
+    emb, cents, path = _build_layout(spark, sf_dir)
+    VO.upsert_vectors(spark, path, emb.filter(F.col("vec_id") % 3 == 0))
+    VO.delete_vectors(spark, path, [2, 4])
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    live_pred = ~F.col("vec_id").isin([2, 4])
+    want = _rows(_expected(spark, emb, cents, live_pred, queries))
+    assert VO.contested_count(spark, path) > 0
+    monkeypatch.setattr(oplayout, "CONTESTED_WARN_ABOVE", 0)
+    with pytest.warns(UserWarning, match="contested ids"):
+        got = _rows(ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=3))
+    assert got == want
+    n_ops = VO.compact_in_place(spark, path)
+    assert n_ops == 2
+    assert VO.contested_count(spark, path) == 0
+    # same path, same answers, no warning — and no swap leftovers
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert _rows(
+            ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=3)
+        ) == want
+    assert not oplayout.path_exists(spark, path + ".compacting")
+    assert not oplayout.path_exists(spark, path + ".precompact")
+    # a leftover sibling from a crashed swap is refused loudly
+    fs, jp = oplayout.fs_path(spark, path + ".compacting")
+    fs.mkdirs(jp)
+    with pytest.raises(ValueError, match="crashed mid-swap"):
+        VO.compact_in_place(spark, path)
+
+
+def test_cli_compact_above_policy(spark, sf_dir, tmp_path):
+    """--compact-above on a mutation command: below the threshold the
+    layout keeps its ops; above it the CLI folds in place."""
+    from big_ann_spark.cli import main
+
+    emb, cents, path = _build_layout(spark, sf_dir)
+    batch = str(tmp_path / "batch.parquet")
+    emb.filter(F.col("vec_id") % 3 == 0).write.parquet(batch)
+    # far above: op lands, no compaction
+    assert main(["index-upsert", path, batch, "--compact-above", "10000000"]) == 0
+    assert VO.contested_count(spark, path) > 0
+    # zero: the very next mutation triggers the in-place fold
+    assert main(["index-delete", path, "--ids", "2,4", "--compact-above", "0"]) == 0
+    assert VO.contested_count(spark, path) == 0
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = _rows(ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=3))
+    assert got == _rows(
+        _expected(spark, emb, cents, ~F.col("vec_id").isin([2, 4]), queries)
+    )
+
+
+def test_claim_op_id_atomic_allocation(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #6 — create-marker-first allocation: two writers
+    that computed the SAME allocation decision serialize on ONE atomic
+    create; the loser raises having touched nothing. Crash takeover
+    claims the next generation; commit clears the id's claims."""
+    path = str(tmp_path / "layout")
+    # freeze the claim listing — the deterministic form of two writers
+    # listing the ledger at the same instant
+    monkeypatch.setattr(oplayout, "claimed_op_ids", lambda s, p: {})
+    assert oplayout.claim_op_id(spark, path, set(), set()) == 0
+    with pytest.raises(oplayout.ConcurrentWriterError, match="claimed by a concurrent"):
+        oplayout.claim_op_id(spark, path, set(), set())
+    monkeypatch.undo()
+    # a LIVE listing sees the stale claim: the id is reclaimed at the
+    # next generation (crash takeover), not skipped and not deleted
+    assert oplayout.claimed_op_ids(spark, path) == {0: 0}
+    assert oplayout.claim_op_id(spark, path, set(), set()) == 0
+    assert oplayout.claimed_op_ids(spark, path) == {0: 1}
+    oplayout.mark_committed(spark, path, 0)
+    assert oplayout.claimed_op_ids(spark, path) == {}
+    assert oplayout.committed_ops(spark, path) == {0}
+    # the committed id is never reallocated
+    assert oplayout.claim_op_id(spark, path, {0}, {0}) == 1
+
+
+def test_losing_claim_purges_nothing(spark, sf_dir, monkeypatch):
+    """The whole point of claim-before-purge: a mutator that loses the
+    allocation race must NOT have purged the winner's in-flight
+    partitions or written any byte — it errors at the claim, first."""
+    emb, cents, path = _build_layout(spark, sf_dir)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    # writer B claimed id 0 in the instant after writer A listed:
+    # freeze A's view to the pre-claim snapshot and pre-create B's claim
+    monkeypatch.setattr(oplayout, "claimed_op_ids", lambda s, p: {})
+    fs, jp = oplayout.fs_path(spark, f"{path}/_ops/{oplayout.ALLOC_PREFIX}0.0")
+    fs.mkdirs(jp.getParent())
+    fs.create(jp, False).close()
+    purges: list = []
+    monkeypatch.setattr(
+        oplayout, "purge_op_dirs", lambda s, pats: purges.append(pats)
+    )
+    with pytest.raises(oplayout.ConcurrentWriterError):
+        VO.upsert_vectors(spark, path, batch)
+    assert purges == []
+    assert not oplayout.path_exists(spark, f"{path}/ops")
+    monkeypatch.undo()
+    # with the stale claim visible again, the next mutation reclaims
+    # id 0 at generation 1 and lands normally
+    assert VO.upsert_vectors(spark, path, batch) == 0
+    assert oplayout.claimed_op_ids(spark, path) == {}
+
+
 def test_compact_after_deleting_everything(spark, sf_dir, tmp_path):
     """Deleting EVERY vector then compacting is a legal (degenerate)
     lifecycle: the compacted layout has zero shard dirs but must stay
