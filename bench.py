@@ -188,6 +188,75 @@ print("SENTINEL_JSON:" + json.dumps(
     return out
 
 
+def _evict_layout(layout: str) -> None:
+    """Evict a layout's page-cache footprint (fadvise DONTNEED) so a
+    timed read pays device IO, not a write-back cache hit."""
+    for root, _dirs, files in os.walk(layout):
+        for fn in files:
+            fd = os.open(os.path.join(root, fn), os.O_RDONLY)
+            try:
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            finally:
+                os.close(fd)
+
+
+def measure_filtered_cold_disk_qps(
+    spark, sf_dir: str, n_queries: int = 20
+) -> float | None:
+    """VERDICT r11 #5: the FILTERED-track cold serving number — one
+    tag-containment batch (filtered_search_from_disk) against a
+    prebuilt PAYLOAD posting layout (carry_payload, the default build:
+    the mode SCALE.md measured corpus-independent), page-cache evicted
+    first. Tracked by the harness per round so filtered serving
+    regressions show in BENCH_r{N}, not only in the ad-hoc
+    tools/measure_filtered_mut.py campaigns."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_ann_spark.operators import ann as ANN
+    from big_ann_spark.operators import sharding as SH
+
+    tmp_root = tempfile.mkdtemp(prefix="bench_ftag_")
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tagged = emb.join(
+            docs.select("doc_id", "lang", "source"), emb.vec_id == docs.doc_id
+        ).select(
+            "vec_id",
+            "embedding",
+            F.array(
+                F.concat(F.lit("lang:"), F.col("lang")),
+                F.concat(F.lit("src:"), F.col("source")),
+            ).alias("tags"),
+        ).localCheckpoint()
+        cents = SH.label_centroids(emb).localCheckpoint()
+        assign = SH.assign_to_centroids(tagged, cents, extra_cols=["embedding"])
+        layout = tmp_root + "/layout"
+        SH.write_sharded(assign, tagged.drop("tags"), layout)
+        cents.write.mode("overwrite").parquet(f"{layout}/centroids.parquet")
+        ANN.write_tag_postings_layout(
+            tagged.select("vec_id", "tags"), layout
+        )  # carry_payload default: the scale-safe posting-local mode
+        queries = tagged.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("tags").alias("qtags"),
+        ).localCheckpoint()
+        _evict_layout(layout)
+        t0 = time.perf_counter()
+        ANN.filtered_search_from_disk(queries, layout, k=10).count()
+        return round(n_queries / (time.perf_counter() - t0), 2)
+    except Exception as e:  # never lose the round's bench to this metric
+        print(f"# filtered_qps_cold_disk failed: {e}", file=sys.stderr)
+        return None
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+
 def measure_cold_disk_qps(
     spark, sf_dir: str, n_queries: int = 20
 ) -> tuple[float | None, float | None]:
@@ -212,17 +281,7 @@ def measure_cold_disk_qps(
     from big_ann_spark.operators import sharding as SH
     from big_ann_spark.operators.pq import train_pq
 
-    def evict(layout):
-        # evict from the page cache so the timed read pays device IO,
-        # not a write-back (or previous-search) cache hit
-        for root, _dirs, files in os.walk(layout):
-            for fn in files:
-                fd = os.open(os.path.join(root, fn), os.O_RDONLY)
-                try:
-                    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
-                finally:
-                    os.close(fd)
-
+    evict = _evict_layout
     tmp_root = tempfile.mkdtemp(prefix="bench_ivf_")
     try:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -337,6 +396,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     knn_qps_cold_disk, knn_qps_cold_disk_pq = measure_cold_disk_qps(spark, sf_dir)
+    filtered_qps_cold_disk = measure_filtered_cold_disk_qps(spark, sf_dir)
     canary_after = run_canary()
     io_canary_after = run_io_canary()
     # drift self-attribution (VERDICT r8 #6): on a >15% regression vs
@@ -382,6 +442,7 @@ def main() -> None:
                 "knn_qps_cold": knn_qps_cold,
                 "knn_qps_cold_disk": knn_qps_cold_disk,
                 "knn_qps_cold_disk_pq": knn_qps_cold_disk_pq,
+                "filtered_qps_cold_disk": filtered_qps_cold_disk,
                 "runs_per_query": n_runs,
                 "drift_ref_round": prev_round,
                 "drift_ref_total": prev_total,

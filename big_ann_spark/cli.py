@@ -253,7 +253,7 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="per-run pool before fusion (default k)")
     hs.add_argument("--rrf-c", type=int, default=60)
     hs.add_argument(
-        "--codec", default=None, choices=["raw", "sq8", "pq", "binary"],
+        "--codec", default=None, choices=["raw", "sq8", "pq", "opq", "binary"],
         help="refine tier for the dense run (default: schema-detected)",
     )
     hs.add_argument("--id-col", default="vec_id")
@@ -960,12 +960,20 @@ def main(argv: list[str] | None = None) -> int:
                 codec="sq8", pool_impl="arrow", as_of=args.as_of,
             )
         elif "pq_codes" in probed.columns and args.vec_col in probed.columns:
-            # --pq-refine layout: ADC candidate scan (pq_codes column
-            # only) + exact rerank from the raw column
+            # --pq-refine / --opq-refine layout: ADC candidate scan
+            # (pq_codes column only, LUTs from rotated queries when the
+            # rotation sidecar exists) + exact rerank from the raw column
+            from big_ann_spark.operators import oplayout as _ol
+
+            pq_codec = (
+                "opq"
+                if _ol.path_exists(spark, f"{args.index}/opq_rotation.parquet")
+                else "pq"
+            )
             out = ANN.ivf_search_from_disk(
                 q, args.index, cents, k=args.k, nprobe=args.nprobe,
                 id_col=args.id_col, vec_col=args.vec_col,
-                codec="pq", pool_impl="arrow", as_of=args.as_of,
+                codec=pq_codec, pool_impl="arrow", as_of=args.as_of,
             )
         elif "bcodes" in probed.columns and args.vec_col in probed.columns:
             # --binary-refine layout: Hamming candidate scan (bcodes

@@ -92,6 +92,11 @@ def detect_refine_codec(spark, path: str, vec_col: str = "embedding") -> str:
         if "codes" in cols:
             return "sq8"
         if "pq_codes" in cols:
+            # OPQ layouts are PQ layouts whose codes live in a learned
+            # rotated space — one sidecar existence check (metadata)
+            # distinguishes them so serving reports the real tier
+            if oplayout.path_exists(spark, f"{path}/opq_rotation.parquet"):
+                return "opq"
             return "pq"
         if "bcodes" in cols:
             return "binary"
@@ -178,7 +183,25 @@ def ivf_search_from_disk(
             routed, shards, path, k * rerank_factor,
             id_col=id_col, dim=dim, impl=pool_impl,
         )
-    elif codec == "pq":
+    elif codec in ("pq", "opq"):
+        # OPQ is the PQ tier with codes in a LEARNED ROTATED space:
+        # pq_pool builds the per-query ADC LUTs from the rotated
+        # queries whenever the rotation sidecar is present (codec="pq"
+        # on an OPQ layout therefore serves correctly too); the exact
+        # rerank compares raw vectors — an orthogonal R preserves L2,
+        # so rotation never touches the rerank. codec="opq" makes the
+        # tier explicit and REFUSES a layout without the rotation
+        # (a plain-PQ layout served as "opq" would silently be plain PQ).
+        from big_ann_spark.operators import oplayout as _ol
+
+        if codec == "opq" and not _ol.path_exists(
+            spark, f"{path}/opq_rotation.parquet"
+        ):
+            raise ValueError(
+                f"codec='opq' but {path} has no opq_rotation.parquet — "
+                "build with --opq-refine (write_sharded(opq_rotation=…)), "
+                "or serve as codec='pq'"
+            )
         pool = pq_pool(
             routed, shards, path, k * rerank_factor,
             id_col=id_col, impl=pool_impl,
@@ -187,7 +210,8 @@ def ivf_search_from_disk(
         pool = binary_pool(routed, shards, path, k * rerank_factor, id_col=id_col)
     else:
         raise ValueError(
-            f"unknown codec {codec!r}; use 'raw', 'sq8', 'pq' or 'binary'"
+            f"unknown codec {codec!r}; use 'raw', 'sq8', 'pq', 'opq' or "
+            "'binary'"
         )
     pool = pool.localCheckpoint()  # tiny; reused by the id collect AND the join
     cand_ids = [

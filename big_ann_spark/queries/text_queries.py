@@ -1166,6 +1166,30 @@ FROM (
          ) AS ct
   FROM cidx
 )
+UNION ALL
+-- chunk_pack: chunk -> pack end-to-end — every chunk's OFFSET in the
+-- packed token stream (exclusive prefix sum of chunk token counts in
+-- (doc_id, chunk_index) key order; key = doc_id*1024 + index) and its
+-- last ctx=64 training window. Hash equality certifies TOKEN
+-- CONSERVATION across the chunk->pack composition: any lost or
+-- duplicated chunk token shifts every later offset.
+SELECT 'chunk_pack', key, off::BIGINT,
+       ((off + greatest(nt - 1, 0)) // 64)::BIGINT
+FROM (
+  WITH ptoks AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                 FROM documents),
+  pidx AS (SELECT doc_id, n,
+                  unnest(generate_series(0,
+                    greatest(1, cast(floor((n - 8 + 15) / 16.0) AS INT)) - 1
+                  )) AS ci
+           FROM ptoks),
+  pch AS (SELECT doc_id * 1024 + ci AS key, least(24, n - ci * 16) AS nt
+          FROM pidx)
+  SELECT key, nt,
+         COALESCE(SUM(nt) OVER (ORDER BY key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM pch
+)
 """
 
 
@@ -1202,7 +1226,14 @@ def doc_fingerprint(spark, sf_dir):
       (operators.packing.chunk_documents, the RAG-ingest primitive —
       chunk=24, overlap=8): one row per chunk, v1 = char fingerprint
       of '#'+chunk text (certifies every chunk's exact content and
-      boundaries), v2 = chunk index."""
+      boundaries), v2 = chunk index.
+    - ``chunk_pack``: the chunk→pack COMPOSITION (chunk_documents →
+      pack_sequences over the chunks' token counts, ctx=64, keyed by
+      doc_id·1024+chunk_index): v1 = the chunk's offset in the packed
+      stream, v2 = its last training window. The offsets are a global
+      prefix sum, so the hash match certifies token conservation
+      end-to-end — any chunk token lost or duplicated between the two
+      stages shifts every later offset (VERDICT r11 #8)."""
     d = load_table(spark, sf_dir, "documents")
     fp = d.filter(F.col("doc_id") < 100).select(
         F.lit("char_fp").alias("variant"),
@@ -1266,11 +1297,24 @@ def doc_fingerprint(spark, sf_dir):
     line_first = _line_rows(dedup_lines_keep_first(wl), "line_first")
     from big_ann_spark.operators.packing import chunk_documents
 
-    chunks = chunk_documents(d, chunk_tokens=24, overlap=8).select(
+    chunked = chunk_documents(d, chunk_tokens=24, overlap=8).localCheckpoint()
+    chunks = chunked.select(
         F.lit("chunk").alias("variant"),
         "doc_id",
         T.char_fingerprint(F.concat(F.lit("#"), F.col("chunk_text"))).alias("v1"),
         F.col("chunk_index").cast("long").alias("v2"),
+    )
+    from big_ann_spark.operators.packing import pack_sequences
+
+    chunk_units = chunked.select(
+        (F.col("doc_id") * 1024 + F.col("chunk_index")).alias("doc_id"),
+        "n_tokens",
+    )
+    chunk_pack = pack_sequences(chunk_units, 64, tokens_col="n_tokens").select(
+        F.lit("chunk_pack").alias("variant"),
+        "doc_id",
+        F.col("offset").alias("v1"),
+        F.col("window_end").alias("v2"),
     )
     return (
         spans.unionByName(fp)
@@ -1279,4 +1323,5 @@ def doc_fingerprint(spark, sf_dir):
         .unionByName(line_strip)
         .unionByName(line_first)
         .unionByName(chunks)
+        .unionByName(chunk_pack)
     )

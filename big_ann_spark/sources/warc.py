@@ -169,6 +169,84 @@ def _iter_gzip_members_from(fh, *, start_at: int = 0) -> Iterator[tuple[int, int
         yield start, base - start, out.getvalue()
 
 
+def _iter_plain_records_from(
+    fh, *, start_at: int = 0, with_content: bool = False
+) -> Iterator[tuple[int, int, "WarcRecord"]]:
+    """Byte-offset record walk of an UNCOMPRESSED ``.warc`` stream —
+    O(header) memory per record (O(record) with ``with_content``):
+    headers are read incrementally and bodies are SKIPPED by seek when
+    the caller only indexes (build_cdx), so multi-GB plain files walk
+    without ever materializing a record, the plain-file analog of
+    ``_iter_gzip_members_from``. Yields ``(offset, length, record)``
+    with the SAME length convention as the buffered parse (a record's
+    length runs to the next record's first byte, trailing CRLF
+    separators included — byte-identical cdx rows). Malformed or
+    truncated input dies loudly with the failing offset."""
+    fh.seek(0, 2)
+    size = fh.tell()
+    pos = start_at
+    fh.seek(pos)
+    while pos < size:
+        # tolerate extra record separators / trailing CRLFs
+        sep = fh.read(2)
+        while sep == b"\r\n":
+            pos += 2
+            sep = fh.read(2)
+        if not sep:
+            return
+        fh.seek(pos)
+        head = b""
+        while b"\r\n\r\n" not in head:
+            chunk = fh.read(65536)
+            if not chunk:
+                raise ValueError(f"unterminated WARC header at byte {pos}")
+            head += chunk
+            if len(head) > (1 << 20):
+                raise ValueError(f"WARC header block > 1 MiB at byte {pos}")
+        if not head.startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line at byte {pos}")
+        head_end = head.index(b"\r\n\r\n")
+        headers: dict[str, str] = {}
+        for line in head[:head_end].split(b"\r\n")[1:]:
+            name, _, value = line.partition(b":")
+            headers[name.strip().lower().decode()] = value.strip().decode()
+        try:
+            clen = int(headers["content-length"])
+        except KeyError:
+            raise ValueError(f"record at byte {pos} has no Content-Length")
+        body_start = pos + head_end + 4
+        end = body_start + clen
+        if end > size:
+            raise ValueError(
+                f"record at byte {pos} truncated: needs {clen} payload bytes"
+            )
+        content = b""
+        if with_content:
+            fh.seek(body_start)
+            content = fh.read(clen)
+        # consume trailing record separators NOW so the yielded length
+        # matches the buffered parse's next-record-offset convention
+        fh.seek(end)
+        while True:
+            two = fh.read(2)
+            if two == b"\r\n":
+                end += 2
+            else:
+                break
+        rec = WarcRecord(
+            offset=pos,
+            warc_type=headers.get("warc-type", ""),
+            record_id=headers.get("warc-record-id", ""),
+            target_uri=headers.get("warc-target-uri"),
+            warc_date=headers.get("warc-date"),
+            content_type=headers.get("content-type"),
+            content=content,
+        )
+        yield pos, end - pos, rec
+        pos = end
+        fh.seek(pos)
+
+
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a concatenation of gzip members (the compressed-WARC
     convention: one member per record). A naive single-stream gunzip
@@ -245,15 +323,47 @@ def split_http_payload(content: bytes) -> tuple[int | None, bytes]:
     return status, content[sep + 4 :]
 
 
-def read_warc(spark, path: str) -> DataFrame:
+def read_warc(spark, path: str, *, blob_cap_bytes: int = 1 << 30) -> DataFrame:
     """Distributed WARC scan: every record of every file matching
     ``path`` (plain or ``.gz``) as
     ``(file, record_index, offset, warc_type, record_id, target_uri,
     warc_date, content_type, content binary)``. One task per file
-    (binaryFile source; gzip members are not splittable) — the
-    standard WARC parallelism unit."""
-    src = spark.read.format("binaryFile").load(path).select("path", "content")
-    return _records_of(src)
+    (gzip members are not splittable by inspection) — the standard
+    WARC parallelism unit; use :func:`build_cdx` +
+    :func:`read_warc_split` for sub-file splits.
+
+    Files at or under ``blob_cap_bytes`` ride the ``binaryFile``
+    source (one blob row per file; the length predicate is PUSHED so
+    big files never materialize there). BIGGER files ship as PATHS and
+    stream through the O(record)-memory walks — the gzip member walk /
+    plain byte-offset walk — so ``binaryFile``'s 2 GB hard cap and
+    whole-file executor memory no longer bound the readable file size.
+    Both routes emit identical rows (equality-tested)."""
+    fs, jp = _hadoop_fs(spark, path)
+    big = [
+        p for p, sz in _list_warc_files_sized(fs, jp, spark, path)
+        if sz > blob_cap_bytes
+    ]
+    src = spark.read.format("binaryFile").load(path)
+    parts = [
+        _records_of(
+            src.filter(F.col("length") <= int(blob_cap_bytes)).select(
+                "path", "content"
+            )
+        )
+    ]
+    if big:
+        bsrc = (
+            spark.createDataFrame([(p,) for p in big], "path string")
+            # explicit count: AQE coalesces a tiny fan-out table to ONE
+            # partition otherwise (the split-table lesson)
+            .repartition(len(big))
+        )
+        parts.append(_records_of_paths(bsrc))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_warc_stream(
@@ -323,6 +433,77 @@ def _records_of(src: DataFrame) -> DataFrame:
     )
 
 
+def _records_of_paths(src: DataFrame) -> DataFrame:
+    """(path) rows → parsed record rows by STREAMING local reads — the
+    big-file route of :func:`read_warc`. Gzip files walk member by
+    member with a cumulative decompressed base, so offsets are
+    byte-identical to ``parse_warc`` over the whole gunzipped stream;
+    plain files walk record by record with one body in memory at a
+    time."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "file", "record_index", "offset", "warc_type", "record_id",
+                "target_uri", "warc_date", "content_type", "content",
+            )}
+
+            def add(p, i, off, rec):
+                cols["file"].append(p)
+                cols["record_index"].append(i)
+                cols["offset"].append(off)
+                cols["warc_type"].append(rec.warc_type)
+                cols["record_id"].append(rec.record_id)
+                cols["target_uri"].append(rec.target_uri)
+                cols["warc_date"].append(rec.warc_date)
+                cols["content_type"].append(rec.content_type)
+                cols["content"].append(rec.content)
+
+            for p in rb.column("path").to_pylist():
+                i = 0
+                with open(_local_path(p), "rb") as fh:
+                    head = fh.read(2)
+                    fh.seek(0)
+                    if head == b"\x1f\x8b":
+                        base = 0
+                        for _off, _ln, member in _iter_gzip_members_from(fh):
+                            for rec in parse_warc(member):
+                                add(p, i, base + rec.offset, rec)
+                                i += 1
+                            base += len(member)
+                    else:
+                        for _off, _ln, rec in _iter_plain_records_from(
+                            fh, with_content=True
+                        ):
+                            add(p, i, rec.offset, rec)
+                            i += 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["file"], pa.string()),
+                    pa.array(cols["record_index"], pa.int64()),
+                    pa.array(cols["offset"], pa.int64()),
+                    pa.array(cols["warc_type"], pa.string()),
+                    pa.array(cols["record_id"], pa.string()),
+                    pa.array(cols["target_uri"], pa.string()),
+                    pa.array(cols["warc_date"], pa.string()),
+                    pa.array(cols["content_type"], pa.string()),
+                    pa.array(cols["content"], pa.binary()),
+                ],
+                names=list(cols),
+            )
+
+    return src.mapInArrow(
+        run,
+        schema=(
+            "file string, record_index long, offset long, warc_type string, "
+            "record_id string, target_uri string, warc_date string, "
+            "content_type string, content binary"
+        ),
+    )
+
+
 def _local_path(p: str) -> str:
     """binaryFile emits Hadoop URIs (``file:/x`` or ``file:///x``);
     executor-side ``open()`` needs the bare path."""
@@ -348,20 +529,28 @@ def _list_warc_files(fs, jp, spark, path: str) -> list[str]:
     FS API so listings behave the same on object-store URIs. Hidden
     files (``_``/``.`` prefixes) are skipped like every Spark file
     source does."""
+    return [p for p, _ in _list_warc_files_sized(fs, jp, spark, path)]
+
+
+def _list_warc_files_sized(fs, jp, spark, path: str) -> list[tuple[str, int]]:
+    """Like :func:`_list_warc_files` but carrying each file's byte
+    size (one FS listing — sizes ride the same FileStatus), so
+    :func:`read_warc` can route oversized files off the binaryFile
+    source without a second walk."""
     statuses = fs.globStatus(jp)
     if not statuses:
         raise FileNotFoundError(path)
-    out: list[str] = []
+    out: list[tuple[str, int]] = []
     for st in statuses:
         if st.isDirectory():
             for child in fs.listStatus(st.getPath()):
                 name = child.getPath().getName()
                 if child.isFile() and not name.startswith(("_", ".")):
-                    out.append(str(child.getPath()))
+                    out.append((str(child.getPath()), int(child.getLen())))
         elif st.isFile():
             name = st.getPath().getName()
             if not name.startswith(("_", ".")):
-                out.append(str(st.getPath()))
+                out.append((str(st.getPath()), int(st.getLen())))
     return sorted(out)
 
 
@@ -384,9 +573,9 @@ def build_cdx(spark, path: str) -> DataFrame:
     materializes each whole file as one row — a 2 GB hard cap and
     full-file executor memory, on exactly the multi-GB files the index
     exists for. Gzipped files stream through the chunked member walk
-    in O(record) memory; PLAIN ``.warc`` files are read whole per task
-    (rare at multi-GB — the crawl convention is gzip; documented
-    limit)."""
+    in O(record) memory; plain ``.warc`` files through the byte-offset
+    record walk in O(header) memory (bodies are seek-skipped — the
+    index never needs them)."""
     fs, jp = _hadoop_fs(spark, path)
     paths = _list_warc_files(fs, jp, spark, path)
 
@@ -427,11 +616,12 @@ def build_cdx(spark, path: str) -> DataFrame:
                         for off, ln, member in _iter_gzip_members_from(fh):
                             emit(p, off, ln, list(parse_warc(member)))
                     else:
-                        data = fh.read()
-                        recs = list(parse_warc(data))
-                        ends = [r.offset for r in recs[1:]] + [len(data)]
-                        for r, end in zip(recs, ends):
-                            emit(p, r.offset, end - r.offset, [r])
+                        # byte-offset record walk: headers only,
+                        # bodies seek-skipped — O(header) memory no
+                        # matter the file size (the plain analog of
+                        # the gzip member walk)
+                        for off, ln, rec in _iter_plain_records_from(fh):
+                            emit(p, off, ln, [rec])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out["file"], pa.string()),

@@ -174,16 +174,41 @@ def _opq_layout(spark, sf_dir):
 def test_opq_from_disk_exhaustive_pool_equals_exact(spark, sf_dir):
     """End-to-end rotation invariance: with an exhaustive pool, the
     OPQ path's exact rerank (raw vectors, unrotated queries) must
-    equal the raw search — the orthogonal R cancels out entirely."""
+    equal the raw search — the orthogonal R cancels out entirely.
+    codec='opq' is the explicit tier (VERDICT r11 #7) and must serve
+    bit-identically to codec='pq' on the same rotation-carrying layout
+    (pq_pool applies the rotation whenever the sidecar exists)."""
     emb, cents, path = _opq_layout(spark, sf_dir)
     queries = _queries(emb)
     got = ANN.ivf_search_from_disk(
-        queries, path, cents, k=5, nprobe=2, codec="pq", rerank_factor=10_000
+        queries, path, cents, k=5, nprobe=2, codec="opq", rerank_factor=10_000
     )
     want = ANN.ivf_search_from_disk(queries, path, cents, k=5, nprobe=2)
     a = sorted(map(tuple, got.select("qid", "neighbor_id", "dist", "rank").collect()))
     b = sorted(map(tuple, want.select("qid", "neighbor_id", "dist", "rank").collect()))
     assert a == b and len(a) == 40
+    via_pq = ANN.ivf_search_from_disk(
+        queries, path, cents, k=5, nprobe=2, codec="pq", rerank_factor=10_000
+    )
+    assert sorted(
+        map(tuple, via_pq.select("qid", "neighbor_id", "dist", "rank").collect())
+    ) == a
+    # the detector reports the real tier
+    assert ANN.detect_refine_codec(spark, path) == "opq"
+
+
+def test_opq_codec_refused_without_rotation(spark, sf_dir):
+    """codec='opq' on a PLAIN PQ layout must refuse loudly — serving
+    it as plain PQ would silently drop the +recall the rotation buys."""
+    import pytest
+
+    emb, cents, path, _books = _pq_layout(spark, sf_dir)
+    queries = _queries(emb).limit(2)
+    with pytest.raises(ValueError, match="opq_rotation"):
+        ANN.ivf_search_from_disk(
+            queries, path, cents, k=5, nprobe=2, codec="opq"
+        ).collect()
+    assert ANN.detect_refine_codec(spark, path) == "pq"
 
 
 def test_opq_pool_impls_agree_and_mutations_compose(spark, sf_dir):

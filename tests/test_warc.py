@@ -373,3 +373,83 @@ def test_streaming_member_walk_equals_buffered(tmp_path):
     with open(f, "rb") as fh:
         with pytest.raises(ValueError, match="truncated gzip member"):
             list(W._iter_gzip_members_from(fh))
+
+
+def test_plain_record_walk_equals_buffered(tmp_path):
+    """_iter_plain_records_from (the O(header)-memory walk build_cdx
+    uses for uncompressed .warc, bodies seek-skipped) must yield the
+    buffered parse's exact (offset, length-to-next-record) rows —
+    including a record whose header spans read chunks, payloads
+    containing the record separator, and trailing CRLFs; truncation
+    dies loudly with the offset."""
+    import random
+
+    payloads = [
+        random.Random(7).randbytes(200_000),
+        b"tiny",
+        b"contains\r\n\r\nWARC/1.0 lookalike" * 3,
+    ]
+    blob = b"".join(
+        W.warc_record_bytes(
+            p,
+            target_uri=f"urn:x:{i}",
+            # a >64 KiB header forces the incremental header read to
+            # cross chunk boundaries
+            record_id=("urn:uuid:" + "h" * (70_000 if i == 0 else 8)),
+        )
+        for i, p in enumerate(payloads)
+    )
+    f = tmp_path / "x.warc"
+    f.write_bytes(blob)
+    buffered = list(W.parse_warc(blob))
+    ends = [r.offset for r in buffered[1:]] + [len(blob)]
+    want = [
+        (r.offset, end - r.offset, r.warc_type, r.record_id, r.target_uri)
+        for r, end in zip(buffered, ends)
+    ]
+    with open(f, "rb") as fh:
+        got = [
+            (off, ln, rec.warc_type, rec.record_id, rec.target_uri)
+            for off, ln, rec in W._iter_plain_records_from(fh)
+        ]
+    assert got == want and len(got) == 3
+    # with_content=True also carries the exact bodies
+    with open(f, "rb") as fh:
+        bodies = [
+            rec.content for _, _, rec in W._iter_plain_records_from(
+                fh, with_content=True
+            )
+        ]
+    assert bodies == payloads
+    f.write_bytes(blob[:-10])
+    with open(f, "rb") as fh:
+        with pytest.raises(ValueError, match="truncated"):
+            list(W._iter_plain_records_from(fh))
+
+
+def test_read_warc_big_file_path_route_equals_binaryfile(spark, sf_dir, tmp_path):
+    """Files above blob_cap_bytes ship as paths and stream through the
+    record walks — rows must be identical to the binaryFile route (the
+    multi-GB shape exercised with a tiny cap, no giant file needed),
+    for BOTH plain and gzip files."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(30)
+    tagged = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("url"), "text"
+    )
+    for gz in (True, False):
+        dst = str(tmp_path / ("gz" if gz else "plain"))
+        W.write_warc(tagged, dst, uri_col="url", gzip_records=gz, files=2)
+
+        def key(df):
+            return sorted(
+                (
+                    r["file"].split("/")[-1], r["record_index"], r["offset"],
+                    r["warc_type"], r["record_id"], r["target_uri"],
+                    r["warc_date"], r["content_type"], bytes(r["content"]),
+                )
+                for r in df.collect()
+            )
+
+        via_blob = key(W.read_warc(spark, dst))
+        via_path = key(W.read_warc(spark, dst, blob_cap_bytes=1))
+        assert via_path == via_blob and len(via_path) == 30
