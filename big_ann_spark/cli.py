@@ -40,14 +40,22 @@ def _add_compact_above(p) -> None:
     )
 
 
-def _maybe_autocompact(spark, index: str, above: int | None) -> None:
+def _maybe_autocompact(spark, args) -> None:
+    above = args.compact_above
     if above is None:
         return
     from big_ann_spark.operators import vector_ops as VO
 
+    index = args.index
     n = VO.contested_count(spark, index)
     if n > above:
-        n_ops = VO.compact_in_place(spark, index)
+        # forward the command's column names — a custom --id-col layout
+        # must compact under its own schema
+        n_ops = VO.compact_in_place(
+            spark, index,
+            id_col=getattr(args, "id_col", "vec_id"),
+            vec_col=getattr(args, "vec_col", "embedding"),
+        )
         print(
             f"auto-compact: {n} contested ids > --compact-above {above}; "
             f"folded {n_ops} ops in place at {index}"
@@ -962,14 +970,9 @@ def main(argv: list[str] | None = None) -> int:
         elif "pq_codes" in probed.columns and args.vec_col in probed.columns:
             # --pq-refine / --opq-refine layout: ADC candidate scan
             # (pq_codes column only, LUTs from rotated queries when the
-            # rotation sidecar exists) + exact rerank from the raw column
-            from big_ann_spark.operators import oplayout as _ol
-
-            pq_codec = (
-                "opq"
-                if _ol.path_exists(spark, f"{args.index}/opq_rotation.parquet")
-                else "pq"
-            )
+            # rotation sidecar exists) + exact rerank from the raw
+            # column; ONE detection rule lives in detect_refine_codec
+            pq_codec = ANN.detect_refine_codec(spark, args.index, args.vec_col)
             out = ANN.ivf_search_from_disk(
                 q, args.index, cents, k=args.k, nprobe=args.nprobe,
                 id_col=args.id_col, vec_col=args.vec_col,
@@ -1072,7 +1075,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         n = tagged.select(args.id_col).distinct().count()
         print(f"op {op}: retagged {n} ids in {args.index}")
-        _maybe_autocompact(spark, args.index, args.compact_above)
+        _maybe_autocompact(spark, args)
         return 0
 
     if args.cmd == "index-upsert":
@@ -1090,7 +1093,7 @@ def main(argv: list[str] | None = None) -> int:
         n = vecs.select(args.id_col).distinct().count()
         tagnote = " (+tags)" if args.tags_col else ""
         print(f"op {op}: upserted {n} vectors{tagnote} into {args.index}")
-        _maybe_autocompact(spark, args.index, args.compact_above)
+        _maybe_autocompact(spark, args)
         return 0
 
     if args.cmd == "index-delete":
@@ -1107,7 +1110,7 @@ def main(argv: list[str] | None = None) -> int:
             n = ids.select(ids.columns[0]).distinct().count()
         op = VO.delete_vectors(spark, args.index, ids, op_id=args.op_id)
         print(f"op {op}: tombstoned {n} vector ids in {args.index}")
-        _maybe_autocompact(spark, args.index, args.compact_above)
+        _maybe_autocompact(spark, args)
         return 0
 
     if args.cmd == "index-compact":

@@ -908,18 +908,21 @@ def filtered_search_from_disk(
     cand = _filtered_candidates(
         spark, q, path, as_of=as_of, uncommitted=uncommitted
     ).localCheckpoint()
-    # COUNT-GATE before any id reaches the driver: one aggregate row
-    # decides the plan. Only a ≤ max_id_pushdown set is collected (for
-    # literal In pushdown / row-group skipping on the id-sorted tags
-    # table); a wider candidate set — df_rarest can be 10⁶–10⁸ at
-    # 100 TB — is verified entirely by the distributed joins below,
-    # never a driver collect.
-    n_cand = cand.select(
-        F.countDistinct("neighbor_id").alias("n")
-    ).collect()[0]["n"]
+    # COUNT-GATE before any id set reaches the driver — ONE job whose
+    # payload is bounded by the cap itself (limit cap+1): only a
+    # ≤ max_id_pushdown set is kept (for literal In pushdown /
+    # row-group skipping on the id-sorted tags table); a wider
+    # candidate set — df_rarest can be 10⁶–10⁸ at 100 TB — is verified
+    # entirely by the distributed joins below, never a driver collect.
+    gate_rows = (
+        cand.select("neighbor_id")
+        .distinct()
+        .limit(int(max_id_pushdown) + 1)
+        .collect()
+    )
     bounded = (
-        [r["neighbor_id"] for r in cand.select("neighbor_id").distinct().collect()]
-        if n_cand <= max_id_pushdown
+        [r["neighbor_id"] for r in gate_rows]
+        if len(gate_rows) <= max_id_pushdown
         else None
     )
     # shard ids: bounded by the layout's shard count m, always tiny
@@ -1637,17 +1640,22 @@ def write_knn_graph_layout(
 def _collect_ids_and_buckets(
     ids_df: DataFrame, n_buckets: int, cap: int
 ) -> tuple[list[int] | None, list[int] | None]:
-    """Count-gate a point-fetch id set (SCALE.md isin rule): ≤ ``cap``
-    distinct ids → collect them WITH their ``_gb`` buckets (the bucket
-    is computed by the same Spark xxhash64 the layout hashed with — no
-    driver-side hash mirror to drift); past the cap → (None, None),
-    the caller joins distributively."""
-    n = ids_df.count()
-    if n > cap:
+    """Count-gate a point-fetch id set (SCALE.md isin rule) in ONE
+    job: collect at most ``cap``+1 rows (``limit`` bounds the driver
+    payload — no unbounded collect even before the gate decides) WITH
+    their ``_gb`` buckets (computed by the same Spark xxhash64 the
+    layout hashed with — no driver-side hash mirror to drift). More
+    than ``cap`` distinct ids → (None, None), the caller joins
+    distributively."""
+    rows = (
+        ids_df.select(
+            "node", F.pmod(F.xxhash64("node"), F.lit(int(n_buckets))).alias("_gb")
+        )
+        .limit(int(cap) + 1)
+        .collect()
+    )
+    if len(rows) > cap:
         return None, None
-    rows = ids_df.select(
-        "node", F.pmod(F.xxhash64("node"), F.lit(int(n_buckets))).alias("_gb")
-    ).collect()
     return [r["node"] for r in rows], sorted({r["_gb"] for r in rows})
 
 
@@ -1737,7 +1745,9 @@ def knn_graph_search_from_disk(
             scored.join(expanded, ["qid", "node"], "left_anti"),
             ["qid"], order, beam,
         ).drop("rank").localCheckpoint()
-        expanded = expanded.union(frontier.select("qid", "node")).localCheckpoint()
+        # expanded = union of checkpointed frontiers: the lineage is a
+        # union of materialized nodes, no re-checkpoint needed
+        expanded = expanded.union(frontier.select("qid", "node"))
         f_ids_df = frontier.select("node").distinct()
         f_ids, f_tbs = _collect_ids_and_buckets(
             f_ids_df, n_buckets, max_id_pushdown
@@ -1756,12 +1766,12 @@ def knn_graph_search_from_disk(
         fresh = nbrs.join(
             scored.select("qid", "node"), ["qid", "node"], "left_anti"
         ).localCheckpoint()
-        c_ids_df = fresh.select("node").distinct().localCheckpoint()
-        if not c_ids_df.head(1):
-            continue
+        c_ids_df = fresh.select("node").distinct()
         c_ids, c_tbs = _collect_ids_and_buckets(
             c_ids_df, n_buckets, max_id_pushdown
         )
+        if c_ids is not None and not c_ids:
+            continue  # frontier fully explored — nothing new to score
         cvecs = _fetch_graph_records(
             spark, path, c_ids, c_tbs, ["node", "_nvec"]
         )

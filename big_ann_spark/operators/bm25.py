@@ -247,15 +247,6 @@ def uncommitted_op_ids(spark, path: str) -> list[int]:
     return sorted(_op_ids_on_disk(spark, path) - _committed_ops(spark, path))
 
 
-def _next_op_id(spark, path: str) -> int:
-    """Auto-allocate: the LOWEST uncommitted id if one exists (a
-    crashed op's partitions are purged before the new op writes, so
-    reuse is safe and reclaims the orphaned bytes), else max+1."""
-    return oplayout.next_op_id(
-        _op_ids_on_disk(spark, path), _committed_ops(spark, path)
-    )
-
-
 def _purge_op(spark, path: str, op_id: int) -> None:
     """Remove every ``_mb=op_id`` partition dir across the four tables
     — metadata-only FS ops. Run before an op writes, so landing at a

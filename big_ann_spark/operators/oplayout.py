@@ -209,8 +209,9 @@ def claim_op_id(
     op_id: int | None = None,
 ) -> int:
     """CREATE-MARKER-FIRST op-id allocation: decide the id (lowest
-    crashed — reclaim — else max+1, same policy as :func:`next_op_id`,
-    with CLAIMED-but-byteless crashed ids also reclaimable), then
+    crashed — reclaim, safe because the new op purges the crashed
+    attempt's partitions before writing — else max+1, with
+    CLAIMED-but-byteless crashed ids also reclaimable), then
     atomically create ``_ops/_alloc.<id>.<gen>`` BEFORE anything is
     purged or written. Two mutators that race to the same (id, gen)
     decision serialize on that one atomic create: the loser raises
@@ -252,19 +253,6 @@ def claim_op_id(
             ) from None
         raise
     return op
-
-
-def next_op_id(on_disk: set[int], committed: set[int]) -> int:
-    """Auto-allocate: the LOWEST uncommitted id if one exists (a
-    crashed op's partitions are purged before the new op writes, so
-    reuse is safe and reclaims the orphaned bytes), else max+1.
-    Pure function of the two ledger sets (caller supplies them — which
-    table is the op-id ledger is layout-specific)."""
-    crashed = sorted(set(on_disk) - set(committed))
-    if crashed:
-        return crashed[0]
-    seen = set(on_disk) | set(committed)
-    return max(seen) + 1 if seen else 0
 
 
 def purge_op_dirs(spark, patterns: list[str]) -> None:

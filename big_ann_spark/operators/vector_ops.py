@@ -555,8 +555,10 @@ def compact_in_place(
     after the compaction finished); if both ``{path}.precompact`` and
     ``{path}`` exist, the swap finished — delete the leftover. A fresh
     run refuses to start while either sibling exists, naming this
-    recipe. SINGLE-WRITER like every mutation: don't run concurrently
-    with upserts."""
+    recipe. SINGLE-WRITER enforced: the whole compact+swap holds the
+    layout's ``writer_lock``, so a concurrent mutation raises a loud
+    ``ConcurrentWriterError`` instead of landing an op the swap would
+    silently delete with the ``.precompact`` dir."""
     base = path.rstrip("/")
     tmp, old = base + ".compacting", base + ".precompact"
     for p in (tmp, old):
@@ -567,18 +569,19 @@ def compact_in_place(
                 "a complete .compacting renames into place, a leftover "
                 ".precompact next to a live layout is safe to delete)"
             )
-    n_ops = compact_vector_layout(
-        spark, base, tmp, id_col=id_col, vec_col=vec_col
-    )
-    fs, jbase = oplayout.fs_path(spark, base)
-    _, jold = oplayout.fs_path(spark, old)
-    _, jtmp = oplayout.fs_path(spark, tmp)
-    if not fs.rename(jbase, jold):
-        raise IOError(f"compact_in_place: rename {base} -> {old} failed")
-    if not fs.rename(jtmp, jbase):
-        raise IOError(
-            f"compact_in_place: swap-in failed — restore by renaming "
-            f"{tmp} to {base} (the compacted layout is complete)"
+    with oplayout.writer_lock(spark, base, owner="compact_in_place"):
+        n_ops = compact_vector_layout(
+            spark, base, tmp, id_col=id_col, vec_col=vec_col
         )
-    fs.delete(jold, True)
+        fs, jbase = oplayout.fs_path(spark, base)
+        _, jold = oplayout.fs_path(spark, old)
+        _, jtmp = oplayout.fs_path(spark, tmp)
+        if not fs.rename(jbase, jold):
+            raise IOError(f"compact_in_place: rename {base} -> {old} failed")
+        if not fs.rename(jtmp, jbase):
+            raise IOError(
+                f"compact_in_place: swap-in failed — restore by renaming "
+                f"{tmp} to {base} (the compacted layout is complete)"
+            )
+        fs.delete(jold, True)
     return n_ops

@@ -332,26 +332,31 @@ def read_warc(spark, path: str, *, blob_cap_bytes: int = 1 << 30) -> DataFrame:
     WARC parallelism unit; use :func:`build_cdx` +
     :func:`read_warc_split` for sub-file splits.
 
-    Files at or under ``blob_cap_bytes`` ride the ``binaryFile``
+    LOCAL files at or under ``blob_cap_bytes`` ride the ``binaryFile``
     source (one blob row per file; the length predicate is PUSHED so
-    big files never materialize there). BIGGER files ship as PATHS and
-    stream through the O(record)-memory walks — the gzip member walk /
-    plain byte-offset walk — so ``binaryFile``'s 2 GB hard cap and
-    whole-file executor memory no longer bound the readable file size.
-    Both routes emit identical rows (equality-tested)."""
+    big files never materialize there). BIGGER local files ship as
+    PATHS and stream through the O(record)-memory walks — the gzip
+    member walk / plain byte-offset walk — so ``binaryFile``'s 2 GB
+    hard cap and whole-file executor memory no longer bound the
+    readable file size. Both routes emit identical rows
+    (equality-tested). The streaming route opens files POSIX-side on
+    the executor, so it applies to ``file:`` paths only — non-local
+    stores (object-store URIs) keep the binaryFile route at every
+    size, with its documented 2 GB limit (an executor-side Hadoop
+    stream would need a JVM handle the Arrow worker doesn't have)."""
     fs, jp = _hadoop_fs(spark, path)
     big = [
         p for p, sz in _list_warc_files_sized(fs, jp, spark, path)
-        if sz > blob_cap_bytes
+        if sz > blob_cap_bytes and p.startswith("file:")
     ]
     src = spark.read.format("binaryFile").load(path)
-    parts = [
-        _records_of(
-            src.filter(F.col("length") <= int(blob_cap_bytes)).select(
-                "path", "content"
-            )
-        )
-    ]
+    # size-partitioned routing, decided by the same (scheme, length)
+    # predicate on both sides so no file is read twice or skipped:
+    # local + big → the paths walk; everything else → binaryFile
+    keep_blob = (F.col("length") <= int(blob_cap_bytes)) | ~F.col(
+        "path"
+    ).startswith("file:")
+    parts = [_records_of(src.filter(keep_blob).select("path", "content"))]
     if big:
         bsrc = (
             spark.createDataFrame([(p,) for p in big], "path string")
@@ -441,45 +446,21 @@ def _records_of_paths(src: DataFrame) -> DataFrame:
     plain files walk record by record with one body in memory at a
     time."""
 
+    FLUSH_BYTES = 64 << 20  # bound per-batch payload — NEVER O(file)
+
     def run(batches):
         import pyarrow as pa
 
-        for rb in batches:
-            cols: dict[str, list] = {k: [] for k in (
-                "file", "record_index", "offset", "warc_type", "record_id",
-                "target_uri", "warc_date", "content_type", "content",
-            )}
+        names = (
+            "file", "record_index", "offset", "warc_type", "record_id",
+            "target_uri", "warc_date", "content_type", "content",
+        )
+        cols: dict[str, list] = {k: [] for k in names}
+        pending = 0
 
-            def add(p, i, off, rec):
-                cols["file"].append(p)
-                cols["record_index"].append(i)
-                cols["offset"].append(off)
-                cols["warc_type"].append(rec.warc_type)
-                cols["record_id"].append(rec.record_id)
-                cols["target_uri"].append(rec.target_uri)
-                cols["warc_date"].append(rec.warc_date)
-                cols["content_type"].append(rec.content_type)
-                cols["content"].append(rec.content)
-
-            for p in rb.column("path").to_pylist():
-                i = 0
-                with open(_local_path(p), "rb") as fh:
-                    head = fh.read(2)
-                    fh.seek(0)
-                    if head == b"\x1f\x8b":
-                        base = 0
-                        for _off, _ln, member in _iter_gzip_members_from(fh):
-                            for rec in parse_warc(member):
-                                add(p, i, base + rec.offset, rec)
-                                i += 1
-                            base += len(member)
-                    else:
-                        for _off, _ln, rec in _iter_plain_records_from(
-                            fh, with_content=True
-                        ):
-                            add(p, i, rec.offset, rec)
-                            i += 1
-            yield pa.RecordBatch.from_arrays(
+        def flush():
+            nonlocal cols, pending
+            rb = pa.RecordBatch.from_arrays(
                 [
                     pa.array(cols["file"], pa.string()),
                     pa.array(cols["record_index"], pa.int64()),
@@ -491,8 +472,57 @@ def _records_of_paths(src: DataFrame) -> DataFrame:
                     pa.array(cols["content_type"], pa.string()),
                     pa.array(cols["content"], pa.binary()),
                 ],
-                names=list(cols),
+                names=list(names),
             )
+            cols = {k: [] for k in names}
+            pending = 0
+            return rb
+
+        for rb_in in batches:
+            for p in rb_in.column("path").to_pylist():
+                i = 0
+                with open(_local_path(p), "rb") as fh:
+                    head = fh.read(2)
+                    fh.seek(0)
+                    if head == b"\x1f\x8b":
+                        units = (
+                            (base_rec[1].offset + base_rec[0], base_rec[1])
+                            for base_rec in _walk_gz_with_base(fh)
+                        )
+                    else:
+                        units = (
+                            (rec.offset, rec)
+                            for _o, _l, rec in _iter_plain_records_from(
+                                fh, with_content=True
+                            )
+                        )
+                    for off, rec in units:
+                        cols["file"].append(p)
+                        cols["record_index"].append(i)
+                        cols["offset"].append(off)
+                        cols["warc_type"].append(rec.warc_type)
+                        cols["record_id"].append(rec.record_id)
+                        cols["target_uri"].append(rec.target_uri)
+                        cols["warc_date"].append(rec.warc_date)
+                        cols["content_type"].append(rec.content_type)
+                        cols["content"].append(rec.content)
+                        pending += len(rec.content)
+                        i += 1
+                        # flush WITHIN a file: one multi-GB file must
+                        # not accumulate into one Arrow batch (the
+                        # binary-array offset cap is 2 GiB — the very
+                        # limit this route exists to lift)
+                        if pending >= FLUSH_BYTES:
+                            yield flush()
+        if cols["file"]:
+            yield flush()
+
+    def _walk_gz_with_base(fh):
+        base = 0
+        for _off, _ln, member in _iter_gzip_members_from(fh):
+            for rec in parse_warc(member):
+                yield base, rec
+            base += len(member)
 
     return src.mapInArrow(
         run,

@@ -404,6 +404,13 @@ def test_contested_warning_and_inplace_compaction(spark, sf_dir, monkeypatch):
         ) == want
     assert not oplayout.path_exists(spark, path + ".compacting")
     assert not oplayout.path_exists(spark, path + ".precompact")
+    # a concurrent writer holding the lock is refused loudly — the
+    # compact+swap must never silently delete an op that landed while
+    # the new base was being built
+    with oplayout.writer_lock(spark, path, owner="other"):
+        with pytest.raises(oplayout.ConcurrentWriterError):
+            VO.compact_in_place(spark, path)
+    assert not oplayout.path_exists(spark, path + ".compacting")
     # a leftover sibling from a crashed swap is refused loudly
     fs, jp = oplayout.fs_path(spark, path + ".compacting")
     fs.mkdirs(jp)
