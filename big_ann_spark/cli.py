@@ -439,7 +439,7 @@ def _build_parser() -> argparse.ArgumentParser:
     vx.add_argument("dst", help="fresh batch index dir")
     vx.add_argument("--centroids", required=True)
     vx.add_argument(
-        "--codec", default=None, choices=["sq8", "pq", "binary"],
+        "--codec", default=None, choices=["sq8", "pq", "opq", "binary"],
         help="also land a compressed candidate column (refine layout), "
         "quantization trained on the exported live view",
     )

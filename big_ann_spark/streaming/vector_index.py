@@ -420,9 +420,10 @@ def export_vector_index(
     ``write_sharded`` serving layout (the ``bm25-export`` analog):
     search/mutate/compact and every refine codec then run on it
     unmodified. ``codec``: also land a compressed candidate column —
-    "sq8" / "pq" / "binary" — trained on the exported live view (a
-    fresh serving layout freezes its own quantization, exactly like a
-    fresh build). ``as_of``: export a SNAPSHOT instead of the head.
+    "sq8" / "pq" / "opq" / "binary" — trained on the exported live
+    view (a fresh serving layout freezes its own quantization, exactly
+    like a fresh build). ``as_of``: export a SNAPSHOT instead of the
+    head.
     Returns the exported row count."""
     from big_ann_spark.functions.vector import l2_distance
     from big_ann_spark.operators.sharding import write_sharded
@@ -439,28 +440,39 @@ def export_vector_index(
         .localCheckpoint()  # count + sidecar training + write share it
     )
     n = rows.count()
-    ranges = books = thr = None
+    ranges = books = thr = rotation = None
     if codec == "sq8":
         from big_ann_spark.operators.pq import train_sq8
 
         ranges = train_sq8(rows)
-    elif codec == "pq":
-        from big_ann_spark.operators.pq import train_pq
-
+    elif codec in ("pq", "opq"):
         dim = len(rows.select("embedding").first()[0]) if n else 0
-        books = train_pq(rows, dim=dim)
+        # largest m ≤ 8 dividing dim: PQ subspaces must tile the vector
+        sub_m = next(m for m in (8, 4, 2, 1) if dim % m == 0)
+        if codec == "pq":
+            from big_ann_spark.operators.pq import train_pq
+
+            books = train_pq(rows, dim=dim, m=sub_m)
+        else:
+            from big_ann_spark.operators.pq import train_opq
+
+            rotation, books, _pmse, _omse = train_opq(
+                rows, dim=dim, m=sub_m
+            )
     elif codec == "binary":
         from big_ann_spark.operators.pq import train_binary
 
         thr = train_binary(rows)
     elif codec is not None:
         raise ValueError(
-            f"unknown codec {codec!r}; use 'sq8', 'pq', 'binary' or None"
+            f"unknown codec {codec!r}; use 'sq8', 'pq', 'opq', 'binary' "
+            "or None"
         )
     write_sharded(
         rows, rows, dst_path,
         sq8_ranges=ranges,
         pq_codebooks=books,
+        opq_rotation=rotation,
         pq_encode_impl="arrow" if books is not None else "fold",
         binary_thresholds=thr,
     )

@@ -540,3 +540,16 @@ def test_export_to_batch_layout(spark, tmp_path):
         ).select("qid", "neighbor_id", "rank").collect())
     )
     assert got2 == want
+
+    # opq export: rotation sidecar lands, detector reports the tier,
+    # and the exhaustive-pool search equals the raw answers
+    dst3 = str(tmp_path / "batch_idx_opq")
+    VI.export_vector_index(spark, path, dst3, cents, codec="opq")
+    assert ANN.detect_refine_codec(spark, dst3) == "opq"
+    got3 = sorted(
+        map(tuple, ANN.ivf_search_from_disk(
+            queries, dst3, cents, k=3, nprobe=2, codec="opq",
+            rerank_factor=100, dim=4,
+        ).select("qid", "neighbor_id", "rank").collect())
+    )
+    assert got3 == want
