@@ -1752,6 +1752,10 @@ def knn_graph_search_from_disk(
         f_ids, f_tbs = _collect_ids_and_buckets(
             f_ids_df, n_buckets, max_id_pushdown
         )
+        if f_ids is not None and not f_ids:
+            # every scored node of every query is expanded — the search
+            # space is exhausted; remaining hops would be no-op jobs
+            break
         recs = _fetch_graph_records(
             spark, path, f_ids, f_tbs, ["node", "neighbors"]
         )

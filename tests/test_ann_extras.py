@@ -271,6 +271,37 @@ def test_knn_graph_search_from_disk_equals_in_memory(spark, sf_dir, tmp_path):
     assert got0 == want
 
 
+def test_graph_search_exhausted_space_early_exit(spark, sf_dir, tmp_path):
+    """With n_entry >= n and a big beam the search space exhausts in
+    one hop; the from-disk loop must break out of the remaining hops
+    (no-op jobs) and still equal the in-memory search exactly —
+    early exit fires only when no scored-but-unexpanded node is left,
+    which is precisely when further hops cannot change the result."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    g = ANN.nn_descent_knn_graph(emb, k=4, iterations=1, dim=64)
+    path = str(tmp_path / "glayout")
+    ANN.write_knn_graph_layout(g, emb, path, n_graph_buckets=4)
+
+    def rows(df):
+        return sorted(
+            (r["qid"], r["neighbor_id"], round(r["dist"], 9), r["rank"])
+            for r in df.select("qid", "neighbor_id", "dist", "rank").collect()
+        )
+
+    got = rows(
+        ANN.knn_graph_search_from_disk(
+            qs, path, k=5, beam=30, hops=10, n_entry=30, dim=64
+        )
+    )
+    want = rows(
+        ANN.knn_graph_search(qs, g, emb, k=5, beam=30, hops=10, n_entry=30, dim=64)
+    )
+    assert got == want and len(got) == 20
+
+
 def test_graph_record_fetch_is_pruned(spark, sf_dir, tmp_path):
     """The from-disk hop's record fetch must carry a static _gb
     PartitionFilters entry AND a node-id pushdown — a hop reads only
