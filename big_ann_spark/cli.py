@@ -47,21 +47,20 @@ def _maybe_autocompact(spark, args) -> None:
     from big_ann_spark.operators import vector_ops as VO
 
     index = args.index
-    n = VO.contested_count(spark, index)
-    if n > above:
-        # forward the command's column names — a custom --id-col layout
-        # must compact under its own schema
-        n_ops = VO.compact_in_place(
-            spark, index,
-            id_col=getattr(args, "id_col", "vec_id"),
-            vec_col=getattr(args, "vec_col", "embedding"),
-        )
+    # forward the command's column names — a custom --id-col layout
+    # must compact under its own schema
+    n_ops = VO.compact_if_needed(
+        spark, index, max_contested=above,
+        id_col=getattr(args, "id_col", "vec_id"),
+        vec_col=getattr(args, "vec_col", "embedding"),
+    )
+    if n_ops is not None:
         print(
-            f"auto-compact: {n} contested ids > --compact-above {above}; "
+            f"auto-compact: contested ids > --compact-above {above}; "
             f"folded {n_ops} ops in place at {index}"
         )
     else:
-        print(f"contested ids: {n} (<= --compact-above {above}, no compaction)")
+        print(f"contested ids <= --compact-above {above}, no compaction")
 
 
 def _build_parser() -> argparse.ArgumentParser:

@@ -426,9 +426,10 @@ def test_cli_compact_above_policy(spark, sf_dir, tmp_path):
     emb, cents, path = _build_layout(spark, sf_dir)
     batch = str(tmp_path / "batch.parquet")
     emb.filter(F.col("vec_id") % 3 == 0).write.parquet(batch)
-    # far above: op lands, no compaction
+    # far above: op lands, no compaction (library policy returns None)
     assert main(["index-upsert", path, batch, "--compact-above", "10000000"]) == 0
     assert VO.contested_count(spark, path) > 0
+    assert VO.compact_if_needed(spark, path, max_contested=10_000_000) is None
     # zero: the very next mutation triggers the in-place fold
     assert main(["index-delete", path, "--ids", "2,4", "--compact-above", "0"]) == 0
     assert VO.contested_count(spark, path) == 0
