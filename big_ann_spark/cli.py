@@ -12,9 +12,12 @@ CLI over the query registry and the fbin codecs:
     python -m big_ann_spark ingest crawl_dir/ corpus_dir/ \\
         [--format json|parquet]   # streaming dedup ingest (jsonl in,
         [--near-dup-threshold 0.8]  # exactly-once deduped corpus out)
-    python -m big_ann_spark build-graph emb.parquet graph_dir/ --k 10
-    python -m big_ann_spark graph-search graph_dir/ emb.parquet \\
-        queries.parquet --k 10 [--beam 24 --hops 6]
+    python -m big_ann_spark build-graph emb.parquet graph_dir/ --k 10 \\
+        [--serving-layout]   # also persist the from-disk graph tier
+    python -m big_ann_spark graph-search graph_dir/ queries.parquet \\
+        --k 10 [--beam 24 --hops 6] [--base emb.parquet]  # base only
+        # needed for a plain edges dir; a serving layout carries its
+        # vectors
 
 ``run`` executes any registered query (the same callables the grading
 driver runs) against a TESTDATA-shaped directory; with ``--out`` the
@@ -49,18 +52,18 @@ def _maybe_autocompact(spark, args) -> None:
     index = args.index
     # forward the command's column names — a custom --id-col layout
     # must compact under its own schema
-    n_ops = VO.compact_if_needed(
+    n, n_ops = VO.compact_if_needed(
         spark, index, max_contested=above,
         id_col=getattr(args, "id_col", "vec_id"),
         vec_col=getattr(args, "vec_col", "embedding"),
     )
     if n_ops is not None:
         print(
-            f"auto-compact: contested ids > --compact-above {above}; "
+            f"auto-compact: {n} contested ids > --compact-above {above}; "
             f"folded {n_ops} ops in place at {index}"
         )
     else:
-        print(f"contested ids <= --compact-above {above}, no compaction")
+        print(f"contested ids: {n} (<= --compact-above {above}, no compaction)")
 
 
 def _build_parser() -> argparse.ArgumentParser:

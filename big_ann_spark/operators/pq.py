@@ -393,12 +393,16 @@ def train_opq(
     strictly generalizes BuddyPQ's permutation, since permutation
     matrices are a subset of orthogonal matrices).
 
-    Training runs driver-side on a deterministic bounded sample
-    (``orderBy(id).limit(sample_size)``) — codebooks and R are model
-    parameters of size m·k·(d/m) + d² floats, and sample-training them
-    is the standard practice at any data scale; only the *application*
-    of the model (rotate + encode + ADC) touches the full table, and
-    those are distributed (`rotate_vectors`, `pq_encode`).
+    Training runs driver-side on a deterministic bounded sample taken
+    in HASH order (``orderBy(xxhash64(id))``) — an id-prefix sample
+    (``orderBy(id)``) covers whatever clusters the low ids happen to
+    hold, and a biased sample was MEASURED to invert the OPQ-vs-PQ
+    recall ordering at 200k (SCALE.md r12 caveat). Codebooks and R are
+    model parameters of size m·k·(d/m) + d² floats, and sample-training
+    them is the standard practice at any data scale; only the
+    *application* of the model (rotate + encode + ADC) touches the
+    full table, and those are distributed (`rotate_vectors`,
+    `pq_encode`).
 
     Alternating minimization from R = I: (1) fix codes/books, R ←
     Procrustes solution UVᵀ of svd(XᵀQ); (2) fix R, warm-started Lloyd
@@ -410,12 +414,20 @@ def train_opq(
     import numpy as np
 
     rows = (
-        emb.orderBy(id_col)
+        emb.orderBy(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003)),
+            F.col(id_col),
+        )
         .limit(sample_size)
         .select(F.col(vec_col).cast("array<double>"))
         .collect()
     )
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if X.size == 0:
+        raise ValueError(
+            "train_opq: the input has no rows — a codec cannot be "
+            "trained on an empty table"
+        )
     assert X.shape[1] == dim, (X.shape, dim)
     sub = dim // m
     rng = np.random.default_rng(seed)

@@ -541,17 +541,19 @@ def compact_if_needed(
     max_contested: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> int | None:
+) -> tuple[int, int | None]:
     """Library-level auto-compaction policy (the CLI ``--compact-above``
     delegates here): fold the layout in place when its contested-id
     count — the per-search resolution broadcast's row count, measured
     +6.5 s/search at 1.58M uncompacted ids (SCALE.md) — exceeds
-    ``max_contested``. Returns ops folded, or None when under the
-    threshold (the check is one op-table aggregate, cheap to call
-    after every mutation)."""
-    if contested_count(spark, path) <= int(max_contested):
-        return None
-    return compact_in_place(spark, path, id_col=id_col, vec_col=vec_col)
+    ``max_contested``. Returns ``(n_contested, ops_folded | None)`` —
+    the count is the signal an operator tunes the threshold WITH, so
+    it is always reported (the check is one op-table aggregate, cheap
+    to call after every mutation)."""
+    n = contested_count(spark, path)
+    if n <= int(max_contested):
+        return n, None
+    return n, compact_in_place(spark, path, id_col=id_col, vec_col=vec_col)
 
 
 def compact_in_place(

@@ -446,6 +446,12 @@ def export_vector_index(
 
         ranges = train_sq8(rows)
     elif codec in ("pq", "opq"):
+        if n == 0:
+            raise ValueError(
+                f"export_vector_index: cannot train codec={codec!r} on an "
+                "EMPTY live view (every vector deleted?) — export without "
+                "a codec, or export a snapshot (as_of) that has rows"
+            )
         dim = len(rows.select("embedding").first()[0]) if n else 0
         # largest m ≤ 8 dividing dim: PQ subspaces must tile the vector
         sub_m = next(m for m in (8, 4, 2, 1) if dim % m == 0)

@@ -553,3 +553,32 @@ def test_export_to_batch_layout(spark, tmp_path):
         ).select("qid", "neighbor_id", "rank").collect())
     )
     assert got3 == want
+    # the stored codes must be the ROTATED-space encoding under the
+    # stored sidecars — catches an export that lands the rotation but
+    # encodes unrotated (the exhaustive-pool equality above cannot see
+    # that: the exact rerank hides any ADC garbage at this corpus size)
+    from big_ann_spark.operators.pq import (
+        load_pq_codebooks,
+        load_rotation,
+        with_pq_codes_arrow,
+    )
+
+    R = load_rotation(spark, f"{dst3}/opq_rotation.parquet")
+    books3 = load_pq_codebooks(spark, f"{dst3}/pq_codebooks.parquet")
+    expect_codes = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in with_pq_codes_arrow(
+            VI.live_vectors(spark, path).select(
+                "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+            ),
+            books3,
+            rotation=R,
+        ).collect()
+    }
+    got_codes = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in spark.read.parquet(f"{dst3}/shards")
+        .select("vec_id", "pq_codes")
+        .collect()
+    }
+    assert got_codes == expect_codes

@@ -429,7 +429,8 @@ def test_cli_compact_above_policy(spark, sf_dir, tmp_path):
     # far above: op lands, no compaction (library policy returns None)
     assert main(["index-upsert", path, batch, "--compact-above", "10000000"]) == 0
     assert VO.contested_count(spark, path) > 0
-    assert VO.compact_if_needed(spark, path, max_contested=10_000_000) is None
+    n_c, folded = VO.compact_if_needed(spark, path, max_contested=10_000_000)
+    assert n_c > 0 and folded is None
     # zero: the very next mutation triggers the in-place fold
     assert main(["index-delete", path, "--ids", "2,4", "--compact-above", "0"]) == 0
     assert VO.contested_count(spark, path) == 0

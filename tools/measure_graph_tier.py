@@ -85,6 +85,21 @@ def _queries(emb):
     )
 
 
+def _build_graph(spark, emb, gpath: str, ANN) -> None:
+    it = int(os.environ.get("GT_ITER", "3"))
+    sr = float(os.environ.get("GT_SAMPLE", "1.0"))
+    t0 = time.perf_counter()
+    g = ANN.nn_descent_knn_graph(
+        emb, k=10, iterations=it, dim=D, sample_rate=sr
+    )
+    g.write.mode("overwrite").parquet(f"{gpath}/edges.parquet")
+    t1 = time.perf_counter()
+    print(f"NN-Descent build (k=10, {it} iters, sample={sr}): {t1-t0:.1f}s")
+    edges = spark.read.parquet(f"{gpath}/edges.parquet")
+    ANN.write_knn_graph_layout(edges, emb, gpath, n_graph_buckets=64)
+    print(f"graph serving layout: {time.perf_counter()-t1:.1f}s")
+
+
 def main() -> None:
     phase = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
@@ -182,14 +197,15 @@ def main() -> None:
         )
         t3 = time.perf_counter()
         print(f"build IVF-OPQ: {t3-t2:.1f}s")
-        g = ANN.nn_descent_knn_graph(emb, k=10, iterations=3, dim=D)
-        g.write.mode("overwrite").parquet(f"{gpath}/edges.parquet")
-        t4 = time.perf_counter()
-        print(f"NN-Descent build (k=10, 3 iters): {t4-t3:.1f}s")
-        edges = spark.read.parquet(f"{gpath}/edges.parquet")
-        ANN.write_knn_graph_layout(edges, emb, gpath, n_graph_buckets=64)
-        t5 = time.perf_counter()
-        print(f"graph serving layout: {t5-t4:.1f}s")
+        _build_graph(spark, emb, gpath, ANN)
+        return
+
+    if phase == "graph":
+        # graph-only rebuild (the IVF/codec layouts already exist) —
+        # GT_ITER / GT_SAMPLE bound NN-Descent's candidate volume for
+        # big n (the 3-iter full join spilled ~80 GB at 2M locally)
+        emb = spark.read.parquet(emb_path)
+        _build_graph(spark, emb, gpath, ANN)
         return
 
     if phase == "search":
