@@ -1760,7 +1760,11 @@ def knn_graph_search_from_disk(
             spark, path, f_ids, f_tbs, ["node", "neighbors"]
         )
         if f_ids is None:
-            recs = recs.join(F.broadcast(f_ids_df), "node", "left_semi")
+            # over-cap regime: the id set EXCEEDS max_id_pushdown and
+            # grows with Q·beam·degree — never force a broadcast of an
+            # unbounded set (ADVICE r12); AQE picks the strategy from
+            # the runtime size (small batches still get a broadcast)
+            recs = recs.join(f_ids_df, "node", "left_semi")
         nbrs = (
             frontier.select("qid", "node")
             .join(recs, "node")
@@ -1780,7 +1784,8 @@ def knn_graph_search_from_disk(
             spark, path, c_ids, c_tbs, ["node", "_nvec"]
         )
         if c_ids is None:
-            cvecs = cvecs.join(F.broadcast(c_ids_df), "node", "left_semi")
+            # same unbounded-set rule as the frontier fetch above
+            cvecs = cvecs.join(c_ids_df, "node", "left_semi")
         scored = scored.union(
             _score_against(fresh.join(cvecs, "node"))
         ).localCheckpoint()

@@ -102,6 +102,7 @@ def committed_ops(spark, path: str) -> set[int]:
 
 
 def mark_committed(spark, path: str, op_id: int) -> None:
+    invalidate_contested_memo(path)
     fs, jp = fs_path(spark, f"{path}/_ops/{op_id}")
     fs.mkdirs(jp.getParent())
     fs.create(jp, True).close()
@@ -118,16 +119,56 @@ class ConcurrentWriterError(RuntimeError):
 
 WRITER_LOCK = "_writer.lock"
 
+# In-place compaction's swap lock lives BESIDE the layout, not inside
+# it: the swap renames the whole tree, so an in-tree lock travels out
+# with the first rename and leaves {base} unguarded mid-swap (ADVICE
+# r12). The sibling marker survives both renames; writer_lock refuses
+# while it exists.
+COMPACT_LOCK_SUFFIX = ".compact.lock"
+
+
+def compact_lock_jpath(spark, path: str):
+    return fs_path(spark, path.rstrip("/") + COMPACT_LOCK_SUFFIX)
+
+
+def compact_marker_exists(spark, path: str) -> bool:
+    fs, jp = compact_lock_jpath(spark, path)
+    return fs.exists(jp)
+
 
 @contextlib.contextmanager
-def writer_lock(spark, path: str, *, owner: str = ""):
+def writer_lock(spark, path: str, *, owner: str = "", in_compaction: bool = False):
     """Best-effort single-writer guard for one mutation (see module
     docstring): atomically create ``{path}/_ops/_writer.lock``
     (create-no-overwrite — atomic on local FS and HDFS), yield, delete
     on exit (including on exception — only a hard process kill leaves
     the lock behind). A held lock raises ``ConcurrentWriterError``
-    naming the file so an operator can remove a stale one."""
-    fs, jp = fs_path(spark, f"{path}/_ops/{WRITER_LOCK}")
+    naming the file so an operator can remove a stale one.
+
+    An in-place compaction additionally holds the SIBLING
+    ``{path}.compact.lock`` marker across its rename-swap window (when
+    the tree — and any in-tree lock — is renamed away); this guard
+    refuses while that marker exists, checking it both BEFORE and
+    AFTER the atomic lock create. The after-check closes the race
+    where the tree was renamed out between the two steps: our
+    ``mkdirs`` just created a phantom ``{path}/_ops`` that would make
+    the compactor's swap-in rename nest, so the abort path deletes the
+    lock file and then the phantom dirs (non-recursive — a real
+    layout's non-empty dirs survive). ``in_compaction=True`` skips the
+    marker checks: that caller IS the marker holder, using the in-tree
+    lock only to detect a mutation already in flight."""
+    base = path.rstrip("/")
+
+    def _compact_err():
+        return ConcurrentWriterError(
+            f"an in-place compaction holds {base}{COMPACT_LOCK_SUFFIX} — "
+            "the layout may be mid-swap; wait for it to finish (or remove "
+            "the marker if that compactor crashed hard)"
+        )
+
+    if not in_compaction and compact_marker_exists(spark, base):
+        raise _compact_err()
+    fs, jp = fs_path(spark, f"{base}/_ops/{WRITER_LOCK}")
     fs.mkdirs(jp.getParent())
     try:
         out = fs.create(jp, False)
@@ -137,11 +178,19 @@ def writer_lock(spark, path: str, *, owner: str = ""):
     except Exception:
         if fs.exists(jp):
             raise ConcurrentWriterError(
-                f"another writer holds {path}/_ops/{WRITER_LOCK} — the op "
+                f"another writer holds {base}/_ops/{WRITER_LOCK} — the op "
                 "ledger is single-writer per layout; wait for it to finish "
                 "(or remove the lock file if that writer crashed hard)"
             ) from None
         raise
+    if not in_compaction and compact_marker_exists(spark, base):
+        fs.delete(jp, False)
+        for d in (jp.getParent(), jp.getParent().getParent()):
+            try:
+                fs.delete(d, False)  # only succeeds on the phantom
+            except Exception:
+                pass
+        raise _compact_err()
     try:
         yield
     finally:
@@ -156,6 +205,41 @@ def writer_lock(spark, path: str, *, owner: str = ""):
 # emits a UserWarning naming the fix; tune per deployment if your
 # latency budget tolerates more.
 CONTESTED_WARN_ABOVE = 500_000
+
+
+_contested_count_memo: dict[tuple[str, int | None, str], int] = {}
+
+
+def invalidate_contested_memo(path: str) -> None:
+    base = path.rstrip("/")
+    for k in [k for k in _contested_count_memo if k[0] == base]:
+        _contested_count_memo.pop(k, None)
+
+
+def check_contested(
+    spark, path: str, latest, context: str, *, as_of: int | None = None
+) -> bool:
+    """Emptiness probe + memoized size telemetry for a checkpointed
+    op-sized winners DF; returns True when ``latest`` is EMPTY. The
+    emptiness probe is ``head(1)`` (an early-out job — needed anyway);
+    the FULL count that feeds :func:`warn_contested_size` runs once
+    per (path, as_of) per session and is re-run only after a mutation
+    or compaction lands THROUGH this session (``mark_committed`` /
+    ``compact_in_place`` invalidate the memo) — telemetry must not
+    cost an extra Spark job on every search (ADVICE r12). A mutator in
+    ANOTHER session won't bust the memo; the warning may then lag one
+    process lifetime, which is acceptable for a sizing hint."""
+    base = path.rstrip("/")
+    key = (base, as_of, context)
+    if not latest.head(1):
+        _contested_count_memo[key] = 0
+        return True
+    n = _contested_count_memo.get(key)
+    if n is None:
+        n = latest.count()
+        _contested_count_memo[key] = n
+    warn_contested_size(n, base, context)
+    return False
 
 
 def warn_contested_size(n: int, path: str, context: str) -> None:

@@ -254,13 +254,14 @@ def latest_op_of_contested(
         .agg(F.max("_mb").alias("_latest"))
         .localCheckpoint()
     )
-    n_contested = latest.count()
-    if n_contested == 0:
-        return None
     # this broadcast IS the payload layout's per-search mutation cost
     # (the 20M campaign's +6.5 s at 1.58M uncompacted ids) — warn when
-    # it outgrows the threshold instead of paying it silently
-    oplayout.warn_contested_size(n_contested, path, "latest_op_of_contested")
+    # it outgrows the threshold, but never pay a per-search count job
+    # for the telemetry (head(1) + memoized count, ADVICE r12)
+    if oplayout.check_contested(
+        spark, path, latest, "latest_op_of_contested", as_of=as_of
+    ):
+        return None
     return latest
 
 

@@ -347,13 +347,10 @@ def mutation_state(
             F.struct(F.col("_mb"), rank.alias("_r")),
         ).alias("_w")
     ).localCheckpoint()
-    # the count is a metadata-cheap job on the checkpointed winners and
-    # doubles as the emptiness probe; past the threshold it surfaces
-    # the silent per-search broadcast cost as an actionable warning
-    n_contested = latest.count()
-    if n_contested == 0:
+    # head(1) emptiness + memoized size telemetry (one full count per
+    # ledger state per session, never a per-search job — ADVICE r12)
+    if oplayout.check_contested(spark, path, latest, "mutation_state", as_of=as_of):
         return None
-    oplayout.warn_contested_size(n_contested, path, "mutation_state")
     resolved = latest.filter(F.col("_w.op") == OP_INSERT).select(
         "vec_id",
         *[F.col(f"_w.{c}").alias(c) for c in data_cols if c != "vec_id"],
@@ -575,12 +572,21 @@ def compact_in_place(
     ``{path}`` is missing and ``{path}.compacting`` exists, rename the
     latter into place (it is complete — the rename-out only happens
     after the compaction finished); if both ``{path}.precompact`` and
-    ``{path}`` exist, the swap finished — delete the leftover. A fresh
-    run refuses to start while either sibling exists, naming this
-    recipe. SINGLE-WRITER enforced: the whole compact+swap holds the
-    layout's ``writer_lock``, so a concurrent mutation raises a loud
-    ``ConcurrentWriterError`` instead of landing an op the swap would
-    silently delete with the ``.precompact`` dir."""
+    ``{path}`` exist, the swap finished — delete the leftover (and any
+    stale ``{path}.compact.lock``). A fresh run refuses to start while
+    either sibling exists, naming this recipe.
+
+    SINGLE-WRITER enforced by TWO locks (ADVICE r12): the in-tree
+    ``writer_lock`` detects a mutation already in flight, but it
+    cannot guard the swap — the first rename moves ``{path}/_ops``
+    (lock included) out with the tree, leaving ``{path}`` unguarded
+    and the final delete eating the lock file. So the whole
+    compact+swap ALSO holds the sibling ``{path}.compact.lock`` marker
+    (created no-overwrite, outside the renamed tree); ``writer_lock``
+    refuses while the marker exists — before AND after its own atomic
+    create, so a mutator racing the rename window aborts and unwinds
+    the phantom ``_ops`` dir its mkdirs made instead of breaking the
+    swap-in."""
     base = path.rstrip("/")
     tmp, old = base + ".compacting", base + ".precompact"
     for p in (tmp, old):
@@ -591,19 +597,36 @@ def compact_in_place(
                 "a complete .compacting renames into place, a leftover "
                 ".precompact next to a live layout is safe to delete)"
             )
-    with oplayout.writer_lock(spark, base, owner="compact_in_place"):
-        n_ops = compact_vector_layout(
-            spark, base, tmp, id_col=id_col, vec_col=vec_col
-        )
-        fs, jbase = oplayout.fs_path(spark, base)
-        _, jold = oplayout.fs_path(spark, old)
-        _, jtmp = oplayout.fs_path(spark, tmp)
-        if not fs.rename(jbase, jold):
-            raise IOError(f"compact_in_place: rename {base} -> {old} failed")
-        if not fs.rename(jtmp, jbase):
-            raise IOError(
-                f"compact_in_place: swap-in failed — restore by renaming "
-                f"{tmp} to {base} (the compacted layout is complete)"
+    cfs, cjp = oplayout.compact_lock_jpath(spark, base)
+    try:
+        cfs.create(cjp, False).close()
+    except Exception:
+        if cfs.exists(cjp):
+            raise oplayout.ConcurrentWriterError(
+                f"another compaction holds {base}"
+                f"{oplayout.COMPACT_LOCK_SUFFIX}; wait for it to finish "
+                "(or remove the marker if that compactor crashed hard)"
+            ) from None
+        raise
+    try:
+        with oplayout.writer_lock(
+            spark, base, owner="compact_in_place", in_compaction=True
+        ):
+            n_ops = compact_vector_layout(
+                spark, base, tmp, id_col=id_col, vec_col=vec_col
             )
-        fs.delete(jold, True)
+            fs, jbase = oplayout.fs_path(spark, base)
+            _, jold = oplayout.fs_path(spark, old)
+            _, jtmp = oplayout.fs_path(spark, tmp)
+            if not fs.rename(jbase, jold):
+                raise IOError(f"compact_in_place: rename {base} -> {old} failed")
+            if not fs.rename(jtmp, jbase):
+                raise IOError(
+                    f"compact_in_place: swap-in failed — restore by renaming "
+                    f"{tmp} to {base} (the compacted layout is complete)"
+                )
+            fs.delete(jold, True)
+            oplayout.invalidate_contested_memo(base)
+    finally:
+        cfs.delete(cjp, False)
     return n_ops

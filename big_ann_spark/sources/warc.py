@@ -350,13 +350,20 @@ def read_warc(spark, path: str, *, blob_cap_bytes: int = 1 << 30) -> DataFrame:
         if sz > blob_cap_bytes and p.startswith("file:")
     ]
     src = spark.read.format("binaryFile").load(path)
-    # size-partitioned routing, decided by the same (scheme, length)
-    # predicate on both sides so no file is read twice or skipped:
-    # local + big → the paths walk; everything else → binaryFile
-    keep_blob = (F.col("length") <= int(blob_cap_bytes)) | ~F.col(
-        "path"
-    ).startswith("file:")
-    parts = [_records_of(src.filter(keep_blob).select("path", "content"))]
+    # size-partitioned routing. The blob-route filter must be a PURE
+    # length predicate: binaryFile pushes `length <= cap` down to the
+    # file listing, but an Or containing a path predicate degrades to
+    # keep-everything (createFilterFunction), and then an over-2GiB
+    # local file still materializes and throws "exceeds the max length
+    # allowed". `big` is non-empty only for file: paths, and a listing
+    # has one scheme — so when `big` is non-empty every over-cap file
+    # is local and on the paths walk, and the pure length filter is
+    # exactly the complement; when it's empty no filter is needed (an
+    # over-cap non-local file must keep the binaryFile route at its
+    # documented 2 GB limit — no POSIX stream for object stores).
+    if big:
+        src = src.filter(F.col("length") <= int(blob_cap_bytes))
+    parts = [_records_of(src.select("path", "content"))]
     if big:
         bsrc = (
             spark.createDataFrame([(p,) for p in big], "path string")

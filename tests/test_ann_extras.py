@@ -270,6 +270,35 @@ def test_knn_graph_search_from_disk_equals_in_memory(spark, sf_dir, tmp_path):
     )
     assert got0 == want
 
+    # ADVICE r12: the over-cap branch is only reached when the id set
+    # EXCEEDS the gate (it grows with Q·beam·degree) — forcing a
+    # broadcast of an unbounded set risks driver OOM at exactly the
+    # batch sizes the branch targets. The wide path must leave the
+    # frontier/candidate id semi-joins to AQE: the only broadcast
+    # hints it places are the contractually tiny query batch
+    # (qid, _qv) and entry table (node, _nvec) — never a bare (node)
+    # id set.
+    import big_ann_spark.operators.ann as ann_mod
+
+    real = ann_mod.F.broadcast
+    hinted: list[tuple[str, ...]] = []
+
+    def record(df):
+        hinted.append(tuple(df.columns))
+        return real(df)
+
+    try:
+        ann_mod.F.broadcast = record
+        got_wide = rows(
+            ANN.knn_graph_search_from_disk(
+                qs, path, k=10, beam=16, hops=4, dim=64, max_id_pushdown=0
+            )
+        )
+    finally:
+        ann_mod.F.broadcast = real
+    assert got_wide == want
+    assert hinted and all(cols != ("node",) for cols in hinted)
+
 
 def test_graph_search_exhausted_space_early_exit(spark, sf_dir, tmp_path):
     """With n_entry >= n and a big beam the search space exhausts in

@@ -418,6 +418,82 @@ def test_contested_warning_and_inplace_compaction(spark, sf_dir, monkeypatch):
         VO.compact_in_place(spark, path)
 
 
+def test_contested_count_memoized_per_ledger_state(spark, sf_dir, monkeypatch):
+    """ADVICE r12 — the contested-size telemetry must not cost an
+    extra Spark count job on EVERY search: the full count runs once
+    per (path, as_of) per session (head(1) keeps the emptiness probe),
+    and a mutation landing through this session busts the memo."""
+    from pyspark.sql import DataFrame
+
+    emb, cents, path = _build_layout(spark, sf_dir)
+    VO.delete_vectors(spark, path, [2])
+    assert VO.mutation_state(spark, path) is not None  # first call counts
+
+    def boom(self):
+        raise AssertionError("telemetry count ran on a warm memo")
+
+    real = DataFrame.count
+    monkeypatch.setattr(DataFrame, "count", boom)
+    assert VO.mutation_state(spark, path) is not None  # memo hit, no count
+    monkeypatch.setattr(DataFrame, "count", real)
+    # a new op invalidates: the next search re-counts (and still works)
+    VO.delete_vectors(spark, path, [4])
+    assert not [
+        k for k in oplayout._contested_count_memo if k[0] == path.rstrip("/")
+    ]
+    assert VO.mutation_state(spark, path) is not None
+
+
+def test_compact_swap_lock_guards_rename_window(spark, sf_dir, monkeypatch):
+    """ADVICE r12 — the in-tree writer lock cannot guard the compact
+    swap (the first rename moves {base}/_ops, lock included, out with
+    the tree, and the final delete eats the lock file), so the
+    compactor holds a SIBLING {base}.compact.lock for the whole
+    compact+swap. writer_lock must refuse while the marker exists —
+    including when the marker lands between its pre-check and its
+    atomic lock create, the exact rename-out window — and the abort
+    must unwind the phantom {base}/_ops its mkdirs made, or the
+    swap-in rename would nest the compacted layout inside it."""
+    emb, cents, path = _build_layout(spark, sf_dir)
+    cfs, cjp = oplayout.compact_lock_jpath(spark, path)
+    cfs.create(cjp, False).close()
+    try:
+        # pre-check: the marker alone blocks a mutator and a compactor
+        with pytest.raises(oplayout.ConcurrentWriterError, match="compact.lock"):
+            with oplayout.writer_lock(spark, path, owner="m"):
+                pass
+        with pytest.raises(oplayout.ConcurrentWriterError, match="compact.lock"):
+            VO.compact_in_place(spark, path)
+        assert not oplayout.path_exists(spark, path + ".compacting")
+    finally:
+        cfs.delete(cjp, False)
+    # marker gone → mutations flow again
+    assert VO.delete_vectors(spark, path, [1]) == 0
+
+    # the rename-out window: marker appears AFTER the mutator's
+    # pre-check, and the tree is already renamed away — the post-create
+    # re-check must abort and leave NO phantom dir behind
+    fs, jbase = oplayout.fs_path(spark, path)
+    _, jold = oplayout.fs_path(spark, path + ".precompact")
+    assert fs.rename(jbase, jold)
+    seen = iter([False, True])
+    monkeypatch.setattr(
+        oplayout, "compact_marker_exists", lambda s, p: next(seen)
+    )
+    try:
+        with pytest.raises(oplayout.ConcurrentWriterError, match="compact.lock"):
+            with oplayout.writer_lock(spark, path, owner="m"):
+                pass
+        assert not oplayout.path_exists(spark, path)
+    finally:
+        assert fs.rename(jold, jbase)
+    monkeypatch.undo()
+    # a full compact_in_place leaves no marker behind
+    VO.upsert_vectors(spark, path, emb.filter(F.col("vec_id") % 5 == 0))
+    assert VO.compact_in_place(spark, path) >= 1
+    assert not cfs.exists(cjp)
+
+
 def test_cli_compact_above_policy(spark, sf_dir, tmp_path):
     """--compact-above on a mutation command: below the threshold the
     layout keeps its ops; above it the CLI folds in place."""

@@ -427,6 +427,37 @@ def test_plain_record_walk_equals_buffered(tmp_path):
             list(W._iter_plain_records_from(fh))
 
 
+def test_read_warc_over_2gib_local_file_routes(spark, tmp_path):
+    """REGRESSION (ADVICE r12): the blob-route filter must be a PURE
+    length predicate. The old disjunction (length <= cap) | ~file:
+    was not file-level pushable — binaryFile's createFilterFunction
+    degrades an Or with a path predicate to keep-everything — so a
+    >2 GiB local file still materialized on the blob route and threw
+    'exceeds the max length allowed'. A sparse >2 GiB plain WARC must
+    now route through the paths walk without error."""
+    f = tmp_path / "huge.warc"
+    n, body = 9, 256 << 20  # 9 × 256 MiB bodies → ~2.25 GiB file
+    with open(f, "wb") as fh:
+        for i in range(n):
+            fh.write(
+                b"WARC/1.0\r\n"
+                b"WARC-Type: resource\r\n"
+                + f"WARC-Record-ID: <urn:huge:{i}>\r\n".encode()
+                + f"Content-Length: {body}\r\n\r\n".encode()
+            )
+            fh.seek(body, 1)  # sparse hole = a body of zeros
+            fh.write(b"\r\n\r\n")
+    assert f.stat().st_size > (1 << 31)
+    got = (
+        W.read_warc(spark, str(f))
+        .select("record_index", "warc_type", "record_id")
+        .collect()
+    )
+    assert sorted(r["record_index"] for r in got) == list(range(n))
+    assert {r["warc_type"] for r in got} == {"resource"}
+    assert {r["record_id"] for r in got} == {f"<urn:huge:{i}>" for i in range(n)}
+
+
 def test_read_warc_big_file_path_route_equals_binaryfile(spark, sf_dir, tmp_path):
     """Files above blob_cap_bytes ship as paths and stream through the
     record walks — rows must be identical to the binaryFile route (the
