@@ -152,6 +152,27 @@ def _build_parser() -> argparse.ArgumentParser:
         "--graph-buckets", type=int, default=64,
         help="node-hash partition count of the serving layout",
     )
+    bg.add_argument(
+        "--entries", type=int, default=None,
+        help="entry-table size of the serving layout (default "
+        "GRAPH_MAX_ENTRIES; size to the largest n_entry you'll search)",
+    )
+    bg.add_argument(
+        "--init", choices=["hash", "ivf"], default="hash",
+        help="graph init: 'hash' = NN-Descent's bucket init (fine to "
+        "~1M); 'ivf' = IVF-seeded build (KMeans cells + within-cell "
+        "exact kNN + capped refinement) — the scale path, the only "
+        "one measured to complete at 2M+ locally",
+    )
+    bg.add_argument(
+        "--target-shard-rows", type=int, default=4096,
+        help="--init ivf: target rows per KMeans cell",
+    )
+    bg.add_argument(
+        "--local-join-cap", type=int, default=8,
+        help="--init ivf: per-pivot local-join cap J of the refinement "
+        "rounds (candidate volume n*(2J)^2 per round)",
+    )
 
     g = sub.add_parser(
         "graph-search", help="batch beam search over a built kNN graph "
@@ -888,10 +909,18 @@ def main(argv: list[str] | None = None) -> int:
         from big_ann_spark.operators import ann as ANN
 
         vecs = spark.read.parquet(args.src)
-        g = ANN.nn_descent_knn_graph(
-            vecs, k=args.k, iterations=args.iterations,
-            id_col=args.id_col, vec_col=args.vec_col,
-        )
+        if args.init == "ivf":
+            g = ANN.ivf_seeded_knn_graph(
+                vecs, k=args.k, id_col=args.id_col, vec_col=args.vec_col,
+                refine_iterations=args.iterations,
+                target_shard_rows=args.target_shard_rows,
+                local_join_cap=args.local_join_cap,
+            )
+        else:
+            g = ANN.nn_descent_knn_graph(
+                vecs, k=args.k, iterations=args.iterations,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
         g.write.mode("overwrite").parquet(f"{args.dst}/edges.parquet")
         print(f"{g.count()} edges (k={args.k}) -> {args.dst}")
         if args.serving_layout:
@@ -900,6 +929,11 @@ def main(argv: list[str] | None = None) -> int:
                 g_written, vecs, args.dst,
                 id_col=args.id_col, vec_col=args.vec_col,
                 n_graph_buckets=args.graph_buckets,
+                **(
+                    {"n_entries": args.entries}
+                    if args.entries is not None
+                    else {}
+                ),
             )
             print(
                 f"serving layout ({args.graph_buckets} buckets) -> {args.dst}"

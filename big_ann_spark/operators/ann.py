@@ -1175,6 +1175,8 @@ def nn_descent_knn_graph(
     sample_rate: float = 1.0,
     local_join: str = "full",
     converge_churn: float | None = None,
+    init_graph: DataFrame | None = None,
+    local_join_cap: int | None = None,
 ) -> DataFrame:
     """Approximate kNN-graph construction by NN-Descent (Dong, Moses &
     Li, WWW 2011) — the build stage behind graph-ANN indexes
@@ -1211,6 +1213,28 @@ def nn_descent_knn_graph(
     as the safety cap. Pair it with the new/old trim: converged rounds
     are exactly the ones where the trim makes candidates ~10% of the
     full join (SCALE.md).
+
+    ``init_graph``: a pre-seeded ``(src, dst[, dist])`` edge set that
+    REPLACES the hash-bucket init (re-scored with the canonical
+    distance expression — see the inline invariant — and truncated to
+    build_k per src) — the
+    scale path (VERDICT r12 #1): the hash init's early rounds are
+    all-churn and their candidate volume is what killed the 2M build
+    (>80 GB spill / OOM); an IVF-seeded start
+    (:func:`ivf_seeded_knn_graph`) begins at high recall so the
+    iterations are REFINEMENT, not discovery. The orphan backfill is
+    the seeder's responsibility (every node needs ≥1 src row).
+
+    ``local_join_cap`` (J): bound each pivot's local-join membership
+    to its J NEAREST forward and J nearest reverse neighbors
+    ((dist, dst) order), capping per-round candidate volume at
+    n·(2J)² regardless of build_k — the knob that keeps a refinement
+    round's shuffle linear-in-n small at 2M+ (SCALE.md r13). The
+    merge still unions the FULL previous graph, so no edge is ever
+    dropped from the graph state; only pair GENERATION is trimmed
+    (like ``sample_rate``, but deterministic and biased to the
+    current-best neighborhood — the right bias when the seed is
+    already high-recall; on a cold hash init it slows discovery).
 
     Returns ``(src, dst, dist, rank)``, rank 1..k by (dist, dst).
     """
@@ -1288,11 +1312,42 @@ def nn_descent_knn_graph(
         ).union(s.select(F.col("v").alias("src"), F.col("u").alias("dst"), "dist"))
 
     order = [F.col("dist").asc(), F.col("dst").asc()]
-    graph = (
-        top_k_per_group(_score(init_pairs), ["src"], order, kb)
-        .drop("rank")
-        .localCheckpoint()
-    )
+    if init_graph is not None:
+        # the seed replaces the hash init (which stays lazy above —
+        # zero jobs). RE-SCORE the seed pairs with the one l2_distance
+        # expression every iteration uses: the merge's dedup invariant
+        # is "a duplicate (src,dst) always carries the identical dist",
+        # and a seed scored elsewhere (numpy gemm) differs in the last
+        # ulp, so the same edge would survive twice and a node's top-k
+        # could hold duplicate dsts. Any provided dist is ignored.
+        ig = (
+            init_graph.select("src", "dst")
+            .distinct()
+            .join(
+                vt.select(
+                    F.col("_nid").alias("src"), F.col("_nvec").alias("_sv")
+                ),
+                "src",
+            )
+            .join(
+                vt.select(
+                    F.col("_nid").alias("dst"), F.col("_nvec").alias("_dv")
+                ),
+                "dst",
+            )
+            .select("src", "dst", l2_distance("_sv", "_dv", dim).alias("dist"))
+        )
+        graph = (
+            top_k_per_group(ig, ["src"], order, kb)
+            .drop("rank")
+            .localCheckpoint()
+        )
+    else:
+        graph = (
+            top_k_per_group(_score(init_pairs), ["src"], order, kb)
+            .drop("rank")
+            .localCheckpoint()
+        )
     rcap = reverse_cap if reverse_cap is not None else kb
     # new/old flags (Dong et al. §2.2, the paper's actual candidate
     # trim): a co-neighbor pair needs scoring only in a round where at
@@ -1327,6 +1382,7 @@ def nn_descent_knn_graph(
         raise ValueError('converge_churn requires local_join="new_old"')
     if local_join == "new_old":
         flags_new = graph.select("src", "dst")
+    jcap = int(local_join_cap) if local_join_cap else None
     for it in range(iterations):
         if local_join == "new_old":
             g_ann = graph.join(
@@ -1334,16 +1390,35 @@ def nn_descent_knn_graph(
             ).withColumn("_new", F.coalesce("_new", F.lit(False)))
         else:
             g_ann = graph.withColumn("_new", F.lit(True))
+        # local_join_cap: only a pivot's J nearest forward neighbors
+        # enter its self-join (the reverse side is capped to J below
+        # too) — per-round candidate volume ≤ n·(2J)² whatever kb is.
+        # Pair generation only; the merge still unions the full graph.
+        g_join = (
+            top_k_per_group(g_ann, ["src"], order, jcap).drop("rank")
+            if jcap is not None and jcap < kb
+            else g_ann
+        )
         rev = g_ann.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "dist", "_new"
         )
-        rev = top_k_per_group(rev, ["src"], order, rcap).drop("rank")
+        rev = top_k_per_group(
+            rev, ["src"], order, rcap if jcap is None else min(rcap, jcap)
+        ).drop("rank")
         both = (
-            g_ann.select("src", "dst", "_new")
+            g_join.select("src", "dst", "_new")
             .union(rev.select("src", "dst", "_new"))
             .groupBy("src", "dst")
             .agg(F.max("_new").alias("_new"))
         )
+        if jcap is not None and jcap < kb:
+            # materialize the trimmed adjacency (n·2J id rows, tiny):
+            # the two window lineages otherwise reach the self-join as
+            # a PartitioningCollection whose members AQE coalesced to
+            # different partition counts — the planner rejects that
+            # ("requirement failed") — and the checkpoint also stops
+            # the double recompute through the a/b aliases below
+            both = both.localCheckpoint()
         if sample_rate < 1.0:
             # the paper's ρ-sampling (Dong et al. §2.3), coarse form:
             # thin each adjacency list to an expected ρ fraction
@@ -1453,6 +1528,287 @@ def nn_descent_knn_graph(
             if flags_new.count() <= converge_churn * n * kb:
                 break
     return top_k_per_group(graph, ["src"], order, k)
+
+
+def _assign_top_probes(
+    points: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    probes: int,
+    *,
+    id_col: str,
+    vec_col: str,
+    row_block: int = 1024,
+) -> DataFrame:
+    """Each point duplicated onto its ``probes`` nearest centroids —
+    ``(id, vec, _sid)``, one mapInArrow pass over a broadcast centroid
+    matrix (the ``sharding._assign_arrow`` shape, specialized to
+    top-p). Exact f64 distances; WHICH p at an equal-distance boundary
+    is argpartition-arbitrary but deterministic for identical input
+    (all p assignments are emitted, so intra-p order is moot)."""
+    import numpy as np
+
+    sids = np.array([c[0] for c in centroids], dtype=np.int64)
+    C = np.array([c[1] for c in centroids], dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    p = max(1, min(int(probes), len(sids)))
+    idt = points.schema[id_col].dataType.simpleString()
+    vct = points.schema[vec_col].dataType.simpleString()
+    out_schema = f"{id_col} {idt}, {vec_col} {vct}, _sid int"
+
+    def run(batches):
+        # self-contained closure: no repo imports — the worker process
+        # need not have the package importable (driver-contract runs
+        # launch from an arbitrary cwd); this is arrowio's
+        # list_col_matrix inlined (flatten honors offsets/slices)
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            arr = rb.column(vec_col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if arr.null_count:
+                raise ValueError(f"{vec_col}: null vectors are not supported")
+            V = np.asarray(arr.flatten()).reshape(n, -1).astype(np.float64)
+            tops = np.empty((n, p), dtype=np.int32)
+            for lo in range(0, n, row_block):
+                hi = min(lo + row_block, n)
+                blk = V[lo:hi]
+                d2 = (
+                    (blk * blk).sum(axis=1)[:, None]
+                    - 2.0 * (blk @ C.T)
+                    + c_sq[None, :]
+                )
+                m = d2.shape[1]
+                if p < m:
+                    part = np.argpartition(d2, p - 1, axis=1)[:, :p]
+                else:
+                    part = np.tile(np.arange(m), (hi - lo, 1))
+                tops[lo:hi] = sids[part].astype(np.int32)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), p))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(id_col).take(idx),
+                    rb.column(vec_col).take(idx),
+                    pa.array(tops.ravel(), type=pa.int32()),
+                ],
+                names=[id_col, vec_col, "_sid"],
+            )
+
+    return points.select(id_col, vec_col).mapInArrow(run, schema=out_schema)
+
+
+def ivf_seeded_knn_graph(
+    vectors: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    build_k: int | None = None,
+    probes: int = 2,
+    target_shard_rows: int = 4096,
+    max_shard_rows: int = 65536,
+    refine_iterations: int = 1,
+    local_join_cap: int | None = 8,
+    seed: int = 1,
+    kmeans_sample_cap: int = 200_000,
+    kmeans_max_iter: int = 10,
+    merge_strategy: str = "agg",
+) -> DataFrame:
+    """kNN-graph build that SURVIVES a scale-up (VERDICT r12 #1) —
+    IVF-seeded init + capped NN-Descent refinement, replacing the
+    hash-bucket init whose all-churn early rounds killed the 2M build
+    (>80 GB shuffle spill, then OOM; ROUND_NOTES r12):
+
+    1. **Partition**: MLlib KMeans on a seeded Bernoulli sample (cap
+       ``kmeans_sample_cap`` — spread across partitions, never a
+       ``limit`` slice: the r12 codebook lesson) into
+       ``ceil(n·probes / target_shard_rows)`` cells.
+    2. **Multi-assign**: every vector rides to its ``probes`` nearest
+       cells (one broadcast-matrix Arrow pass) — the 2nd+ probe is
+       what covers Voronoi-boundary neighbors, the recall hole of
+       single-cell seeding.
+    3. **Within-cell exact kNN**: one ``applyInPandas`` per cell —
+       blocked f64 BLAS, candidates hash-subsampled past
+       ``max_shard_rows`` (skew guard: all rows stay sources, recall
+       degrades gracefully on a runaway cell instead of OOMing the
+       task). Per-cell cost is n_cell², bounded by the shard target —
+       TOTAL work ~n·target_shard_rows·probes², linear in n.
+    4. **Merge + refine**: per-src union across probes (min-dist dedup
+       — the same pair scored in two cells can differ in the last ulp
+       across gemm shapes), then ``refine_iterations`` NN-Descent
+       rounds with ``init_graph=`` the seed and ``local_join_cap=`` J
+       (candidate volume n·(2J)² per round) to close the remaining
+       cross-cell edges.
+
+    The reference's analog is its per-shard hnswlib build
+    (``src/util/utils.py:286-296``) — shard-local index construction;
+    this distributes the sharding AND the within-shard build, with the
+    descent rounds recovering the cross-shard edges the reference
+    simply forgoes. Scale shape at 100 TB: every stage is a bounded
+    shuffle linear in n (n·probes assignment rows, n·probes·build_k
+    seed edges, n·(2J)² refinement candidates); nothing is quadratic
+    in n and no stage collects to the driver beyond the centroid
+    table. Returns ``(src, dst, dist, rank)`` like
+    :func:`nn_descent_knn_graph`."""
+    import pandas as pd
+
+    kb = build_k if build_k is not None else 2 * k
+    order = [F.col("dist").asc(), F.col("dst").asc()]
+    vt = vectors.select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec")
+    )
+    n = vt.count()
+    if n == 0:
+        raise ValueError("ivf_seeded_knn_graph: empty vector table")
+    p = max(1, int(probes))
+    n_shards = int(max(p, min(n, -(-(n * p) // int(target_shard_rows)))))
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    frac = min(1.0, kmeans_sample_cap / n)
+    samp = vt.sample(fraction=frac, seed=seed) if frac < 1.0 else vt
+    feat = samp.select(
+        array_to_vector(F.col("_nvec").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_shards, seed=seed, maxIter=int(kmeans_max_iter)).fit(feat)
+    cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+    assigned = _assign_top_probes(
+        vt, cents, p, id_col="_nid", vec_col="_nvec"
+    )
+
+    kb_ = int(kb)
+    cap_ = int(max_shard_rows)
+
+    def shard_knn(pdf):
+        import numpy as np
+
+        n_s = len(pdf)
+        if n_s < 2:
+            return pd.DataFrame(
+                {
+                    "src": pd.array([], dtype="int64"),
+                    "dst": pd.array([], dtype="int64"),
+                    "dist": pd.array([], dtype="float64"),
+                }
+            )
+        ids = pdf["_nid"].to_numpy(dtype=np.int64)
+        V = np.asarray(np.stack(pdf["_nvec"].to_numpy()), dtype=np.float64)
+        if n_s > cap_:
+            # skew guard: hash-spread candidate subset, all rows stay
+            # sources — a runaway cell loses recall, not the task
+            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            keep = np.sort(np.argsort(h, kind="stable")[:cap_])
+            Cm, cids = V[keep], ids[keep]
+        else:
+            Cm, cids = V, ids
+        c_sq = (Cm * Cm).sum(axis=1)
+        srcs, dsts, dists = [], [], []
+        for lo in range(0, n_s, 512):
+            hi = min(lo + 512, n_s)
+            blk = V[lo:hi]
+            d2 = (
+                (blk * blk).sum(axis=1)[:, None]
+                - 2.0 * (blk @ Cm.T)
+                + c_sq[None, :]
+            )
+            np.maximum(d2, 0.0, out=d2)
+            d2[cids[None, :] == ids[lo:hi, None]] = np.inf  # no self edge
+            m = d2.shape[1]
+            kk = min(kb_, m)
+            if kk < m:
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.tile(np.arange(m), (hi - lo, 1))
+            rows = np.repeat(np.arange(hi - lo), part.shape[1])
+            dd = d2[rows, part.ravel()]
+            fin = np.isfinite(dd)
+            srcs.append(np.repeat(ids[lo:hi], part.shape[1])[fin])
+            dsts.append(cids[part.ravel()][fin])
+            dists.append(np.sqrt(dd[fin]))
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "dist": np.concatenate(dists),
+            }
+        )
+
+    seed_edges = assigned.groupBy("_sid").applyInPandas(
+        shard_knn, schema="src long, dst long, dist double"
+    )
+    # cross-probe dedup by MIN dist (ulp-level gemm drift across cell
+    # shapes means the same pair's two scores need not be bit-equal),
+    # then the per-src truncation to the internal degree
+    seed_pairs = seed_edges.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+    # materialize: consumed twice below (output + the orphan anti-join)
+    # — never recompute the per-cell kNN pass
+    seed_graph = (
+        top_k_per_group(seed_pairs, ["src"], order, kb_)
+        .drop("rank")
+        .localCheckpoint()
+    )
+
+    # orphan backfill (every node needs ≥1 src row — the init contract
+    # nn_descent's hash path guarantees and init_graph delegates): a
+    # node whose every probe cell is a singleton emits no edges; pair
+    # it with the two smallest ids, both directions, exactly scored
+    anchors = vt.orderBy("_nid").limit(2).select(
+        F.col("_nid").alias("_aid"), F.col("_nvec").alias("_avec")
+    )
+    orphans = vt.join(
+        seed_graph.select(F.col("src").alias("_nid")).distinct(),
+        "_nid",
+        "left_anti",
+    )
+    opairs = (
+        orphans.crossJoin(F.broadcast(anchors))
+        .filter(F.col("_nid") != F.col("_aid"))
+        .select(
+            F.col("_nid").alias("src"),
+            F.col("_aid").alias("dst"),
+            l2_distance("_nvec", "_avec", dim).alias("dist"),
+        )
+    )
+    # checkpoint the union: a lazy union of an RDD-backed side with a
+    # join lineage reports a PartitioningCollection whose members
+    # disagree on numPartitions, and the refinement round's planner
+    # rejects it (Spark EnsureRequirements `requirement failed`) —
+    # materializing flattens it to one scan (and the orphan anti-join
+    # is one tiny job)
+    seed_graph = seed_graph.unionByName(
+        opairs.unionByName(
+            opairs.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
+            )
+        )
+    ).localCheckpoint()
+
+    if refine_iterations > 0:
+        return nn_descent_knn_graph(
+            vectors,
+            k,
+            id_col=id_col,
+            vec_col=vec_col,
+            iterations=int(refine_iterations),
+            dim=dim,
+            build_k=kb_,
+            seed=seed,
+            merge_strategy=merge_strategy,
+            init_graph=seed_graph,
+            local_join_cap=local_join_cap,
+        )
+    return top_k_per_group(
+        seed_graph.dropDuplicates(["src", "dst"]), ["src"], order, k
+    )
 
 
 def knn_graph_search(
@@ -1565,6 +1921,7 @@ def write_knn_graph_layout(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_graph_buckets: int = 64,
+    n_entries: int = GRAPH_MAX_ENTRIES,
 ) -> None:
     """Persist a kNN graph (``nn_descent_knn_graph`` edges) as the
     GRAPH SERVING TIER — the Spark analog of the reference's one
@@ -1582,11 +1939,13 @@ def write_knn_graph_layout(
       (DiskANN's record layout): one fetch serves both expansion and
       scoring, so per-hop IO is O(frontier · degree) records, corpus-
       independent.
-    - ``graph_entries.parquet`` — the ``GRAPH_MAX_ENTRIES`` min-id
-      nodes WITH vectors (entry scoring is one tiny broadcast, no
-      graph scan).
-    - ``graph_meta.parquet`` — the bucket count (a layout constant the
-      query side must hash with).
+    - ``graph_entries.parquet`` — the ``n_entries`` min-id nodes WITH
+      vectors (entry scoring is one tiny broadcast, no graph scan;
+      default ``GRAPH_MAX_ENTRIES``, a build knob since VERDICT r12
+      #6 — size it to the largest ``n_entry`` searches will ask for).
+    - ``graph_meta.parquet`` — the bucket count and the stored entry
+      count (layout constants the query side must respect; readers of
+      pre-knob layouts fall back to ``GRAPH_MAX_ENTRIES``).
 
     Rebuild-only, like the reference's HNSW artifacts — mutations go
     through the IVF op-ledger tiers; the graph tier is the low-IO
@@ -1622,14 +1981,15 @@ def write_knn_graph_layout(
     )
     (
         vt.orderBy("node")
-        .limit(GRAPH_MAX_ENTRIES)
+        .limit(int(n_entries))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/graph_entries.parquet")
     )
     (
         spark.createDataFrame(
-            [(int(n_graph_buckets),)], "n_graph_buckets int"
+            [(int(n_graph_buckets), int(n_entries))],
+            "n_graph_buckets int, n_entries int",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -1692,6 +2052,7 @@ def knn_graph_search_from_disk(
     query_vec: str = "qvec",
     dim: int | None = None,
     max_id_pushdown: int = 1024,
+    as_of: int | None = None,
 ) -> DataFrame:
     """``knn_graph_search`` served off a :func:`write_knn_graph_layout`
     — identical hop algebra, identical results (equality-tested), but
@@ -1708,18 +2069,31 @@ def knn_graph_search_from_disk(
     filters; a wider frontier (large query batches — the bucket set
     saturates at the layout constant anyway) switches to one
     column-pruned scan per hop joined distributively, amortized over
-    the batch."""
+    the batch.
+
+    MUTATIONS (``graph_ops``, VERDICT r12 #2): a layout carrying
+    committed ops serves the LIVE view — the beam walks the base graph
+    unchanged (tombstoned records still route, the FreshDiskANN rule),
+    then contested node ids are suppressed from the surfaced results
+    and the latest-op live vectors are scored exactly as an op-sized
+    brute-force side beside the beam, so a fresh upsert that belongs
+    in the top-k always surfaces. ``as_of`` snapshots the ledger
+    (``None`` = head; same contract as the IVF tiers)."""
     spark = queries.sparkSession
-    n_buckets = int(
-        spark.read.parquet(f"{path}/graph_meta.parquet").collect()[0][
-            "n_graph_buckets"
-        ]
+    meta = spark.read.parquet(f"{path}/graph_meta.parquet").collect()[0]
+    n_buckets = int(meta["n_graph_buckets"])
+    # pre-knob layouts stored only the bucket count; they were all
+    # written with the then-constant entry table size
+    stored_entries = int(
+        meta["n_entries"]
+        if "n_entries" in meta.__fields__
+        else GRAPH_MAX_ENTRIES
     )
-    if n_entry > GRAPH_MAX_ENTRIES:
+    if n_entry > stored_entries:
         raise ValueError(
             f"n_entry={n_entry} exceeds the layout's stored entry table "
-            f"({GRAPH_MAX_ENTRIES}) — rebuild with a bigger "
-            "GRAPH_MAX_ENTRIES or lower n_entry"
+            f"({stored_entries}) — rebuild with write_knn_graph_layout("
+            "n_entries=...) sized to it, or lower n_entry"
         )
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("_qv")
@@ -1789,6 +2163,35 @@ def knn_graph_search_from_disk(
         scored = scored.union(
             _score_against(fresh.join(cvecs, "node"))
         ).localCheckpoint()
+    from big_ann_spark.operators import vector_ops as VO
+
+    state = (
+        VO.mutation_state(spark, path, as_of)
+        if VO.has_vector_ops(spark, path)
+        else None
+    )
+    if state is not None:
+        contested, resolved = state
+        # suppress contested ids from the BASE results (deletes vanish,
+        # re-upserts must not surface their stale vector)...
+        scored = scored.join(
+            F.broadcast(contested.select(F.col("vec_id").alias("node"))),
+            "node",
+            "left_anti",
+        )
+        # ...and score the live winners exactly beside the beam —
+        # op-sized × query-batch, the IVF contested-side contract
+        live = q.crossJoin(
+            F.broadcast(
+                resolved.select(
+                    F.col("vec_id").alias("node"),
+                    F.col("embedding").alias("_lv"),
+                )
+            )
+        )
+        scored = scored.select("qid", "node", "dist").union(
+            live.select("qid", "node", l2_distance("_qv", "_lv", dim).alias("dist"))
+        )
     return top_k_per_group(
         scored.withColumnRenamed("node", "neighbor_id"),
         ["qid"],

@@ -559,6 +559,7 @@ def compact_in_place(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_fn=None,
 ) -> int:
     """Write-new-then-swap compaction at the SAME path — the
     ``--compact-above`` auto-policy's executor. Folds every committed
@@ -612,9 +613,15 @@ def compact_in_place(
         with oplayout.writer_lock(
             spark, base, owner="compact_in_place", in_compaction=True
         ):
-            n_ops = compact_vector_layout(
-                spark, base, tmp, id_col=id_col, vec_col=vec_col
-            )
+            # compact_fn: other op-ledger tiers (the graph layout)
+            # reuse this whole lock+swap+recovery shell with their own
+            # fold — (spark, src, tmp) -> ops folded
+            if compact_fn is not None:
+                n_ops = compact_fn(spark, base, tmp)
+            else:
+                n_ops = compact_vector_layout(
+                    spark, base, tmp, id_col=id_col, vec_col=vec_col
+                )
             fs, jbase = oplayout.fs_path(spark, base)
             _, jold = oplayout.fs_path(spark, old)
             _, jtmp = oplayout.fs_path(spark, tmp)

@@ -352,3 +352,110 @@ def test_graph_record_fetch_is_pruned(spark, sf_dir, tmp_path):
     assert "node" in seg[0].split("PushedFilters")[1]
     # and the gate: past the cap, no ids are collected
     assert ANN._collect_ids_and_buckets(ids_df, 8, 1) == (None, None)
+
+
+def test_ivf_seeded_graph_recall_and_coverage(spark, sf_dir):
+    """VERDICT r12 #1 — the scale-path graph build: IVF multi-probe
+    seeding + capped refinement must (a) cover EVERY node as a src,
+    (b) keep rank semantics (1..k by (dist, dst), no self edges, no
+    duplicate dst per src), (c) reach recall >= the hash init's bar
+    on the same fixture, and (d) be deterministic within a session."""
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    n = emb.count()
+    g = ANN.ivf_seeded_knn_graph(
+        emb, k=10, dim=64, target_shard_rows=256,
+        refine_iterations=1, local_join_cap=8,
+    ).localCheckpoint()
+    # coverage + rank semantics
+    assert g.select("src").distinct().count() == n
+    assert g.filter(F.col("src") == F.col("dst")).count() == 0
+    per = g.groupBy("src").agg(
+        F.count("*").alias("c"), F.countDistinct("dst").alias("d"),
+        F.min("rank").alias("lo"), F.max("rank").alias("hi"),
+    )
+    bad = per.filter(
+        (F.col("c") != F.col("d")) | (F.col("lo") != 1) | (F.col("hi") > 10)
+    )
+    assert bad.count() == 0
+    # recall vs exact kNN (self excluded)
+    qs = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    from pyspark.sql import Window
+
+    gt = (
+        exact_knn(qs, emb, k=11, dim=64, base_id="vec_id", base_vec="embedding")
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("dist").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("_r") <= 10)
+        .select(F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint()
+    )
+    recall = g.join(gt, ["src", "dst"]).count() / gt.count()
+    assert recall >= 0.9
+    # determinism: a second build in the same session is identical
+    g2 = ANN.ivf_seeded_knn_graph(
+        emb, k=10, dim=64, target_shard_rows=256,
+        refine_iterations=1, local_join_cap=8,
+    )
+    a = sorted((r["src"], r["dst"], r["rank"]) for r in g.collect())
+    b = sorted((r["src"], r["dst"], r["rank"]) for r in g2.collect())
+    assert a == b
+
+
+def test_ivf_seeded_seed_only_and_orphan_backfill(spark, sf_dir):
+    """refine_iterations=0 returns the bare seed (still full coverage
+    thanks to the orphan backfill, still rank-true); a 2-row corpus is
+    the degenerate all-singleton-cell case the backfill exists for."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    g0 = ANN.ivf_seeded_knn_graph(
+        emb, k=5, dim=64, target_shard_rows=64, refine_iterations=0
+    )
+    n = emb.count()
+    assert g0.select("src").distinct().count() == n
+    assert g0.filter("rank > 5").count() == 0
+    tiny = emb.filter(F.col("vec_id") < 2)
+    gt2 = ANN.ivf_seeded_knn_graph(
+        tiny, k=3, dim=64, target_shard_rows=1, refine_iterations=0
+    )
+    rows = sorted((r["src"], r["dst"]) for r in gt2.collect())
+    assert rows == [(0, 1), (1, 0)]
+
+
+def test_graph_layout_entries_knob(spark, sf_dir, tmp_path):
+    """VERDICT r12 #6 — n_entries is a build knob: the layout stores
+    its entry-table size in graph_meta, searches up to it succeed,
+    over-asks raise naming the stored size, and a pre-knob layout
+    (meta without the column) falls back to GRAPH_MAX_ENTRIES."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    g = ANN.nn_descent_knn_graph(emb, k=4, iterations=1, dim=64)
+    path = str(tmp_path / "glayout")
+    ANN.write_knn_graph_layout(g, emb, path, n_graph_buckets=4, n_entries=8)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    assert (
+        ANN.knn_graph_search_from_disk(qs, path, k=3, n_entry=8, dim=64).count()
+        == 9
+    )
+    with pytest.raises(ValueError, match="stored entry table \\(8\\)"):
+        ANN.knn_graph_search_from_disk(qs, path, k=3, n_entry=9, dim=64)
+    # pre-knob meta: only the bucket count -> GRAPH_MAX_ENTRIES gate
+    spark.createDataFrame([(4,)], "n_graph_buckets int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/graph_meta.parquet")
+    assert (
+        ANN.knn_graph_search_from_disk(qs, path, k=3, n_entry=8, dim=64).count()
+        == 9
+    )
+    with pytest.raises(ValueError, match=str(ANN.GRAPH_MAX_ENTRIES)):
+        ANN.knn_graph_search_from_disk(
+            qs, path, k=3, n_entry=ANN.GRAPH_MAX_ENTRIES + 1, dim=64
+        )

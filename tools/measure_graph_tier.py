@@ -208,6 +208,103 @@ def main() -> None:
         _build_graph(spark, emb, gpath, ANN)
         return
 
+    if phase == "seeded":
+        # VERDICT r12 #1 campaign: the IVF-seeded build at n — build
+        # wall, edge recall vs exact kNN on sampled nodes, then the
+        # serving layout. Knobs: GT_SHARD (target cell rows), GT_REFINE
+        # (NN-Descent rounds on the seed), GT_JCAP (local-join cap J).
+        from big_ann_spark.operators.knn import exact_knn
+
+        emb = spark.read.parquet(emb_path)
+        t0 = time.perf_counter()
+        g = ANN.ivf_seeded_knn_graph(
+            emb,
+            k=10,
+            dim=D,
+            probes=2,
+            target_shard_rows=int(os.environ.get("GT_SHARD", "4096")),
+            refine_iterations=int(os.environ.get("GT_REFINE", "1")),
+            local_join_cap=int(os.environ.get("GT_JCAP", "8")),
+        )
+        g.write.mode("overwrite").parquet(f"{gpath}/edges.parquet")
+        t1 = time.perf_counter()
+        print(f"IVF-seeded graph build (n={n}): {t1-t0:.1f}s")
+        edges = spark.read.parquet(f"{gpath}/edges.parquet")
+        nq = 200
+        qs = (
+            emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(max(1, n // nq))) == 0)
+            .limit(nq)
+            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+            .localCheckpoint()
+        )
+        from pyspark.sql import Window
+
+        gt = (
+            exact_knn(qs, emb, k=11, base_id="vec_id", base_vec="embedding", dim=D)
+            .filter(F.col("neighbor_id") != F.col("qid"))
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(
+                        F.col("dist").asc(), F.col("neighbor_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_r") <= 10)
+            .select(F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"))
+            .localCheckpoint()
+        )
+        tot = gt.count()
+        hits = edges.join(gt, ["src", "dst"]).count()
+        print(f"edge recall@10 on {nq} sampled nodes: {hits/tot:.4f}")
+        t2 = time.perf_counter()
+        ANN.write_knn_graph_layout(edges, emb, gpath, n_graph_buckets=64)
+        print(f"graph serving layout: {time.perf_counter()-t2:.1f}s")
+        return
+
+    if phase == "searchg":
+        # graph-tier-only serving check (no IVF/codec layouts needed)
+        from big_ann_spark.operators.knn import exact_knn, recall_at_k
+
+        emb = spark.read.parquet(emb_path)
+        qs = _queries(emb)
+        gt = (
+            exact_knn(
+                qs, emb, k=10, base_id="vec_id", base_vec="embedding",
+                impl="arrow", dim=D,
+            )
+            .select("qid", "neighbor_id")
+            .localCheckpoint()
+        )
+
+        def once():
+            return ANN.knn_graph_search_from_disk(
+                qs, gpath, k=10, beam=24, hops=6, n_entry=64, dim=D
+            )
+
+        walls = []
+        out = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = once()
+            out.localCheckpoint()
+            walls.append(time.perf_counter() - t0)
+        r = round(
+            recall_at_k(out.select("qid", "neighbor_id"), gt, 10)
+            .collect()[0]
+            .recall_at_k,
+            4,
+        )
+        _evict(gpath)
+        t0 = time.perf_counter()
+        once().localCheckpoint()
+        cw = time.perf_counter() - t0
+        print(
+            f"graph beam=24 hops=6: warm {min(walls):.2f}s cold {cw:.2f}s "
+            f"recall@10 {r}"
+        )
+        return
+
     if phase == "search":
         from big_ann_spark.operators.knn import exact_knn, recall_at_k
 
