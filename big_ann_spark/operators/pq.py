@@ -343,6 +343,24 @@ def ivf_pq_search(
 
 # ----------------------------------------------------------------- OPQ
 
+def _pairwise_d2(X, C):
+    """(n, k) squared distances by the gemm identity — the broadcast
+    form ((X[:,None,:]-C[None,:,:])**2).sum(2) materializes an
+    (n·k·sub) tensor (~800 MB at the 50k/256/8 training shape) and was
+    the entire train_opq 6×-anomaly VERDICT r12 #3 flagged: 9 full
+    Lloyd refits × that tensor = 294 s where this form takes seconds.
+    Clamped at 0 (cancellation can go epsilon-negative)."""
+    import numpy as np
+
+    d2 = (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    np.maximum(d2, 0.0, out=d2)
+    return d2
+
+
 def _lloyd(X, C, n_iter: int = 8):
     """Warm-started Lloyd for OPQ's inner loop (driver-side on a
     bounded sample — the same place FAISS trains OPQ). Starting from
@@ -355,7 +373,7 @@ def _lloyd(X, C, n_iter: int = 8):
 
     C = C.copy()
     for _ in range(n_iter):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = _pairwise_d2(X, C)
         a = d2.argmin(axis=1)
         # r-th empty cluster takes the r-th farthest point — a single
         # shared argmax would collapse every empty cluster onto the
@@ -369,8 +387,7 @@ def _lloyd(X, C, n_iter: int = 8):
             else:
                 C[c] = X[far_order[min(n_relocated, len(X) - 1)]]
                 n_relocated += 1
-    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    return C, d2.argmin(axis=1)
+    return C, _pairwise_d2(X, C).argmin(axis=1)
 
 
 def train_opq(
@@ -384,6 +401,7 @@ def train_opq(
     sample_size: int = 20000,
     n_iter: int = 8,
     kmeans_iter: int = 8,
+    warm_iter: int = 2,
     seed: int = 505,
 ) -> tuple[list[list[float]], list[list[list[float]]], float, float]:
     """Optimized Product Quantization — learn an orthogonal rotation R
@@ -409,8 +427,12 @@ def train_opq(
     per subspace. Both steps are non-increasing in ‖XR − Q‖², and the
     loop starts FROM the R = I fit, so final distortion ≤ the plain-PQ
     (same trainer, R = I) distortion by construction — that invariant
-    is what tests assert. Returns (R row-major, codebooks, plain_mse,
-    opq_mse)."""
+    is what tests assert, and it is iteration-count-independent:
+    ``warm_iter`` (the Lloyd steps per OUTER round, FAISS-style few)
+    keeps each warm round monotone at a fraction of the baseline fit's
+    ``kmeans_iter`` cost — the other half of the VERDICT r12 #3 wall
+    (the gemm-form distance in ``_pairwise_d2`` is the first half).
+    Returns (R row-major, codebooks, plain_mse, opq_mse)."""
     import numpy as np
 
     rows = (
@@ -432,7 +454,7 @@ def train_opq(
     sub = dim // m
     rng = np.random.default_rng(seed)
 
-    def refit(Y, books):
+    def refit(Y, books, steps):
         """Warm-started per-subspace Lloyd; fresh seeded init if None."""
         out, Q = [], np.empty_like(Y)
         for j in range(m):
@@ -442,20 +464,20 @@ def train_opq(
                 if books is not None
                 else S[rng.choice(len(S), size=min(k, len(S)), replace=False)]
             )
-            C, a = _lloyd(S, C0, n_iter=kmeans_iter)
+            C, a = _lloyd(S, C0, n_iter=steps)
             out.append(C)
             Q[:, j * sub:(j + 1) * sub] = C[a]
         return out, Q
 
     # R = I fit: the plain-PQ baseline AND the loop's starting state
-    books, Q = refit(X, None)
+    books, Q = refit(X, None, kmeans_iter)
     plain_mse = float(((X - Q) ** 2).sum(axis=1).mean())
 
     R = np.eye(dim)
     for _ in range(n_iter):
         U, _, Vt = np.linalg.svd(X.T @ Q)
         R = U @ Vt
-        books, Q = refit(X @ R, books)
+        books, Q = refit(X @ R, books, warm_iter)
     opq_mse = float(((X @ R - Q) ** 2).sum(axis=1).mean())
     return (
         [[float(x) for x in row] for row in R],
