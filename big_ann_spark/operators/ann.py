@@ -1947,8 +1947,11 @@ def write_knn_graph_layout(
       count (layout constants the query side must respect; readers of
       pre-knob layouts fall back to ``GRAPH_MAX_ENTRIES``).
 
-    Rebuild-only, like the reference's HNSW artifacts — mutations go
-    through the IVF op-ledger tiers; the graph tier is the low-IO
+    The TRAVERSAL structure is rebuild-only, like the reference's HNSW
+    artifacts — but the tier takes exactly-once mutations through the
+    op ledger (``operators/graph_ops``): ops land beside the layout,
+    searches serve the live view (contested suppression + brute-force
+    side), and compaction rebuilds. The graph tier is the low-IO
     read-optimized serving shape."""
     spark = graph.sparkSession
     vt = vectors.select(

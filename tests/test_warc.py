@@ -427,6 +427,83 @@ def test_plain_record_walk_equals_buffered(tmp_path):
             list(W._iter_plain_records_from(fh))
 
 
+def _drain_stream(df, tmp_path, name):
+    rows = []
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+    q.stop()
+    return rows
+
+
+def test_read_warc_stream_local_walk_equals_batch(spark, sf_dir, tmp_path):
+    """VERDICT r12 #5 — the STREAMING reader's local route: content is
+    parsed by the record walks (binaryFile used for discovery only),
+    and rows must equal the batch read_warc exactly, for plain AND
+    gzip files."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    tagged = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("url"), "text"
+    )
+    for gz in (True, False):
+        dst = str(tmp_path / ("sgz" if gz else "splain"))
+        W.write_warc(tagged, dst, uri_col="url", gzip_records=gz, files=2)
+
+        def key(rows):
+            return sorted(
+                (
+                    r["file"].split("/")[-1], r["record_index"], r["offset"],
+                    r["warc_type"], r["record_id"], r["target_uri"],
+                    r["warc_date"], r["content_type"], bytes(r["content"]),
+                )
+                for r in rows
+            )
+
+        got = key(
+            _drain_stream(
+                W.read_warc_stream(spark, dst), tmp_path, f"wstream_{gz}"
+            )
+        )
+        want = key(W.read_warc(spark, dst).collect())
+        assert got == want and len(got) == 20
+
+
+def test_read_warc_stream_over_2gib_local_file(spark, tmp_path):
+    """VERDICT r12 #5 — the streaming route must ingest a >2 GiB local
+    file (binaryFile's content cap never applies: content is walked
+    POSIX-side, never materialized as a blob row)."""
+    d = tmp_path / "bigstream"
+    d.mkdir()
+    f = d / "huge.warc"
+    n, body = 9, 256 << 20
+    with open(f, "wb") as fh:
+        for i in range(n):
+            fh.write(
+                b"WARC/1.0\r\n"
+                b"WARC-Type: resource\r\n"
+                + f"WARC-Record-ID: <urn:shuge:{i}>\r\n".encode()
+                + f"Content-Length: {body}\r\n\r\n".encode()
+            )
+            fh.seek(body, 1)
+            fh.write(b"\r\n\r\n")
+    assert f.stat().st_size > (1 << 31)
+    got = _drain_stream(
+        W.read_warc_stream(spark, str(d)).select(
+            "record_index", "warc_type", "record_id"
+        ),
+        tmp_path,
+        "wstream_big",
+    )
+    assert sorted(r["record_index"] for r in got) == list(range(n))
+    assert {r["record_id"] for r in got} == {f"<urn:shuge:{i}>" for i in range(n)}
+
+
 def test_read_warc_over_2gib_local_file_routes(spark, tmp_path):
     """REGRESSION (ADVICE r12): the blob-route filter must be a PURE
     length predicate. The old disjunction (length <= cap) | ~file:
