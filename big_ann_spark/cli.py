@@ -194,6 +194,56 @@ def _build_parser() -> argparse.ArgumentParser:
     g.add_argument("--vec-col", default="embedding")
     g.add_argument("--out", default=None)
     g.add_argument("--show", type=int, default=20)
+    g.add_argument(
+        "--as-of", type=int, default=None,
+        help="snapshot search of a MUTATED serving layout: exactly as "
+        "of committed op N (-1 = pristine base; default: head)",
+    )
+
+    gu = sub.add_parser(
+        "graph-upsert",
+        help="insert-or-replace a vector batch into a build-graph "
+        "serving layout as ONE exactly-once op — new/updated vectors "
+        "are searchable immediately (brute-force contested side); the "
+        "traversal graph refreshes at graph-compact. SINGLE-WRITER "
+        "per layout, like every op-ledger mutation",
+    )
+    gu.add_argument("graph", help="serving layout from build-graph --serving-layout")
+    gu.add_argument("src", help="parquet with (id, vector) columns")
+    gu.add_argument("--id-col", default="vec_id")
+    gu.add_argument("--vec-col", default="embedding")
+    gu.add_argument("--op-id", type=int, default=None)
+
+    gd = sub.add_parser(
+        "graph-delete",
+        help="tombstone node ids out of a build-graph serving layout "
+        "(they stop surfacing immediately; records route the beam "
+        "until graph-compact rebuilds without them)",
+    )
+    gd.add_argument("graph", help="serving layout from build-graph --serving-layout")
+    gd.add_argument(
+        "src", nargs="?", default=None,
+        help="parquet whose FIRST column is the node id",
+    )
+    gd.add_argument(
+        "--ids", default=None, help="comma-separated id list (instead of src)"
+    )
+    gd.add_argument("--op-id", type=int, default=None)
+
+    gc = sub.add_parser(
+        "graph-compact",
+        help="fold a mutated graph layout's ops into a pristine "
+        "REBUILT layout — at dst (copy-on-write; src untouched) or in "
+        "place when dst is omitted (write-new-then-swap under the "
+        "compaction marker)",
+    )
+    gc.add_argument("src", help="mutated serving layout")
+    gc.add_argument("dst", nargs="?", default=None)
+    gc.add_argument("--k", type=int, default=10, help="rebuilt graph degree")
+    gc.add_argument(
+        "--build", choices=["ivf", "hash"], default="ivf",
+        help="rebuild path (ivf = the scale path, see build-graph --init)",
+    )
 
     s = sub.add_parser("search", help="batch ANN search against a built index")
     s.add_argument("index", help="dir produced by build-index")
@@ -950,9 +1000,16 @@ def main(argv: list[str] | None = None) -> int:
         if oplayout.path_exists(spark, f"{args.graph}/graph.parquet"):
             out = ANN.knn_graph_search_from_disk(
                 q, args.graph, k=args.k, beam=args.beam, hops=args.hops,
-                n_entry=args.n_entry,
+                n_entry=args.n_entry, as_of=args.as_of,
             )
         else:
+            if args.as_of is not None:
+                print(
+                    "graph-search: --as-of needs a serving layout (the "
+                    "op ledger lives beside it)",
+                    file=sys.stderr,
+                )
+                return 2
             if args.base is None:
                 print(
                     "graph-search: a plain edges dir needs the base vector "
@@ -974,6 +1031,49 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{n} rows -> {args.out}")
         else:
             out.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "graph-upsert":
+        from big_ann_spark.operators import graph_ops as GO
+
+        vecs = spark.read.parquet(args.src).select(args.id_col, args.vec_col)
+        op = GO.upsert_graph_vectors(
+            spark, args.graph, vecs,
+            id_col=args.id_col, vec_col=args.vec_col, op_id=args.op_id,
+        )
+        n = vecs.select(args.id_col).distinct().count()
+        print(f"op {op}: upserted {n} vectors into {args.graph}")
+        return 0
+
+    if args.cmd == "graph-delete":
+        from big_ann_spark.operators import graph_ops as GO
+
+        if (args.src is None) == (args.ids is None):
+            print("graph-delete needs exactly one of src or --ids", file=sys.stderr)
+            return 2
+        if args.ids is not None:
+            ids = [int(s) for s in args.ids.split(",") if s.strip()]
+            n = len(set(ids))
+        else:
+            ids = spark.read.parquet(args.src)
+            n = ids.select(ids.columns[0]).distinct().count()
+        op = GO.delete_graph_nodes(spark, args.graph, ids, op_id=args.op_id)
+        print(f"op {op}: tombstoned {n} node ids in {args.graph}")
+        return 0
+
+    if args.cmd == "graph-compact":
+        from big_ann_spark.operators import graph_ops as GO
+
+        if args.dst is None:
+            n_ops = GO.compact_graph_in_place(
+                spark, args.src, k=args.k, build=args.build
+            )
+            print(f"compacted {n_ops} ops in place at {args.src}")
+        else:
+            n_ops = GO.compact_graph_layout(
+                spark, args.src, args.dst, k=args.k, build=args.build
+            )
+            print(f"compacted {n_ops} ops -> {args.dst}")
         return 0
 
     if args.cmd == "search":

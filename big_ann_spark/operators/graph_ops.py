@@ -95,14 +95,21 @@ def upsert_graph_vectors(
 
 
 def delete_graph_nodes(
-    spark, path: str, ids: list[int], *, op_id: int | None = None
+    spark, path: str, ids, *, op_id: int | None = None
 ) -> int:
-    """Tombstone the given node ids as ONE exactly-once op. Deleted
-    nodes stop SURFACING at the next search; their base records keep
-    routing the beam until a compaction rebuilds without them."""
-    spark_ids = spark.createDataFrame(
-        [(int(i),) for i in ids], "vec_id long"
-    )
+    """Tombstone the given node ids (a list, or a DataFrame whose
+    FIRST column is the id — the vector_ops CLI convention) as ONE
+    exactly-once op. Deleted nodes stop SURFACING at the next search;
+    their base records keep routing the beam until a compaction
+    rebuilds without them."""
+    if isinstance(ids, DataFrame):
+        spark_ids = ids.select(
+            F.col(ids.columns[0]).cast("long").alias("vec_id")
+        ).distinct()
+    else:
+        spark_ids = spark.createDataFrame(
+            [(int(i),) for i in ids], "vec_id long"
+        )
     rows = spark_ids.select(
         "vec_id",
         F.lit(None).cast(_vec_type(spark, path)).alias("embedding"),

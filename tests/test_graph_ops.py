@@ -193,3 +193,49 @@ def test_graph_copy_on_write_compaction(spark, sf_dir, tmp_path):
     assert _serve(qs, dst) == want
     assert _serve(qs, path) == want  # source still mutated + consistent
     assert not VO.has_vector_ops(spark, dst)
+
+
+def test_graph_mutation_cli(spark, sf_dir, tmp_path):
+    """graph-upsert / graph-delete / graph-search --as-of /
+    graph-compact drive the graph_ops surface end-to-end."""
+    from big_ann_spark.cli import main
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < N)
+    )
+    d = str(tmp_path)
+    emb.write.parquet(f"{d}/emb")
+    assert main([
+        "build-graph", f"{d}/emb", f"{d}/g", "--k", "5", "--iterations",
+        "1", "--serving-layout", "--graph-buckets", "4",
+        "--entries", str(N),
+    ]) == 0
+    emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+    ).write.parquet(f"{d}/new")
+    assert main(["graph-upsert", f"{d}/g", f"{d}/new"]) == 0
+    assert main(["graph-delete", f"{d}/g", "--ids", "1,2"]) == 0
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    ).localCheckpoint()
+    live = (
+        emb.filter(~F.col("vec_id").isin([1, 2]))
+        .unionByName(
+            emb.filter(F.col("vec_id") < 3).select(
+                (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    want = _exact(qs, live)
+    got = _serve(qs, f"{d}/g")
+    assert got == want
+    # --as-of -1 = pristine; compact folds and preserves the live view
+    assert _serve(qs, f"{d}/g", as_of=-1) == _exact(qs, emb)
+    assert main(["graph-compact", f"{d}/g", "--k", "5", "--build", "hash"]) == 0
+    assert _serve(qs, f"{d}/g") == want
+    # --as-of on a plain edges dir is refused
+    assert main([
+        "graph-search", f"{d}/g_missing", f"{d}/emb", "--as-of", "0"
+    ]) == 2
