@@ -202,7 +202,7 @@ def _evict_layout(layout: str) -> None:
 
 def measure_filtered_cold_disk_qps(
     spark, sf_dir: str, n_queries: int = 20
-) -> float | None:
+) -> tuple[float | None, list]:
     """VERDICT r11 #5: the FILTERED-track cold serving number — one
     tag-containment batch (filtered_search_from_disk) against a
     prebuilt PAYLOAD posting layout (carry_payload, the default build:
@@ -244,43 +244,42 @@ def measure_filtered_cold_disk_qps(
             F.col("embedding").alias("qvec"),
             F.col("tags").alias("qtags"),
         ).localCheckpoint()
-        return _best_of_cold(
+        best, runs_ = _best_of_cold(
+            spark,
             layout,
             n_queries,
             lambda: ANN.filtered_search_from_disk(queries, layout, k=10),
-        )[0]
+        )
+        return best, runs_
     except Exception as e:  # never lose the round's bench to this metric
         print(f"# filtered_qps_cold_disk failed: {e}", file=sys.stderr)
-        return None
+        return None, []
     finally:
         import shutil
 
         shutil.rmtree(tmp_root, ignore_errors=True)
 
 
-def _best_of_cold(layout: str, n_queries: int, build_df, runs: int = 2):
+def _best_of_cold(spark, layout: str, n_queries: int, build_df, runs: int = 2):
     """VERDICT r12 #4: the cold QPS phases were SINGLE-SHOT, so one
     ambient IO/CPU burst on the shared host landed 1:1 in the headline
     serving metric (BENCH_r12's three cold QPS all dropped 16-25%
     while the same code measured best-ever idle). Evict-then-time
-    ``runs`` times and keep the BEST — every run is equally cold
-    w.r.t. the layout (re-evicted), so the minimum wall is the code's
-    cost and transient host noise must hit every attempt to bias it.
-    Returns (best_qps, [all qps]) — the per-run list is published for
-    attribution."""
+    ``runs`` times and keep the BEST — every attempt is equally cold
+    w.r.t. the layout: page cache re-evicted AND the shared Spark
+    file-listing cache invalidated before EVERY attempt (including the
+    first — a prior phase against the same layout leaves it warm), and
+    the DataFrame is CONSTRUCTED inside the timed window (planning +
+    listing + footer reads were part of the old single-shot cost).
+    The minimum wall is then the code's cost; transient host noise
+    must hit every attempt to bias it. Returns (best_qps, [all qps])
+    — the per-run list is published for attribution."""
     walls = []
-    spark = None
     for _ in range(runs):
         _evict_layout(layout)
-        if spark is not None:
-            # keep later attempts honestly cold: page-cache eviction
-            # alone leaves Spark's shared file-listing cache warm, and
-            # an attempt serving from it measured ~1.4× the first
-            spark.catalog.refreshByPath(layout)
-        df = build_df()
-        spark = df.sparkSession
+        spark.catalog.refreshByPath(layout)
         t0 = time.perf_counter()
-        df.count()
+        build_df().count()
         walls.append(time.perf_counter() - t0)
     qps = [round(n_queries / w, 2) for w in walls]
     return max(qps), qps
@@ -330,6 +329,7 @@ def measure_cold_disk_qps(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         ).localCheckpoint()
         raw, raw_runs = _best_of_cold(
+            spark,
             layout,
             n_queries,
             lambda: ANN.ivf_search_from_disk(
@@ -337,6 +337,7 @@ def measure_cold_disk_qps(
             ),
         )
         pq, pq_runs = _best_of_cold(
+            spark,
             layout,
             n_queries,
             lambda: ANN.ivf_search_from_disk(
@@ -436,7 +437,10 @@ def main() -> None:
     knn_qps_cold_disk, knn_qps_cold_disk_pq, cold_disk_runs = (
         measure_cold_disk_qps(spark, sf_dir)
     )
-    filtered_qps_cold_disk = measure_filtered_cold_disk_qps(spark, sf_dir)
+    filtered_qps_cold_disk, filtered_runs = measure_filtered_cold_disk_qps(
+        spark, sf_dir
+    )
+    cold_disk_runs["filtered"] = filtered_runs
     canary_after = run_canary()
     io_canary_after = run_io_canary()
     # drift self-attribution (VERDICT r8 #6): on a >15% regression vs

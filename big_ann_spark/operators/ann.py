@@ -1240,7 +1240,14 @@ def nn_descent_knn_graph(
     """
     kb = build_k if build_k is not None else 2 * k
     vt = vectors.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec"))
-    n = vt.count()
+    # n feeds only the hash init's bucket count and the churn stop
+    # rule — a seeded build without converge_churn must not pay a
+    # full-scan count job (the seeder counted already)
+    n = (
+        vt.count()
+        if init_graph is None or converge_churn is not None
+        else 0
+    )
     n_buckets = max(1, (n * init_memberships) // max(kb, 1))
     member = vt.select(
         "_nid",
@@ -1382,7 +1389,11 @@ def nn_descent_knn_graph(
         raise ValueError('converge_churn requires local_join="new_old"')
     if local_join == "new_old":
         flags_new = graph.select("src", "dst")
-    jcap = int(local_join_cap) if local_join_cap else None
+    # `is not None`, not truthiness: a falsy 0 must not silently run
+    # the UNCAPPED join (the exact spill/OOM regime the cap prevents)
+    jcap = int(local_join_cap) if local_join_cap is not None else None
+    if jcap is not None and jcap < 1:
+        raise ValueError(f"local_join_cap must be >= 1, got {jcap}")
     for it in range(iterations):
         if local_join == "new_old":
             g_ann = graph.join(
@@ -1634,10 +1645,14 @@ def ivf_seeded_knn_graph(
        single-cell seeding.
     3. **Within-cell exact kNN**: one ``applyInPandas`` per cell —
        blocked f64 BLAS, candidates hash-subsampled past
-       ``max_shard_rows`` (skew guard: all rows stay sources, recall
-       degrades gracefully on a runaway cell instead of OOMing the
-       task). Per-cell cost is n_cell², bounded by the shard target —
-       TOTAL work ~n·target_shard_rows·probes², linear in n.
+       ``max_shard_rows`` (skew guard: all rows stay sources; the
+       QUADRATIC distance work and the candidate matrix are bounded,
+       so a runaway cell degrades recall rather than exploding
+       compute — note ``applyInPandas`` still materializes the whole
+       group's rows once, an O(n_cell·d) linear term the cap cannot
+       remove; a cell would need ~10⁸ rows before THAT is the task
+       killer). Per-cell cost is n_cell², bounded by the shard
+       target — TOTAL work ~n·target_shard_rows·probes², linear in n.
     4. **Merge + refine**: per-src union across probes (min-dist dedup
        — the same pair scored in two cells can differ in the last ulp
        across gemm shapes), then ``refine_iterations`` NN-Descent
@@ -1704,7 +1719,9 @@ def ivf_seeded_knn_graph(
         V = np.asarray(np.stack(pdf["_nvec"].to_numpy()), dtype=np.float64)
         if n_s > cap_:
             # skew guard: hash-spread candidate subset, all rows stay
-            # sources — a runaway cell loses recall, not the task
+            # sources — bounds the quadratic work and the candidate
+            # matrix (the group's own rows are already materialized by
+            # applyInPandas; see the operator docstring)
             h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
             keep = np.sort(np.argsort(h, kind="stable")[:cap_])
             Cm, cids = V[keep], ids[keep]
@@ -1954,6 +1971,17 @@ def write_knn_graph_layout(
     side), and compaction rebuilds. The graph tier is the low-IO
     read-optimized serving shape."""
     spark = graph.sparkSession
+    # a fresh layout must be PRISTINE: writing into a dir that carried
+    # an op ledger (a compaction target reused across generations, or
+    # a rebuild over a mutated layout) would otherwise leave the stale
+    # ops visible and silently applied to the NEW base at search time
+    from big_ann_spark.operators import oplayout as _ol
+
+    for sub in ("ops", "_ops"):
+        fs, jp = _ol.fs_path(spark, f"{path}/{sub}")
+        if fs.exists(jp):
+            fs.delete(jp, True)
+    _ol.invalidate_contested_memo(path)
     vt = vectors.select(
         F.col(id_col).alias("node"), F.col(vec_col).alias("_nvec")
     )

@@ -401,8 +401,9 @@ def train_opq(
     sample_size: int = 20000,
     n_iter: int = 8,
     kmeans_iter: int = 8,
-    warm_iter: int = 2,
+    warm_iter: int = 8,
     seed: int = 505,
+    init_books: list[list[list[float]]] | None = None,
 ) -> tuple[list[list[float]], list[list[list[float]]], float, float]:
     """Optimized Product Quantization — learn an orthogonal rotation R
     so that a contiguous subspace split of X·R quantizes with lower
@@ -428,10 +429,22 @@ def train_opq(
     loop starts FROM the R = I fit, so final distortion ≤ the plain-PQ
     (same trainer, R = I) distortion by construction — that invariant
     is what tests assert, and it is iteration-count-independent:
-    ``warm_iter`` (the Lloyd steps per OUTER round, FAISS-style few)
-    keeps each warm round monotone at a fraction of the baseline fit's
-    ``kmeans_iter`` cost — the other half of the VERDICT r12 #3 wall
-    (the gemm-form distance in ``_pairwise_d2`` is the first half).
+    ``warm_iter`` (the Lloyd steps per OUTER round) keeps each warm
+    round monotone at any depth. MEASURED (SCALE.md r13): warm_iter=2
+    trains in 27 s but INVERTED the serving-recall ordering at 200k
+    (OPQ 0.305 < PQ 0.315 — sample distortion matched, recall did
+    not), so the default stays at the full 8: same training dynamics
+    as always, 46 s after the ``_pairwise_d2`` gemm fix (was 294 s).
+    Lower it only with a recall A/B on your data.
+
+    ``init_books``: warm-start the R = I baseline fit from EXISTING
+    codebooks (typically :func:`train_pq`'s MLlib output — its
+    kmeans|| init beats this trainer's seeded random-pick init, and
+    the r13 200-query A/B showed the serving layout inherits that
+    gap: trainer-init OPQ 0.28–0.30 recall vs MLlib PQ 0.33). With
+    the warm start, final distortion ≤ the init books' sample
+    distortion by the same monotonicity argument, so an OPQ layout
+    built this way can only improve on the PQ layout it started from.
     Returns (R row-major, codebooks, plain_mse, opq_mse)."""
     import numpy as np
 
@@ -470,7 +483,13 @@ def train_opq(
         return out, Q
 
     # R = I fit: the plain-PQ baseline AND the loop's starting state
-    books, Q = refit(X, None, kmeans_iter)
+    # (warm from init_books when given — see the docstring)
+    init = (
+        None
+        if init_books is None
+        else [np.asarray(b, dtype=np.float64) for b in init_books]
+    )
+    books, Q = refit(X, init, kmeans_iter)
     plain_mse = float(((X - Q) ** 2).sum(axis=1).mean())
 
     R = np.eye(dim)

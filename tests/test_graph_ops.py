@@ -195,6 +195,26 @@ def test_graph_copy_on_write_compaction(spark, sf_dir, tmp_path):
     assert not VO.has_vector_ops(spark, dst)
 
 
+def test_compaction_into_previously_mutated_dst(spark, sf_dir, tmp_path):
+    """Review r13: a compaction target (or rebuild dir) that carried
+    an op ledger from a previous generation must come out PRISTINE —
+    stale ops surviving the write would be silently applied to the
+    new base at search time (resurrected deletes/upserts)."""
+    emb, path, qs = _build(spark, sf_dir, tmp_path)
+    dst = str(tmp_path / "reused")
+    # generation 1 at dst: a layout that takes a delete op
+    g = ANN.nn_descent_knn_graph(emb, k=6, iterations=1, dim=64)
+    ANN.write_knn_graph_layout(g, emb, dst, n_graph_buckets=4, n_entries=N)
+    GO.delete_graph_nodes(spark, dst, [0])
+    assert VO.has_vector_ops(spark, dst)
+    # generation 2: compact the OTHER layout into the same dst
+    _mutate(spark, emb, path)
+    GO.compact_graph_layout(spark, path, dst, k=6, dim=64, build="hash",
+                            iterations=1)
+    assert not VO.has_vector_ops(spark, dst)
+    assert _serve(qs, dst) == _serve(qs, path)  # id 0 NOT resurrected-deleted
+
+
 def test_graph_mutation_cli(spark, sf_dir, tmp_path):
     """graph-upsert / graph-delete / graph-search --as-of /
     graph-compact drive the graph_ops surface end-to-end."""

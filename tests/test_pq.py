@@ -140,6 +140,26 @@ def test_opq_rotation_orthogonal_and_monotone(spark):
     assert opq_mse <= plain_mse + 1e-9, (plain_mse, opq_mse)
 
 
+def test_opq_init_books_warm_start_monotone(spark):
+    """init_books (SCALE.md r13): warm-starting the R=I fit from
+    better codebooks must carry through — the warm plain_mse cannot
+    exceed the random-init plain_mse on the same sample (Lloyd from a
+    better start is still non-increasing), and opq_mse keeps the
+    monotone invariant vs ITS OWN baseline."""
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    _R0, books0, plain0, _ = PQ.train_opq(
+        e, m=4, k=16, dim=64, sample_size=500, n_iter=2, kmeans_iter=4
+    )
+    _R1, _books1, plain1, opq1 = PQ.train_opq(
+        e, m=4, k=16, dim=64, sample_size=500, n_iter=2, kmeans_iter=4,
+        init_books=books0,
+    )
+    # books0 are already a converged fit of this sample: restarting
+    # FROM them cannot be worse than the cold random-pick start
+    assert plain1 <= plain0 + 1e-9, (plain0, plain1)
+    assert opq1 <= plain1 + 1e-9, (plain1, opq1)
+
+
 def test_rotate_vectors_preserves_distances(spark):
     """Rotation is an isometry: pairwise L2 distances must be unchanged
     after rotate_vectors (the reason OPQ ground truth is computed once

@@ -186,7 +186,9 @@ def main() -> None:
         )
         t2 = time.perf_counter()
         print(f"build IVF-PQ: {t2-t1:.1f}s")
-        R, obooks, pmse, omse = train_opq(sample, m=8, k=256)
+        # warm-start from the MLlib books (SCALE.md r13: the trainer's
+        # random-pick init cost 3-5 recall pts vs the PQ layout)
+        R, obooks, pmse, omse = train_opq(sample, m=8, k=256, init_books=books)
         print(f"train_opq: plain mse {pmse:.4f} -> opq mse {omse:.4f}")
         write_sharded(
             asg, emb, ivf_opq, repartition_to=64,
