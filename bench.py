@@ -244,13 +244,12 @@ def measure_filtered_cold_disk_qps(
             F.col("embedding").alias("qvec"),
             F.col("tags").alias("qtags"),
         ).localCheckpoint()
-        best, runs_ = _best_of_cold(
+        return _best_of_cold(
             spark,
             layout,
             n_queries,
             lambda: ANN.filtered_search_from_disk(queries, layout, k=10),
         )
-        return best, runs_
     except Exception as e:  # never lose the round's bench to this metric
         print(f"# filtered_qps_cold_disk failed: {e}", file=sys.stderr)
         return None, []

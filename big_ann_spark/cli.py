@@ -931,16 +931,12 @@ def main(argv: list[str] | None = None) -> int:
             from big_ann_spark.operators import pq as PQ
 
             dim = len(emb.select(args.vec_col).first()[0])
-            # warm-start the alternating fit from the MLlib books: the
+            # train_opq's default warm-starts from MLlib books (the
             # trainer's random-pick init measured 3-5 recall pts BELOW
-            # a plain-PQ layout at 200k (SCALE.md r13); warm-started,
-            # the OPQ layout can only improve on the PQ one
+            # a plain-PQ layout at 200k — SCALE.md r13)
             R, books, _pmse, _omse = PQ.train_opq(
                 emb, m=args.pq_m, k=args.pq_k,
                 vec_col=args.vec_col, id_col=args.id_col, dim=dim,
-                init_books=PQ.train_pq(
-                    emb, m=args.pq_m, k=args.pq_k, vec_col=args.vec_col, dim=dim
-                ),
             )
             SH.write_sharded(
                 assign, emb, args.dst, id_col=args.id_col, vec_col=args.vec_col,

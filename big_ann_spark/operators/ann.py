@@ -1239,6 +1239,13 @@ def nn_descent_knn_graph(
     Returns ``(src, dst, dist, rank)``, rank 1..k by (dist, dst).
     """
     kb = build_k if build_k is not None else 2 * k
+    # validate BEFORE any Spark job (the init checkpoint is the
+    # build's most expensive stage — a knob typo must not cost it).
+    # `is not None`, not truthiness: a falsy 0 must not silently run
+    # the UNCAPPED join (the exact spill/OOM regime the cap prevents)
+    jcap = int(local_join_cap) if local_join_cap is not None else None
+    if jcap is not None and jcap < 1:
+        raise ValueError(f"local_join_cap must be >= 1, got {jcap}")
     vt = vectors.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec"))
     # n feeds only the hash init's bucket count and the churn stop
     # rule — a seeded build without converge_churn must not pay a
@@ -1389,11 +1396,6 @@ def nn_descent_knn_graph(
         raise ValueError('converge_churn requires local_join="new_old"')
     if local_join == "new_old":
         flags_new = graph.select("src", "dst")
-    # `is not None`, not truthiness: a falsy 0 must not silently run
-    # the UNCAPPED join (the exact spill/OOM regime the cap prevents)
-    jcap = int(local_join_cap) if local_join_cap is not None else None
-    if jcap is not None and jcap < 1:
-        raise ValueError(f"local_join_cap must be >= 1, got {jcap}")
     for it in range(iterations):
         if local_join == "new_old":
             g_ann = graph.join(
@@ -1974,7 +1976,13 @@ def write_knn_graph_layout(
     # a fresh layout must be PRISTINE: writing into a dir that carried
     # an op ledger (a compaction target reused across generations, or
     # a rebuild over a mutated layout) would otherwise leave the stale
-    # ops visible and silently applied to the NEW base at search time
+    # ops visible and silently applied to the NEW base at search time.
+    # Purge-FIRST by design: a crash mid-write then leaves a dst that
+    # is OBVIOUSLY inconsistent (ledger gone, base partial) rather
+    # than a readable layout silently serving new-base+old-ops. A
+    # reused LIVE dst is not crash-atomic either way (the overwrite
+    # itself is not) — compact to a fresh dir, or use the swap-guarded
+    # graph_ops.compact_graph_in_place for same-path folds.
     from big_ann_spark.operators import oplayout as _ol
 
     for sub in ("ops", "_ops"):

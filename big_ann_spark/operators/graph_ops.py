@@ -87,10 +87,17 @@ def upsert_graph_vectors(
     exactly-once op. The new/updated vectors become searchable
     immediately via the brute-force contested side; the traversal
     graph itself is refreshed at the next compaction-rebuild."""
-    rows = vectors.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.col(vec_col).cast(_vec_type(spark, path)).alias("embedding"),
-    ).withColumn("op", F.lit(VO.OP_INSERT))
+    rows = (
+        vectors.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast(_vec_type(spark, path)).alias("embedding"),
+        )
+        # one row per id WITHIN a batch (the vector tier's contract):
+        # duplicate ids under one op id would tie in latest-op-wins
+        # and resolve nondeterministically
+        .dropDuplicates(["vec_id"])
+        .withColumn("op", F.lit(VO.OP_INSERT))
+    )
     return _land_graph_op(spark, path, rows, op_id)
 
 
@@ -139,6 +146,17 @@ def compact_graph_layout(
     from big_ann_spark.operators import ann as ANN
 
     meta = spark.read.parquet(f"{src_path}/graph_meta.parquet").collect()[0]
+    if dim is None:
+        # the layout knows its dimensionality — rebuilding with the
+        # generic aggregate-lambda distance instead of the unrolled
+        # codegen form would multiply the rebuild wall for nothing
+        first = (
+            spark.read.parquet(f"{src_path}/graph.parquet")
+            .select("_nvec")
+            .head(1)
+        )
+        if first:
+            dim = len(first[0]["_nvec"])
     nb = int(n_graph_buckets or meta["n_graph_buckets"])
     ne = int(
         n_entries

@@ -403,7 +403,7 @@ def train_opq(
     kmeans_iter: int = 8,
     warm_iter: int = 8,
     seed: int = 505,
-    init_books: list[list[list[float]]] | None = None,
+    init_books="mllib",
 ) -> tuple[list[list[float]], list[list[list[float]]], float, float]:
     """Optimized Product Quantization — learn an orthogonal rotation R
     so that a contiguous subspace split of X·R quantizes with lower
@@ -437,16 +437,40 @@ def train_opq(
     as always, 46 s after the ``_pairwise_d2`` gemm fix (was 294 s).
     Lower it only with a recall A/B on your data.
 
-    ``init_books``: warm-start the R = I baseline fit from EXISTING
-    codebooks (typically :func:`train_pq`'s MLlib output — its
-    kmeans|| init beats this trainer's seeded random-pick init, and
-    the r13 200-query A/B showed the serving layout inherits that
-    gap: trainer-init OPQ 0.28–0.30 recall vs MLlib PQ 0.33). With
-    the warm start, final distortion ≤ the init books' sample
-    distortion by the same monotonicity argument, so an OPQ layout
-    built this way can only improve on the PQ layout it started from.
+    ``init_books``: where the R = I baseline fit starts. The DEFAULT
+    ``"mllib"`` trains :func:`train_pq` (MLlib kmeans‖) internally and
+    warm-starts from it — the r13 200-query A/B showed the serving
+    layout inherits the init gap (random-pick-init OPQ 0.28–0.30
+    recall vs MLlib PQ 0.33), and making the good init the default
+    means no call site can silently regress. With a warm start, final
+    distortion ≤ the init books' sample distortion by monotonicity, so
+    an OPQ layout can only improve on the PQ layout it started from.
+    Pass existing codebooks to reuse an already-trained fit (skips the
+    internal MLlib pass; geometry must match m/k), or ``None`` for the
+    legacy seeded random-pick init (A/B baselines only).
     Returns (R row-major, codebooks, plain_mse, opq_mse)."""
     import numpy as np
+
+    if isinstance(init_books, str):
+        if init_books != "mllib":
+            raise ValueError(f"init_books: unknown mode {init_books!r}")
+        init_books = train_pq(
+            emb, m=m, k=k, vec_col=vec_col, dim=dim, seed=seed
+        )
+    if init_books is not None:
+        # <= k, not == k: MLlib KMeans returns fewer centers than
+        # asked on tiny/degenerate corpora — a smaller book is a valid
+        # warm start (codes are per-book); MORE than k is a caller mixup
+        if len(init_books) != m or any(len(b) > k for b in init_books):
+            raise ValueError(
+                f"init_books geometry mismatch: expected {m} books of "
+                f"<= {k} codes, got {len(init_books)} of "
+                f"{sorted({len(b) for b in init_books})}"
+            )
+        if any(len(c) != dim // m for b in init_books for c in b[:1]):
+            raise ValueError(
+                f"init_books sub-vector length != dim/m = {dim // m}"
+            )
 
     rows = (
         emb.orderBy(

@@ -147,17 +147,29 @@ def test_opq_init_books_warm_start_monotone(spark):
     better start is still non-increasing), and opq_mse keeps the
     monotone invariant vs ITS OWN baseline."""
     e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    # legacy cold init as the baseline (init_books=None); its R=I-fit
+    # books then warm-start a second run
     _R0, books0, plain0, _ = PQ.train_opq(
-        e, m=4, k=16, dim=64, sample_size=500, n_iter=2, kmeans_iter=4
+        e, m=4, k=16, dim=64, sample_size=500, n_iter=0, kmeans_iter=4,
+        init_books=None,
     )
     _R1, _books1, plain1, opq1 = PQ.train_opq(
         e, m=4, k=16, dim=64, sample_size=500, n_iter=2, kmeans_iter=4,
         init_books=books0,
     )
-    # books0 are already a converged fit of this sample: restarting
-    # FROM them cannot be worse than the cold random-pick start
+    # books0 are a converged R=I fit of this very sample (n_iter=0 =
+    # no rotation rounds): restarting FROM them cannot be worse
     assert plain1 <= plain0 + 1e-9, (plain0, plain1)
     assert opq1 <= plain1 + 1e-9, (plain1, opq1)
+    # geometry mismatches fail loudly, not deep in numpy
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        PQ.train_opq(
+            e, m=8, k=16, dim=64, sample_size=500, init_books=books0
+        )
+    with _pytest.raises(ValueError, match="unknown mode"):
+        PQ.train_opq(e, m=4, k=16, dim=64, init_books="kmeanspp")
 
 
 def test_rotate_vectors_preserves_distances(spark):
