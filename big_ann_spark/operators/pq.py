@@ -593,9 +593,12 @@ def opq_recall_ab(
     plain_books = train_pq(emb, m=m, k=k_codes, vec_col=vec_col, dim=dims, seed=seed)
     plain = adc_recall(emb, queries, plain_books)
 
+    # warm-start from the SAME books the plain side serves: the A/B is
+    # then rotation-on vs rotation-off with one trainer (the r13
+    # confound fix), and the one MLlib fit is shared, not repeated
     R, opq_books, plain_mse, opq_mse = train_opq(
         emb, m=m, k=k_codes, vec_col=vec_col, id_col=id_col, dim=dims,
-        sample_size=sample_size, seed=seed,
+        sample_size=sample_size, seed=seed, init_books=plain_books,
     )
     emb_r = rotate_vectors(emb, R, vec_col=vec_col)
     q_r = rotate_vectors(queries, R, vec_col=query_vec)
