@@ -1941,6 +1941,7 @@ def write_knn_graph_layout(
     vec_col: str = "embedding",
     n_graph_buckets: int = 64,
     n_entries: int = GRAPH_MAX_ENTRIES,
+    discard_ops: bool = False,
 ) -> None:
     """Persist a kNN graph (``nn_descent_knn_graph`` edges) as the
     GRAPH SERVING TIER — the Spark analog of the reference's one
@@ -1977,19 +1978,70 @@ def write_knn_graph_layout(
     # an op ledger (a compaction target reused across generations, or
     # a rebuild over a mutated layout) would otherwise leave the stale
     # ops visible and silently applied to the NEW base at search time.
-    # Purge-FIRST by design: a crash mid-write then leaves a dst that
-    # is OBVIOUSLY inconsistent (ledger gone, base partial) rather
-    # than a readable layout silently serving new-base+old-ops. A
-    # reused LIVE dst is not crash-atomic either way (the overwrite
-    # itself is not) — compact to a fresh dir, or use the swap-guarded
+    # The purge+write runs UNDER the layout's writer lock (ADVICE r13):
+    # COMMITTED ops are refused unless the caller says discard_ops
+    # (a direct rebuild over a live mutated layout would silently drop
+    # committed mutations — fold them with graph_ops.compact_graph_
+    # layout / compact_graph_in_place, which pass the flag after
+    # resolving the live view), and a mutator racing this write can no
+    # longer land an op between the purge and the new base (both sides
+    # contend on the same lock; the lock's compact-marker check also
+    # refuses a dst that is mid-swap). Purge-FIRST by design: a crash
+    # mid-write then leaves a dst that is OBVIOUSLY inconsistent
+    # (ledger gone, base partial) rather than a readable layout
+    # silently serving new-base+old-ops. A reused LIVE dst is not
+    # crash-atomic either way (the overwrite itself is not) — compact
+    # to a fresh dir, or use the swap-guarded
     # graph_ops.compact_graph_in_place for same-path folds.
     from big_ann_spark.operators import oplayout as _ol
 
-    for sub in ("ops", "_ops"):
-        fs, jp = _ol.fs_path(spark, f"{path}/{sub}")
-        if fs.exists(jp):
-            fs.delete(jp, True)
+    with _ol.writer_lock(spark, path, owner="write_knn_graph_layout"):
+        committed = _ol.committed_ops(spark, path)
+        if committed and not discard_ops:
+            raise ValueError(
+                f"write_knn_graph_layout: {path} carries {len(committed)} "
+                "committed op(s) — overwriting would silently discard "
+                "them. Fold them with graph_ops.compact_graph_layout / "
+                "compact_graph_in_place, or pass discard_ops=True to "
+                "drop them deliberately."
+            )
+        _purge_graph_ledger(spark, path)
+        _write_graph_artifacts(
+            graph, vectors, path,
+            id_col=id_col, vec_col=vec_col,
+            n_graph_buckets=n_graph_buckets, n_entries=n_entries,
+        )
+
+
+def _purge_graph_ledger(spark, path: str) -> None:
+    """Delete the op ledger under ``path`` — ``ops/`` wholesale, and
+    ``_ops/`` CONTENTS except the held writer lock (the caller holds
+    it; deleting the dir out from under the lock would re-open the
+    purge/land race the lock exists to close)."""
+    from big_ann_spark.operators import oplayout as _ol
+
+    fs, jp = _ol.fs_path(spark, f"{path}/ops")
+    if fs.exists(jp):
+        fs.delete(jp, True)
+    fs, jp = _ol.fs_path(spark, f"{path}/_ops")
+    if fs.exists(jp):
+        for st in fs.listStatus(jp):
+            if st.getPath().getName() != _ol.WRITER_LOCK:
+                fs.delete(st.getPath(), True)
     _ol.invalidate_contested_memo(path)
+
+
+def _write_graph_artifacts(
+    graph: DataFrame,
+    vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_graph_buckets: int,
+    n_entries: int,
+) -> None:
+    spark = graph.sparkSession
     vt = vectors.select(
         F.col(id_col).alias("node"), F.col(vec_col).alias("_nvec")
     )

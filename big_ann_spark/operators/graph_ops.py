@@ -184,7 +184,12 @@ def compact_graph_layout(
     else:
         raise ValueError(f"unknown build {build!r} (ivf|hash)")
     ANN.write_knn_graph_layout(
-        edges, live, dst_path, n_graph_buckets=nb, n_entries=ne
+        # discard_ops: the dst's own prior-generation ledger (if any)
+        # is deliberately dropped — THIS source's ops are already
+        # folded into `live` above, and a reused compaction target's
+        # stale ops must not survive the rebuild (regression-tested)
+        edges, live, dst_path, n_graph_buckets=nb, n_entries=ne,
+        discard_ops=True,
     )
     return len(oplayout.committed_ops(spark, src_path))
 

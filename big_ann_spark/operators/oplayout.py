@@ -223,21 +223,29 @@ def check_contested(
     op-sized winners DF; returns True when ``latest`` is EMPTY. The
     emptiness probe is ``head(1)`` (an early-out job — needed anyway);
     the FULL count that feeds :func:`warn_contested_size` runs once
-    per (path, as_of) per session and is re-run only after a mutation
-    or compaction lands THROUGH this session (``mark_committed`` /
-    ``compact_in_place`` invalidate the memo) — telemetry must not
-    cost an extra Spark job on every search (ADVICE r12). A mutator in
-    ANOTHER session won't bust the memo; the warning may then lag one
-    process lifetime, which is acceptable for a sizing hint."""
+    per LEDGER STATE per (path, as_of, context) — the memo carries the
+    committed-op id set the count was taken under (one ``_ops`` dir
+    listing, the same metadata walk every search already pays — never
+    a Spark job), so a mutation landed by ANOTHER process busts it the
+    moment its commit marker is visible (ADVICE r13), and same-session
+    ``mark_committed`` / ``compact_in_place`` still invalidate
+    eagerly. Telemetry must not cost an extra Spark job per search
+    (ADVICE r12)."""
     base = path.rstrip("/")
     key = (base, as_of, context)
+    com = committed_ops(spark, base)
+    token = frozenset(
+        com if as_of is None else {i for i in com if i <= as_of}
+    )
     if not latest.head(1):
-        _contested_count_memo[key] = 0
+        _contested_count_memo[key] = (token, 0)
         return True
-    n = _contested_count_memo.get(key)
-    if n is None:
+    memo = _contested_count_memo.get(key)
+    if memo is None or memo[0] != token:
         n = latest.count()
-        _contested_count_memo[key] = n
+        _contested_count_memo[key] = (token, n)
+    else:
+        n = memo[1]
     warn_contested_size(n, base, context)
     return False
 

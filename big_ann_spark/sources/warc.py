@@ -405,13 +405,32 @@ def read_warc_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     src = reader.load(path)
-    p = str(path)
-    # scheme-less paths resolve against the default FS, which is the
-    # local FS everywhere this repo runs; any explicit non-file scheme
-    # (s3a://, hdfs://, ...) keeps the blob route
-    if p.startswith("file:") or "://" not in p:
+    # route by the RESOLVED FileSystem scheme, exactly as read_warc
+    # does — a scheme-less path resolves against fs.defaultFS, which
+    # is the local FS only by deployment accident (ADVICE r13: on an
+    # hdfs/s3a defaultFS, string-sniffing for '://' would take the
+    # POSIX walk over paths the executors cannot open(2))
+    if _resolved_scheme(spark, path) == "file":
         return _records_of_paths(src.select("path"))
     return _records_of(src.select("path", "content"))
+
+
+def _resolved_scheme(spark, p: str) -> str:
+    """The scheme of ``p`` AFTER Hadoop qualification against
+    ``fs.defaultFS`` — the routing authority for local-vs-blob
+    decisions (a bare string sniff mis-routes scheme-less paths
+    whenever the default FS is not local). Pure URI work — Hadoop's
+    own qualification rule (explicit scheme wins, else the default
+    FS's) WITHOUT instantiating the FileSystem, so routing never
+    needs the remote FS class on the classpath just to decide."""
+    jvm = spark.sparkContext._jvm
+    scheme = jvm.org.apache.hadoop.fs.Path(p).toUri().getScheme()
+    if scheme:
+        return scheme
+    dfs = spark.sparkContext._jsc.hadoopConfiguration().get(
+        "fs.defaultFS", "file:///"
+    )
+    return jvm.java.net.URI(dfs).getScheme() or "file"
 
 
 def _records_of(src: DataFrame) -> DataFrame:

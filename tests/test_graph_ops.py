@@ -259,3 +259,58 @@ def test_graph_mutation_cli(spark, sf_dir, tmp_path):
     assert main([
         "graph-search", f"{d}/g_missing", f"{d}/emb", "--as-of", "0"
     ]) == 2
+
+
+def test_rebuild_refuses_committed_ops_without_discard(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13: a direct write_knn_graph_layout over a layout
+    carrying COMMITTED ops must refuse — silently purging them would
+    discard committed mutations — unless the caller passes
+    discard_ops=True (what the compaction paths do, AFTER folding the
+    ops into the live view)."""
+    emb, path, qs = _build(spark, sf_dir, tmp_path)
+    _mutate(spark, emb, path)
+    n_committed = len(oplayout.committed_ops(spark, path))
+    assert n_committed == 2
+    g = ANN.nn_descent_knn_graph(emb, k=6, iterations=1, dim=64)
+    with pytest.raises(ValueError, match="committed op"):
+        ANN.write_knn_graph_layout(g, emb, path, n_graph_buckets=4,
+                                   n_entries=N)
+    # the refusal touched NOTHING: ledger intact, live view unchanged
+    assert len(oplayout.committed_ops(spark, path)) == n_committed
+    assert VO.has_vector_ops(spark, path)
+    # explicit discard: pristine rebuild, mutations deliberately gone
+    ANN.write_knn_graph_layout(g, emb, path, n_graph_buckets=4,
+                               n_entries=N, discard_ops=True)
+    assert not VO.has_vector_ops(spark, path)
+    assert not oplayout.committed_ops(spark, path)
+    assert _serve(qs, path) == _exact(qs, emb)
+
+
+def test_rebuild_is_writer_lock_guarded(spark, sf_dir, tmp_path):
+    """ADVICE r13 (race half): the purge+write holds the layout's
+    writer lock, so a rebuild racing a mutation — or a mid-swap
+    compaction marker — errors loudly instead of interleaving a
+    landed op between the purge and the new base."""
+    emb, path, qs = _build(spark, sf_dir, tmp_path)
+    g = ANN.nn_descent_knn_graph(emb, k=6, iterations=1, dim=64)
+    # a mutation in flight holds the in-tree writer lock
+    with oplayout.writer_lock(spark, path, owner="test-mutator"):
+        with pytest.raises(oplayout.ConcurrentWriterError,
+                           match="another writer"):
+            ANN.write_knn_graph_layout(g, emb, path, n_graph_buckets=4,
+                                       n_entries=N)
+    # an in-place compaction mid-swap holds the sibling marker
+    fs, jp = oplayout.compact_lock_jpath(spark, path)
+    fs.create(jp, True).close()
+    try:
+        with pytest.raises(oplayout.ConcurrentWriterError,
+                           match="compaction"):
+            ANN.write_knn_graph_layout(g, emb, path, n_graph_buckets=4,
+                                       n_entries=N)
+    finally:
+        fs.delete(jp, False)
+    # both guards released: the rebuild lands and serves
+    ANN.write_knn_graph_layout(g, emb, path, n_graph_buckets=4, n_entries=N)
+    assert _serve(qs, path) == _exact(qs, emb)

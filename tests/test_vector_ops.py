@@ -444,6 +444,34 @@ def test_contested_count_memoized_per_ledger_state(spark, sf_dir, monkeypatch):
     assert VO.mutation_state(spark, path) is not None
 
 
+def test_contested_memo_busts_on_foreign_commit(spark, sf_dir, monkeypatch):
+    """ADVICE r13 — the memoized contested count must not lag a
+    mutator in ANOTHER process indefinitely: the memo is keyed on the
+    committed-op id set (one _ops listing, already paid per search),
+    so a foreign commit marker busts it the moment it is visible,
+    with no same-session invalidation hook involved."""
+    from pyspark.sql import DataFrame
+
+    emb, cents, path = _build_layout(spark, sf_dir)
+    VO.delete_vectors(spark, path, [2])
+    assert VO.mutation_state(spark, path) is not None  # counts, warms memo
+    # simulate an out-of-process mutator: same landing protocol, but
+    # the in-session invalidation hook never fires
+    monkeypatch.setattr(oplayout, "invalidate_contested_memo", lambda p: None)
+    VO.delete_vectors(spark, path, [4])
+    key = (path.rstrip("/"), None, "mutation_state")
+    assert oplayout._contested_count_memo[key][1] == 1  # stale memo survives
+    assert VO.mutation_state(spark, path) is not None
+    # the ledger token changed -> the count re-ran despite the warm memo
+    assert oplayout._contested_count_memo[key][1] == 2
+    # and with an UNCHANGED ledger the memo still spares the count job
+    def boom(self):
+        raise AssertionError("telemetry count ran on a warm memo")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    assert VO.mutation_state(spark, path) is not None
+
+
 def test_compact_swap_lock_guards_rename_window(spark, sf_dir, monkeypatch):
     """ADVICE r12 — the in-tree writer lock cannot guard the compact
     swap (the first rename moves {base}/_ops, lock included, out with

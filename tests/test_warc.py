@@ -561,3 +561,23 @@ def test_read_warc_big_file_path_route_equals_binaryfile(spark, sf_dir, tmp_path
         via_blob = key(W.read_warc(spark, dst))
         via_path = key(W.read_warc(spark, dst, blob_cap_bytes=1))
         assert via_path == via_blob and len(via_path) == 30
+
+
+def test_stream_routing_uses_resolved_scheme(spark, tmp_path):
+    """ADVICE r13: read_warc_stream's local-vs-blob routing must come
+    from Hadoop FileSystem qualification, not string sniffing — a
+    scheme-less path is local only when fs.defaultFS says so."""
+    assert W._resolved_scheme(spark, str(tmp_path)) == "file"
+    assert W._resolved_scheme(spark, f"file:{tmp_path}") == "file"
+    # explicit remote scheme stays remote (no server contact needed:
+    # qualification is pure URI work)
+    assert W._resolved_scheme(spark, "s3a://bucket/crawl") == "s3a"
+    # a scheme-less path under a REMOTE defaultFS resolves remote —
+    # the case the old "'://' not in p" sniff mis-routed to POSIX
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("fs.defaultFS")
+    hconf.set("fs.defaultFS", "hdfs://nn.example:8020")
+    try:
+        assert W._resolved_scheme(spark, "/crawl/warcs") == "hdfs"
+    finally:
+        hconf.set("fs.defaultFS", old or "file:///")
