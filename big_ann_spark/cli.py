@@ -173,6 +173,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="--init ivf: per-pivot local-join cap J of the refinement "
         "rounds (candidate volume n*(2J)^2 per round)",
     )
+    bg.add_argument(
+        "--seeding", choices=["auto", "flat", "two_level"], default="auto",
+        help="--init ivf: cell-centroid fit — 'flat' one MLlib KMeans "
+        "(k-scaling ceiling: sample*k*d Lloyd cost per iteration), "
+        "'two_level' hierarchical sqrt-split fit (the 20M+ path), "
+        "'auto' switches past %d cells" % 4096,
+    )
 
     g = sub.add_parser(
         "graph-search", help="batch beam search over a built kNN graph "
@@ -968,6 +975,7 @@ def main(argv: list[str] | None = None) -> int:
                 refine_iterations=args.iterations,
                 target_shard_rows=args.target_shard_rows,
                 local_join_cap=args.local_join_cap,
+                seeding=args.seeding,
             )
         else:
             g = ANN.nn_descent_knn_graph(

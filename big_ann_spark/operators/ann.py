@@ -1614,6 +1614,160 @@ def _assign_top_probes(
     return points.select(id_col, vec_col).mapInArrow(run, schema=out_schema)
 
 
+# ``seeding="auto"`` switches the cell fit to the two-level path above
+# this many cells: flat MLlib Lloyd cost is sample·k·d per iteration,
+# and the 2M-validated build (977 cells) is the last decade where one
+# flat fit is clearly fine — at 20M the build needs ~9.8k cells and at
+# 200M ~98k (n_shards grows linearly with n; VERDICT r13 #1).
+TWO_LEVEL_SEEDING_ABOVE = 4096
+
+
+def _seed_cell_centroids(
+    samp: DataFrame,
+    n_cells: int,
+    *,
+    seed: int,
+    max_iter: int,
+    mode: str = "auto",
+) -> list[tuple[int, list[float]]]:
+    """The cell-centroid fit behind :func:`ivf_seeded_knn_graph`'s
+    seeding pass — ``[(cell_id, centroid)]`` over the (already
+    sample-capped) vector table ``samp`` with columns
+    ``(_nid, _nvec)``.
+
+    ``mode="flat"``: one MLlib KMeans with k = ``n_cells`` — exact
+    r13 behavior, fine through ~4k cells.
+
+    ``mode="two_level"``: hierarchical seeding that removes the flat
+    fit's k-scaling ceiling (VERDICT r13 #1 — cells grow LINEARLY
+    with n at fixed ``target_shard_rows``, so one flat Lloyd is
+    sample·n_cells·d per iteration and its k×d centroid broadcast
+    grows with n): first a SMALL MLlib fit to ``ceil(sqrt(n_cells))``
+    super-cells, then ONE ``applyInPandas`` pass sub-clustering each
+    super-cell's sample rows with a local numpy Lloyd into its
+    apportioned share of the cells (largest-remainder split of
+    ``n_cells`` by super-cell sample mass, each share capped by the
+    super-cell's row count). Total Lloyd work drops from
+    sample·n_cells·d to sample·(sqrt + n_cells/sqrt)·d per iteration,
+    the driver never broadcasts more than the super-cell table, and
+    the sub-fits parallelize across the cluster. Cells out =
+    ``n_cells`` up to apportionment caps (a super-cell cannot host
+    more centers than sample rows — the deficit is documented, not
+    silently re-spread, so cell counts stay reproducible).
+
+    ``mode="auto"``: flat at or under ``TWO_LEVEL_SEEDING_ABOVE``
+    cells (bit-identical to r13 builds), two-level above.
+
+    The downstream contract is unchanged either way: the centroids
+    seed a multi-probe assignment, so seeding quality shifts WHERE
+    the within-cell kNN work lands, never correctness — the
+    NN-Descent refinement closes seams regardless."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if mode not in ("auto", "flat", "two_level"):
+        raise ValueError(
+            f"seeding={mode!r}: expected auto | flat | two_level"
+        )
+    n_cells = int(n_cells)
+
+    def _mllib_fit(df: DataFrame, k: int) -> list[list[float]]:
+        feat = df.select(
+            array_to_vector(F.col("_nvec").cast("array<double>")).alias(
+                "features"
+            )
+        )
+        model = KMeans(k=k, seed=seed, maxIter=int(max_iter)).fit(feat)
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    if mode == "flat" or (
+        mode == "auto" and n_cells <= TWO_LEVEL_SEEDING_ABOVE
+    ):
+        return list(enumerate(_mllib_fit(samp, n_cells)))
+
+    # ---- two-level path ----
+    # materialize the sample once: it feeds the super fit, the
+    # assignment AND the sub-fits (re-evaluating a Bernoulli sample
+    # lineage three times is wasted scans, not a correctness risk)
+    samp = samp.localCheckpoint()
+    n_super = max(2, int(np.ceil(np.sqrt(n_cells))))
+    super_cents = list(enumerate(_mllib_fit(samp, n_super)))
+    sa = _assign_top_probes(
+        samp, super_cents, 1, id_col="_nid", vec_col="_nvec"
+    ).localCheckpoint()  # consumed twice: counts + sub-fits
+    counts = {
+        int(r["_sid"]): int(r["cnt"])
+        for r in sa.groupBy("_sid").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_samp = sum(counts.values())
+    # largest-remainder apportionment of n_cells by sample mass;
+    # every non-empty super-cell holds >= 1 center, none more centers
+    # than rows
+    quotas = {s: n_cells * c / n_samp for s, c in counts.items()}
+    k_map = {
+        s: max(1, min(counts[s], int(quotas[s]))) for s in counts
+    }
+    deficit = n_cells - sum(k_map.values())
+    if deficit > 0:
+        by_frac = sorted(
+            counts,
+            key=lambda s: (quotas[s] - int(quotas[s]), s),
+            reverse=True,
+        )
+        for s in by_frac:
+            if deficit <= 0:
+                break
+            if k_map[s] < counts[s]:
+                k_map[s] += 1
+                deficit -= 1
+    iters = int(max_iter)
+
+    def sub_fit(key, pdf):
+        import numpy as np
+
+        k_i = min(int(k_map.get(int(key[0]), 1)), len(pdf))
+        ids = pdf["_nid"].to_numpy(dtype=np.int64)
+        V = np.asarray(np.stack(pdf["_nvec"].to_numpy()), dtype=np.float64)
+        # deterministic hash-spread init (id order carries no geometry;
+        # the golden-ratio hash spreads picks across the cell)
+        h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        C = V[np.sort(np.argsort(h, kind="stable")[:k_i])].copy()
+        for _ in range(iters):
+            d2 = (
+                (V * V).sum(axis=1)[:, None]
+                - 2.0 * (V @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            S = np.zeros_like(C)
+            np.add.at(S, a, V)
+            cnt = np.bincount(a, minlength=k_i).astype(np.float64)
+            nz = cnt > 0
+            C[nz] = S[nz] / cnt[nz, None]  # empty centers keep position
+        return pd.DataFrame(
+            {
+                "_ssid": np.full(k_i, int(key[0]), dtype=np.int64),
+                "_idx": np.arange(k_i, dtype=np.int64),
+                "centroid": [c.tolist() for c in C],
+            }
+        )
+
+    rows = (
+        sa.groupBy("_sid")
+        .applyInPandas(
+            sub_fit, schema="_ssid long, _idx long, centroid array<double>"
+        )
+        .collect()
+    )
+    # stable global ids: collect order is partition-arbitrary, so sort
+    # by (super-cell, local index) before numbering
+    rows.sort(key=lambda r: (r["_ssid"], r["_idx"]))
+    return [(i, list(r["centroid"])) for i, r in enumerate(rows)]
+
+
 def ivf_seeded_knn_graph(
     vectors: DataFrame,
     k: int = 10,
@@ -1631,16 +1785,23 @@ def ivf_seeded_knn_graph(
     kmeans_sample_cap: int = 200_000,
     kmeans_max_iter: int = 10,
     merge_strategy: str = "agg",
+    seeding: str = "auto",
 ) -> DataFrame:
     """kNN-graph build that SURVIVES a scale-up (VERDICT r12 #1) —
     IVF-seeded init + capped NN-Descent refinement, replacing the
     hash-bucket init whose all-churn early rounds killed the 2M build
     (>80 GB shuffle spill, then OOM; ROUND_NOTES r12):
 
-    1. **Partition**: MLlib KMeans on a seeded Bernoulli sample (cap
-       ``kmeans_sample_cap`` — spread across partitions, never a
-       ``limit`` slice: the r12 codebook lesson) into
-       ``ceil(n·probes / target_shard_rows)`` cells.
+    1. **Partition**: a cell-centroid fit on a seeded Bernoulli
+       sample (cap ``kmeans_sample_cap`` — spread across partitions,
+       never a ``limit`` slice: the r12 codebook lesson) into
+       ``ceil(n·probes / target_shard_rows)`` cells. ``seeding=``
+       picks the fit: one flat MLlib KMeans, or the two-level
+       hierarchical fit past ``TWO_LEVEL_SEEDING_ABOVE`` cells
+       (``"auto"``, the default — see
+       :func:`_seed_cell_centroids`; cells grow linearly with n, so
+       the flat fit's sample·k·d Lloyd cost is the build's only
+       super-linear-in-n term, VERDICT r13 #1).
     2. **Multi-assign**: every vector rides to its ``probes`` nearest
        cells (one broadcast-matrix Arrow pass) — the 2nd+ probe is
        what covers Voronoi-boundary neighbors, the recall hole of
@@ -1685,18 +1846,15 @@ def ivf_seeded_knn_graph(
     p = max(1, int(probes))
     n_shards = int(max(p, min(n, -(-(n * p) // int(target_shard_rows)))))
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     frac = min(1.0, kmeans_sample_cap / n)
     samp = vt.sample(fraction=frac, seed=seed) if frac < 1.0 else vt
-    feat = samp.select(
-        array_to_vector(F.col("_nvec").cast("array<double>")).alias("features")
+    cents = _seed_cell_centroids(
+        samp,
+        n_shards,
+        seed=seed,
+        max_iter=int(kmeans_max_iter),
+        mode=seeding,
     )
-    model = KMeans(k=n_shards, seed=seed, maxIter=int(kmeans_max_iter)).fit(feat)
-    cents = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
 
     assigned = _assign_top_probes(
         vt, cents, p, id_col="_nid", vec_col="_nvec"

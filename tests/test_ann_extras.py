@@ -408,6 +408,74 @@ def test_ivf_seeded_graph_recall_and_coverage(spark, sf_dir):
     assert a == b
 
 
+def test_two_level_seeding_contract(spark, sf_dir):
+    """VERDICT r13 #1 — the hierarchical (two-level) cell fit that
+    removes the flat KMeans k-scaling ceiling: same coverage / rank /
+    recall contract as the flat path, deterministic across builds,
+    exact requested cell count when the sample can host it, and
+    "auto" routing (flat at small cell counts, bit-identical)."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    n = emb.count()
+    g = ANN.ivf_seeded_knn_graph(
+        emb, k=10, dim=64, target_shard_rows=256,
+        refine_iterations=1, local_join_cap=8, seeding="two_level",
+    ).localCheckpoint()
+    assert g.select("src").distinct().count() == n
+    assert g.filter(F.col("src") == F.col("dst")).count() == 0
+    per = g.groupBy("src").agg(
+        F.count("*").alias("c"), F.countDistinct("dst").alias("d"),
+        F.max("rank").alias("hi"),
+    )
+    assert per.filter(
+        (F.col("c") != F.col("d")) | (F.col("hi") > 10)
+    ).count() == 0
+    qs = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    from pyspark.sql import Window
+
+    gt = (
+        exact_knn(qs, emb, k=11, dim=64, base_id="vec_id", base_vec="embedding")
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("dist").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("_r") <= 10)
+        .select(F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint()
+    )
+    assert g.join(gt, ["src", "dst"]).count() / gt.count() >= 0.9
+    # determinism: a second two-level build is identical
+    g2 = ANN.ivf_seeded_knn_graph(
+        emb, k=10, dim=64, target_shard_rows=256,
+        refine_iterations=1, local_join_cap=8, seeding="two_level",
+    )
+    assert sorted((r["src"], r["dst"], r["rank"]) for r in g.collect()) == \
+        sorted((r["src"], r["dst"], r["rank"]) for r in g2.collect())
+    # the fit itself: exact cell count, stable ids, deterministic
+    samp = emb.select(
+        F.col("vec_id").alias("_nid"), F.col("embedding").alias("_nvec")
+    )
+    cents = ANN._seed_cell_centroids(
+        samp, 16, seed=1, max_iter=4, mode="two_level"
+    )
+    assert [c[0] for c in cents] == list(range(16))
+    assert cents == ANN._seed_cell_centroids(
+        samp, 16, seed=1, max_iter=4, mode="two_level"
+    )
+    # auto == flat under the threshold (same MLlib fit, same seed)
+    assert ANN._seed_cell_centroids(
+        samp, 4, seed=1, max_iter=2, mode="auto"
+    ) == ANN._seed_cell_centroids(samp, 4, seed=1, max_iter=2, mode="flat")
+    with pytest.raises(ValueError, match="seeding"):
+        ANN._seed_cell_centroids(samp, 4, seed=1, max_iter=2, mode="bogus")
+
+
 def test_ivf_seeded_seed_only_and_orphan_backfill(spark, sf_dir):
     """refine_iterations=0 returns the bare seed (still full coverage
     thanks to the orphan backfill, still rank-true); a 2-row corpus is

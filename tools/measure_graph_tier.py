@@ -227,6 +227,7 @@ def main() -> None:
             target_shard_rows=int(os.environ.get("GT_SHARD", "4096")),
             refine_iterations=int(os.environ.get("GT_REFINE", "1")),
             local_join_cap=int(os.environ.get("GT_JCAP", "8")),
+            seeding=os.environ.get("GT_SEEDING", "auto"),
         )
         g.write.mode("overwrite").parquet(f"{gpath}/edges.parquet")
         t1 = time.perf_counter()
