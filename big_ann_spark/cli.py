@@ -420,6 +420,24 @@ def _build_parser() -> argparse.ArgumentParser:
         help="column holding 'insert'/'delete'; omitted = all inserts",
     )
 
+    gsi = sub.add_parser(
+        "graph-stream-ingest",
+        help="stream a vector directory (insert/delete runbook) into a "
+        "GRAPH serving layout's op ledger — each micro-batch lands as "
+        "one committed graph op, exactly-once across restarts",
+    )
+    gsi.add_argument("src", help="directory of parquet files: (id, vector[, op])")
+    gsi.add_argument(
+        "layout", help="graph serving layout dir (build-graph --serving-layout)"
+    )
+    gsi.add_argument("--id-col", default="vec_id")
+    gsi.add_argument("--vec-col", default="embedding")
+    gsi.add_argument(
+        "--op-col",
+        default=None,
+        help="column holding 'insert'/'delete'; omitted = all upserts",
+    )
+
     lt = sub.add_parser(
         "lm-train",
         help="train a Stupid-Backoff n-gram LM on a high-quality corpus "
@@ -1399,6 +1417,38 @@ def main(argv: list[str] | None = None) -> int:
             print(str(e), file=sys.stderr)
             return 2
         print(f"exported {n} postings -> {args.dst} (batch layout)")
+        return 0
+
+    if args.cmd == "graph-stream-ingest":
+        from pyspark.sql.types import StructType
+
+        from big_ann_spark.streaming import graph_stream as GS
+
+        src_schema = spark.read.parquet(args.src).schema
+        want = [args.id_col, args.vec_col] + (
+            [args.op_col] if args.op_col else []
+        )
+        missing = [c for c in want if c not in src_schema.names]
+        if missing:
+            raise SystemExit(
+                f"graph-stream-ingest: {args.src} lacks column(s) "
+                f"{missing} (found: {src_schema.names})"
+            )
+        stream = (
+            spark.readStream.schema(
+                StructType([src_schema[c] for c in want])
+            )
+            .format("parquet")
+            .load(args.src)
+        )
+        GS.stream_graph_ingest(
+            stream, args.layout,
+            id_col=args.id_col, vec_col=args.vec_col, op_col=args.op_col,
+        )
+        from big_ann_spark.operators import oplayout as OL
+
+        n_ops = len(OL.committed_ops(spark, args.layout))
+        print(f"graph layout at {args.layout}: {n_ops} committed op(s)")
         return 0
 
     if args.cmd in ("vindex-ingest", "vindex-search"):
