@@ -533,6 +533,7 @@ def kanndi_shard(
     saturation_min: float = 0.75,
     dist_multiplier: float = 2.0,
     seeds_per_round: int = 4,
+    seeding: str = "id_order",
 ) -> KanndiResult:
     """KANNDI distance-based sharding, Spark-native reformulation.
 
@@ -556,11 +557,56 @@ def kanndi_shard(
     Python loop, one exchange per round instead of three. Exact output equality with the reference is
     impossible (its admission depends on scan order); invariants +
     routing recall are the contract (SURVEY §7.5).
+
+    ``seeding`` (VERDICT r13 #5): ``"id_order"`` (default, the
+    reference's rule — first unassigned ids) vs ``"ivf"``, which
+    reuses the graph build's cell machinery for the seeding pass: one
+    small MLlib KMeans (``seeds_per_round`` cells, hash-spread sample)
+    attaches a ``_cell`` to every point up front, and each round's
+    seeds are the min-id REMAINING point per cell. Id-order seeds are
+    adjacent in id space and often adjacent in vector space, so their
+    admission regions overlap and wide rounds starve (points admit to
+    one of several near-identical seeds and the rest under-fill, spill
+    to the special shard); cell-spread seeds keep regions disjoint, so
+    ``seeds_per_round`` can grow toward M and the loop collapses from
+    ⌈M/4⌉ full-remaining passes to a handful — same invariants
+    (capacity cap, saturation → special shard, threshold doubling),
+    different seed rule, measured wall drop in SCALE.md ("KANNDI
+    seeding").
     """
+    if seeding not in ("id_order", "ivf"):
+        raise ValueError(f"seeding must be 'id_order' or 'ivf', got {seeding!r}")
     spark = emb.sparkSession
     pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).cache()
     n = pts.count()
     capacity = max(n // m, 1)
+    if seeding == "ivf":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        cell_k = min(seeds_per_round, m)
+        # hash-spread fit sample (a plain limit takes whole partitions
+        # and biases the cells — the measured PQ-codebook pitfall)
+        samp = pts.filter(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(max(1, n // 20_000))) == 0
+        )
+        feat = samp.select(
+            array_to_vector(F.col("vec").cast("array<double>")).alias("features")
+        )
+        cmodel = KMeans(k=cell_k, seed=RANDOM_SEED, maxIter=10).fit(feat)
+        cells = spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(cmodel.clusterCenters())
+            ],
+            "_cell int, centroid array<float>",
+        )
+        # zero-exchange argmin projection; vec rides the projection so
+        # no join-back is needed
+        pts = assign_to_centroids(
+            pts, cells, id_col="id", vec_col="vec",
+            centroid_id="_cell", extra_cols=["vec"],
+        ).select("id", "vec", "_cell").cache()
 
     sample = pts.filter(F.col("id") < sample_n)
     d = median_pairwise_distance(sample, id_col="id", vec_col="vec").collect()[0][0]
@@ -571,7 +617,20 @@ def kanndi_shard(
     round_i = 0
     while next_shard < m:
         s = min(seeds_per_round, m - next_shard)
-        seed_rows = remaining.orderBy("id").limit(s).collect()
+        if seeding == "ivf":
+            # one seed per cell (min remaining id), cells with no
+            # remaining points contribute none; partial-agg shuffle of
+            # (cell, row) pairs only — no full sort
+            seed_rows = (
+                remaining.groupBy("_cell")
+                .agg(F.min_by(F.struct("id", "vec"), "id").alias("_s"))
+                .select(F.col("_s.id").alias("id"), F.col("_s.vec").alias("vec"))
+                .orderBy("id")
+                .limit(s)
+                .collect()
+            )
+        else:
+            seed_rows = remaining.orderBy("id").limit(s).collect()
         if not seed_rows:
             break
         seeds = spark.createDataFrame(

@@ -81,6 +81,31 @@ def test_kanndi_invariants(spark, emb):
     assert res.capacity == n // 5
 
 
+def test_kanndi_invariants_ivf_seeding(spark, emb):
+    """seeding='ivf' (VERDICT r13 #5): cell-spread seeds honor the
+    exact same invariants — every point assigned once, capacity cap,
+    threshold admission — even with one wide round (seeds_per_round =
+    m), the regime id-order seeding starves in."""
+    res = SH.kanndi_shard(emb, m=5, seeds_per_round=5, seeding="ivf")
+    rows = res.assignments.collect()
+    n = emb.count()
+    assert len(rows) == n, "every point assigned exactly once"
+    assert len({r["id"] for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for sid, pts in by_shard.items():
+        if sid == -2:
+            continue
+        assert len(pts) <= res.capacity, f"shard {sid} over capacity"
+        assert all(p["dist"] <= res.threshold + 1e-9 for p in pts)
+    assert res.capacity == n // 5
+    # real shards opened (cell seeding did not dump everything special)
+    assert {sid for sid in by_shard if sid >= 0}
+    with pytest.raises(ValueError, match="seeding"):
+        SH.kanndi_shard(emb, m=5, seeding="nope")
+
+
 def test_ivf_full_probe_equals_exact(spark, emb):
     """With nprobe = all shards, IVF must equal exact kNN exactly."""
     cents = SH.label_centroids(emb)

@@ -112,6 +112,45 @@ def main() -> None:
     cent_path = f"{BASE}/cents_{n}"
     spark = get_spark("graph-tier-measure")
 
+    if phase == "genu":
+        # CLUSTERLESS fixture (the r13 adversarial probe): pure iid
+        # hash-gaussian 64-d via Box-Muller over two xxhash64 uniforms —
+        # near-equidistant neighbors, no cluster structure for the cell
+        # seeding to exploit. Written to emb_u_{n}; the `seededu` phase
+        # reads it. Deterministic (hash-keyed), no Date/random state.
+        emb_u = f"{BASE}/emb_u_{n}"
+        t0 = time.perf_counter()
+
+        def _unif(expr):
+            # hash → (0,1) uniform, open at both ends
+            return (
+                F.pmod(F.xxhash64(expr), F.lit(100_000)).cast("double") + 0.5
+            ) / 100_000.0
+
+        def _gauss(j):
+            # Box-Muller over two independent hash uniforms
+            u1 = _unif(F.col("vec_id") * (2 * D) + j)
+            u2 = _unif(F.col("vec_id") * (2 * D) + j + D)
+            return F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(
+                F.lit(2.0 * 3.141592653589793) * u2
+            )
+
+        (
+            spark.range(0, n)
+            .select(F.col("id").alias("vec_id"))
+            .repartition(64)
+            .select(
+                "vec_id",
+                F.transform(F.sequence(F.lit(0), F.lit(D - 1)), _gauss)
+                .cast("array<float>")
+                .alias("embedding"),
+            )
+            .write.mode("overwrite")
+            .parquet(emb_u)
+        )
+        print(f"genu n={n}: {time.perf_counter()-t0:.1f}s -> {emb_u}")
+        return
+
     if phase == "gen":
         C = centroids_np(m)
         cents = spark.createDataFrame(
