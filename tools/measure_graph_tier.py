@@ -304,6 +304,75 @@ def main() -> None:
         print(f"graph serving layout: {time.perf_counter()-t2:.1f}s")
         return
 
+    if phase == "seededu":
+        # VERDICT r13 #4: refinement-schedule grid on the CLUSTERLESS
+        # fixture (genu must have run) — can growing-J rounds close
+        # more of the uniform-case gap at linear cost? Arms are chosen
+        # so total candidate volume Σ(2Jᵢ)² is comparable where the
+        # comparison matters:
+        #   flat 2×J12      -> Σ = 1152
+        #   grow 8→12→16    -> Σ = 1856 (the "spend J late" bet)
+        #   grow 8→16       -> Σ = 1280 (near-isocost vs flat 2×J12)
+        #   flat 3×J12      -> Σ = 1728 (iso-round-count vs grow-3)
+        # plus the r13 knob-table baselines (probes=3 seed-only, and
+        # probes=3 + grow). Edge recall on 200 sampled nodes vs exact.
+        from big_ann_spark.operators.knn import exact_knn
+
+        emb = spark.read.parquet(f"{BASE}/emb_u_{n}").localCheckpoint()
+        nq = 200
+        qs_ids = emb.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(max(1, n // nq))) == 0
+        ).limit(nq)
+        from pyspark.sql import Window
+
+        gt = (
+            exact_knn(
+                qs_ids.select(
+                    F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+                ),
+                emb,
+                k=11,
+                base_id="vec_id",
+                base_vec="embedding",
+                dim=D,
+            )
+            .filter(F.col("neighbor_id") != F.col("qid"))
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(
+                        F.col("dist").asc(), F.col("neighbor_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_r") <= 10)
+            .select(F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"))
+            .localCheckpoint()
+        )
+        tot = gt.count()
+
+        def arm(tag: str, **kw) -> None:
+            t0 = time.perf_counter()
+            g = ANN.ivf_seeded_knn_graph(
+                emb, k=10, dim=D,
+                target_shard_rows=int(os.environ.get("GT_SHARD", "4096")),
+                **kw,
+            ).localCheckpoint()
+            wall = time.perf_counter() - t0
+            hits = g.join(gt, ["src", "dst"]).count()
+            print(f"{tag}: recall {hits/tot:.4f}  wall {wall:.1f}s")
+
+        arm("flat 2xJ12 (r13 best p2)", probes=2,
+            refine_iterations=2, local_join_cap=12)
+        arm("grow 8-16 (isocost vs flat)", probes=2,
+            refine_schedule=[8, 16])
+        arm("grow 8-12-16", probes=2, refine_schedule=[8, 12, 16])
+        arm("flat 3xJ12 (iso-rounds)", probes=2,
+            refine_iterations=3, local_join_cap=12)
+        arm("p3 + grow 8-12-16 (vs r13 0.453)", probes=3,
+            refine_schedule=[8, 12, 16])
+        return
+
     if phase == "searchg":
         # graph-tier-only serving check (no IVF/codec layouts needed)
         from big_ann_spark.operators.knn import exact_knn, recall_at_k
