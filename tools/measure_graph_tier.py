@@ -85,6 +85,41 @@ def _queries(emb):
     )
 
 
+def _edge_recall(emb, edges, n: int, nq: int = 200) -> float:
+    """Edge recall@10 of ``edges`` vs exact kNN on ``nq`` hash-sampled
+    nodes (the r13 campaign metric)."""
+    from pyspark.sql import Window
+
+    from big_ann_spark.operators.knn import exact_knn
+
+    qs = (
+        emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(max(1, n // nq))) == 0)
+        .limit(nq)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .localCheckpoint()
+    )
+    gt = (
+        exact_knn(qs, emb, k=11, base_id="vec_id", base_vec="embedding", dim=D)
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("dist").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("_r") <= 10)
+        .select(F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint()
+    )
+    tot = gt.count()
+    hits = edges.join(gt, ["src", "dst"]).count()
+    r = hits / tot
+    print(f"edge recall@10 on {nq} sampled nodes: {r:.4f}")
+    return r
+
+
 def _build_graph(spark, emb, gpath: str, ANN) -> None:
     it = int(os.environ.get("GT_ITER", "3"))
     sr = float(os.environ.get("GT_SAMPLE", "1.0"))
@@ -110,7 +145,15 @@ def main() -> None:
     ivf_opq = f"{BASE}/ivfopq_{n}"
     gpath = f"{BASE}/graph_{n}"
     cent_path = f"{BASE}/cents_{n}"
-    spark = get_spark("graph-tier-measure")
+    # GT_SHUFFLE: shuffle-partition override for big-n campaigns — the
+    # 20M seed graph is ~400M edge rows and 32 partitions made blocks
+    # too coarse for the localCheckpoint materialization (OOM at 32g)
+    spark = get_spark(
+        "graph-tier-measure",
+        shuffle_partitions=(
+            int(os.environ["GT_SHUFFLE"]) if "GT_SHUFFLE" in os.environ else None
+        ),
+    )
 
     if phase == "genu":
         # CLUSTERLESS fixture (the r13 adversarial probe): pure iid
@@ -192,7 +235,10 @@ def main() -> None:
         print(f"gen n={n} m={m}: {time.perf_counter()-t0:.1f}s")
         return
 
-    cents = spark.read.parquet(cent_path)
+    # cents only exist for the clustered fixture — phases that never
+    # touch them (seeded/seededu/refineg/searchg/graph) must not
+    # require the clustered gen to have run
+    cents = spark.read.parquet(cent_path) if phase in ("build", "search") else None
     from big_ann_spark.operators import ann as ANN
     from big_ann_spark.operators.sharding import assign_to_centroids, write_sharded
 
@@ -272,35 +318,40 @@ def main() -> None:
         t1 = time.perf_counter()
         print(f"IVF-seeded graph build (n={n}): {t1-t0:.1f}s")
         edges = spark.read.parquet(f"{gpath}/edges.parquet")
-        nq = 200
-        qs = (
-            emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(max(1, n // nq))) == 0)
-            .limit(nq)
-            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-            .localCheckpoint()
-        )
-        from pyspark.sql import Window
-
-        gt = (
-            exact_knn(qs, emb, k=11, base_id="vec_id", base_vec="embedding", dim=D)
-            .filter(F.col("neighbor_id") != F.col("qid"))
-            .withColumn(
-                "_r",
-                F.row_number().over(
-                    Window.partitionBy("qid").orderBy(
-                        F.col("dist").asc(), F.col("neighbor_id").asc()
-                    )
-                ),
-            )
-            .filter(F.col("_r") <= 10)
-            .select(F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"))
-            .localCheckpoint()
-        )
-        tot = gt.count()
-        hits = edges.join(gt, ["src", "dst"]).count()
-        print(f"edge recall@10 on {nq} sampled nodes: {hits/tot:.4f}")
+        _edge_recall(emb, edges, n)
         t2 = time.perf_counter()
         ANN.write_knn_graph_layout(edges, emb, gpath, n_graph_buckets=64)
+        print(f"graph serving layout: {time.perf_counter()-t2:.1f}s")
+        return
+
+    if phase == "refineg":
+        # refinement DECOUPLED from the seed pass (the 20M lesson: a
+        # refinement failure must not lose the ~2h seed stage) — reads
+        # edges.parquet as init, runs capped NN-Descent (GT_SCHEDULE
+        # "8,12" takes precedence over GT_REFINE×GT_JCAP), writes
+        # edges_refined.parquet + rebuilds the serving layout from it
+        emb = spark.read.parquet(emb_path)
+        seedg = spark.read.parquet(f"{gpath}/edges.parquet")
+        sched = os.environ.get("GT_SCHEDULE")
+        kw: dict = {"init_graph": seedg}
+        if sched:
+            kw["local_join_schedule"] = [int(x) for x in sched.split(",")]
+        else:
+            kw["iterations"] = int(os.environ.get("GT_REFINE", "1"))
+            kw["local_join_cap"] = int(os.environ.get("GT_JCAP", "8"))
+        cfg = (
+            f"schedule={kw['local_join_schedule']}"
+            if sched
+            else f"{kw['iterations']}xJ{kw['local_join_cap']}"
+        )
+        t0 = time.perf_counter()
+        g = ANN.nn_descent_knn_graph(emb, k=10, dim=D, **kw)
+        g.write.mode("overwrite").parquet(f"{gpath}/edges_refined.parquet")
+        print(f"refine ({cfg}): {time.perf_counter()-t0:.1f}s")
+        refined = spark.read.parquet(f"{gpath}/edges_refined.parquet")
+        _edge_recall(emb, refined, n)
+        t2 = time.perf_counter()
+        ANN.write_knn_graph_layout(refined, emb, gpath, n_graph_buckets=64)
         print(f"graph serving layout: {time.perf_counter()-t2:.1f}s")
         return
 
