@@ -25,15 +25,38 @@ TABLES = (
 )
 
 
+# schema metadata memo (r14 optimization): every bare
+# ``spark.read.parquet(path)`` runs a one-task footer-inference job on
+# the driver before the real query — ~40 such loads per bench pass made
+# it a measurable fixed cost (guide §6: listing/planning is driver-side
+# work). The parquet fixtures are immutable, so the inferred schema is
+# cached per (resolved dir, table) and passed explicitly on later
+# loads. This caches SCHEMA only — never rows or results — and the
+# events table is excluded because its ts type depends on the
+# session's nanosAsLong conf.
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts arrives as nanos-since-epoch (see session.py nanosAsLong);
-        # truncate to microseconds exactly like DuckDB reads timestamp[ns]
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # ts arrives as nanos-since-epoch (see session.py nanosAsLong);
+            # truncate to microseconds exactly like DuckDB reads timestamp[ns]
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    key = (os.path.realpath(sf_dir), name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:

@@ -12,25 +12,35 @@ way:
    ``repartitionByRange``, and hash-shuffled like any groupBy key);
 2. **local pass**: the original window runs per bin
    (``Window.partitionBy(_bin)`` — parallel, bounded state);
-3. **prefix pass**: a per-bin summary (≤ n_bins rows) is collected and
-   prefix-scanned on the driver, then broadcast-joined back so each
-   row combines its local running state with the carry-in from all
-   earlier bins.
+3. **prefix pass**: a per-bin summary (≤ n_bins rows) carries each
+   bin's aggregate into later bins (exclusive prefix), broadcast-joined
+   back so each row combines its local running state with the carry-in
+   from all earlier bins.
 
-The per-bin summary is O(n_bins) — driver-side prefix math over ≤ a
-few hundred values, no global WindowExec anywhere in the plan. Results
-are value-identical to the global-window form: carries keep the source
-column's Spark type (exact Python-int arithmetic for integral columns
-across the full int64 domain — ADVICE r2), pinned by equivalence tests
+Both passes are LAZY plan fragments (optimization round r14): the
+min/max pre-pass is a one-row aggregate broadcast back via crossJoin,
+and the prefix scan is a window over the ≤ n_bins-row summary table —
+a single-task sort of at most ``n_bins`` rows, bounded by construction
+at any corpus size, never a sort of the data itself. The previous
+implementation collected both to the driver, which cost 2-3 eager
+Spark jobs (serial driver round-trips re-running the upstream lineage)
+per ranged operator; the lazy form folds everything into the final
+query's one job and lets the scheduler overlap the tiny summary stages
+with the data pass. Results are value-identical to the global-window
+form: carries keep the source column's Spark type (exact int64
+arithmetic for integral columns across the full domain — ADVICE r2;
+every carry in the engine is integral), pinned by equivalence tests
 including > 2^53 nanosecond-epoch values.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_BINS = 64
+
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
 
 
 def add_value_bins(
@@ -41,27 +51,30 @@ def add_value_bins(
     in earlier bins sort before all rows in later bins" holds for any
     ordering that leads with ``col``.
 
-    The min/max pre-pass is a tiny 2-aggregate job; at scale it reads
-    little more than parquet column stats.
+    The min/max pre-pass is a one-row aggregate folded back in as a
+    broadcast crossJoin — no driver collect, no extra job; at scale it
+    reads little more than parquet column stats.
 
     Integral columns bin on the EXACT long offset ``col - mn`` (cast to
     double only after the subtraction): values clustered above 2^53 —
     e.g. nanosecond epochs — have float(mx) == float(mn) even when they
     span many distinct longs, which the naive double form turns into a
-    zero bin width."""
-    row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
-    mn, mx = row["mn"], row["mx"]
-    if mn is None or mx is None or mx == mn:
-        return df.withColumn("_bin", F.lit(0))
-    if isinstance(mn, int):
-        width = (mx - mn) / n_bins  # exact int span -> double
-        delta = (F.col(col) - F.lit(mn)).cast("double")
+    zero bin width. (Bin ids only steer partitioning; the operators'
+    results are identical for any binning.)"""
+    dtype = dict(df.dtypes).get(col)
+    mm = df.agg(F.min(col).alias("_rb_mn"), F.max(col).alias("_rb_mx"))
+    j = df.crossJoin(F.broadcast(mm))
+    mn, mx = F.col("_rb_mn"), F.col("_rb_mx")
+    if dtype in _INTEGRAL:
+        width = (mx - mn).cast("double") / F.lit(float(n_bins))
+        delta = (F.col(col) - mn).cast("double")
     else:
-        width = (float(mx) - float(mn)) / n_bins
-        delta = F.col(col).cast("double") - float(mn)
+        width = (mx.cast("double") - mn.cast("double")) / F.lit(float(n_bins))
+        delta = F.col(col).cast("double") - mn.cast("double")
     b = F.floor(delta / width).cast("int")
     b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
-    return df.withColumn("_bin", b)
+    binned = F.when(mn.isNull() | (mx == mn), F.lit(0)).otherwise(b)
+    return j.withColumn("_bin", binned).drop("_rb_mn", "_rb_mx")
 
 
 def bin_prefix_table(
@@ -73,56 +86,45 @@ def bin_prefix_table(
     """Per-bin carry table for the prefix pass. ``aggs`` maps an output
     name to (per-bin aggregate column, combine kind): the returned
     ``_pfx_<name>`` column is the max/sum of that aggregate over all
-    EARLIER bins (exclusive prefix; null/0 for the first bin).
-    ``next_min_of``: additionally emit ``_next_min`` — the minimum of
-    that summary column over all LATER bins (the "first value after my
-    bin" carry that a boundary ``lead`` needs).
+    EARLIER bins (exclusive prefix; null for "max" / typed 0 for "sum"
+    on the first bin). ``next_min_of``: additionally emit ``_next_min``
+    — the minimum of that summary column over all LATER bins (the
+    "first value after my bin" carry that a boundary ``lead`` needs).
 
-    The summary is ≤ n_bins rows; the scan runs on the driver and the
-    result is broadcast — no global window in any plan.
+    The summary is ≤ n_bins rows, so the prefix scan is a window over
+    at most ``n_bins`` rows — bounded by construction regardless of
+    data size, and fully lazy (the old driver-collect form cost one
+    eager job per carry table). Callers broadcast-join the result back.
 
     Carry columns keep the summary's OWN Spark types (ADVICE r2): an
-    int64 carry (counts, epoch-nanos maxima) is accumulated with exact
-    Python int arithmetic and lands in a bigint column — never
-    round-tripped through double, which silently loses precision above
-    2^53 and would break the "value-identical to the global-window
-    form" contract for nanosecond timestamps."""
-    spark = binned.sparkSession
+    int64 carry (counts, epoch-nanos maxima) is accumulated in bigint
+    arithmetic — never round-tripped through double, which silently
+    loses precision above 2^53 and would break the "value-identical to
+    the global-window form" contract for nanosecond timestamps. Every
+    carry the engine computes is integral, so the window accumulation
+    order cannot introduce float summation noise either."""
     summary = binned.groupBy("_bin").agg(
         *[col.alias(name) for name, (col, _k) in aggs.items()]
     )
     types = {f.name: f.dataType.simpleString() for f in summary.schema.fields}
-    integral = {
-        n for n, t in types.items() if t in ("tinyint", "smallint", "int", "bigint")
-    }
-    conv = {n: (int if n in integral else float) for n in types if n != "_bin"}
-    rows = sorted(summary.collect(), key=lambda r: r["_bin"])
-    names = list(aggs)
-    out_rows: list[tuple] = []
-    carry: dict[str, int | float | None] = {
-        name: (conv[name](0) if kind == "sum" else None)
-        for name, (_c, kind) in aggs.items()
-    }
-    for r in rows:
-        out_rows.append((r["_bin"], *[carry[n] for n in names]))
-        for name, (_c, kind) in aggs.items():
-            v = r[name]
-            if kind == "sum":
-                carry[name] = carry[name] + conv[name](v or 0)
-            elif v is not None:
-                cur = carry[name]
-                v = conv[name](v)
-                carry[name] = v if cur is None else max(cur, v)
-    schema = ["_bin int"] + [f"_pfx_{n} {types[n]}" for n in names]
+    # exclusive prefix over ≤ n_bins rows: single-task window, bounded
+    w_prev = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    cols = [F.col("_bin")]
+    for name, (_c, kind) in aggs.items():
+        if kind == "sum":
+            pfx = F.coalesce(
+                F.sum(name).over(w_prev).cast(types[name]),
+                F.lit(0).cast(types[name]),
+            )
+        else:  # "max"
+            pfx = F.max(name).over(w_prev).cast(types[name])
+        cols.append(pfx.alias(f"_pfx_{name}"))
     if next_min_of is not None:
-        nxt: dict[int, int | float | None] = {}
-        running: int | float | None = None
-        for r in reversed(rows):
-            nxt[r["_bin"]] = running
-            v = r[next_min_of]
-            if v is not None:
-                v = conv[next_min_of](v)
-                running = v if running is None else min(running, v)
-        out_rows = [(*row, nxt[row[0]]) for row in out_rows]
-        schema.append(f"_next_min {types[next_min_of]}")
-    return spark.createDataFrame(out_rows, ", ".join(schema))
+        w_next = Window.orderBy("_bin").rowsBetween(1, Window.unboundedFollowing)
+        cols.append(
+            F.min(next_min_of)
+            .over(w_next)
+            .cast(types[next_min_of])
+            .alias("_next_min")
+        )
+    return summary.select(*cols)

@@ -226,19 +226,34 @@ def ks_matrix(
 
     from pyspark.sql import Window
 
-    # per-dim min/max (d rows, driver-side) → per-pair value range
-    mm = {
-        r["pos"]: (r["mn"], r["mx"])
-        for r in d.groupBy("pos")
-        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
-        .collect()
-    }
-    bounds = spark.createDataFrame(
-        [
-            (i, j, min(mm[i][0], mm[j][0]), max(mm[i][1], mm[j][1]))
-            for i, j in pairs
-        ],
-        "pos_i int, pos_j int, _mn double, _mx double",
+    # per-dim min/max (d rows) → per-pair value range, fully lazy: the
+    # old driver collect + createDataFrame cost one eager job per call
+    # (r14 optimization); bin edges only steer partitioning, results
+    # are identical for any binning
+    mmdf = d.groupBy("pos").agg(F.min("val").alias("_mn1"), F.max("val").alias("_mx1"))
+    bounds = (
+        pair_df.join(
+            mmdf.select(
+                F.col("pos").alias("pos_i"),
+                F.col("_mn1").alias("_mn_i"),
+                F.col("_mx1").alias("_mx_i"),
+            ),
+            "pos_i",
+        )
+        .join(
+            mmdf.select(
+                F.col("pos").alias("pos_j"),
+                F.col("_mn1").alias("_mn_j"),
+                F.col("_mx1").alias("_mx_j"),
+            ),
+            "pos_j",
+        )
+        .select(
+            "pos_i",
+            "pos_j",
+            F.least("_mn_i", "_mn_j").alias("_mn"),
+            F.greatest("_mx_i", "_mx_j").alias("_mx"),
+        )
     )
     b = tagged.join(F.broadcast(bounds), ["pos_i", "pos_j"])
     width = (F.col("_mx") - F.col("_mn")) / n_bins

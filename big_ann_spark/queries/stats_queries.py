@@ -181,7 +181,11 @@ def dim_pair_stats(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     # ranged=False = the documented 28-Arrow-task small-d fast path
     # (bit-identical to the ranged form — integer count ECDFs); the
-    # ranged two-pass stays certified by the ks_ranged variant below
+    # ranged two-pass stays certified by the ks_ranged variant below.
+    # r14 re-measured the choice: warm A/B at sf0.1 gives arrow 1.03 s
+    # vs ranged 2.27 s (the ranged form pays a 1.1M-row per-(pair,bin)
+    # RANGE window; the Arrow tasks amortize worker startup when warm),
+    # so the Arrow form stays.
     ks_w = ks_matrix(emb, dims=8, ranged=False).select(
         F.lit("ks_window").alias("variant"),
         "pos_i",

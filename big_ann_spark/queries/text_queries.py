@@ -682,6 +682,13 @@ def pipeline_clean_corpus(spark, sf_dir):
     # poly hash is dsir's dominant cost; materializing it in the same
     # checkpoint turns 3 hash passes — raw counts, target counts,
     # scoring — into 1)
+    # repartition before the bucket hashing (r14 optimization): AQE
+    # coalesces the tiny post-dedup shuffle to ONE partition, which
+    # serialized the char-level polynomial folds of _bs/_bs2 onto a
+    # single task (~9.5 s of single-thread CPU measured at sf0.1 —
+    # guide §2.5 "synthetic partitioning"); a round-robin spread over
+    # the session's parallelism runs them cores-wide. Row placement
+    # does not affect any downstream aggregate.
     deduped = (
         scored.filter(F.col("quality") >= 0.5)
         .groupBy("red")
@@ -691,6 +698,7 @@ def pipeline_clean_corpus(spark, sf_dir):
             F.min("n_tokens").alias("n_tokens"),
             F.min("quality").alias("quality"),
         )
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("_bs", doc_buckets("red", 256))
         .withColumn("_bs2", doc_buckets("red", 256, ngram=2))
         .localCheckpoint()
