@@ -120,7 +120,7 @@ def ngram_jaccard_top_pairs(spark, sf_dir, naive=False):
     # materialize the text→hash lineage once: the df aggregation and
     # the array build downstream otherwise both recompute the per-char
     # polynomial folds (measured ~0.5 s of the query at sf0.1)
-    keys = D.doc_shingle_keys(d).localCheckpoint()
+    keys = D.doc_shingle_keys(d).localCheckpoint(eager=False)
     if naive:
         pairs = D.jaccard_similarity_pairs(d, shingles=keys)
     else:
@@ -206,7 +206,7 @@ def embedding_near_dup(spark, sf_dir):
     # over the edge list, so materialize the pairs once)
     pairs = D.embedding_lsh_near_dup_pairs(
         e, threshold=0.45, n_bands=_ND_BANDS, rows_per_band=_ND_ROWS, dim=_ND_DIM
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pair_rows = pairs.select(
         F.lit("pair").alias("variant"),
         "id_a",
@@ -339,11 +339,11 @@ def minhash_lsh_near_dup(spark, sf_dir):
     # checkpointed once; both variants below are pure band joins +
     # candidate verification over these.
     keys = D.doc_shingle_keys(corpus)
-    arrs = D.doc_shingle_arrays(shingles=keys).localCheckpoint()
+    arrs = D.doc_shingle_arrays(shingles=keys).localCheckpoint(eager=False)
     ex = arrs.select("doc_id", F.explode("shs").alias("shingle"))
     sigs = D.minhash_signatures(
         corpus, shingles=ex, shingle_hash=F.col("shingle")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out = D.minhash_dedup_pairs(
         corpus,
         threshold=0.3,
@@ -369,7 +369,7 @@ def minhash_lsh_near_dup(spark, sf_dir):
             sigs.filter(hist_mask), bucket_mode="slice"
         ),
         history_shingle_arrays=arrs.filter(hist_mask),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dup_rows = dup.select(
         F.lit("incr_dup").alias("variant"),
         F.col("doc_id").alias("doc_a"),

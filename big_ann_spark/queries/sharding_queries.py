@@ -488,8 +488,8 @@ def ann_recall_at_10(spark, sf_dir):
         queries, emb, k=10, query_id="vec_id", query_vec="embedding",
         base_id="vec_id", base_vec="embedding", impl="arrow",
         exact_fold_rerank=True,
-    ).select("qid", "neighbor_id").localCheckpoint()  # Q x k rows
-    cents = SH.label_centroids(emb).localCheckpoint()  # 10 x d rows
+    ).select("qid", "neighbor_id")  # Q x k rows
+    cents = SH.label_centroids(emb).localCheckpoint(eager=False)  # 10 x d
     assign = SH.assign_to_centroids(emb, cents)
     sharded = assign.select("vec_id", "shard_id").join(
         emb.select("vec_id", "embedding"), "vec_id"
@@ -500,10 +500,23 @@ def ann_recall_at_10(spark, sf_dir):
     ).select(
         "qid", "neighbor_id"
     )
-    n_exact = exact.count()
-    hits = exact.join(approx, ["qid", "neighbor_id"]).count()
-    return spark.createDataFrame(
-        [(round(hits / n_exact, 6),)], "recall_at_10 double"
+    # ONE lazy job (r14 optimization): the old form ran exact.count()
+    # and a hit-join count as two EAGER driver round trips inside the
+    # DataFrame build (~1.2 s of the query's 1.45 s warm wall). A left
+    # join marks hits and a single aggregate divides — the exact side
+    # is consumed once, so its checkpoint goes too; approx (qid,
+    # neighbor_id) is unique by construction (rank ≤ 10 rows), so the
+    # left join preserves exact's row count.
+    hit = approx.withColumn("_hit", F.lit(1))
+    return (
+        exact.join(hit, ["qid", "neighbor_id"], "left")
+        .agg(
+            F.round(
+                F.coalesce(F.sum("_hit"), F.lit(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall_at_10")
+        )
     )
 
 

@@ -701,7 +701,7 @@ def pipeline_clean_corpus(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("_bs", doc_buckets("red", 256))
         .withColumn("_bs2", doc_buckets("red", 256, ngram=2))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     clean_rows = (
         deduped.groupBy("source")
@@ -1305,7 +1305,7 @@ def doc_fingerprint(spark, sf_dir):
     line_first = _line_rows(dedup_lines_keep_first(wl), "line_first")
     from big_ann_spark.operators.packing import chunk_documents
 
-    chunked = chunk_documents(d, chunk_tokens=24, overlap=8).localCheckpoint()
+    chunked = chunk_documents(d, chunk_tokens=24, overlap=8).localCheckpoint(eager=False)
     chunks = chunked.select(
         F.lit("chunk").alias("variant"),
         "doc_id",

@@ -64,6 +64,13 @@ def get_spark(app_name: str = "big-ann-spark", *, shuffle_partitions: int | None
         # the driver's events.parquet stores ts as timestamp[ns]; Spark
         # has no nanosecond type — read as long, catalog converts to µs
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r14: every decorated DataFrame/Column op otherwise pays ~3
+        # py4j round trips + a Python stack walk to capture error-
+        # origin call sites (pyspark.errors.utils._with_origin);
+        # measured 15-25% of pure query-construction time on the heavy
+        # composites. Driver-side cost at ANY cluster size; only error
+        # messages lose their "call site" line.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
@@ -106,6 +113,16 @@ def prepare_foreign_session(spark: SparkSession) -> None:
     """
     if getattr(spark, "_big_ann_prepared", False):
         return
+    # r14: disable per-op error-origin capture in THIS python process
+    # (see get_spark). The conf alone is not enough on a foreign
+    # session: pyspark caches the gate on first decorated call, which
+    # the session owner has usually made already — set both.
+    try:
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = False
+    except Exception:
+        pass
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     wanted = {
         "spark.sql.legacy.parquet.nanosAsLong": "true",
