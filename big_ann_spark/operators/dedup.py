@@ -1665,53 +1665,89 @@ def token_budget_mix(
     absent from ``weights`` (or with zero tokens) drop out via the
     inner join, exactly as the old per-source loop skipped them.
     Selection is bit-identical to ``hash_sample(frac, salt=salt)`` per
-    source: the threshold is precomputed driver-side as
-    ``int(frac * mod)``, the same truncation hash_sample applies."""
+    source: the threshold is ``int(frac * mod)``, the same truncation
+    hash_sample applies.
+
+    FULLY LAZY (optimization round r14): the per-source token totals
+    were previously collected to the driver — one eager Spark job per
+    call, serial in the caller's build path (guide §5: no collects in
+    query paths). The totals are now a lazy aggregate joined with a
+    literal per-source target table, and the fraction math runs inside
+    the plan with the EXACT float sequence of the old driver loop
+    (target is literal weight arithmetic computed here; least(1,
+    target/tot) and trunc(frac*mod) are IEEE-identical in the JVM and
+    in Python — the DuckDB oracle already computes this same lazy
+    sequence, see text_queries._pipeline_sql's ``mixf``). The totals
+    pass still reads the corpus once; it is simply part of the query's
+    own job now instead of a serial pre-job."""
     from big_ann_spark.functions.text import token_count
 
     w_sum = sum(weights.values())
     sized = docs.withColumn("_toks", token_count(text_col))
-    totals = {
-        r[source_col]: r["_n"]
-        for r in sized.groupBy(source_col).agg(F.sum("_toks").alias("_n")).collect()
-    }
-    mix_rows = []
+    # literal per-source targets: pure weight arithmetic, data-free —
+    # the exact floats the old driver loop computed
+    wrows = []
     for src, w in weights.items():
-        # totals can be NEGATIVE when every doc of a source has NULL
-        # text (size(null) = -1 per token_count) — treat like absent
-        if src not in totals or totals[src] is None or totals[src] <= 0:
-            continue
         target = total_tokens * (w / w_sum)
-        frac = min(1.0, target / totals[src])
-        mix_rows.append((src, int(frac * MINHASH_P), int(target)))
-    return _apply_mix_table(docs, sized, mix_rows, source_col, id_col, salt)
+        wrows.append((src, target, int(target)))
+    src_type = docs.schema[source_col].dataType.simpleString()
+    wtab = docs.sparkSession.createDataFrame(
+        wrows, f"{source_col} {src_type}, _target double, target_tokens long"
+    )
+    totals = sized.groupBy(source_col).agg(F.sum("_toks").alias("_tot"))
+    # totals can be NEGATIVE when every doc of a source has NULL text
+    # (size(null) = -1 per token_count) — treated like absent (> 0)
+    frac = F.least(F.lit(1.0), F.col("_target") / F.col("_tot"))
+    mix = (
+        totals.join(F.broadcast(wtab), source_col)
+        .filter(F.col("_tot") > 0)
+        .select(
+            source_col,
+            (frac * F.lit(MINHASH_P)).cast("long").alias("_thresh"),
+            "target_tokens",
+        )
+    )
+    return _apply_mix_table(docs, sized, mix, source_col, id_col, salt)
 
 
 def _apply_mix_table(
     docs: DataFrame,
     sized: DataFrame,
-    mix_rows: list,
+    mix: DataFrame,
     source_col: str,
     id_col: str,
     salt: int,
 ) -> DataFrame:
-    """One-scan sampling shared by the mix family: the (source,
-    threshold, target) rows become a tiny broadcast table and a single
-    content-stable ``hash < threshold`` predicate samples every source
-    at once."""
+    """One-scan sampling shared by the mix family: the ``mix`` table —
+    (source, _thresh, target_tokens), literal rows or a lazy aggregate,
+    tiny either way — is broadcast and a single content-stable
+    ``hash < threshold`` predicate samples every source at once."""
     a, mod = 2654435761, MINHASH_P
-    # the mix table's source column must carry the CORPUS's source
-    # type (ADVICE r7: hardcoding string broke int-sourced corpora at
-    # createDataFrame where the old per-source loop handled any type)
-    src_type = docs.schema[source_col].dataType.simpleString()
-    mix = docs.sparkSession.createDataFrame(
-        mix_rows, f"{source_col} {src_type}, _thresh long, target_tokens long"
-    )
     return (
         sized.join(F.broadcast(mix), source_col)
         .filter(_stable_hash(id_col, salt, a, mod) < F.col("_thresh"))
         .select(*docs.columns, "target_tokens")
     )
+
+
+def mix_source_totals(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> dict:
+    """The per-source token-count sums :func:`temperature_mix` derives
+    its weights from — exposed so a caller can run this one collect on
+    a background thread (guide §2.6 overlap) and pass the dict via
+    ``totals=``. Must stay the exact aggregate temperature_mix would
+    compute itself."""
+    from big_ann_spark.functions.text import token_count
+
+    sized = docs.withColumn("_toks", token_count(text_col))
+    return {
+        r[source_col]: r["_n"]
+        for r in sized.groupBy(source_col).agg(F.sum("_toks").alias("_n")).collect()
+    }
 
 
 def temperature_mix(
@@ -1723,6 +1759,7 @@ def temperature_mix(
     text_col: str = "text",
     source_col: str = "source",
     salt: int = 0,
+    totals: dict | None = None,
 ) -> DataFrame:
     """Temperature-based data mixing (the T5 / XLM-R / UNIMAX
     multilingual-sampling rule): source weights are DATA-DERIVED as
@@ -1739,14 +1776,19 @@ def temperature_mix(
     Determinism contract (oracle parity): w_sum is accumulated in
     sorted-source order and each fraction is the literal expression
     ``min(1, (total * (w/w_sum)) / n_i)`` — the SQL oracle computes
-    the identical float sequence via pow()/least()."""
+    the identical float sequence via pow()/least(). The totals collect
+    stays DRIVER-SIDE here (unlike the r14-lazified token_budget_mix):
+    ``n ** alpha`` must match the oracle's libm pow bit-for-bit, which
+    Python guarantees (both call libm) and JVM ``Math.pow`` does not,
+    and w_sum must accumulate in sorted-source order. ``totals`` lets
+    a caller pass the per-source token sums precollected (e.g. off a
+    shared background job — guide §2.6 overlap); the dict must equal
+    ``{source: sum(token_count(text_col))}`` over ``docs`` exactly."""
     from big_ann_spark.functions.text import token_count
 
     sized = docs.withColumn("_toks", token_count(text_col))
-    totals = {
-        r[source_col]: r["_n"]
-        for r in sized.groupBy(source_col).agg(F.sum("_toks").alias("_n")).collect()
-    }
+    if totals is None:
+        totals = mix_source_totals(docs, text_col=text_col, source_col=source_col)
     # drop NULL sources (a join key of NULL never matches the mix
     # table) and non-positive totals (all-NULL-text sources aggregate
     # to a NEGATIVE total: size(null) = -1) — like token_budget_mix,
@@ -1763,4 +1805,11 @@ def temperature_mix(
         target = total_tokens * (w[s] / w_sum)
         frac = min(1.0, target / totals[s])
         mix_rows.append((s, int(frac * MINHASH_P), int(target)))
-    return _apply_mix_table(docs, sized, mix_rows, source_col, id_col, salt)
+    # the mix table's source column must carry the CORPUS's source
+    # type (ADVICE r7: hardcoding string broke int-sourced corpora at
+    # createDataFrame where the old per-source loop handled any type)
+    src_type = docs.schema[source_col].dataType.simpleString()
+    mix = docs.sparkSession.createDataFrame(
+        mix_rows, f"{source_col} {src_type}, _thresh long, target_tokens long"
+    )
+    return _apply_mix_table(docs, sized, mix, source_col, id_col, salt)

@@ -811,6 +811,26 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
     sampled = hash_sample(deduped, 0.5, salt=1)
+
+    # r14 overlap (guide §2.6): the build path has exactly two
+    # remaining EAGER Spark jobs — temperature_mix's per-source totals
+    # collect (whose first action also materializes the `deduped` lazy
+    # checkpoint) and bpe_train's vocab collect. Both are independent
+    # of the rest of this function's (py4j-heavy) DataFrame
+    # construction, so they run on background threads while the
+    # remaining branches are being built, instead of serializing
+    # before them. Results are identical: the same two jobs, the same
+    # collected values, just concurrent with driver-side work.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from big_ann_spark.operators.dedup import mix_source_totals, temperature_mix
+
+    _pool = ThreadPoolExecutor(2)
+    fut_totals = _pool.submit(
+        mix_source_totals, sampled, text_col="red", source_col="source"
+    )
+    fut_merges = _pool.submit(BP.bpe_train, d, len(_PIN_MERGES), mode="driver")
+
     sample_rows = (
         sampled.groupBy("source")
         .agg(
@@ -845,10 +865,9 @@ def pipeline_clean_corpus(spark, sf_dir):
         )
     )
 
-    from big_ann_spark.operators.dedup import temperature_mix
-
     tmixed = temperature_mix(
-        sampled, _TMIX_TOTAL, alpha=_TMIX_ALPHA, text_col="red", salt=6
+        sampled, _TMIX_TOTAL, alpha=_TMIX_ALPHA, text_col="red", salt=6,
+        totals=fut_totals.result(),
     )
     tmix_rows = (
         tmixed.groupBy("source")
@@ -957,7 +976,8 @@ def pipeline_clean_corpus(spark, sf_dir):
         )
     )
 
-    merges = BP.bpe_train(d, len(_PIN_MERGES), mode="driver")
+    merges = fut_merges.result()
+    _pool.shutdown(wait=False)
     train_rows = spark.createDataFrame(
         [(f"{a}->{b}", i + 1) for i, (a, b) in enumerate(merges)],
         "key string, n long",

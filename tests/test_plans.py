@@ -64,9 +64,13 @@ def test_no_hint_forced_customer_broadcast(spark, sf_dir):
 
 
 def test_token_budget_mix_single_scan(spark, sf_dir):
-    """The sampling pass of token_budget_mix must scan the corpus ONCE
-    (broadcast-joined fraction table + one predicate), not once per
-    source as a union of filtered scans (VERDICT r6 #2)."""
+    """The sampling pass of token_budget_mix must scan the corpus a
+    FIXED number of times — never once per source as a union of
+    filtered scans (VERDICT r6 #2). Since the r14 lazification the
+    per-source totals aggregate is part of the same plan (one scan)
+    instead of a separate eager collect job (which also scanned the
+    corpus once), so the plan holds exactly TWO scans regardless of
+    source count: totals + sampling."""
     from big_ann_spark.operators.dedup import token_budget_mix
 
     docs = load_table(spark, sf_dir, "documents")
@@ -77,8 +81,8 @@ def test_token_budget_mix_single_scan(spark, sf_dir):
     import re
 
     scans = len(re.findall(r"(?:File)?Scan parquet", plan))
-    # one scan of documents + zero scans for the in-memory mix table
-    assert scans == 1, plan
+    # totals scan + sampling scan; zero per-source scans
+    assert scans == 2, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Union" not in plan, plan
 
