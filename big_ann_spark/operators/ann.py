@@ -29,6 +29,19 @@ from big_ann_spark.functions.vector import l2_distance
 from big_ann_spark.operators.topk import top_k_per_group
 
 
+def _isin_ids(col: str, ids: list) -> F.Column:
+    """``col IN (ids)`` for an integer id list, built as ONE parsed SQL
+    expression. ``Column.isin`` constructs one literal Column — one py4j
+    round trip — per element (~400 trips, 0.4-0.5 s of pure driver wall
+    for a 400-id rerank pool; r14 profiling), while the string parses in
+    a single call to the identical ``In(col, literals)`` predicate.
+    Non-integer or empty lists fall back to ``isin`` unchanged."""
+    if ids and all(type(i) is int for i in ids):
+        id_list = ",".join(str(i) for i in ids)
+        return F.expr(f"`{col}` IN ({id_list})")
+    return F.col(col).isin(ids)
+
+
 def open_probed_shards(
     spark,
     path: str,
@@ -154,9 +167,12 @@ def ivf_search_from_disk(
     from big_ann_spark.operators.vector_ops import live_probed_view
 
     spark = queries.sparkSession
+    # lazy checkpoint (r14, guide §2.6/§5): the distinct-id collect below
+    # is the first action and materializes it — one job where the eager
+    # form ran a serial checkpoint job first and the collect second
     routed = route_queries(
         queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     probe_ids = [
         r["shard_id"] for r in routed.select("shard_id").distinct().collect()
     ]
@@ -213,13 +229,15 @@ def ivf_search_from_disk(
             f"unknown codec {codec!r}; use 'raw', 'sq8', 'pq', 'opq' or "
             "'binary'"
         )
-    pool = pool.localCheckpoint()  # tiny; reused by the id collect AND the join
+    # tiny; reused by the id collect AND the join — lazy so the collect
+    # materializes it in the same job (r14)
+    pool = pool.localCheckpoint(eager=False)
     cand_ids = [
         r["neighbor_id"] for r in pool.select("neighbor_id").distinct().collect()
     ]
     raw = shards.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
     if len(cand_ids) <= max_id_pushdown:
-        raw = raw.filter(F.col("neighbor_id").isin(cand_ids))
+        raw = raw.filter(_isin_ids("neighbor_id", cand_ids))
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("_qv")
     )
@@ -789,7 +807,8 @@ def _filtered_candidates(
                 F.struct(F.coalesce("_df", F.lit(0)).alias("_df"), "_tag")
             )["_tag"].alias("_tag")
         )
-        .localCheckpoint()
+        # lazy (r14): the bucket collect just below materializes it
+        .localCheckpoint(eager=False)
     )
     n_buckets = tag_ops.n_tag_buckets(spark, path)
     tbs = {
@@ -865,7 +884,7 @@ def filtered_search_from_disk(
         F.col(query_id).alias("qid"),
         F.col(query_vec).alias("_qvec"),
         F.col(query_tags).alias("_qtags"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: the guard count materializes it
     if q.filter(F.size(F.coalesce("_qtags", F.array())) == 0).limit(1).count():
         raise ValueError(
             "filtered_search_from_disk: query with an empty tag set is "
@@ -907,7 +926,7 @@ def filtered_search_from_disk(
         )
     cand = _filtered_candidates(
         spark, q, path, as_of=as_of, uncommitted=uncommitted
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: the gate job materializes it
     # COUNT-GATE before any id set reaches the driver — ONE job whose
     # payload is bounded by the cap itself (limit cap+1): only a
     # ≤ max_id_pushdown set is kept (for literal In pushdown /
@@ -1066,13 +1085,14 @@ def ivf_search(
     if static_prune and _routed is None:
         # materialize routing ONCE: the distinct-id collect and the
         # candidate join below both reuse it (without this the routing
-        # lineage — centroid agg + broadcast argmin — executes twice)
-        routed = routed.localCheckpoint()
+        # lineage — centroid agg + broadcast argmin — executes twice).
+        # Lazy (r14): the collect right below is the materializing job.
+        routed = routed.localCheckpoint(eager=False)
         probe_ids = [
             r["shard_id"] for r in routed.select("shard_id").distinct().collect()
         ]
         sharded_vectors = sharded_vectors.filter(
-            F.col("shard_id").isin(probe_ids)
+            _isin_ids("shard_id", probe_ids)
         )
     cands = routed.join(
         sharded_vectors.select(

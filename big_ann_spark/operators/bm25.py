@@ -522,7 +522,7 @@ def bm25_topk_from_disk(
     q = terms(queries, id_col=id_col, text_col=text_col).select(
         F.col("id").alias("qid"), "term", F.col("tf").alias("qtf"),
         _term_bucket(F.col("term"), idx.n_buckets).cast(tb_t).alias("_tb"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: the probe job materializes it
     # STATIC bucket pruning: collect the query batch's distinct bucket
     # set (≤ n_term_buckets values by construction — this literal list
     # can never grow with the vocabulary) and push it onto the
@@ -531,11 +531,18 @@ def bm25_topk_from_disk(
     # survives a wide query batch (DPP only fires when a SELECTIVE
     # predicate reaches the probe side, which a decontamination-shaped
     # batch doesn't have).
-    # ONE probe job over the (checkpointed, tiny) query side gets both
-    # the bucket set and the exact vocabulary size
+    # ONE probe job over the (lazily checkpointed, tiny) query side gets
+    # the bucket set, the exact vocabulary size AND — r14, merging what
+    # was a second collect job — the sorted vocabulary itself, sliced to
+    # cap+1 elements so the bytes reaching the driver stay bounded by
+    # the pushdown cap no matter how wide the batch is (the aggregation
+    # buffer already held every distinct term for countDistinct).
     probe = q.agg(
         F.collect_set("_tb").alias("tbs"),
         F.countDistinct("term").alias("n_terms"),
+        F.slice(
+            F.sort_array(F.collect_set("term")), 1, max_pushdown_terms + 1
+        ).alias("terms") if max_pushdown_terms else F.lit(None).alias("terms"),
     ).collect()[0]
     postings = idx.postings.filter(F.col("_tb").isin(list(probe.tbs)))
     # push the query vocabulary onto the scan as an In predicate IF it
@@ -552,8 +559,9 @@ def bm25_topk_from_disk(
     # pruning carry the plan alone. The term list is only ever
     # collected when it is under the cap, so driver memory is bounded.
     if max_pushdown_terms and probe.n_terms <= max_pushdown_terms:
-        terms_list = [r.term for r in q.select("term").distinct().collect()]
-        postings = postings.filter(F.col("term").isin(terms_list))
+        # probe.terms is complete here: its slice cap (max_pushdown_terms
+        # + 1) exceeds n_terms, so every distinct term is present
+        postings = postings.filter(F.col("term").isin(list(probe.terms)))
     hits = _drop_tombstoned(
         postings.join(F.broadcast(q), ["_tb", "term"]).drop("_tb"),
         idx.tombstones,

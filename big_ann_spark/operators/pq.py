@@ -948,6 +948,7 @@ def hamming_knn(
     rerank_query_vec: str = "qvec",
     rerank_metric: str = "l2",
     rerank_factor: int = 4,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k by Hamming distance over packed sign-bit codes
     (broadcast query codes × code scan, WindowGroupLimit top-k —
@@ -959,23 +960,35 @@ def hamming_knn(
     ``rerank_query_vec``, raw query vectors joined by qid — to fetch
     ``rerank_factor·k`` Hamming candidates and re-rank them by exact
     L2 or cosine distance: candidates-only access to the raw vectors,
-    the binary-then-refine tier."""
+    the binary-then-refine tier.
+
+    ``candidates``: a PRECOMPUTED Hamming top-K' table — the output of
+    an earlier ``hamming_knn`` call over the SAME queries/codes/
+    ``exclude_self`` with K' ≥ the K needed here (k, or
+    ``k·rerank_factor`` when re-ranking). Row-number top-K of the same
+    deterministic ordering nests, so ``rank ≤ K`` of the wider table IS
+    the narrower result — the scoring crossJoin + window run once for a
+    family of calls instead of per call (r14: knn_cosine_top5 shares
+    one pass between its ``hamming`` and ``hamming_rerank`` variants)."""
     from big_ann_spark.functions.vector import cosine_similarity, l2_distance
 
-    q = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_codes).alias("_qc")
-    )
-    scored = codes.crossJoin(F.broadcast(q)).select(
-        "qid",
-        F.col(id_col).alias("neighbor_id"),
-        hamming_distance("_qc", codes_col).cast("double").alias("dist"),
-    )
-    if exclude_self:
-        scored = scored.filter(F.col("neighbor_id") != F.col("qid"))
     kk = k * rerank_factor if rerank_with is not None else k
-    cand = top_k_per_group(
-        scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], kk
-    )
+    if candidates is not None:
+        cand = candidates.filter(F.col("rank") <= kk)
+    else:
+        q = queries.select(
+            F.col(query_id).alias("qid"), F.col(query_codes).alias("_qc")
+        )
+        scored = codes.crossJoin(F.broadcast(q)).select(
+            "qid",
+            F.col(id_col).alias("neighbor_id"),
+            hamming_distance("_qc", codes_col).cast("double").alias("dist"),
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("neighbor_id") != F.col("qid"))
+        cand = top_k_per_group(
+            scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], kk
+        )
     if rerank_with is None:
         return cand
     raw = rerank_with.select(

@@ -257,9 +257,14 @@ def knn_cosine_top5(spark, sf_dir):
             F.col("embedding").alias("qvec"),
         )
     )
-    ham = hamming_knn(
-        qcodes, codes, k=5, query_codes="qcodes", exclude_self=True
-    ).select(
+    # ONE Hamming scoring pass (crossJoin + window over the code scan)
+    # feeds both binary variants (r14): the top-20 candidate table is
+    # the rerank pool, and its rank ≤ 5 prefix IS the plain top-5 (the
+    # (dist, neighbor_id) ordering is total, so row_number top-k nests).
+    cand20 = hamming_knn(
+        qcodes, codes, k=20, query_codes="qcodes", exclude_self=True
+    ).localCheckpoint(eager=False)  # Q·20 rows, consumed by both variants
+    ham = cand20.filter(F.col("rank") <= 5).select(
         F.lit("hamming").alias("variant"), "qid", "neighbor_id", "dist", "rank"
     )
     ham_rr = hamming_knn(
@@ -271,6 +276,7 @@ def knn_cosine_top5(spark, sf_dir):
         rerank_with=emb.select(F.col("vec_id").alias("id"), "embedding"),
         rerank_metric="cosine",
         rerank_factor=4,
+        candidates=cand20,
     ).select(
         F.lit("hamming_rerank").alias("variant"),
         "qid",
