@@ -55,6 +55,34 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+def build_concurrently(*builders: Callable[[], DataFrame]) -> list[DataFrame]:
+    """Construct INDEPENDENT DataFrame branches of a composite query on
+    a small thread pool and return them in argument order.
+
+    Guide §2.6 (overlap independent work) applied to the py4j boundary:
+    plan construction in PySpark is latency-bound — every Column/
+    DataFrame op is a synchronous driver↔JVM round trip (a heavy
+    composite makes 2-5k of them; r14 profiling measured ~60% of warm
+    suite wall in construction) — and each Python THREAD gets its own
+    gateway connection served by its own JVM thread, so independent
+    branches overlap those round trips instead of serializing. The
+    produced plans are bit-identical to sequential construction: only
+    the wall-clock interleaving changes, never an expression. Any
+    eager work a branch does (collects, first-call layout builds) also
+    overlaps, exactly like the guide's thread-pool job pattern.
+
+    Keep branches truly independent (no shared mutable state; shared
+    upstream DataFrames are fine — plan objects are immutable) and
+    union the results on the caller's thread in a fixed order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(builders) == 1:
+        return [builders[0]()]
+    with ThreadPoolExecutor(min(len(builders), 6)) as pool:
+        futs = [pool.submit(b) for b in builders]
+        return [f.result() for f in futs]
+
+
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return
     the registry.

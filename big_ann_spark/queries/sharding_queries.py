@@ -397,7 +397,12 @@ def ivf_search_top5(spark, sf_dir):
     (also oracled, but off the bench's hot list — mutation resolution
     shouldn't tax the flagship serving benchmark)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = SH.label_centroids(emb)
+    # lazy checkpoint (r14): both variants route over these 10 rows, and
+    # the from-disk search lazily checkpoints its routing table — with
+    # cents RDD-backed, that checkpoint's physical planning covers a
+    # shallow plan instead of re-planning the centroid aggregate, and
+    # the centroid pass computes once, not once per variant
+    cents = SH.label_centroids(emb).localCheckpoint(eager=False)
     assign = SH.assign_to_centroids(emb, cents)
     sharded = assign.select("vec_id", "shard_id").join(
         emb.select("vec_id", "embedding"), "vec_id"

@@ -639,27 +639,28 @@ def pipeline_clean_corpus(spark, sf_dir):
         .alias("text"),
     )
 
-    cnts = T.pii_counts("text")
-    aggs = []
-    for k in T.PII_PATTERNS:
-        aggs.append(F.sum(cnts[k]).alias(f"{k}_n"))
-        aggs.append(F.count(F.when(cnts[k] > 0, F.lit(1))).alias(f"{k}_d"))
-    stack_args = ", ".join(f"'{k}', {k}_n, {k}_d" for k in T.PII_PATTERNS)
-    redact_rows = (
-        inj.agg(*aggs)
-        .select(
-            F.expr(
-                f"stack({len(T.PII_PATTERNS)}, {stack_args}) as (key, n, d)"
+    def b_redact():
+        cnts = T.pii_counts("text")
+        aggs = []
+        for k in T.PII_PATTERNS:
+            aggs.append(F.sum(cnts[k]).alias(f"{k}_n"))
+            aggs.append(F.count(F.when(cnts[k] > 0, F.lit(1))).alias(f"{k}_d"))
+        stack_args = ", ".join(f"'{k}', {k}_n, {k}_d" for k in T.PII_PATTERNS)
+        return (
+            inj.agg(*aggs)
+            .select(
+                F.expr(
+                    f"stack({len(T.PII_PATTERNS)}, {stack_args}) as (key, n, d)"
+                )
+            )
+            .select(
+                F.lit("redact").alias("variant"),
+                "key",
+                F.col("n").cast("long").alias("n"),
+                F.col("d").cast("double").alias("v1"),
+                F.lit(0.0).alias("v2"),
             )
         )
-        .select(
-            F.lit("redact").alias("variant"),
-            "key",
-            F.col("n").cast("long").alias("n"),
-            F.col("d").cast("double").alias("v1"),
-            F.lit(0.0).alias("v2"),
-        )
-    )
 
     scored = inj.select(
         "doc_id",
@@ -703,50 +704,53 @@ def pipeline_clean_corpus(spark, sf_dir):
         .withColumn("_bs2", doc_buckets("red", 256, ngram=2))
         .localCheckpoint(eager=False)
     )
-    clean_rows = (
-        deduped.groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("n_tokens"), 4).alias("v1"),
-            F.round(F.avg("quality"), 6).alias("v2"),
+    def b_clean():
+        return (
+            deduped.groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("n_tokens"), 4).alias("v1"),
+                F.round(F.avg("quality"), 6).alias("v2"),
+            )
+            .select(
+                F.lit("clean").alias("variant"),
+                F.col("source").alias("key"),
+                "n",
+                "v1",
+                "v2",
+            )
         )
-        .select(
-            F.lit("clean").alias("variant"),
-            F.col("source").alias("key"),
-            "n",
-            "v1",
-            "v2",
+
+    def b_pack():
+        from big_ann_spark.operators.packing import pack_sequences
+
+        return pack_sequences(deduped, 256, tokens_col="n_tokens").select(
+            F.lit("pack").alias("variant"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_tokens").alias("n"),
+            F.col("window_start").cast("double").alias("v1"),
+            F.col("window_end").cast("double").alias("v2"),
         )
-    )
 
-    from big_ann_spark.operators.packing import pack_sequences
+    def b_cap():
+        from big_ann_spark.operators.dedup import cap_per_source
 
-    pack_rows = pack_sequences(deduped, 256, tokens_col="n_tokens").select(
-        F.lit("pack").alias("variant"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.col("n_tokens").alias("n"),
-        F.col("window_start").cast("double").alias("v1"),
-        F.col("window_end").cast("double").alias("v2"),
-    )
-
-    from big_ann_spark.operators.dedup import cap_per_source
-
-    cap_rows = (
-        cap_per_source(deduped, 100, salt=3)
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("doc_id").cast("double").alias("v1"),
-            F.sum("n_tokens").cast("double").alias("v2"),
+        return (
+            cap_per_source(deduped, 100, salt=3)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("doc_id").cast("double").alias("v1"),
+                F.sum("n_tokens").cast("double").alias("v2"),
+            )
+            .select(
+                F.lit("cap").alias("variant"),
+                F.col("source").alias("key"),
+                "n",
+                "v1",
+                "v2",
+            )
         )
-        .select(
-            F.lit("cap").alias("variant"),
-            F.col("source").alias("key"),
-            "n",
-            "v1",
-            "v2",
-        )
-    )
 
     from big_ann_spark.operators.importance import dsir_resample
     from big_ann_spark.operators.packing import assign_training_shards
@@ -754,73 +758,73 @@ def pipeline_clean_corpus(spark, sf_dir):
     # DSIR importance resampling: select the 40 deduped docs that look
     # most like the src0 slice under hashed-unigram (256-bucket)
     # importance weights + deterministic Gumbel top-k (salt 4)
-    dsir_rows = dsir_resample(
-        deduped,
-        None,
-        40,
-        text_col="red",
-        n_buckets=256,
-        salt=4,
-        bucket_col="_bs",
-        target_pred=F.col("source") == "src0",
-    ).select(
-        F.lit("dsir").alias("variant"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.col("n_tokens").alias("n"),
-        F.round("log_weight", 6).alias("v1"),
-        F.round("gumbel_key", 6).alias("v2"),
-    )
+    def b_dsir():
+        return dsir_resample(
+            deduped,
+            None,
+            40,
+            text_col="red",
+            n_buckets=256,
+            salt=4,
+            bucket_col="_bs",
+            target_pred=F.col("source") == "src0",
+        ).select(
+            F.lit("dsir").alias("variant"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_tokens").alias("n"),
+            F.round("log_weight", 6).alias("v1"),
+            F.round("gumbel_key", 6).alias("v2"),
+        )
 
     # dsir2: the paper's hashed n-gram (uni+bi) feature space — same
     # 256-bucket model + Gumbel top-k over the wider feature array
     # (precomputed as _bs2 in the same checkpoint)
-    dsir2_rows = dsir_resample(
-        deduped,
-        None,
-        40,
-        text_col="red",
-        n_buckets=256,
-        salt=4,
-        bucket_col="_bs2",
-        target_pred=F.col("source") == "src0",
-    ).select(
-        F.lit("dsir2").alias("variant"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.col("n_tokens").alias("n"),
-        F.round("log_weight", 6).alias("v1"),
-        F.round("gumbel_key", 6).alias("v2"),
-    )
+    def b_dsir2():
+        return dsir_resample(
+            deduped,
+            None,
+            40,
+            text_col="red",
+            n_buckets=256,
+            salt=4,
+            bucket_col="_bs2",
+            target_pred=F.col("source") == "src0",
+        ).select(
+            F.lit("dsir2").alias("variant"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_tokens").alias("n"),
+            F.round("log_weight", 6).alias("v1"),
+            F.round("gumbel_key", 6).alias("v2"),
+        )
 
     # deterministic global-shuffle shard assignment (salt 5, 8 shards):
     # per-shard doc/token/id sums certify the exact membership
-    shard_rows = (
-        assign_training_shards(deduped, 8, salt=5)
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("n_tokens").cast("double").alias("v1"),
-            F.sum("doc_id").cast("double").alias("v2"),
+    def b_shards():
+        return (
+            assign_training_shards(deduped, 8, salt=5)
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_tokens").cast("double").alias("v1"),
+                F.sum("doc_id").cast("double").alias("v2"),
+            )
+            .select(
+                F.lit("shards").alias("variant"),
+                F.col("shard").cast("string").alias("key"),
+                "n",
+                "v1",
+                "v2",
+            )
         )
-        .select(
-            F.lit("shards").alias("variant"),
-            F.col("shard").cast("string").alias("key"),
-            "n",
-            "v1",
-            "v2",
-        )
-    )
 
     sampled = hash_sample(deduped, 0.5, salt=1)
 
-    # r14 overlap (guide §2.6): the build path has exactly two
-    # remaining EAGER Spark jobs — temperature_mix's per-source totals
-    # collect (whose first action also materializes the `deduped` lazy
-    # checkpoint) and bpe_train's vocab collect. Both are independent
-    # of the rest of this function's (py4j-heavy) DataFrame
-    # construction, so they run on background threads while the
-    # remaining branches are being built, instead of serializing
-    # before them. Results are identical: the same two jobs, the same
-    # collected values, just concurrent with driver-side work.
+    # r14 overlap (guide §2.6): the build path's two remaining EAGER
+    # Spark jobs — temperature_mix's per-source totals collect (whose
+    # first action also materializes the `deduped` lazy checkpoint) and
+    # bpe_train's vocab collect — start FIRST on background threads.
+    # Results are identical: the same jobs, the same collected values,
+    # just concurrent with the branch construction below.
     from concurrent.futures import ThreadPoolExecutor
 
     from big_ann_spark.operators.dedup import mix_source_totals, temperature_mix
@@ -831,149 +835,170 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
     fut_merges = _pool.submit(BP.bpe_train, d, len(_PIN_MERGES), mode="driver")
 
-    sample_rows = (
-        sampled.groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("n_tokens").cast("double").alias("v1"),
+    def b_sample():
+        return (
+            sampled.groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_tokens").cast("double").alias("v1"),
+            )
+            .select(
+                F.lit("sample").alias("variant"),
+                F.col("source").alias("key"),
+                "n",
+                "v1",
+                F.lit(0.0).alias("v2"),
+            )
         )
-        .select(
-            F.lit("sample").alias("variant"),
-            F.col("source").alias("key"),
-            "n",
-            "v1",
-            F.lit(0.0).alias("v2"),
-        )
-    )
 
-    mixed = token_budget_mix(
-        sampled, _MIX_WEIGHTS, _MIX_TOTAL, text_col="red", salt=2
-    )
-    mix_rows = (
-        mixed.groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("n_tokens").cast("double").alias("v1"),
-            F.first("target_tokens").cast("double").alias("v2"),
+    def b_mix():
+        mixed = token_budget_mix(
+            sampled, _MIX_WEIGHTS, _MIX_TOTAL, text_col="red", salt=2
         )
-        .select(
-            F.lit("mix").alias("variant"),
-            F.col("source").alias("key"),
-            "n",
-            "v1",
-            "v2",
+        return (
+            mixed.groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_tokens").cast("double").alias("v1"),
+                F.first("target_tokens").cast("double").alias("v2"),
+            )
+            .select(
+                F.lit("mix").alias("variant"),
+                F.col("source").alias("key"),
+                "n",
+                "v1",
+                "v2",
+            )
         )
-    )
 
-    tmixed = temperature_mix(
-        sampled, _TMIX_TOTAL, alpha=_TMIX_ALPHA, text_col="red", salt=6,
-        totals=fut_totals.result(),
-    )
-    tmix_rows = (
-        tmixed.groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("n_tokens").cast("double").alias("v1"),
-            F.first("target_tokens").cast("double").alias("v2"),
+    def b_tmix():
+        tmixed = temperature_mix(
+            sampled, _TMIX_TOTAL, alpha=_TMIX_ALPHA, text_col="red", salt=6,
+            totals=fut_totals.result(),
         )
-        .select(
-            F.lit("tmix").alias("variant"),
-            F.col("source").alias("key"),
-            "n",
-            "v1",
-            "v2",
+        return (
+            tmixed.groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_tokens").cast("double").alias("v1"),
+                F.first("target_tokens").cast("double").alias("v2"),
+            )
+            .select(
+                F.lit("tmix").alias("variant"),
+                F.col("source").alias("key"),
+                "n",
+                "v1",
+                "v2",
+            )
         )
-    )
 
-    end_arr = F.array(F.lit(BP.END))
+    def b_bpe():
+        end_arr = F.array(F.lit(BP.END))
 
-    def seg_count(w):
-        expr = F.concat(F.split(w, ""), end_arr)
-        for a, b in _PIN_MERGES:
-            expr = BP._merge_fold(a, b)(expr)
-        return F.size(expr)
+        def seg_count(w):
+            expr = F.concat(F.split(w, ""), end_arr)
+            for a, b in _PIN_MERGES:
+                expr = BP._merge_fold(a, b)(expr)
+            return F.size(expr)
 
-    words = F.filter(F.split("red", " "), lambda w: w != "")
-    n_bpe = F.aggregate(
-        F.transform(words, seg_count), F.lit(0), lambda acc, x: acc + x
-    )
-    bpe_rows = (
-        sampled.select("source", n_bpe.alias("n_bpe"))
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("n_bpe").cast("double").alias("v1"),
-            F.round(F.avg("n_bpe"), 6).alias("v2"),
+        words = F.filter(F.split("red", " "), lambda w: w != "")
+        n_bpe = F.aggregate(
+            F.transform(words, seg_count), F.lit(0), lambda acc, x: acc + x
         )
-        .select(
-            F.lit("bpe").alias("variant"),
-            F.col("source").alias("key"),
-            "n",
-            "v1",
-            "v2",
+        return (
+            sampled.select("source", n_bpe.alias("n_bpe"))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_bpe").cast("double").alias("v1"),
+                F.round(F.avg("n_bpe"), 6).alias("v2"),
+            )
+            .select(
+                F.lit("bpe").alias("variant"),
+                F.col("source").alias("key"),
+                "n",
+                "v1",
+                "v2",
+            )
         )
-    )
 
     # C4 heuristic cleaning over the same corpus with deterministic
     # sentence-structure injection (functions.text.c4_clean; the CASE
     # chain mirrors the oracle's first-match-wins residues)
-    struct_text = F.regexp_replace("text", r"((\S+ ){9}\S+) ", "$1.\n")
-    c4doc = d.select(
-        "source",
-        F.when(
-            F.col("doc_id") % 11 == 0,
-            F.concat(struct_text, F.lit("\nlorem ipsum dolor sit amet okay.")),
+    def b_c4():
+        struct_text = F.regexp_replace("text", r"((\S+ ){9}\S+) ", "$1.\n")
+        c4doc = d.select(
+            "source",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(struct_text, F.lit("\nlorem ipsum dolor sit amet okay.")),
+            )
+            .when(
+                F.col("doc_id") % 13 == 3,
+                F.concat(struct_text, F.lit("\ncurly { brace line with words.")),
+            )
+            .when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    struct_text, F.lit("\nthis javascript line would be dropped anyway.")
+                ),
+            )
+            .when(
+                F.col("doc_id") % 17 == 5,
+                F.concat(struct_text, F.lit("\na badword line with enough words.")),
+            )
+            .otherwise(struct_text)
+            .alias("st"),
         )
-        .when(
-            F.col("doc_id") % 13 == 3,
-            F.concat(struct_text, F.lit("\ncurly { brace line with words.")),
+        c4 = T.c4_clean("st")
+        c4pages = c4doc.select(
+            "source",
+            c4["kept_text"].alias("kept"),
+            c4["n_lines_kept"].alias("nk"),
+            c4["drop_page"].alias("dropped"),
+            F.size(F.regexp_extract_all("st", F.lit(r"\S+"), 0)).alias("nt_all"),
         )
-        .when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                struct_text, F.lit("\nthis javascript line would be dropped anyway.")
-            ),
+        return (
+            c4pages.groupBy("source")
+            .agg(
+                F.count(F.when(~F.col("dropped"), 1)).alias("n"),
+                F.sum(F.when(~F.col("dropped"), F.col("nk")).otherwise(0))
+                .cast("double")
+                .alias("v1"),
+                F.round(
+                    F.sum(
+                        F.when(
+                            ~F.col("dropped"),
+                            F.size(F.regexp_extract_all("kept", F.lit(r"\S+"), 0)),
+                        ).otherwise(0)
+                    ).cast("double")
+                    / F.sum("nt_all"),
+                    6,
+                ).alias("v2"),
+            )
+            .select(
+                F.lit("c4").alias("variant"),
+                F.col("source").alias("key"),
+                "n",
+                "v1",
+                "v2",
+            )
         )
-        .when(
-            F.col("doc_id") % 17 == 5,
-            F.concat(struct_text, F.lit("\na badword line with enough words.")),
-        )
-        .otherwise(struct_text)
-        .alias("st"),
-    )
-    c4 = T.c4_clean("st")
-    c4pages = c4doc.select(
-        "source",
-        c4["kept_text"].alias("kept"),
-        c4["n_lines_kept"].alias("nk"),
-        c4["drop_page"].alias("dropped"),
-        F.size(F.regexp_extract_all("st", F.lit(r"\S+"), 0)).alias("nt_all"),
-    )
-    c4_rows = (
-        c4pages.groupBy("source")
-        .agg(
-            F.count(F.when(~F.col("dropped"), 1)).alias("n"),
-            F.sum(F.when(~F.col("dropped"), F.col("nk")).otherwise(0))
-            .cast("double")
-            .alias("v1"),
-            F.round(
-                F.sum(
-                    F.when(
-                        ~F.col("dropped"),
-                        F.size(F.regexp_extract_all("kept", F.lit(r"\S+"), 0)),
-                    ).otherwise(0)
-                ).cast("double")
-                / F.sum("nt_all"),
-                6,
-            ).alias("v2"),
-        )
-        .select(
-            F.lit("c4").alias("variant"),
-            F.col("source").alias("key"),
-            "n",
-            "v1",
-            "v2",
-        )
+
+    # r14: the 12 branch families above are independent plans over the
+    # shared inj/deduped/sampled tables — build them on a thread pool
+    # (build_concurrently: identical plans, overlapped py4j round trips;
+    # this construction measured ~3 s serialized at sf0.1). The two
+    # eager collects (fut_totals/fut_merges) were already in flight.
+    from big_ann_spark.queries import build_concurrently
+
+    (
+        redact_rows, clean_rows, sample_rows, mix_rows, tmix_rows,
+        bpe_rows, pack_rows, cap_rows, dsir_rows, dsir2_rows,
+        shard_rows, c4_rows,
+    ) = build_concurrently(
+        b_redact, b_clean, b_sample, b_mix, b_tmix, b_bpe,
+        b_pack, b_cap, b_dsir, b_dsir2, b_shards, b_c4,
     )
 
     merges = fut_merges.result()

@@ -450,105 +450,131 @@ def doc_retrieval_top3(spark, sf_dir):
     from big_ann_spark.operators.sparse import sparse_mips_topk, sparsify_dense
     from big_ann_spark.operators.topk import top_k_per_group
 
+    from big_ann_spark.operators.bm25 import bm25_index, bm25_topk, bm25_topk_from_disk
+    from big_ann_spark.operators.knn import build_tag_postings
+    from big_ann_spark.queries import build_concurrently
+
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("_qv")
     )
     b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_bv"))
+    bidx = bm25_index(docs)  # shared (lazily) by the two bm25 branches
 
-    scored = (
-        b.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("qid"))
-        .select("qid", "neighbor_id", l2_distance("_qv", "_bv").alias("dist"))
-    )
-    # one top-10 pass feeds both the dense variant (rank <= 3) and the
-    # hybrid fusion run — the RRF inputs are never recomputed
-    dense10 = top_k_per_group(
-        scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 10
+    # the six variant families are INDEPENDENT plans over shared inputs,
+    # so their (py4j-heavy) construction runs on a thread pool
+    # (build_concurrently: identical plans, overlapped round trips) —
+    # r14, after this build measured ~2 s of serialized driver wall
+
+    def b_dense():
+        scored = (
+            b.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("qid"))
+            .select("qid", "neighbor_id", l2_distance("_qv", "_bv").alias("dist"))
+        )
+        # one top-10 pass feeds both the dense variant (rank <= 3) and
+        # the hybrid fusion run — the RRF inputs are never recomputed
+        return top_k_per_group(
+            scored, ["qid"], [F.col("dist").asc(), F.col("neighbor_id").asc()], 10
+        )
+
+    def b_filtered():
+        labeled = emb.join(
+            docs.select("doc_id", "lang"), emb.vec_id == docs.doc_id
+        ).select("vec_id", "embedding", "lang")
+        return filtered_knn(
+            labeled.filter(F.col("vec_id") < 5),
+            labeled,
+            k=3,
+            query_id="vec_id",
+            query_vec="embedding",
+            base_id="vec_id",
+            base_vec="embedding",
+            label_col="lang",
+            exclude_self=True,
+        ).select("qid", "neighbor_id", F.col("dist").alias("score"), "rank")
+
+    def b_tags():
+        tagged = emb.join(
+            docs.select("doc_id", "lang", "source"), emb.vec_id == docs.doc_id
+        ).select(
+            "vec_id",
+            "embedding",
+            F.array(
+                F.concat(F.lit("lang:"), F.col("lang")),
+                F.concat(F.lit("src:"), F.col("source")),
+            ).alias("tags"),
+        )
+        tag_postings = build_tag_postings(tagged, base_id="vec_id", tags_col="tags")
+        return filtered_knn(
+            tagged.filter(F.col("vec_id") < 5),
+            tagged,
+            k=3,
+            query_id="vec_id",
+            query_vec="embedding",
+            base_id="vec_id",
+            base_vec="embedding",
+            tags_col="tags",
+            exclude_self=True,
+            postings=tag_postings,
+        ).select("qid", "neighbor_id", F.col("dist").alias("score"), "rank")
+
+    def b_sparse():
+        postings = sparsify_dense(emb, id_col="vec_id", vec_col="embedding", tau=0.15)
+        return sparse_mips_topk(
+            postings.filter(F.col("id") < 5), postings, k=10, exclude_self=True
+        )
+
+    def b_bm25():
+        # spread the one-file corpus scan before tokenization (r14,
+        # guide §2.5): the explode + (doc, term) aggregate otherwise
+        # runs as a SINGLE task (one parquet file → one partition),
+        # serializing ~3 s of regex tokenization while 31 cores idle.
+        # Every BM25 statistic is exact under any partitioning: tf/df/
+        # n_docs are integer counts and avgdl averages integer-valued
+        # doubles (partial sums stay exact integers < 2^53), so no
+        # rounded score can move.
+        bidx_mem = bm25_index(
+            docs.repartition(spark.sparkContext.defaultParallelism)
+        )
+        return bm25_topk(
+            docs.filter(F.col("doc_id") < 5),
+            bidx_mem,
+            k=3,
+            exclude_self=True,
+            score_round=6,
+        ).select("qid", "neighbor_id", "score", "rank")
+
+    def b_bm25_disk():
+        # bm25_disk: the SAME ranking through the persisted
+        # term-bucketed layout — write_bm25_index into a scratch dir,
+        # then the partition-pruned bm25_topk_from_disk (static
+        # bucket-set pruning + gated term push). Certifies the 100 TB
+        # serving path end-to-end: build -> layout -> pruned read ->
+        # score (VERDICT r8 #2). The layout is built ONCE per session
+        # and reused (an index's real lifecycle: built once, served
+        # forever) — rebuilding per bench iteration would time the
+        # build, not the serving path the variant exists to certify.
+        disk_dir = _bm25_disk_layout(spark, sf_dir, bidx)
+        return bm25_topk_from_disk(
+            spark,
+            disk_dir,
+            docs.filter(F.col("doc_id") < 5),
+            k=3,
+            exclude_self=True,
+            score_round=6,
+        ).select("qid", "neighbor_id", "score", "rank")
+
+    dense10, filtered, filtered_tags, sparse10, bm25, bm25_disk = build_concurrently(
+        b_dense, b_filtered, b_tags, b_sparse, b_bm25, b_bm25_disk
     )
     dense = dense10.filter(F.col("rank") <= 3).select(
         "qid", "neighbor_id", F.col("dist").alias("score"), "rank"
     )
-
-    labeled = emb.join(docs.select("doc_id", "lang"), emb.vec_id == docs.doc_id).select(
-        "vec_id", "embedding", "lang"
-    )
-    filtered = filtered_knn(
-        labeled.filter(F.col("vec_id") < 5),
-        labeled,
-        k=3,
-        query_id="vec_id",
-        query_vec="embedding",
-        base_id="vec_id",
-        base_vec="embedding",
-        label_col="lang",
-        exclude_self=True,
-    ).select("qid", "neighbor_id", F.col("dist").alias("score"), "rank")
-
-    from big_ann_spark.operators.knn import build_tag_postings
-
-    tagged = emb.join(docs.select("doc_id", "lang", "source"), emb.vec_id == docs.doc_id).select(
-        "vec_id",
-        "embedding",
-        F.array(
-            F.concat(F.lit("lang:"), F.col("lang")),
-            F.concat(F.lit("src:"), F.col("source")),
-        ).alias("tags"),
-    )
-    tag_postings = build_tag_postings(tagged, base_id="vec_id", tags_col="tags")
-    filtered_tags = filtered_knn(
-        tagged.filter(F.col("vec_id") < 5),
-        tagged,
-        k=3,
-        query_id="vec_id",
-        query_vec="embedding",
-        base_id="vec_id",
-        base_vec="embedding",
-        tags_col="tags",
-        exclude_self=True,
-        postings=tag_postings,
-    ).select("qid", "neighbor_id", F.col("dist").alias("score"), "rank")
-
-    postings = sparsify_dense(emb, id_col="vec_id", vec_col="embedding", tau=0.15)
-    sparse10 = sparse_mips_topk(
-        postings.filter(F.col("id") < 5), postings, k=10, exclude_self=True
-    )
     sparse = sparse10.filter(F.col("rank") <= 3).select(
         "qid", "neighbor_id", "score", "rank"
     )
-
-    from big_ann_spark.operators.bm25 import bm25_index, bm25_topk
-
-    bidx = bm25_index(docs)
-    bm25 = bm25_topk(
-        docs.filter(F.col("doc_id") < 5),
-        bidx,
-        k=3,
-        exclude_self=True,
-        score_round=6,
-    ).select("qid", "neighbor_id", "score", "rank")
-
-    # bm25_disk: the SAME ranking through the persisted term-bucketed
-    # layout — write_bm25_index into a scratch dir, then the
-    # partition-pruned bm25_topk_from_disk (static bucket-set pruning +
-    # gated term push). Certifies the 100 TB serving path end-to-end:
-    # build -> layout -> pruned read -> score (VERDICT r8 #2). The
-    # layout is built ONCE per session and reused (an index's real
-    # lifecycle: built once, served forever) — rebuilding per bench
-    # iteration would time the build, not the serving path the
-    # variant exists to certify.
-    from big_ann_spark.operators.bm25 import bm25_topk_from_disk
-
-    disk_dir = _bm25_disk_layout(spark, sf_dir, bidx)
-    bm25_disk = bm25_topk_from_disk(
-        spark,
-        disk_dir,
-        docs.filter(F.col("doc_id") < 5),
-        k=3,
-        exclude_self=True,
-        score_round=6,
-    ).select("qid", "neighbor_id", "score", "rank")
 
     from big_ann_spark.operators.fusion import rrf_fuse
 
