@@ -561,6 +561,7 @@ def prefix_filtered_jaccard_pairs(
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
     max_df: int | None = None,
+    verify_partitions: int | None = None,
 ) -> DataFrame:
     """ALL pairs with n-gram Jaccard ≥ ``threshold`` — exact, via
     df-ordered prefix filtering (Chaudhuri et al. SSJoin / Bayardo et
@@ -691,7 +692,9 @@ def prefix_filtered_jaccard_pairs(
         )
         .distinct()
     )
-    verified = jaccard_for_pairs(docs, cands, shingle_arrays=arrs)
+    verified = jaccard_for_pairs(
+        docs, cands, shingle_arrays=arrs, pair_partitions=verify_partitions
+    )
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -1000,6 +1003,7 @@ def jaccard_for_pairs(
     n: int = 3,
     shingles: DataFrame | None = None,
     shingle_arrays: DataFrame | None = None,
+    pair_partitions: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs —
     the verification step after LSH/prefix candidate generation. Each
@@ -1009,7 +1013,20 @@ def jaccard_for_pairs(
     ~|shingles-per-doc|× fewer join rows; on dup-heavy corpora (~10⁶
     candidate pairs) this is the difference between minutes and
     seconds. Pass ``shingle_arrays=doc_shingle_arrays(...)`` (ideally
-    persisted) to share the build across stages."""
+    persisted) to share the build across stages.
+
+    ``pair_partitions``: explicitly round-robin the pair table into
+    this many partitions before verification. The pair rows are two
+    longs — BYTE-light — while the array_intersect over the joined
+    arrays is CPU-dense, so AQE's byte-based coalescing can pack a
+    ~1 MB pair shuffle onto ONE task that then burns seconds of
+    single-core array work (a by-num repartition is exempt from AQE
+    coalescing). Use when the candidate table is known to be small
+    in bytes relative to its verify CPU (e.g. bench-scale corpora);
+    leave None where candidates are large — their shuffle then already
+    spreads and the extra exchange would be pure cost."""
+    if pair_partitions is not None:
+        pairs = pairs.repartition(pair_partitions)
     arrs = (
         shingle_arrays
         if shingle_arrays is not None
@@ -1051,6 +1068,7 @@ def minhash_dedup_pairs(
     shingle_arrays: DataFrame | None = None,
     signatures: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    verify_partitions: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact-Jaccard verification ≥ threshold. Verification
@@ -1088,7 +1106,9 @@ def minhash_dedup_pairs(
     cands = lsh_candidate_pairs(
         sigs, bucket_mode=bucket_mode, max_bucket_size=max_bucket_size
     )
-    verified = jaccard_for_pairs(docs, cands, shingle_arrays=arrs)
+    verified = jaccard_for_pairs(
+        docs, cands, shingle_arrays=arrs, pair_partitions=verify_partitions
+    )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
     )

@@ -119,12 +119,27 @@ def ngram_jaccard_top_pairs(spark, sf_dir, naive=False):
     d = load_table(spark, sf_dir, "documents")
     # materialize the text→hash lineage once: the df aggregation and
     # the array build downstream otherwise both recompute the per-char
-    # polynomial folds (measured ~0.5 s of the query at sf0.1)
-    keys = D.doc_shingle_keys(d).localCheckpoint(eager=False)
+    # polynomial folds (measured ~0.5 s of the query at sf0.1).
+    # repartition first (r14, guide §2.5): the corpus is one parquet
+    # file → one scan partition, so the char-level hashing otherwise
+    # runs on a single core; every downstream statistic is an integer
+    # count or a per-doc array, invariant to row placement.
+    keys = D.doc_shingle_keys(
+        d.repartition(spark.sparkContext.defaultParallelism)
+    ).localCheckpoint(eager=False)
     if naive:
         pairs = D.jaccard_similarity_pairs(d, shingles=keys)
     else:
-        pairs = D.prefix_filtered_jaccard_pairs(d, threshold=0.5, shingles=keys)
+        # verify_partitions (r14, guide §2.5): the candidate table is
+        # ~1 MB of (long, long) rows but its array_intersect verify is
+        # CPU-dense — AQE's byte-based coalescing otherwise packs it
+        # onto one task (~1.3 s single-core at sf0.1)
+        pairs = D.prefix_filtered_jaccard_pairs(
+            d,
+            threshold=0.5,
+            shingles=keys,
+            verify_partitions=spark.sparkContext.defaultParallelism,
+        )
     return (
         pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
@@ -337,8 +352,13 @@ def minhash_lsh_near_dup(spark, sf_dir):
     # incremental screen (the persisted-store pattern the incremental
     # op is designed around): shingle keys -> arrays -> signatures,
     # checkpointed once; both variants below are pure band joins +
-    # candidate verification over these.
-    keys = D.doc_shingle_keys(corpus)
+    # candidate verification over these. repartition first (r14, guide
+    # §2.5): the one-file corpus scan otherwise hashes on 1-2 cores;
+    # min-hash aggregation and every verify statistic are order-
+    # independent (min / integer counts / per-doc arrays).
+    keys = D.doc_shingle_keys(
+        corpus.repartition(spark.sparkContext.defaultParallelism)
+    )
     arrs = D.doc_shingle_arrays(shingles=keys).localCheckpoint(eager=False)
     ex = arrs.select("doc_id", F.explode("shs").alias("shingle"))
     sigs = D.minhash_signatures(
@@ -350,6 +370,9 @@ def minhash_lsh_near_dup(spark, sf_dir):
         bucket_mode="slice",
         shingle_arrays=arrs,
         signatures=sigs,
+        # byte-light candidate pairs, CPU-dense verify: keep the
+        # array_intersect stage cores-wide (see jaccard_for_pairs)
+        verify_partitions=spark.sparkContext.defaultParallelism,
     )
     pair_rows = out.select(
         F.lit("pair").alias("variant"),
