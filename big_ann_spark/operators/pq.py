@@ -967,9 +967,12 @@ def hamming_knn(
     ``exclude_self`` with K' ≥ the K needed here (k, or
     ``k·rerank_factor`` when re-ranking). Row-number top-K of the same
     deterministic ordering nests, so ``rank ≤ K`` of the wider table IS
-    the narrower result — the scoring crossJoin + window run once for a
-    family of calls instead of per call (r14: knn_cosine_top5 shares
-    one pass between its ``hamming`` and ``hamming_rerank`` variants)."""
+    the narrower result — a MATERIALIZED candidate table (persisted or
+    checkpointed) makes the scoring crossJoin + window run once for a
+    family of calls instead of per call; a lazy one still saves the
+    construction round trips but each consumer re-derives the pass
+    (filter pushdown specializes the WindowGroupLimit per branch, so
+    the subplans never ReuseExchange)."""
     from big_ann_spark.functions.vector import cosine_similarity, l2_distance
 
     kk = k * rerank_factor if rerank_with is not None else k
