@@ -139,6 +139,7 @@ def ivf_search_from_disk(
     max_id_pushdown: int = 100_000,
     pool_impl: str = "fold",
     as_of: int | None = None,
+    _routed: DataFrame | None = None,
 ) -> DataFrame:
     """``ivf_search`` straight off a ``write_sharded`` layout path:
     route first, open only the probed shard directories
@@ -163,16 +164,25 @@ def ivf_search_from_disk(
     mutation op ``as_of`` (``operators.vector_ops``; −1 = the pristine
     base build, ``None`` = head). A layout with no ``ops/`` directory
     short-circuits: mutation resolution costs NOTHING until the first
-    upsert/delete lands."""
+    upsert/delete lands.
+
+    ``_routed``: a caller-provided routing table (same contract as
+    ``ivf_search``), already MATERIALIZED or checkpointed — a caller
+    serving several tiers of the same layout routes once and shares
+    the table, instead of paying one routing checkpoint per tier."""
     from big_ann_spark.operators.vector_ops import live_probed_view
 
     spark = queries.sparkSession
     # lazy checkpoint (r14, guide §2.6/§5): the distinct-id collect below
     # is the first action and materializes it — one job where the eager
     # form ran a serial checkpoint job first and the collect second
-    routed = route_queries(
-        queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim
-    ).localCheckpoint(eager=False)
+    routed = (
+        _routed
+        if _routed is not None
+        else route_queries(
+            queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim
+        ).localCheckpoint(eager=False)
+    )
     probe_ids = [
         r["shard_id"] for r in routed.select("shard_id").distinct().collect()
     ]

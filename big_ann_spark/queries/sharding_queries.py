@@ -410,11 +410,18 @@ def ivf_search_top5(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
+    # route ONCE for both variants (r14): the two tiers probe the same
+    # shards of the same centroid table, so one lazily-checkpointed
+    # routing feeds the in-memory search (_routed skips its in-plan
+    # re-derivation) and the from-disk search (skips its per-tier
+    # routing checkpoint — one plan analysis instead of two)
+    routed = ANN.route_queries(queries, cents, 2).localCheckpoint(eager=False)
     # in-memory sharded table: the shard_id equi-join already restricts
     # to routed shards and there is no partitioned layout to prune, so
     # the static-prune routing collect would be a pure extra job
     raw = ANN.ivf_search(
-        queries, sharded, cents, k=5, nprobe=2, static_prune=False
+        queries, sharded, cents, k=5, nprobe=2, static_prune=False,
+        _routed=routed,
     ).select(
         F.lit("raw").alias("variant"),
         "qid",
@@ -424,7 +431,8 @@ def ivf_search_top5(spark, sf_dir):
     )
     path = _sq8_disk_layout(spark, sf_dir)
     sq8 = ANN.ivf_search_from_disk(
-        queries, path, cents, k=5, nprobe=2, codec="sq8", rerank_factor=4
+        queries, path, cents, k=5, nprobe=2, codec="sq8", rerank_factor=4,
+        _routed=routed,
     ).select(
         F.lit("sq8_disk").alias("variant"),
         "qid",
