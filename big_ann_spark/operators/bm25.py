@@ -82,8 +82,9 @@ def bm25_index(
     shuffle total: dl is just the doc's token count, computed BEFORE
     the explode and carried through it, so the (doc, dl, term)
     aggregate needs no corpus-sized dl re-join (grouping by the
-    functionally-dependent dl is free); df and the stats row derive
-    from postings / the raw scan (vocabulary-/unit-sized)."""
+    functionally-dependent dl is free); df and the stats row both
+    derive from postings (vocabulary-/unit-sized), so the corpus text
+    is scanned and tokenized exactly once."""
     base = docs.select(
         F.col(id_col).alias("doc"),
         F.size(tokens(text_col)).alias("dl"),
@@ -93,12 +94,21 @@ def bm25_index(
         F.count("*").alias("tf")
     ).select("doc", "term", "tf", "dl")
     dfs = postings.groupBy("term").agg(F.count("*").alias("df"))
-    # null-text docs produce no postings (explode drops them) — keep
-    # the corpus statistics consistent with that universe
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    stats = docs.filter(c.isNotNull()).agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size(tokens(text_col)).cast("double")).alias("avgdl"),
+    # stats from the postings' own (doc, dl) pairs — NOT a second
+    # tokenizing scan of the corpus (r14, guide §2.4: one corpus pass
+    # total). Same universe as filtering on text IS NOT NULL: split()
+    # returns a non-empty array for every non-null string (empty text
+    # gives [""], dl=1), and explode of the null split drops null-text
+    # docs — so distinct (doc, dl) is exactly one row per non-null doc.
+    # avgdl is unchanged bit-for-bit: the same multiset of integer dl
+    # values (< 2^53) sums exactly in double under any order.
+    stats = (
+        postings.select("doc", "dl")
+        .distinct()
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
     )
     return Bm25Index(postings=postings, dfs=dfs, stats=stats)
 

@@ -20,7 +20,7 @@ from big_ann_spark.operators import ann as ANN
 from big_ann_spark.operators import sharding as SH
 from big_ann_spark.operators.bm25 import B as _BM25_B
 from big_ann_spark.operators.bm25 import K1 as _BM25_K1
-from big_ann_spark.queries import register
+from big_ann_spark.queries import build_concurrently, register
 
 _BM25_K1P1 = _BM25_K1 + 1
 _BM25_1MB = 1 - _BM25_B
@@ -419,27 +419,37 @@ def ivf_search_top5(spark, sf_dir):
     # in-memory sharded table: the shard_id equi-join already restricts
     # to routed shards and there is no partitioned layout to prune, so
     # the static-prune routing collect would be a pure extra job
-    raw = ANN.ivf_search(
-        queries, sharded, cents, k=5, nprobe=2, static_prune=False,
-        _routed=routed,
-    ).select(
-        F.lit("raw").alias("variant"),
-        "qid",
-        "neighbor_id",
-        F.round("dist", 6).alias("dist"),
-        "rank",
-    )
-    path = _sq8_disk_layout(spark, sf_dir)
-    sq8 = ANN.ivf_search_from_disk(
-        queries, path, cents, k=5, nprobe=2, codec="sq8", rerank_factor=4,
-        _routed=routed,
-    ).select(
-        F.lit("sq8_disk").alias("variant"),
-        "qid",
-        "neighbor_id",
-        F.round("dist", 6).alias("dist"),
-        "rank",
-    )
+    def _raw():
+        return ANN.ivf_search(
+            queries, sharded, cents, k=5, nprobe=2, static_prune=False,
+            _routed=routed,
+        ).select(
+            F.lit("raw").alias("variant"),
+            "qid",
+            "neighbor_id",
+            F.round("dist", 6).alias("dist"),
+            "rank",
+        )
+
+    def _sq8():
+        path = _sq8_disk_layout(spark, sf_dir)
+        return ANN.ivf_search_from_disk(
+            queries, path, cents, k=5, nprobe=2, codec="sq8", rerank_factor=4,
+            _routed=routed,
+        ).select(
+            F.lit("sq8_disk").alias("variant"),
+            "qid",
+            "neighbor_id",
+            F.round("dist", 6).alias("dist"),
+            "rank",
+        )
+
+    # overlap the two variant builds (guide §2.6): the raw branch is
+    # pure plan construction (py4j round trips), the sq8 branch runs
+    # the probe/pool collect jobs — neither blocks the other, and the
+    # only shared state is immutable plan objects (routed's lazy
+    # checkpoint is materialized solely by the sq8 branch's collects)
+    raw, sq8 = build_concurrently(_raw, _sq8)
     return raw.unionByName(sq8)
 
 

@@ -534,14 +534,26 @@ def doc_retrieval_top3(spark, sf_dir):
         # spread the one-file corpus scan before tokenization (r14,
         # guide §2.5): the explode + (doc, term) aggregate otherwise
         # runs as a SINGLE task (one parquet file → one partition),
-        # serializing ~3 s of regex tokenization while 31 cores idle.
-        # Every BM25 statistic is exact under any partitioning: tf/df/
-        # n_docs are integer counts and avgdl averages integer-valued
-        # doubles (partial sums stay exact integers < 2^53), so no
-        # rounded score can move.
-        bidx_mem = bm25_index(
-            docs.repartition(spark.sparkContext.defaultParallelism)
+        # serializing ~1-2 s of tokenize+aggregate while 31 cores
+        # idle. Width is SIZE-DERIVED (guide §2: scale-adaptive, not a
+        # host constant): ~one task per 64 KB of corpus file, capped at
+        # the session parallelism — a measured width grid at sf0.1
+        # (594 KB corpus) put the basin at 8-16 tasks, with 32 paying
+        # ~0.2 s of pure task/stage overhead; at real corpus sizes the
+        # cap keeps it cores-wide. Every BM25 statistic is exact under
+        # any partitioning: tf/df/n_docs are integer counts and avgdl
+        # averages integer-valued doubles (partial sums stay exact
+        # integers < 2^53), so no rounded score can move.
+        from big_ann_spark.catalog import table_file_bytes
+
+        n_spread = max(
+            2,
+            min(
+                spark.sparkContext.defaultParallelism,
+                table_file_bytes(sf_dir, "documents") // (64 << 10) + 1,
+            ),
         )
+        bidx_mem = bm25_index(docs.repartition(n_spread))
         return bm25_topk(
             docs.filter(F.col("doc_id") < 5),
             bidx_mem,
