@@ -55,6 +55,31 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+def spread_width(
+    spark, sf_dir: str, table: str = "documents", per_task_bytes: int = 64 << 10
+) -> int:
+    """Task count for a repartition whose only job is to SPREAD
+    CPU-dense per-row work (tokenize/shingle/bucket hashing) that a
+    one-file scan or an AQE-coalesced shuffle would otherwise run on a
+    single core. Guide §2: make the width scale-adaptive — ~one task
+    per ``per_task_bytes`` of the source table's file, capped at the
+    session parallelism. Measured at sf0.1 (594 KB corpus, 32 cores):
+    the basin is 8-16 tasks for every hash-spread site; a flat
+    ``defaultParallelism`` paid 0.2-0.5 s of pure task overhead per
+    query past it, while at real corpus sizes the cap keeps the spread
+    cores-wide. Floor of 2 so the spread never degenerates to the
+    single-task shape it exists to break."""
+    from big_ann_spark.catalog import table_file_bytes
+
+    return max(
+        2,
+        min(
+            spark.sparkContext.defaultParallelism,
+            table_file_bytes(sf_dir, table) // per_task_bytes + 1,
+        ),
+    )
+
+
 def build_concurrently(*builders: Callable[[], DataFrame]) -> list[DataFrame]:
     """Construct INDEPENDENT DataFrame branches of a composite query on
     a small thread pool and return them in argument order.

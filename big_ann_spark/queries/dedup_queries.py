@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from big_ann_spark.catalog import load_table
 from big_ann_spark.operators import dedup as D
-from big_ann_spark.queries import register
+from big_ann_spark.queries import register, spread_width
 
 
 @register(
@@ -124,9 +124,8 @@ def ngram_jaccard_top_pairs(spark, sf_dir, naive=False):
     # file → one scan partition, so the char-level hashing otherwise
     # runs on a single core; every downstream statistic is an integer
     # count or a per-doc array, invariant to row placement.
-    keys = D.doc_shingle_keys(
-        d.repartition(spark.sparkContext.defaultParallelism)
-    ).localCheckpoint(eager=False)
+    _w = spread_width(spark, sf_dir)
+    keys = D.doc_shingle_keys(d.repartition(_w)).localCheckpoint(eager=False)
     if naive:
         pairs = D.jaccard_similarity_pairs(d, shingles=keys)
     else:
@@ -138,7 +137,7 @@ def ngram_jaccard_top_pairs(spark, sf_dir, naive=False):
             d,
             threshold=0.5,
             shingles=keys,
-            verify_partitions=spark.sparkContext.defaultParallelism,
+            verify_partitions=_w,
         )
     return (
         pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -356,9 +355,8 @@ def minhash_lsh_near_dup(spark, sf_dir):
     # §2.5): the one-file corpus scan otherwise hashes on 1-2 cores;
     # min-hash aggregation and every verify statistic are order-
     # independent (min / integer counts / per-doc arrays).
-    keys = D.doc_shingle_keys(
-        corpus.repartition(spark.sparkContext.defaultParallelism)
-    )
+    _w = spread_width(spark, sf_dir)
+    keys = D.doc_shingle_keys(corpus.repartition(_w))
     arrs = D.doc_shingle_arrays(shingles=keys).localCheckpoint(eager=False)
     ex = arrs.select("doc_id", F.explode("shs").alias("shingle"))
     sigs = D.minhash_signatures(
@@ -372,7 +370,7 @@ def minhash_lsh_near_dup(spark, sf_dir):
         signatures=sigs,
         # byte-light candidate pairs, CPU-dense verify: keep the
         # array_intersect stage cores-wide (see jaccard_for_pairs)
-        verify_partitions=spark.sparkContext.defaultParallelism,
+        verify_partitions=_w,
     )
     pair_rows = out.select(
         F.lit("pair").alias("variant"),

@@ -686,10 +686,17 @@ def pipeline_clean_corpus(spark, sf_dir):
     # repartition before the bucket hashing (r14 optimization): AQE
     # coalesces the tiny post-dedup shuffle to ONE partition, which
     # serialized the char-level polynomial folds of _bs/_bs2 onto a
-    # single task (~9.5 s of single-thread CPU measured at sf0.1 —
-    # guide §2.5 "synthetic partitioning"); a round-robin spread over
-    # the session's parallelism runs them cores-wide. Row placement
-    # does not affect any downstream aggregate.
+    # single task (guide §2.5 "synthetic partitioning"); a round-robin
+    # spread runs them in parallel. Width is SIZE-DERIVED, not the raw
+    # session parallelism (r14 re-measure): ~one task per 64 KB of the
+    # source corpus file, capped at the session parallelism — a width
+    # grid at sf0.1 put exec at 1.87-1.94 s for 8 tasks vs 2.47-2.91 s
+    # for 32 (per-task overhead beats the spread past the basin), and
+    # the cap keeps real corpora cores-wide. Row placement does not
+    # affect any downstream aggregate.
+    from big_ann_spark.queries import spread_width
+
+    _spread = spread_width(spark, sf_dir)
     deduped = (
         scored.filter(F.col("quality") >= 0.5)
         .groupBy("red")
@@ -699,7 +706,7 @@ def pipeline_clean_corpus(spark, sf_dir):
             F.min("n_tokens").alias("n_tokens"),
             F.min("quality").alias("quality"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(_spread)
         .withColumn("_bs", doc_buckets("red", 256))
         .withColumn("_bs2", doc_buckets("red", 256, ngram=2))
         .localCheckpoint(eager=False)

@@ -544,16 +544,9 @@ def doc_retrieval_top3(spark, sf_dir):
         # any partitioning: tf/df/n_docs are integer counts and avgdl
         # averages integer-valued doubles (partial sums stay exact
         # integers < 2^53), so no rounded score can move.
-        from big_ann_spark.catalog import table_file_bytes
+        from big_ann_spark.queries import spread_width
 
-        n_spread = max(
-            2,
-            min(
-                spark.sparkContext.defaultParallelism,
-                table_file_bytes(sf_dir, "documents") // (64 << 10) + 1,
-            ),
-        )
-        bidx_mem = bm25_index(docs.repartition(n_spread))
+        bidx_mem = bm25_index(docs.repartition(spread_width(spark, sf_dir)))
         return bm25_topk(
             docs.filter(F.col("doc_id") < 5),
             bidx_mem,
