@@ -395,10 +395,24 @@ def filtered_knn(
             postings = build_tag_postings(b, base_id="neighbor_id", tags_col="_btags")
         else:
             postings = postings.select("neighbor_id", "_tag")
-        tag_df = postings.groupBy("_tag").agg(F.count("*").alias("_df"))
+        # df only for the tags the query batch actually carries (r14,
+        # guide §2.3/§3.1): the full-vocabulary groupBy aggregated the
+        # ENTIRE posting index to rank each query's 1-2 tags — pruning
+        # the aggregate with a broadcast semi-join on the batch's
+        # distinct tags makes its input the probed posting lists only,
+        # and the resulting df table is ≤ |batch tags| rows, so the
+        # rarest-tag selection becomes a broadcast join instead of a
+        # SortMergeJoin (the query batch is the contractual small side
+        # throughout this operator). Tags missing from the index still
+        # resolve to df 0 via the left join, exactly as before.
+        q_tags = q.select("qid", F.explode("_qtags").alias("_tag"))
+        tag_df = (
+            postings.join(F.broadcast(q_tags.select("_tag").distinct()), "_tag")
+            .groupBy("_tag")
+            .agg(F.count("*").alias("_df"))
+        )
         q_rare = (
-            q.select("qid", F.explode("_qtags").alias("_tag"))
-            .join(tag_df, "_tag", "left")
+            q_tags.join(F.broadcast(tag_df), "_tag", "left")
             .groupBy("qid")
             .agg(
                 F.min(
