@@ -76,7 +76,11 @@ def terms(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") ->
 
 
 def bm25_index(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: bool = False,
 ) -> Bm25Index:
     """Build the three index tables from a corpus. ONE corpus-sized
     shuffle total: dl is just the doc's token count, computed BEFORE
@@ -84,7 +88,32 @@ def bm25_index(
     aggregate needs no corpus-sized dl re-join (grouping by the
     functionally-dependent dl is free); df and the stats row both
     derive from postings (vocabulary-/unit-sized), so the corpus text
-    is scanned and tokenized exactly once."""
+    is scanned and tokenized exactly once — PER CONSUMING SUBTREE.
+
+    ``checkpoint=True`` (r14, guide §5/§2.4): lazily localCheckpoints
+    the postings before deriving dfs/stats from them. A scorer like
+    ``bm25_topk`` consumes the index through three plan subtrees (the
+    hits join, the broadcast dfs, the broadcast stats), and exchange
+    reuse does NOT fire across broadcast subqueries — measured at
+    sf0.1 the un-checkpointed plan scanned and tokenized the corpus
+    4×/0 ReusedExchange. The checkpoint makes the build compute once
+    within one job, the in-memory mirror of the built-once
+    write_bm25_index layout. Leave False for plans that must stay
+    fully lazy (the streaming build path) or that write the tables
+    wholesale anyway."""
+    if checkpoint:
+        idx = bm25_index(docs, id_col=id_col, text_col=text_col)
+        postings = idx.postings.localCheckpoint(eager=False)
+        dfs = postings.groupBy("term").agg(F.count("*").alias("df"))
+        stats = (
+            postings.select("doc", "dl")
+            .distinct()
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.avg(F.col("dl").cast("double")).alias("avgdl"),
+            )
+        )
+        return Bm25Index(postings=postings, dfs=dfs, stats=stats)
     base = docs.select(
         F.col(id_col).alias("doc"),
         F.size(tokens(text_col)).alias("dl"),

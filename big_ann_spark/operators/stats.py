@@ -220,8 +220,19 @@ def ks_matrix(
                 }
             )
 
-        return tagged.groupBy("pos_i", "pos_j").applyInPandas(
-            ks, schema="pos_i int, pos_j int, ks_stat double"
+        # same-key repartition ahead of the group shuffle (r14, guide
+        # §2.4/§2.5): the pair groups are byte-light but CPU-dense, and
+        # byte-based AQE coalescing (parallelismFirst=false) would pack
+        # all d²/2 sorts onto ONE python task; an explicit repartition
+        # on the grouping keys is exempt from coalescing and satisfies
+        # the groupBy's distribution, so no extra Exchange appears.
+        n_tasks = min(
+            len(pairs), tagged.sparkSession.sparkContext.defaultParallelism
+        )
+        return (
+            tagged.repartition(n_tasks, "pos_i", "pos_j")
+            .groupBy("pos_i", "pos_j")
+            .applyInPandas(ks, schema="pos_i int, pos_j int, ks_stat double")
         )
 
     from pyspark.sql import Window

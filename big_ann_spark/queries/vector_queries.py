@@ -546,7 +546,9 @@ def doc_retrieval_top3(spark, sf_dir):
         # integers < 2^53), so no rounded score can move.
         from big_ann_spark.queries import spread_width
 
-        bidx_mem = bm25_index(docs.repartition(spread_width(spark, sf_dir)))
+        bidx_mem = bm25_index(
+            docs.repartition(spread_width(spark, sf_dir)), checkpoint=True
+        )
         return bm25_topk(
             docs.filter(F.col("doc_id") < 5),
             bidx_mem,
