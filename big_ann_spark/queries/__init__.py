@@ -80,6 +80,38 @@ def spread_width(
     )
 
 
+def spread_input(
+    df: DataFrame,
+    spark,
+    sf_dir: str,
+    table: str = "documents",
+    per_task_bytes: int = 64 << 10,
+) -> DataFrame:
+    """Round-robin-spread a NARROW scan before CPU-dense per-row work
+    (regex redaction/scoring, tokenization): a one-file corpus scan is
+    ONE task, so every regex byte runs on a single core (guide §2.5
+    "input skew — one huge file: repartition immediately after the
+    read"). Scale-adaptive: when the table's file bytes already split
+    into at least ``spread_width`` scan tasks (maxPartitionBytes
+    splits), the repartition would be a pure extra shuffle of the
+    corpus — skipped, so at real scale this is a no-op and the scan's
+    own parallelism stands. Row placement must not affect the caller's
+    results (aggregates / content-keyed ranks only)."""
+    from big_ann_spark.catalog import table_file_bytes
+
+    nbytes = table_file_bytes(sf_dir, table)
+    if nbytes <= 0:  # non-statable path: unknown size, don't add a shuffle
+        return df
+    w = spread_width(spark, sf_dir, table, per_task_bytes)
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    )
+    est_scan_tasks = nbytes // max_split + 1
+    if est_scan_tasks >= w:
+        return df
+    return df.repartition(w)
+
+
 def build_concurrently(*builders: Callable[[], DataFrame]) -> list[DataFrame]:
     """Construct INDEPENDENT DataFrame branches of a composite query on
     a small thread pool and return them in argument order.

@@ -621,7 +621,16 @@ def pipeline_clean_corpus(spark, sf_dir):
     from big_ann_spark.operators import bpe as BP
     from big_ann_spark.operators.dedup import hash_sample, token_budget_mix
 
+    from big_ann_spark.queries import spread_input
+
     d = load_table(spark, sf_dir, "documents")
+    # spread the corpus BEFORE the regex-dense per-row work (r14, guide
+    # §2.5): a one-file corpus scans as ONE task, so redact/score/
+    # pii_counts/c4/tokenize all ran single-core in the scan stage; the
+    # round-robin spread is skipped automatically once the scan itself
+    # splits wide (spread_input). Every consumer below is an aggregate
+    # or content-keyed rank — placement-invariant.
+    d = spread_input(d, spark, sf_dir, "documents")
     inj = d.select(
         "doc_id",
         "source",
@@ -697,21 +706,35 @@ def pipeline_clean_corpus(spark, sf_dir):
     from big_ann_spark.queries import spread_width
 
     _spread = spread_width(spark, sf_dir)
-    deduped = (
-        scored.filter(F.col("quality") >= 0.5)
-        .groupBy("red")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min("source").alias("source"),
-            F.min("n_tokens").alias("n_tokens"),
-            F.min("quality").alias("quality"),
+
+    # r14: the localCheckpoint CALL is not free even with eager=False —
+    # on an AQE plan, Dataset.checkpoint's physicalPlan.execute()
+    # materializes every upstream query stage synchronously (measured
+    # 0.8-2.4 s of the build's critical path: the redact/score regex +
+    # dedup shuffle run INSIDE the call). Build the checkpointed table
+    # on the background pool instead: the main thread keeps
+    # constructing the corpus-side branches (redact/c4/bpe) while the
+    # checkpoint's stages run, and deduped-dependent branches resolve
+    # the future from inside build_concurrently's pool. Same plan, same
+    # checkpoint, same single materialization — only the wall-clock
+    # interleaving changes (guide §2.6).
+    def _make_deduped():
+        return (
+            scored.filter(F.col("quality") >= 0.5)
+            .groupBy("red")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min("source").alias("source"),
+                F.min("n_tokens").alias("n_tokens"),
+                F.min("quality").alias("quality"),
+            )
+            .repartition(_spread)
+            .withColumn("_bs", doc_buckets("red", 256))
+            .withColumn("_bs2", doc_buckets("red", 256, ngram=2))
+            .localCheckpoint(eager=False)
         )
-        .repartition(_spread)
-        .withColumn("_bs", doc_buckets("red", 256))
-        .withColumn("_bs2", doc_buckets("red", 256, ngram=2))
-        .localCheckpoint(eager=False)
-    )
     def b_clean():
+        deduped = _deduped()
         return (
             deduped.groupBy("source")
             .agg(
@@ -729,6 +752,7 @@ def pipeline_clean_corpus(spark, sf_dir):
         )
 
     def b_pack():
+        deduped = _deduped()
         from big_ann_spark.operators.packing import pack_sequences
 
         return pack_sequences(deduped, 256, tokens_col="n_tokens").select(
@@ -740,6 +764,7 @@ def pipeline_clean_corpus(spark, sf_dir):
         )
 
     def b_cap():
+        deduped = _deduped()
         from big_ann_spark.operators.dedup import cap_per_source
 
         return (
@@ -766,6 +791,7 @@ def pipeline_clean_corpus(spark, sf_dir):
     # most like the src0 slice under hashed-unigram (256-bucket)
     # importance weights + deterministic Gumbel top-k (salt 4)
     def b_dsir():
+        deduped = _deduped()
         return dsir_resample(
             deduped,
             None,
@@ -787,6 +813,7 @@ def pipeline_clean_corpus(spark, sf_dir):
     # 256-bucket model + Gumbel top-k over the wider feature array
     # (precomputed as _bs2 in the same checkpoint)
     def b_dsir2():
+        deduped = _deduped()
         return dsir_resample(
             deduped,
             None,
@@ -807,6 +834,7 @@ def pipeline_clean_corpus(spark, sf_dir):
     # deterministic global-shuffle shard assignment (salt 5, 8 shards):
     # per-shard doc/token/id sums certify the exact membership
     def b_shards():
+        deduped = _deduped()
         return (
             assign_training_shards(deduped, 8, salt=5)
             .groupBy("shard")
@@ -824,25 +852,35 @@ def pipeline_clean_corpus(spark, sf_dir):
             )
         )
 
-    sampled = hash_sample(deduped, 0.5, salt=1)
-
-    # r14 overlap (guide §2.6): the build path's two remaining EAGER
-    # Spark jobs — temperature_mix's per-source totals collect (whose
-    # first action also materializes the `deduped` lazy checkpoint) and
-    # bpe_train's vocab collect — start FIRST on background threads.
-    # Results are identical: the same jobs, the same collected values,
-    # just concurrent with the branch construction below.
+    # r14 overlap (guide §2.6): the checkpoint chain (deduped →
+    # hash_sample → temperature_mix's per-source totals collect, whose
+    # first action also materializes the lazy checkpoint) and
+    # bpe_train's vocab collect run on background threads, concurrent
+    # with the branch construction below. Results are identical: the
+    # same plans, the same jobs, the same collected values — only the
+    # wall-clock interleaving changes.
     from concurrent.futures import ThreadPoolExecutor
 
     from big_ann_spark.operators.dedup import mix_source_totals, temperature_mix
 
     _pool = ThreadPoolExecutor(2)
-    fut_totals = _pool.submit(
-        mix_source_totals, sampled, text_col="red", source_col="source"
-    )
+
+    def _ck_chain():
+        dd = _make_deduped()
+        sp = hash_sample(dd, 0.5, salt=1)
+        return dd, sp, mix_source_totals(sp, text_col="red", source_col="source")
+
+    _chain = _pool.submit(_ck_chain)
     fut_merges = _pool.submit(BP.bpe_train, d, len(_PIN_MERGES), mode="driver")
 
+    def _deduped():
+        return _chain.result()[0]
+
+    def _sampled():
+        return _chain.result()[1]
+
     def b_sample():
+        sampled = _sampled()
         return (
             sampled.groupBy("source")
             .agg(
@@ -859,6 +897,7 @@ def pipeline_clean_corpus(spark, sf_dir):
         )
 
     def b_mix():
+        sampled = _sampled()
         mixed = token_budget_mix(
             sampled, _MIX_WEIGHTS, _MIX_TOTAL, text_col="red", salt=2
         )
@@ -879,9 +918,10 @@ def pipeline_clean_corpus(spark, sf_dir):
         )
 
     def b_tmix():
+        sampled = _sampled()
         tmixed = temperature_mix(
             sampled, _TMIX_TOTAL, alpha=_TMIX_ALPHA, text_col="red", salt=6,
-            totals=fut_totals.result(),
+            totals=_chain.result()[2],
         )
         return (
             tmixed.groupBy("source")
@@ -900,6 +940,7 @@ def pipeline_clean_corpus(spark, sf_dir):
         )
 
     def b_bpe():
+        sampled = _sampled()
         end_arr = F.array(F.lit(BP.END))
 
         def seg_count(w):
