@@ -140,6 +140,7 @@ def ivf_search_from_disk(
     pool_impl: str = "fold",
     as_of: int | None = None,
     _routed: DataFrame | None = None,
+    _sq8_ranges: tuple[list[float], list[float]] | None = None,
 ) -> DataFrame:
     """``ivf_search`` straight off a ``write_sharded`` layout path:
     route first, open only the probed shard directories
@@ -207,7 +208,7 @@ def ivf_search_from_disk(
     if codec == "sq8":
         pool = sq8_pool(
             routed, shards, path, k * rerank_factor,
-            id_col=id_col, dim=dim, impl=pool_impl,
+            id_col=id_col, dim=dim, impl=pool_impl, ranges=_sq8_ranges,
         )
     elif codec in ("pq", "opq"):
         # OPQ is the PQ tier with codes in a LEARNED ROTATED space:
@@ -273,6 +274,7 @@ def sq8_pool(
     dim: int | None = None,
     impl: str = "fold",
     rerank_margin: int = 5,
+    ranges: tuple[list[float], list[float]] | None = None,
 ) -> DataFrame:
     """Quantized candidate pool of an SQ8 layout: score routed queries
     against decoded bucket midpoints reading ONLY the ``codes`` column
@@ -293,16 +295,24 @@ def sq8_pool(
     from big_ann_spark.operators import oplayout
 
     spark = routed.sparkSession
-    ranges_path = f"{path}/sq8_ranges.parquet"
-    if not oplayout.path_exists(spark, ranges_path):
-        # layouts written before the sidecar rename (r9) used
-        # {path}/sq8.parquet — read them rather than forcing a rebuild.
-        # An existence check, not a bare except: a genuine read failure
-        # (permissions, corrupt footer) must surface as itself, not as
-        # a misleading not-found on the legacy name.
-        ranges_path = f"{path}/sq8.parquet"
-    rng = spark.read.parquet(ranges_path).collect()[0]
-    mins, maxs = list(rng["mins"]), list(rng["maxs"])
+    if ranges is not None:
+        # caller already holds the layout's (mins, maxs) sidecar values
+        # (e.g. from the build it just ran, or a session-scoped layout
+        # cache) — skip the per-search one-row driver read (r14: one
+        # fewer serial job on the serving critical path)
+        mins, maxs = list(ranges[0]), list(ranges[1])
+    else:
+        ranges_path = f"{path}/sq8_ranges.parquet"
+        if not oplayout.path_exists(spark, ranges_path):
+            # layouts written before the sidecar rename (r9) used
+            # {path}/sq8.parquet — read them rather than forcing a
+            # rebuild. An existence check, not a bare except: a genuine
+            # read failure (permissions, corrupt footer) must surface
+            # as itself, not as a misleading not-found on the legacy
+            # name.
+            ranges_path = f"{path}/sq8.parquet"
+        rng = spark.read.parquet(ranges_path).collect()[0]
+        mins, maxs = list(rng["mins"]), list(rng["maxs"])
     if impl == "arrow":
         return _sq8_pool_arrow(
             routed, shards, mins, maxs, k_pool,

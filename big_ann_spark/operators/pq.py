@@ -920,6 +920,51 @@ def binarize_col(vec_col, thresholds: list[float], *, word_bits: int = BINARY_WO
     )
 
 
+def binarize_col_lazy(vec_col, thr_col, d: int, *, word_bits: int = BINARY_WORD_BITS):
+    """``binarize_col`` with the per-dim thresholds read from an ARRAY
+    COLUMN instead of driver literals (r14): callers fold the midrange
+    aggregate into the plan (one-row broadcast) rather than paying an
+    eager ``train_binary`` collect job per query build. Identical
+    packing arithmetic — only where the threshold values come from
+    changes; ``d`` must be passed since no literal list carries it."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = col.cast("array<double>")
+    thr = F.col(thr_col) if isinstance(thr_col, str) else thr_col
+    n_words = (d + word_bits - 1) // word_bits
+    w2 = F.array(*[F.lit(1 << j).cast("long") for j in range(word_bits)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(word_bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.get(v, w * word_bits + j) > F.get(thr, w * word_bits + j),
+                F.get(w2, j),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
+def midrange_thresholds_table(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """ONE-row DataFrame holding the per-dim midrange threshold array
+    (``_thr``) — the lazy twin of ``train_binary``: same min/max
+    aggregate, the midrange computed in-plan ((mn+mx)/2 is a single
+    IEEE double op on both engines), pos-ordered via a struct
+    array_sort. Broadcast-crossJoin it and feed ``binarize_col_lazy``."""
+    return (
+        df.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+        )
+        .groupBy("pos")
+        .agg(((F.min("v") + F.max("v")) / 2).alias("t"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "t"))).alias("_st")
+        )
+        .select(F.transform("_st", lambda s: s["t"]).alias("_thr"))
+    )
+
+
 def hamming_distance(a, b):
     """Hamming distance between two packed-code columns:
     ``Σ_w popcount(a_w XOR b_w)`` — integer-exact, so oracle hashes

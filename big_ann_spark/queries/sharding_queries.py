@@ -94,26 +94,32 @@ def centroid_assignment_stats(spark, sf_dir):
 
 # session-scoped cache of the sq8_disk variant's persisted layout —
 # an index's real lifecycle is build-once/serve-many, so the variant
-# times the serving path, not a per-run rebuild (the bm25_disk lesson)
-_SQ8_DISK_CACHE: dict[str, str] = {}
+# times the serving path, not a per-run rebuild (the bm25_disk lesson).
+# The layout's (mins, maxs) sidecar values are cached WITH the path
+# (they are immutable layout metadata written at build time): serving
+# passes them through, skipping one one-row driver read job per search
+# (r14 — the serving chain is serial, every job is critical-path).
+_SQ8_DISK_CACHE: dict[str, tuple[str, list[float], list[float]]] = {}
 
 
-def _sq8_disk_layout(spark, sf_dir: str) -> str:
+def _sq8_disk_layout(spark, sf_dir: str) -> tuple[str, list[float], list[float]]:
     import os
     import tempfile
 
     from big_ann_spark.operators.pq import train_sq8
 
     key = os.path.realpath(sf_dir)
-    path = _SQ8_DISK_CACHE.get(key)
-    if path is None or not os.path.isdir(f"{path}/shards"):
+    hit = _SQ8_DISK_CACHE.get(key)
+    if hit is None or not os.path.isdir(f"{hit[0]}/shards"):
         path = tempfile.mkdtemp(prefix="sq8_disk_q_") + "/layout"
         emb = load_table(spark, sf_dir, "embeddings")
         cents = SH.label_centroids(emb)
         assign = SH.assign_to_centroids(emb, cents, extra_cols=["embedding"])
-        SH.write_sharded(assign, emb, path, sq8_ranges=train_sq8(emb))
-        _SQ8_DISK_CACHE[key] = path
-    return path
+        mins, maxs = train_sq8(emb)
+        SH.write_sharded(assign, emb, path, sq8_ranges=(mins, maxs))
+        hit = (path, mins, maxs)
+        _SQ8_DISK_CACHE[key] = hit
+    return hit
 
 
 # session-scoped cache of the mutated variant's layout: base build from
@@ -432,10 +438,10 @@ def ivf_search_top5(spark, sf_dir):
         )
 
     def _sq8():
-        path = _sq8_disk_layout(spark, sf_dir)
+        path, mins, maxs = _sq8_disk_layout(spark, sf_dir)
         return ANN.ivf_search_from_disk(
             queries, path, cents, k=5, nprobe=2, codec="sq8", rerank_factor=4,
-            _routed=routed,
+            _routed=routed, _sq8_ranges=(mins, maxs),
         ).select(
             F.lit("sq8_disk").alias("variant"),
             "qid",

@@ -195,7 +195,10 @@ def dim_pair_stats(spark, sf_dir):
     v = emb.select(F.col("embedding")[0].cast("double").alias("x"), F.lit(0).alias("grp")).union(
         emb.select(F.col("embedding")[1].cast("double").alias("x"), F.lit(1).alias("grp"))
     )
-    ks_r = ks_two_sample(v, ranged=True).select(
+    # lazy_counts (r14): both groups are embedding dims of a non-empty
+    # table, so the eager empty-group guard buys nothing here and its
+    # collect was a serial driver job per build
+    ks_r = ks_two_sample(v, ranged=True, lazy_counts=True).select(
         F.lit("ks_ranged").alias("variant"),
         F.lit(0).alias("pos_i"),
         F.lit(1).alias("pos_j"),

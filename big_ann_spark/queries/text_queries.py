@@ -145,7 +145,15 @@ def text_metrics(spark, sf_dir):
         train_ngram_lm,
     )
 
+    from big_ann_spark.queries import spread_input
+
     d = load_table(spark, sf_dir, "documents")
+    # r14 (guide §2.5): the one-file corpus scan is a single task, and
+    # base/rep/lm/sb all tokenize inside it — spread once (skipped when
+    # the scan already splits wide); the four consumers share the
+    # exchange via ReusedExchange. Per-doc rows and aggregates only —
+    # placement-invariant.
+    d = spread_input(d, spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),

@@ -242,18 +242,27 @@ def knn_cosine_top5(spark, sf_dir):
         "rank",
     )
 
-    from big_ann_spark.operators.pq import binarize_col, hamming_knn, train_binary
+    from big_ann_spark.operators.pq import (
+        binarize_col_lazy,
+        hamming_knn,
+        midrange_thresholds_table,
+    )
 
-    thr = train_binary(emb)
-    codes = emb.select(
+    # r14: thresholds stay IN-PLAN (one-row broadcast midrange agg)
+    # instead of an eager train_binary collect job per build — same
+    # (mn+mx)/2 doubles, one fewer serial driver job. dim=64 is the
+    # fixture contract (same constant the l2 codegen unroll uses).
+    thr_tbl = midrange_thresholds_table(emb)
+    codes = emb.crossJoin(F.broadcast(thr_tbl)).select(
         F.col("vec_id").alias("id"),
-        binarize_col("embedding", thr).alias("codes"),
+        binarize_col_lazy("embedding", "_thr", 64).alias("codes"),
     )
     qcodes = (
         emb.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(thr_tbl))
         .select(
             F.col("vec_id").alias("qid"),
-            binarize_col("embedding", thr).alias("qcodes"),
+            binarize_col_lazy("embedding", "_thr", 64).alias("qcodes"),
             F.col("embedding").alias("qvec"),
         )
     )

@@ -104,6 +104,23 @@ def test_ks_two_sample_raises_on_empty_group(spark):
         ks_two_sample(v)
 
 
+def test_ks_two_sample_lazy_counts_matches_eager(spark):
+    """r14: lazy_counts folds the group totals into the plan as a
+    broadcast one-row aggregate instead of an eager collect — the
+    statistic must be BIT-identical (integer counts, same double
+    divisors) on both the ranged and global-window paths."""
+    from big_ann_spark.operators.stats import ks_two_sample
+
+    rows = [(float(i % 7) * 0.5 - 1.0, i % 2) for i in range(200)]
+    v = spark.createDataFrame(rows, "x double, grp int")
+    for ranged in (False, True):
+        eager = ks_two_sample(v, ranged=ranged, n_bins=13).collect()[0]["ks_stat"]
+        lazy = ks_two_sample(
+            v, ranged=ranged, n_bins=13, lazy_counts=True
+        ).collect()[0]["ks_stat"]
+        assert lazy == eager
+
+
 def test_buddy_order_is_permutation_and_greedy():
     w = np.array(
         [
