@@ -184,9 +184,23 @@ def ivf_search_from_disk(
             queries, centroids, nprobe, query_id=query_id, query_vec=query_vec, dim=dim
         ).localCheckpoint(eager=False)
     )
-    probe_ids = [
-        r["shard_id"] for r in routed.select("shard_id").distinct().collect()
-    ]
+    # one routing materialization (r14): the arrow pools and the pq
+    # fold LUT build need the routed ROWS on the driver anyway — when a
+    # pool will collect them, collect once here and derive probe_ids
+    # from the same rows instead of running a second serial job over
+    # the same contractually-tiny table
+    routed_rows = None
+    pool_needs_rows = (codec == "sq8" and pool_impl == "arrow") or codec in (
+        "pq",
+        "opq",
+    )
+    if pool_needs_rows:
+        routed_rows = routed.select("qid", "qvec", "shard_id").collect()
+        probe_ids = sorted({int(r["shard_id"]) for r in routed_rows})
+    else:
+        probe_ids = [
+            r["shard_id"] for r in routed.select("shard_id").distinct().collect()
+        ]
     shards = live_probed_view(
         spark, path, open_probed_shards(spark, path, probe_ids),
         probe_ids, as_of=as_of, id_col=id_col, vec_col=vec_col,
@@ -209,6 +223,7 @@ def ivf_search_from_disk(
         pool = sq8_pool(
             routed, shards, path, k * rerank_factor,
             id_col=id_col, dim=dim, impl=pool_impl, ranges=_sq8_ranges,
+            routed_rows=routed_rows,
         )
     elif codec in ("pq", "opq"):
         # OPQ is the PQ tier with codes in a LEARNED ROTATED space:
@@ -231,7 +246,7 @@ def ivf_search_from_disk(
             )
         pool = pq_pool(
             routed, shards, path, k * rerank_factor,
-            id_col=id_col, impl=pool_impl,
+            id_col=id_col, impl=pool_impl, routed_rows=routed_rows,
         )
     elif codec == "binary":
         pool = binary_pool(routed, shards, path, k * rerank_factor, id_col=id_col)
@@ -275,6 +290,7 @@ def sq8_pool(
     impl: str = "fold",
     rerank_margin: int = 5,
     ranges: tuple[list[float], list[float]] | None = None,
+    routed_rows=None,
 ) -> DataFrame:
     """Quantized candidate pool of an SQ8 layout: score routed queries
     against decoded bucket midpoints reading ONLY the ``codes`` column
@@ -317,6 +333,7 @@ def sq8_pool(
         return _sq8_pool_arrow(
             routed, shards, mins, maxs, k_pool,
             id_col=id_col, rerank_margin=rerank_margin,
+            routed_rows=routed_rows,
         )
     if impl != "fold":
         raise ValueError(f"impl must be 'fold' or 'arrow', got {impl!r}")
@@ -348,6 +365,7 @@ def _arrow_nominating_pool(
     payload_dtype,
     make_state,
     score_shard,
+    routed_rows=None,
 ) -> DataFrame:
     """The shared skeleton of the numpy candidate pools (sq8 decode
     GEMM, pq LUT gather): routing ships as ONE broadcast (sorted query
@@ -362,7 +380,15 @@ def _arrow_nominating_pool(
     expression impls is the scorer's contract, not the skeleton's."""
     import numpy as np
 
-    rrows = routed.select("qid", "qvec", "shard_id").collect()
+    # routed_rows (r14): a caller that already collected the routing
+    # table (ivf_search_from_disk derives probe_ids from the same rows)
+    # passes it through — one routing materialization per search, not
+    # two serial jobs over the same 40-row table
+    rrows = (
+        routed_rows
+        if routed_rows is not None
+        else routed.select("qid", "qvec", "shard_id").collect()
+    )
     qvec_by_id: dict[int, list[float]] = {}
     shard_to_q: dict[int, list[int]] = {}
     for r in rrows:
@@ -427,6 +453,7 @@ def _sq8_pool_arrow(
     *,
     id_col: str = "vec_id",
     rerank_margin: int = 5,
+    routed_rows=None,
 ) -> DataFrame:
     """BLAS scoring of the codes scan: each batch decodes its codes
     ONCE with the exact fold-order arithmetic
@@ -490,6 +517,7 @@ def _sq8_pool_arrow(
         routed, shards, k_pool,
         id_col=id_col, payload_col="codes", payload_dtype=np.float64,
         make_state=make_state, score_shard=score_shard,
+        routed_rows=routed_rows,
     )
 
 
@@ -501,6 +529,7 @@ def pq_pool(
     *,
     id_col: str = "vec_id",
     impl: str = "fold",
+    routed_rows=None,
 ) -> DataFrame:
     """Quantized candidate pool of an IVF-PQ (IVFADC) layout: the
     candidate pass scans ONLY the ``pq_codes`` column of the probed
@@ -536,12 +565,17 @@ def pq_pool(
         rotation = load_rotation(spark, f"{path}/opq_rotation.parquet")
     if impl == "arrow":
         return _pq_pool_arrow(
-            routed, shards, codebooks, k_pool, id_col=id_col, rotation=rotation
+            routed, shards, codebooks, k_pool, id_col=id_col,
+            rotation=rotation, routed_rows=routed_rows,
         )
     if impl != "fold":
         raise ValueError(f"impl must be 'fold' or 'arrow', got {impl!r}")
     qvecs: dict[int, list[float]] = {}
-    for r in routed.select("qid", "qvec").collect():
+    for r in (
+        routed_rows
+        if routed_rows is not None
+        else routed.select("qid", "qvec").collect()
+    ):
         qvecs.setdefault(int(r["qid"]), [float(x) for x in r["qvec"]])
     if rotation is not None:
         import numpy as np
@@ -638,6 +672,7 @@ def _pq_pool_arrow(
     *,
     id_col: str = "vec_id",
     rotation: list[list[float]] | None = None,
+    routed_rows=None,
 ) -> DataFrame:
     """numpy LUT-gather ADC scan on the shared nominating skeleton:
     each batch gathers ``lut[j, codes[:, j]]`` and accumulates
@@ -680,6 +715,7 @@ def _pq_pool_arrow(
         routed, shards, k_pool,
         id_col=id_col, payload_col="pq_codes", payload_dtype=np.int64,
         make_state=make_state, score_shard=score_shard,
+        routed_rows=routed_rows,
     )
 
 
