@@ -854,8 +854,14 @@ def _filtered_candidates(
 
     uncommitted = list(uncommitted or [])
     tag_df = tag_ops.tag_df_view(spark, path, as_of=as_of, uncommitted=uncommitted)
+    # explode_OUTER (r14): an empty/null query tag set keeps a row with
+    # a NULL rarest tag, so the caller's empty-tag contract guard folds
+    # into the bucket collect below — one serial job per search where
+    # the guard used to run its own limit-1 count first. For every
+    # valid query (non-empty tags) the produced rows are identical to
+    # plain explode.
     q_rare = (
-        q.select("qid", F.explode("_qtags").alias("_tag"))
+        q.select("qid", F.explode_outer("_qtags").alias("_tag"))
         .join(tag_df, "_tag", "left")
         .groupBy("qid")
         .agg(
@@ -867,12 +873,15 @@ def _filtered_candidates(
         .localCheckpoint(eager=False)
     )
     n_buckets = tag_ops.n_tag_buckets(spark, path)
-    tbs = {
-        r["_tb"]
-        for r in q_rare.select(
-            F.pmod(F.xxhash64("_tag"), F.lit(n_buckets)).alias("_tb")
-        ).distinct().collect()
-    }
+    rare_rows = q_rare.select(
+        "_tag", F.pmod(F.xxhash64("_tag"), F.lit(n_buckets)).alias("_tb")
+    ).distinct().collect()
+    if any(r["_tag"] is None for r in rare_rows):
+        raise ValueError(
+            "filtered search: query with an empty tag set is "
+            "unconstrained — use ivf_search_from_disk for those queries"
+        )
+    tbs = {r["_tb"] for r in rare_rows}
     posts = tag_ops.visible_postings(
         spark, path, as_of=as_of, uncommitted=uncommitted
     ).filter(F.col("_tb").isin([int(b) for b in tbs]))
@@ -940,12 +949,10 @@ def filtered_search_from_disk(
         F.col(query_id).alias("qid"),
         F.col(query_vec).alias("_qvec"),
         F.col(query_tags).alias("_qtags"),
-    ).localCheckpoint(eager=False)  # lazy: the guard count materializes it
-    if q.filter(F.size(F.coalesce("_qtags", F.array())) == 0).limit(1).count():
-        raise ValueError(
-            "filtered_search_from_disk: query with an empty tag set is "
-            "unconstrained — use ivf_search_from_disk for those queries"
-        )
+    ).localCheckpoint(eager=False)
+    # empty-tag contract guard: folded into _filtered_candidates'
+    # rarest-tag collect (explode_outer keeps a NULL-tag row per
+    # empty-tag query), so no dedicated guard job runs here (r14)
     uncommitted = sorted(
         vector_ops._ops_on_disk(spark, path)
         - oplayout.committed_ops(spark, path)
