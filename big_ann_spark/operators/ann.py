@@ -42,6 +42,11 @@ def _isin_ids(col: str, ids: list) -> F.Column:
     return F.col(col).isin(ids)
 
 
+# (base path, base-dir mtime) -> shards StructType; see
+# open_probed_shards. Schema only — never data.
+_SHARDS_SCHEMA_MEMO: dict[tuple[str, int], object] = {}
+
+
 def open_probed_shards(
     spark,
     path: str,
@@ -74,6 +79,21 @@ def open_probed_shards(
         for s in shard_ids
         if fs.exists(jvm.org.apache.hadoop.fs.Path(d := f"{base}/shard_id={s}"))
     ]
+    # schema memo (r14, guide §6): a bare parquet read runs a footer-
+    # inference job on the driver before the first data byte — on the
+    # serving path that is one serial job per search. Shard schema is
+    # fixed at build time (mutations append files, never columns), so
+    # memoize it per (base, base-dir mtime): a NEW shard directory
+    # bumps the base mtime and invalidates; file appends inside
+    # existing shard dirs keep the identical schema. SCHEMA only,
+    # never rows.
+    memo_key = None
+    memo_schema = None
+    try:
+        memo_key = (base, int(fs.getFileStatus(jpath).getModificationTime()))
+        memo_schema = _SHARDS_SCHEMA_MEMO.get(memo_key)
+    except Exception:
+        pass
     if not dirs:
         # preserve an empty-but-typed result. An ALL-DELETED compacted
         # layout has zero shard dirs (a partitioned write of no rows
@@ -85,7 +105,13 @@ def open_probed_shards(
             sc = spark.read.parquet(f"{path}/schema.parquet").schema
             return spark.createDataFrame([], sc)
         return spark.read.option("basePath", base).parquet(base).limit(0)
-    return spark.read.option("basePath", base).parquet(*dirs)
+    reader = spark.read.option("basePath", base)
+    if memo_schema is not None:
+        return reader.schema(memo_schema).parquet(*dirs)
+    df = reader.parquet(*dirs)
+    if memo_key is not None:
+        _SHARDS_SCHEMA_MEMO[memo_key] = df.schema
+    return df
 
 
 def detect_refine_codec(spark, path: str, vec_col: str = "embedding") -> str:
@@ -327,7 +353,13 @@ def sq8_pool(
             # as itself, not as a misleading not-found on the legacy
             # name.
             ranges_path = f"{path}/sq8.parquet"
-        rng = spark.read.parquet(ranges_path).collect()[0]
+        # explicit schema (r14): write_sharded's sidecar schema — no
+        # footer inference job on the serving path
+        rng = (
+            spark.read.schema("mins array<double>, maxs array<double>")
+            .parquet(ranges_path)
+            .collect()[0]
+        )
         mins, maxs = list(rng["mins"]), list(rng["maxs"])
     if impl == "arrow":
         return _sq8_pool_arrow(
@@ -635,10 +667,12 @@ def binary_pool(
     )
 
     spark = routed.sparkSession
+    # explicit schema (r14): write_sharded's sidecar schema — no footer
+    # inference job on the serving path
     thr = list(
-        spark.read.parquet(f"{path}/binary_thresholds.parquet").collect()[0][
-            "thresholds"
-        ]
+        spark.read.schema("thresholds array<double>")
+        .parquet(f"{path}/binary_thresholds.parquet")
+        .collect()[0]["thresholds"]
     )
     qcodes = (
         routed.select("qid", "qvec")

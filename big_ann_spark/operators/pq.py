@@ -224,7 +224,12 @@ def save_pq_codebooks(spark, path: str, codebooks: list[list[list[float]]]) -> N
 
 
 def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
-    rows = spark.read.parquet(path).collect()
+    # explicit schema (r14): the sidecar is written by save_pq_codebooks
+    # with exactly this schema — skipping footer inference cuts one
+    # driver job from every serving call that loads codebooks
+    rows = spark.read.schema("j int, c int, centroid array<double>").parquet(
+        path
+    ).collect()
     m = max(r["j"] for r in rows) + 1
     out: list[list[list[float]]] = [[] for _ in range(m)]
     for j in range(m):
