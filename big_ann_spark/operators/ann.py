@@ -864,6 +864,11 @@ def write_tag_postings_layout(
         .write.mode("overwrite")
         .parquet(f"{path}/tag_meta.parquet")
     )
+    # a rebuild at the same path must not serve the old constants from
+    # the read-side memo (r14)
+    from big_ann_spark.operators import tag_ops as _to
+
+    _to._TAG_META_MEMO.pop(path, None)
 
 
 def _filtered_candidates(
