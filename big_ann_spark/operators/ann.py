@@ -110,6 +110,8 @@ def open_probed_shards(
         return reader.schema(memo_schema).parquet(*dirs)
     df = reader.parquet(*dirs)
     if memo_key is not None:
+        if len(_SHARDS_SCHEMA_MEMO) >= 256:  # bound growth across layouts
+            _SHARDS_SCHEMA_MEMO.clear()
         _SHARDS_SCHEMA_MEMO[memo_key] = df.schema
     return df
 

@@ -440,6 +440,16 @@ def write_sharded(
         .mode("overwrite")
         .parquet(f"{path}/shards")
     )
+    # a same-path rebuild (e.g. a codec change) must not serve the old
+    # schema from the read-side memo: the (base, mtime) key alone is
+    # unsafe on filesystems with coarse 1 s mtime granularity (ADVICE
+    # r14) — drop every entry for this base, mirroring
+    # write_tag_postings_layout's _TAG_META_MEMO pop.
+    from big_ann_spark.operators import ann as _ann
+
+    _shards_base = f"{path}/shards"
+    for _k in [k for k in _ann._SHARDS_SCHEMA_MEMO if k[0] == _shards_base]:
+        _ann._SHARDS_SCHEMA_MEMO.pop(_k, None)
     # schema sidecar: a PARTITIONED write of an EMPTY row set lands no
     # files at all (no partition values exist), which makes the shards
     # dir schema-uninferable — legal state when compaction folds a

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from big_ann_spark.catalog import load_table
 from big_ann_spark.operators import dedup as D
-from big_ann_spark.queries import register, spread_width
+from big_ann_spark.queries import register, spread_width_if_narrow
 
 
 @register(
@@ -124,8 +124,16 @@ def ngram_jaccard_top_pairs(spark, sf_dir, naive=False):
     # file → one scan partition, so the char-level hashing otherwise
     # runs on a single core; every downstream statistic is an integer
     # count or a per-doc array, invariant to row placement.
-    _w = spread_width(spark, sf_dir)
-    keys = D.doc_shingle_keys(d.repartition(_w)).localCheckpoint(eager=False)
+    # scale guard (r15, VERDICT r14 #2): the spread exists to break the
+    # ONE-task shape of a one-file toy-scale scan; once the corpus
+    # splits into >= width scan tasks the width is None and both the
+    # corpus repartition and the verify round-robin are skipped — a
+    # cores-capped repartition there would COLLAPSE an already-wide
+    # distribution into multi-GB tasks while paying an extra shuffle.
+    _w = spread_width_if_narrow(spark, sf_dir)
+    keys = D.doc_shingle_keys(
+        d if _w is None else d.repartition(_w)
+    ).localCheckpoint(eager=False)
     if naive:
         pairs = D.jaccard_similarity_pairs(d, shingles=keys)
     else:
@@ -355,8 +363,10 @@ def minhash_lsh_near_dup(spark, sf_dir):
     # §2.5): the one-file corpus scan otherwise hashes on 1-2 cores;
     # min-hash aggregation and every verify statistic are order-
     # independent (min / integer counts / per-doc arrays).
-    _w = spread_width(spark, sf_dir)
-    keys = D.doc_shingle_keys(corpus.repartition(_w))
+    # scale guard (r15, VERDICT r14 #2): spread only while the corpus
+    # scan is narrow; None at real scale (see ngram_jaccard_top_pairs).
+    _w = spread_width_if_narrow(spark, sf_dir)
+    keys = D.doc_shingle_keys(corpus if _w is None else corpus.repartition(_w))
     arrs = D.doc_shingle_arrays(shingles=keys).localCheckpoint(eager=False)
     ex = arrs.select("doc_id", F.explode("shs").alias("shingle"))
     sigs = D.minhash_signatures(

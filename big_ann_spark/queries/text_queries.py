@@ -711,9 +711,15 @@ def pipeline_clean_corpus(spark, sf_dir):
     # for 32 (per-task overhead beats the spread past the basin), and
     # the cap keeps real corpora cores-wide. Row placement does not
     # affect any downstream aggregate.
-    from big_ann_spark.queries import spread_width
+    # scale guard (r15, VERDICT r14 #2): the spread exists to break the
+    # ONE-task shape AQE's byte-coalescing gives the tiny post-dedup
+    # shuffle at toy scale. Once the source corpus splits into >= width
+    # scan tasks, the deduped shuffle output is AQE-sized to many
+    # advisory-byte partitions anyway and a cores-capped repartition
+    # would COLLAPSE it — so the width is None and the spread skipped.
+    from big_ann_spark.queries import spread_width_if_narrow
 
-    _spread = spread_width(spark, sf_dir)
+    _spread = spread_width_if_narrow(spark, sf_dir)
 
     # r14: the localCheckpoint CALL is not free even with eager=False —
     # on an AQE plan, Dataset.checkpoint's physicalPlan.execute()
@@ -727,7 +733,7 @@ def pipeline_clean_corpus(spark, sf_dir):
     # checkpoint, same single materialization — only the wall-clock
     # interleaving changes (guide §2.6).
     def _make_deduped():
-        return (
+        dd = (
             scored.filter(F.col("quality") >= 0.5)
             .groupBy("red")
             .agg(
@@ -736,8 +742,11 @@ def pipeline_clean_corpus(spark, sf_dir):
                 F.min("n_tokens").alias("n_tokens"),
                 F.min("quality").alias("quality"),
             )
-            .repartition(_spread)
-            .withColumn("_bs", doc_buckets("red", 256))
+        )
+        if _spread is not None:
+            dd = dd.repartition(_spread)
+        return (
+            dd.withColumn("_bs", doc_buckets("red", 256))
             .withColumn("_bs2", doc_buckets("red", 256, ngram=2))
             .localCheckpoint(eager=False)
         )

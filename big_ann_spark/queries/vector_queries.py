@@ -250,19 +250,22 @@ def knn_cosine_top5(spark, sf_dir):
 
     # r14: thresholds stay IN-PLAN (one-row broadcast midrange agg)
     # instead of an eager train_binary collect job per build — same
-    # (mn+mx)/2 doubles, one fewer serial driver job. dim=64 is the
-    # fixture contract (same constant the l2 codegen unroll uses).
+    # (mn+mx)/2 doubles, one fewer serial driver job. DIM is the
+    # fixture contract (same constant the l2 codegen unroll uses);
+    # passing the module constant (ADVICE r14) keeps the bit width in
+    # lockstep should the fixture dim ever change — bits past d would
+    # otherwise silently zero (F.get past array end is NULL).
     thr_tbl = midrange_thresholds_table(emb)
     codes = emb.crossJoin(F.broadcast(thr_tbl)).select(
         F.col("vec_id").alias("id"),
-        binarize_col_lazy("embedding", "_thr", 64).alias("codes"),
+        binarize_col_lazy("embedding", "_thr", DIM).alias("codes"),
     )
     qcodes = (
         emb.filter(F.col("vec_id") < 10)
         .crossJoin(F.broadcast(thr_tbl))
         .select(
             F.col("vec_id").alias("qid"),
-            binarize_col_lazy("embedding", "_thr", 64).alias("qcodes"),
+            binarize_col_lazy("embedding", "_thr", DIM).alias("qcodes"),
             F.col("embedding").alias("qvec"),
         )
     )
@@ -553,10 +556,12 @@ def doc_retrieval_top3(spark, sf_dir):
         # any partitioning: tf/df/n_docs are integer counts and avgdl
         # averages integer-valued doubles (partial sums stay exact
         # integers < 2^53), so no rounded score can move.
-        from big_ann_spark.queries import spread_width
+        # scale guard (r15, VERDICT r14 #2): spread_input skips the
+        # round-robin once the corpus scan splits wide on its own.
+        from big_ann_spark.queries import spread_input
 
         bidx_mem = bm25_index(
-            docs.repartition(spread_width(spark, sf_dir)), checkpoint=True
+            spread_input(docs, spark, sf_dir), checkpoint=True
         )
         return bm25_topk(
             docs.filter(F.col("doc_id") < 5),
