@@ -217,6 +217,29 @@ def ivf_search_from_disk(
     # pool will collect them, collect once here and derive probe_ids
     # from the same rows instead of running a second serial job over
     # the same contractually-tiny table
+    # sidecar prefetch (r15, VERDICT r14 #4, guide §2.6): the codebooks
+    # (+ optional OPQ rotation) live in layout sidecars with NO data
+    # dependency on routing, yet their read jobs ran serially AFTER the
+    # routing collect — the two from-disk search hops that CAN overlap.
+    # Load them on a background thread while the routing job runs; the
+    # values are identical, only the wall-clock interleaving changes.
+    sidecar_fut = None
+    if codec in ("pq", "opq"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from big_ann_spark.operators import oplayout as _ol2
+        from big_ann_spark.operators.pq import load_pq_codebooks, load_rotation
+
+        def _load_pq_sidecars():
+            cb = load_pq_codebooks(spark, f"{path}/pq_codebooks.parquet")
+            rot = None
+            if _ol2.path_exists(spark, f"{path}/opq_rotation.parquet"):
+                rot = load_rotation(spark, f"{path}/opq_rotation.parquet")
+            return cb, rot
+
+        _ex = ThreadPoolExecutor(1)
+        sidecar_fut = _ex.submit(_load_pq_sidecars)
+        _ex.shutdown(wait=False)
     routed_rows = None
     pool_needs_rows = (codec == "sq8" and pool_impl == "arrow") or codec in (
         "pq",
@@ -226,9 +249,12 @@ def ivf_search_from_disk(
         routed_rows = routed.select("qid", "qvec", "shard_id").collect()
         probe_ids = sorted({int(r["shard_id"]) for r in routed_rows})
     else:
-        probe_ids = [
-            r["shard_id"] for r in routed.select("shard_id").distinct().collect()
-        ]
+        # plain collect + driver-side set: the table is contractually
+        # tiny (<= Q*nprobe rows), so a distinct() only added an
+        # exchange and its AQE stage micro-job to the serial chain (r15)
+        probe_ids = sorted(
+            {int(r["shard_id"]) for r in routed.select("shard_id").collect()}
+        )
     shards = live_probed_view(
         spark, path, open_probed_shards(spark, path, probe_ids),
         probe_ids, as_of=as_of, id_col=id_col, vec_col=vec_col,
@@ -262,11 +288,7 @@ def ivf_search_from_disk(
         # so rotation never touches the rerank. codec="opq" makes the
         # tier explicit and REFUSES a layout without the rotation
         # (a plain-PQ layout served as "opq" would silently be plain PQ).
-        from big_ann_spark.operators import oplayout as _ol
-
-        if codec == "opq" and not _ol.path_exists(
-            spark, f"{path}/opq_rotation.parquet"
-        ):
+        if codec == "opq" and sidecar_fut.result()[1] is None:
             raise ValueError(
                 f"codec='opq' but {path} has no opq_rotation.parquet — "
                 "build with --opq-refine (write_sharded(opq_rotation=…)), "
@@ -275,6 +297,7 @@ def ivf_search_from_disk(
         pool = pq_pool(
             routed, shards, path, k * rerank_factor,
             id_col=id_col, impl=pool_impl, routed_rows=routed_rows,
+            _sidecars=sidecar_fut.result() if sidecar_fut is not None else None,
         )
     elif codec == "binary":
         pool = binary_pool(routed, shards, path, k * rerank_factor, id_col=id_col)
@@ -564,6 +587,7 @@ def pq_pool(
     id_col: str = "vec_id",
     impl: str = "fold",
     routed_rows=None,
+    _sidecars: tuple | None = None,
 ) -> DataFrame:
     """Quantized candidate pool of an IVF-PQ (IVFADC) layout: the
     candidate pass scans ONLY the ``pq_codes`` column of the probed
@@ -589,14 +613,22 @@ def pq_pool(
     )
 
     spark = routed.sparkSession
-    codebooks = load_pq_codebooks(spark, f"{path}/pq_codebooks.parquet")
-    # OPQ layout: codes live in the rotated space, so the per-query
-    # LUTs are built from the ROTATED queries (the only place the
-    # rotation touches serving — the exact rerank compares raw vectors
-    # with raw queries, and an orthogonal R preserves L2 exactly)
-    rotation = None
-    if oplayout.path_exists(spark, f"{path}/opq_rotation.parquet"):
-        rotation = load_rotation(spark, f"{path}/opq_rotation.parquet")
+    # ``_sidecars``: (codebooks, rotation) already loaded by the caller
+    # — ivf_search_from_disk prefetches them on a background thread
+    # concurrent with the routing collect (r15); values are identical
+    # to loading here.
+    if _sidecars is not None:
+        codebooks, rotation = _sidecars
+    else:
+        codebooks = load_pq_codebooks(spark, f"{path}/pq_codebooks.parquet")
+        # OPQ layout: codes live in the rotated space, so the per-query
+        # LUTs are built from the ROTATED queries (the only place the
+        # rotation touches serving — the exact rerank compares raw
+        # vectors with raw queries, and an orthogonal R preserves L2
+        # exactly)
+        rotation = None
+        if oplayout.path_exists(spark, f"{path}/opq_rotation.parquet"):
+            rotation = load_rotation(spark, f"{path}/opq_rotation.parquet")
     if impl == "arrow":
         return _pq_pool_arrow(
             routed, shards, codebooks, k_pool, id_col=id_col,

@@ -1702,6 +1702,35 @@ def token_budget_mix(
     own job now instead of a serial pre-job."""
     from big_ann_spark.functions.text import token_count
 
+    sized = docs.withColumn("_toks", token_count(text_col))
+    mix = token_budget_mix_table(
+        docs,
+        weights,
+        total_tokens,
+        text_col=text_col,
+        source_col=source_col,
+    )
+    return _apply_mix_table(docs, sized, mix, source_col, id_col, salt)
+
+
+def token_budget_mix_table(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """The lazy (source, _thresh, target_tokens) mix table
+    :func:`token_budget_mix` broadcasts — exposed so a caller merging
+    several mix variants into ONE conditional aggregate (r15, the
+    pipeline's sampled-family fusion) can apply the identical
+    selection predicate ``mix_hash(id, salt) < _thresh`` itself. Must
+    stay the exact table token_budget_mix builds: the float sequence
+    (literal weight arithmetic, least(1, target/tot), trunc(frac*mod))
+    is oracle-pinned."""
+    from big_ann_spark.functions.text import token_count
+
     w_sum = sum(weights.values())
     sized = docs.withColumn("_toks", token_count(text_col))
     # literal per-source targets: pure weight arithmetic, data-free —
@@ -1718,7 +1747,7 @@ def token_budget_mix(
     # totals can be NEGATIVE when every doc of a source has NULL text
     # (size(null) = -1 per token_count) — treated like absent (> 0)
     frac = F.least(F.lit(1.0), F.col("_target") / F.col("_tot"))
-    mix = (
+    return (
         totals.join(F.broadcast(wtab), source_col)
         .filter(F.col("_tot") > 0)
         .select(
@@ -1727,7 +1756,14 @@ def token_budget_mix(
             "target_tokens",
         )
     )
-    return _apply_mix_table(docs, sized, mix, source_col, id_col, salt)
+
+
+def mix_hash(id_col: str = "doc_id", salt: int = 0):
+    """The content-stable selection hash the mix family filters on
+    (``mix_hash(id, salt) < _thresh``) — exposed alongside the
+    ``*_mix_table`` builders so merged conditional aggregates select
+    bit-identically to :func:`_apply_mix_table`."""
+    return _stable_hash(id_col, salt, 2654435761, MINHASH_P)
 
 
 def _apply_mix_table(
@@ -1807,6 +1843,31 @@ def temperature_mix(
     from big_ann_spark.functions.text import token_count
 
     sized = docs.withColumn("_toks", token_count(text_col))
+    mix = temperature_mix_table(
+        docs,
+        total_tokens,
+        alpha=alpha,
+        text_col=text_col,
+        source_col=source_col,
+        totals=totals,
+    )
+    return _apply_mix_table(docs, sized, mix, source_col, id_col, salt)
+
+
+def temperature_mix_table(
+    docs: DataFrame,
+    total_tokens: int,
+    *,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+    totals: dict | None = None,
+) -> DataFrame:
+    """The literal (source, _thresh, target_tokens) mix table
+    :func:`temperature_mix` broadcasts — exposed for merged
+    conditional aggregates (see :func:`token_budget_mix_table`). The
+    driver-side pow()/w_sum float sequence is oracle-pinned; do not
+    move it into the plan."""
     if totals is None:
         totals = mix_source_totals(docs, text_col=text_col, source_col=source_col)
     # drop NULL sources (a join key of NULL never matches the mix
@@ -1829,7 +1890,6 @@ def temperature_mix(
     # type (ADVICE r7: hardcoding string broke int-sourced corpora at
     # createDataFrame where the old per-source loop handled any type)
     src_type = docs.schema[source_col].dataType.simpleString()
-    mix = docs.sparkSession.createDataFrame(
+    return docs.sparkSession.createDataFrame(
         mix_rows, f"{source_col} {src_type}, _thresh long, target_tokens long"
     )
-    return _apply_mix_table(docs, sized, mix, source_col, id_col, salt)

@@ -627,7 +627,7 @@ def pipeline_clean_corpus(spark, sf_dir):
     token_budget_mix's per-source fraction map and the collected
     distinct-word vocab, both contractually tiny."""
     from big_ann_spark.operators import bpe as BP
-    from big_ann_spark.operators.dedup import hash_sample, token_budget_mix
+    from big_ann_spark.operators.dedup import hash_sample
 
     from big_ann_spark.queries import spread_input
 
@@ -878,7 +878,7 @@ def pipeline_clean_corpus(spark, sf_dir):
     # wall-clock interleaving changes.
     from concurrent.futures import ThreadPoolExecutor
 
-    from big_ann_spark.operators.dedup import mix_source_totals, temperature_mix
+    from big_ann_spark.operators.dedup import mix_source_totals
 
     _pool = ThreadPoolExecutor(2)
 
@@ -896,68 +896,51 @@ def pipeline_clean_corpus(spark, sf_dir):
     def _sampled():
         return _chain.result()[1]
 
-    def b_sample():
-        sampled = _sampled()
-        return (
-            sampled.groupBy("source")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("n_tokens").cast("double").alias("v1"),
-            )
-            .select(
-                F.lit("sample").alias("variant"),
-                F.col("source").alias("key"),
-                "n",
-                "v1",
-                F.lit(0.0).alias("v2"),
-            )
+    def b_sampled_family():
+        # r15 (VERDICT r14 #3): the sample/mix/tmix/bpe variants were
+        # FOUR independent groupBy("source") subtrees over the same
+        # checkpointed `sampled` table — four scans, four
+        # partial+final aggregate exchange pairs, four union branches
+        # of AQE micro-jobs. They fuse into ONE conditional aggregate:
+        # the mix/tmix selections are broadcast hash-threshold
+        # predicates (never windows), so each variant's rows are
+        # `when(hash < thresh)` conditions inside a single pass, and a
+        # stack() fans the per-source aggregate back out to the four
+        # variant rows. Every aggregate is computed over the identical
+        # row set with the identical expression as the unfused
+        # branches (mix/tmix tables come from the same *_mix_table
+        # builders token_budget_mix/temperature_mix themselves use;
+        # the v2 target is constant per source so max == first) —
+        # proven by the unchanged oracle hash. Sources with zero
+        # selected rows produced no group in the unfused mix/tmix
+        # aggregates; the n > 0 filter reproduces that exactly
+        # (sample/bpe groups always have n >= 1 by construction).
+        from big_ann_spark.operators.dedup import (
+            mix_hash,
+            temperature_mix_table,
+            token_budget_mix_table,
         )
 
-    def b_mix():
         sampled = _sampled()
-        mixed = token_budget_mix(
-            sampled, _MIX_WEIGHTS, _MIX_TOTAL, text_col="red", salt=2
+        mixt = token_budget_mix_table(
+            sampled, _MIX_WEIGHTS, _MIX_TOTAL, text_col="red"
+        ).select(
+            "source",
+            F.col("_thresh").alias("_m_thresh"),
+            F.col("target_tokens").alias("_m_target"),
         )
-        return (
-            mixed.groupBy("source")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("n_tokens").cast("double").alias("v1"),
-                F.first("target_tokens").cast("double").alias("v2"),
-            )
-            .select(
-                F.lit("mix").alias("variant"),
-                F.col("source").alias("key"),
-                "n",
-                "v1",
-                "v2",
-            )
-        )
-
-    def b_tmix():
-        sampled = _sampled()
-        tmixed = temperature_mix(
-            sampled, _TMIX_TOTAL, alpha=_TMIX_ALPHA, text_col="red", salt=6,
+        tmixt = temperature_mix_table(
+            sampled,
+            _TMIX_TOTAL,
+            alpha=_TMIX_ALPHA,
+            text_col="red",
             totals=_chain.result()[2],
-        )
-        return (
-            tmixed.groupBy("source")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("n_tokens").cast("double").alias("v1"),
-                F.first("target_tokens").cast("double").alias("v2"),
-            )
-            .select(
-                F.lit("tmix").alias("variant"),
-                F.col("source").alias("key"),
-                "n",
-                "v1",
-                "v2",
-            )
+        ).select(
+            "source",
+            F.col("_thresh").alias("_t_thresh"),
+            F.col("target_tokens").alias("_t_target"),
         )
 
-    def b_bpe():
-        sampled = _sampled()
         end_arr = F.array(F.lit(BP.END))
 
         def seg_count(w):
@@ -970,21 +953,49 @@ def pipeline_clean_corpus(spark, sf_dir):
         n_bpe = F.aggregate(
             F.transform(words, seg_count), F.lit(0), lambda acc, x: acc + x
         )
-        return (
-            sampled.select("source", n_bpe.alias("n_bpe"))
-            .groupBy("source")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("n_bpe").cast("double").alias("v1"),
-                F.round(F.avg("n_bpe"), 6).alias("v2"),
-            )
+        rows = (
+            sampled.join(F.broadcast(mixt), "source", "left")
+            .join(F.broadcast(tmixt), "source", "left")
             .select(
-                F.lit("bpe").alias("variant"),
-                F.col("source").alias("key"),
-                "n",
-                "v1",
-                "v2",
+                "source",
+                "n_tokens",
+                n_bpe.alias("_nb"),
+                (mix_hash("doc_id", 2) < F.col("_m_thresh")).alias("_ms"),
+                (mix_hash("doc_id", 6) < F.col("_t_thresh")).alias("_ts"),
+                "_m_target",
+                "_t_target",
             )
+        )
+        agg = rows.groupBy("source").agg(
+            F.count("*").alias("sample_n"),
+            F.sum("n_tokens").cast("double").alias("sample_v1"),
+            F.count(F.when(F.col("_ms"), 1)).alias("mix_n"),
+            F.sum(F.when(F.col("_ms"), F.col("n_tokens")))
+            .cast("double")
+            .alias("mix_v1"),
+            F.max("_m_target").cast("double").alias("mix_v2"),
+            F.count(F.when(F.col("_ts"), 1)).alias("tmix_n"),
+            F.sum(F.when(F.col("_ts"), F.col("n_tokens")))
+            .cast("double")
+            .alias("tmix_v1"),
+            F.max("_t_target").cast("double").alias("tmix_v2"),
+            F.sum("_nb").cast("double").alias("bpe_v1"),
+            F.round(F.avg("_nb"), 6).alias("bpe_v2"),
+        )
+        return (
+            agg.select(
+                F.col("source").alias("key"),
+                F.expr(
+                    "stack(4, "
+                    "'sample', sample_n, sample_v1, cast(0.0 as double), "
+                    "'mix', mix_n, mix_v1, mix_v2, "
+                    "'tmix', tmix_n, tmix_v1, tmix_v2, "
+                    "'bpe', sample_n, bpe_v1, bpe_v2"
+                    ") as (variant, n, v1, v2)"
+                ),
+            )
+            .filter(F.col("n") > 0)
+            .select("variant", "key", "n", "v1", "v2")
         )
 
     # C4 heuristic cleaning over the same corpus with deterministic
@@ -1050,19 +1061,20 @@ def pipeline_clean_corpus(spark, sf_dir):
             )
         )
 
-    # r14: the 12 branch families above are independent plans over the
+    # r14: the branch families above are independent plans over the
     # shared inj/deduped/sampled tables — build them on a thread pool
     # (build_concurrently: identical plans, overlapped py4j round trips;
     # this construction measured ~3 s serialized at sf0.1). The two
     # eager collects (fut_totals/fut_merges) were already in flight.
+    # r15: sample/mix/tmix/bpe are ONE fused branch (b_sampled_family).
     from big_ann_spark.queries import build_concurrently
 
     (
-        redact_rows, clean_rows, sample_rows, mix_rows, tmix_rows,
-        bpe_rows, pack_rows, cap_rows, dsir_rows, dsir2_rows,
+        redact_rows, clean_rows, sampled_family_rows,
+        pack_rows, cap_rows, dsir_rows, dsir2_rows,
         shard_rows, c4_rows,
     ) = build_concurrently(
-        b_redact, b_clean, b_sample, b_mix, b_tmix, b_bpe,
+        b_redact, b_clean, b_sampled_family,
         b_pack, b_cap, b_dsir, b_dsir2, b_shards, b_c4,
     )
 
@@ -1081,10 +1093,7 @@ def pipeline_clean_corpus(spark, sf_dir):
 
     return (
         redact_rows.unionByName(clean_rows)
-        .unionByName(sample_rows)
-        .unionByName(mix_rows)
-        .unionByName(tmix_rows)
-        .unionByName(bpe_rows)
+        .unionByName(sampled_family_rows)
         .unionByName(pack_rows)
         .unionByName(cap_rows)
         .unionByName(dsir_rows)

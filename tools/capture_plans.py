@@ -1,5 +1,6 @@
 """Capture .explain("formatted") for every headline bench query into
-plans/r14/<name>_<tag>.txt (tag = before/after). Plan capture only —
+plans/r{N}/<name>_<tag>.txt (tag = before/after; N from
+$PLANS_ROUND, default 15). Plan capture only —
 no timed execution (construction-side jobs like localCheckpoint still
 run, as they do in the bench).
 
@@ -26,7 +27,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        "r" + os.environ.get("PLANS_ROUND", "15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     registry = load_all()
