@@ -306,20 +306,26 @@ def ivf_search_from_disk(
             f"unknown codec {codec!r}; use 'raw', 'sq8', 'pq', 'opq' or "
             "'binary'"
         )
-    # tiny; reused by the id collect AND the join — lazy so the collect
-    # materializes it in the same job (r14)
-    pool = pool.localCheckpoint(eager=False)
-    cand_ids = [
-        r["neighbor_id"] for r in pool.select("neighbor_id").distinct().collect()
-    ]
+    # ONE pool materialization (r15): the pool is contractually tiny
+    # (<= Q * k * rerank_factor rows — the same bound the cand-id
+    # collect always relied on), so collect its (qid, neighbor_id)
+    # pairs once and derive BOTH the id-pushdown list and the rerank's
+    # broadcast pair table from the same rows. The old chain was a
+    # lazy checkpoint + a distinct() collect (an extra exchange and
+    # AQE stage-job) + a pool-subtree rescan inside the rerank plan —
+    # three serial pieces over one tiny table.
+    pool_pairs = pool.select("qid", "neighbor_id")
+    pool_rows = pool_pairs.collect()
+    cand_ids = sorted({r["neighbor_id"] for r in pool_rows})
     raw = shards.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
     if len(cand_ids) <= max_id_pushdown:
         raw = raw.filter(_isin_ids("neighbor_id", cand_ids))
+    pairs_lit = spark.createDataFrame(pool_rows, pool_pairs.schema)
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("_qv")
     )
     exact = (
-        raw.join(F.broadcast(pool.select("qid", "neighbor_id")), "neighbor_id")
+        raw.join(F.broadcast(pairs_lit), "neighbor_id")
         .join(F.broadcast(q), "qid")
         .select(
             "qid", "neighbor_id", l2_distance("_qv", vec_col, dim).alias("dist")

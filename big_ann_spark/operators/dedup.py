@@ -1720,18 +1720,35 @@ def token_budget_mix_table(
     *,
     text_col: str = "text",
     source_col: str = "source",
+    totals: dict | None = None,
 ) -> DataFrame:
-    """The lazy (source, _thresh, target_tokens) mix table
+    """The (source, _thresh, target_tokens) mix table
     :func:`token_budget_mix` broadcasts — exposed so a caller merging
     several mix variants into ONE conditional aggregate (r15, the
     pipeline's sampled-family fusion) can apply the identical
     selection predicate ``mix_hash(id, salt) < _thresh`` itself. Must
     stay the exact table token_budget_mix builds: the float sequence
     (literal weight arithmetic, least(1, target/tot), trunc(frac*mod))
-    is oracle-pinned."""
+    is oracle-pinned.
+
+    ``totals``: per-source ``sum(token_count(text_col))`` precollected
+    (e.g. :func:`mix_source_totals` on a background thread). The table
+    is then LITERAL rows with zero in-plan dependency — a caller whose
+    scan the lazy aggregate would otherwise gate (the fused pipeline
+    branch: the totals broadcast serialized the CPU-dense projection
+    behind an extra pass, measured +1.4 s at sf0.1) gets the same
+    thresholds from the same IEEE sequence: Python ``min(1.0,
+    target/tot)`` / ``int(frac*mod)`` are bit-identical to the plan's
+    ``least``/``cast('long')`` on the same doubles."""
     from big_ann_spark.functions.text import token_count
 
     w_sum = sum(weights.values())
+    src_type = docs.schema[source_col].dataType.simpleString()
+    if totals is not None:
+        return docs.sparkSession.createDataFrame(
+            token_budget_mix_rows(weights, total_tokens, totals),
+            f"{source_col} {src_type}, _thresh long, target_tokens long",
+        )
     sized = docs.withColumn("_toks", token_count(text_col))
     # literal per-source targets: pure weight arithmetic, data-free —
     # the exact floats the old driver loop computed
@@ -1739,16 +1756,15 @@ def token_budget_mix_table(
     for src, w in weights.items():
         target = total_tokens * (w / w_sum)
         wrows.append((src, target, int(target)))
-    src_type = docs.schema[source_col].dataType.simpleString()
     wtab = docs.sparkSession.createDataFrame(
         wrows, f"{source_col} {src_type}, _target double, target_tokens long"
     )
-    totals = sized.groupBy(source_col).agg(F.sum("_toks").alias("_tot"))
+    totals_df = sized.groupBy(source_col).agg(F.sum("_toks").alias("_tot"))
     # totals can be NEGATIVE when every doc of a source has NULL text
     # (size(null) = -1 per token_count) — treated like absent (> 0)
     frac = F.least(F.lit(1.0), F.col("_target") / F.col("_tot"))
     return (
-        totals.join(F.broadcast(wtab), source_col)
+        totals_df.join(F.broadcast(wtab), source_col)
         .filter(F.col("_tot") > 0)
         .select(
             source_col,
@@ -1764,6 +1780,50 @@ def mix_hash(id_col: str = "doc_id", salt: int = 0):
     ``*_mix_table`` builders so merged conditional aggregates select
     bit-identically to :func:`_apply_mix_table`."""
     return _stable_hash(id_col, salt, 2654435761, MINHASH_P)
+
+
+def token_budget_mix_rows(
+    weights: dict[str, float], total_tokens: int, totals: dict
+) -> list[tuple]:
+    """(source, _thresh, target_tokens) rows from PRECOLLECTED totals —
+    pure driver arithmetic with the oracle-pinned float sequence
+    (Python ``min(1.0, target/tot)`` / ``int(frac*mod)`` are
+    bit-identical to the lazy plan's ``least``/``cast('long')`` on the
+    same doubles). The mix contract keeps sources driver-tiny, so
+    callers may inline these rows as literal ``when()`` lookups — zero
+    broadcast/join stages on the selection scan (r15)."""
+    w_sum = sum(weights.values())
+    mix_rows = []
+    for src, w in weights.items():
+        tot = totals.get(src)
+        if tot is None or tot <= 0:
+            continue
+        target = total_tokens * (w / w_sum)
+        frac = min(1.0, target / tot)
+        mix_rows.append((src, int(frac * MINHASH_P), int(target)))
+    return mix_rows
+
+
+def temperature_mix_rows(
+    total_tokens: int, *, alpha: float = 0.5, totals: dict
+) -> list[tuple]:
+    """(source, _thresh, target_tokens) rows for the temperature mix —
+    the exact driver-side pow()/w_sum sequence
+    :func:`temperature_mix_table` persists (sorted-source w_sum
+    accumulation; libm pow parity with the oracle)."""
+    srcs = sorted(
+        s for s, n in totals.items() if s is not None and n is not None and n > 0
+    )
+    w = {s: float(totals[s]) ** alpha for s in srcs}
+    w_sum = 0.0
+    for s in srcs:
+        w_sum += w[s]
+    mix_rows = []
+    for s in srcs:
+        target = total_tokens * (w[s] / w_sum)
+        frac = min(1.0, target / totals[s])
+        mix_rows.append((s, int(frac * MINHASH_P), int(target)))
+    return mix_rows
 
 
 def _apply_mix_table(
@@ -1870,22 +1930,11 @@ def temperature_mix_table(
     move it into the plan."""
     if totals is None:
         totals = mix_source_totals(docs, text_col=text_col, source_col=source_col)
-    # drop NULL sources (a join key of NULL never matches the mix
-    # table) and non-positive totals (all-NULL-text sources aggregate
-    # to a NEGATIVE total: size(null) = -1) — like token_budget_mix,
-    # such sources contribute nothing to the output
-    srcs = sorted(
-        s for s, n in totals.items() if s is not None and n is not None and n > 0
-    )
-    w = {s: float(totals[s]) ** alpha for s in srcs}
-    w_sum = 0.0
-    for s in srcs:
-        w_sum += w[s]
-    mix_rows = []
-    for s in srcs:
-        target = total_tokens * (w[s] / w_sum)
-        frac = min(1.0, target / totals[s])
-        mix_rows.append((s, int(frac * MINHASH_P), int(target)))
+    # NULL sources and non-positive totals (all-NULL-text sources
+    # aggregate to a NEGATIVE total: size(null) = -1) are dropped by
+    # the rows helper — like token_budget_mix, such sources contribute
+    # nothing to the output
+    mix_rows = temperature_mix_rows(total_tokens, alpha=alpha, totals=totals)
     # the mix table's source column must carry the CORPUS's source
     # type (ADVICE r7: hardcoding string broke int-sourced corpora at
     # createDataFrame where the old per-source loop handled any type)

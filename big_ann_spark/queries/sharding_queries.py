@@ -413,6 +413,19 @@ def ivf_search_top5(spark, sf_dir):
     sharded = assign.select("vec_id", "shard_id").join(
         emb.select("vec_id", "embedding"), "vec_id"
     )
+    # spread the raw variant's scoring table (r15, guide §2.5): the
+    # one-file embeddings scan is ONE task, so the candidate l2 folds
+    # ran single-core (profiled 0.45 s of single-task CPU — the
+    # query's largest stage). The repartition sits AFTER the
+    # assign/centroid lineage, so every float upstream (avg-based
+    # centroids included) is bit-identical; scoring + top-k are
+    # placement-invariant (deterministic (dist, id) tie-break).
+    # spread_width_if_narrow skips this once the scan splits wide.
+    from big_ann_spark.queries import spread_width_if_narrow
+
+    _w = spread_width_if_narrow(spark, sf_dir, "embeddings")
+    if _w is not None:
+        sharded = sharded.repartition(_w)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )

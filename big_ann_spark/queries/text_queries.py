@@ -917,29 +917,34 @@ def pipeline_clean_corpus(spark, sf_dir):
         # (sample/bpe groups always have n >= 1 by construction).
         from big_ann_spark.operators.dedup import (
             mix_hash,
-            temperature_mix_table,
-            token_budget_mix_table,
+            temperature_mix_rows,
+            token_budget_mix_rows,
         )
 
         sampled = _sampled()
-        mixt = token_budget_mix_table(
-            sampled, _MIX_WEIGHTS, _MIX_TOTAL, text_col="red"
-        ).select(
-            "source",
-            F.col("_thresh").alias("_m_thresh"),
-            F.col("target_tokens").alias("_m_target"),
+        # literal when() lookups (r15 follow-up): the background chain
+        # already collected the per-source token totals — the SAME
+        # sums both mix tables derive from — and the mix contract
+        # keeps sources driver-tiny, so the per-source thresholds and
+        # targets inline as literal CASE chains on the selection scan.
+        # Zero joins, zero broadcast stages, no in-plan aggregate
+        # gating the CPU-dense n_bpe projection (a lazy-totals
+        # broadcast form measured +1.4 s, a literal-broadcast-join
+        # form +0.6 s: the broadcast builds sat on the heavy stage's
+        # critical path). A NULL source matches no when() arm -> NULL,
+        # exactly the left-join-miss semantics.
+        mrows = token_budget_mix_rows(
+            _MIX_WEIGHTS, _MIX_TOTAL, _chain.result()[2]
         )
-        tmixt = temperature_mix_table(
-            sampled,
-            _TMIX_TOTAL,
-            alpha=_TMIX_ALPHA,
-            text_col="red",
-            totals=_chain.result()[2],
-        ).select(
-            "source",
-            F.col("_thresh").alias("_t_thresh"),
-            F.col("target_tokens").alias("_t_target"),
+        trows = temperature_mix_rows(
+            _TMIX_TOTAL, alpha=_TMIX_ALPHA, totals=_chain.result()[2]
         )
+
+        def _lookup(rows, idx, dtype):
+            expr = F.lit(None).cast(dtype)
+            for r in rows:
+                expr = F.when(F.col("source") == F.lit(r[0]), F.lit(r[idx])).otherwise(expr)
+            return expr
 
         end_arr = F.array(F.lit(BP.END))
 
@@ -953,18 +958,14 @@ def pipeline_clean_corpus(spark, sf_dir):
         n_bpe = F.aggregate(
             F.transform(words, seg_count), F.lit(0), lambda acc, x: acc + x
         )
-        rows = (
-            sampled.join(F.broadcast(mixt), "source", "left")
-            .join(F.broadcast(tmixt), "source", "left")
-            .select(
-                "source",
-                "n_tokens",
-                n_bpe.alias("_nb"),
-                (mix_hash("doc_id", 2) < F.col("_m_thresh")).alias("_ms"),
-                (mix_hash("doc_id", 6) < F.col("_t_thresh")).alias("_ts"),
-                "_m_target",
-                "_t_target",
-            )
+        rows = sampled.select(
+            "source",
+            "n_tokens",
+            n_bpe.alias("_nb"),
+            (mix_hash("doc_id", 2) < _lookup(mrows, 1, "long")).alias("_ms"),
+            (mix_hash("doc_id", 6) < _lookup(trows, 1, "long")).alias("_ts"),
+            _lookup(mrows, 2, "long").alias("_m_target"),
+            _lookup(trows, 2, "long").alias("_t_target"),
         )
         agg = rows.groupBy("source").agg(
             F.count("*").alias("sample_n"),
