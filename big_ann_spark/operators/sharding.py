@@ -478,6 +478,29 @@ def write_sharded(
         .parquet(f"{path}/shards")
         .select("shard_id", "dist")
     ).write.mode("overwrite").csv(f"{path}/distribution", header=True)
+    # pre-populate the read-side schema memo at BUILD time (r15): the
+    # first search against a fresh layout otherwise pays a footer-
+    # inference driver job in open_probed_shards (a cold-serving
+    # attempt-1 cost). One INFERRED read here — the exact read the
+    # serving path would run, stored under the exact (base, mtime) key
+    # it would compute — moves that job off the serving path; the
+    # listing it needs was just done by the histogram read above.
+    # Best-effort: serving never depends on this (a miss only re-infers).
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/shards")
+        fs = jpath.getFileSystem(hconf)
+        mtime = int(fs.getFileStatus(jpath).getModificationTime())
+        from big_ann_spark.operators import ann as _ann
+
+        _ann._SHARDS_SCHEMA_MEMO[(f"{path}/shards", mtime)] = (
+            spark.read.option("basePath", f"{path}/shards")
+            .parquet(f"{path}/shards")
+            .schema
+        )
+    except Exception:
+        pass
 
 
 # --------------------------------------------------------------- KANNDI
